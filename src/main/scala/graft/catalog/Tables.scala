@@ -1,0 +1,40 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical table catalog over the driver-provided parquet test data.
+  *
+  * Mirrors the reference's table-registration role (Squrve resolves a
+  * `db_id` to a sqlite file / cloud dataset, `core/base.py:467-488`);
+  * here a "database" is a directory of parquet tables registered as
+  * temp views so generated SQL runs via `spark.sql`.
+  *
+  * Scale note: temp-view registration is a catalog-only operation; the
+  * parquet scans stay lazy, so Catalyst prunes columns and pushes
+  * filters down to the footers regardless of table size.
+  */
+object Tables {
+
+  /** TPC-H-ish star schema + events stream table + LLM-pipeline tables. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long and truncate to micros —
+      // the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(dir, name))
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Register every table as a temp view named after itself. Idempotent. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Replaces the reference's per-backend connection handling
+  * (Squrve `core/db_connect.py:14-147`) with a single Spark SQL backend.
+  * Local-mode defaults are tuned for the test harness (local[32],
+  * 32 shuffle partitions); on a real cluster the builder args are
+  * overridden by spark-submit confs, so everything here is a default,
+  * not a hard-coding.
+  */
+object GraftSession {
+
+  /** Number of local cores / shuffle partitions for the harness. */
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+
+  def build(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      // At 100 TB scale shuffle partitions come from AQE coalescing; the
+      // static value only seeds the initial partition count.
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
