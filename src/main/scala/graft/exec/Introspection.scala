@@ -1,0 +1,53 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Introspection shims: generated SQL probes schema metadata with
+  * backend-specific incantations (`PRAGMA table_info`, `sqlite_master`,
+  * `INFORMATION_SCHEMA.*` — reference usage at
+  * `core/actor/generator/OpenSearchSQLGenerate.py:231-279` and
+  * `DAILSQLGenerate.py:244-312`). Spark's catalog answers all of them;
+  * this layer intercepts the probe shapes and returns result tables in
+  * the layout the caller expects.
+  */
+object Introspection {
+
+  private val pragmaRe = """(?is)\s*PRAGMA\s+table_info\s*\(\s*['"`]?(\w+)['"`]?\s*\)\s*;?\s*""".r
+  private val masterRe = """(?is)\s*SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type\s*=\s*'table'.*""".r
+  private val infoTablesRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.TABLES.*""".r
+  private val infoColumnsRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.COLUMNS\s+WHERE\s+TABLE_NAME\s*=\s*'(\w+)'.*""".r
+
+  /** If `sql` is a recognized introspection probe, answer it from the
+    * Spark catalog; otherwise None and the SQL goes to `spark.sql`.
+    */
+  def answer(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    case pragmaRe(table) => Some(tableInfo(spark, table))
+    case masterRe() | infoTablesRe() => Some(tableList(spark))
+    case infoColumnsRe(table) => Some(tableInfo(spark, table))
+    case _ => None
+  }
+
+  /** PRAGMA table_info layout: (cid, name, type, notnull, dflt_value, pk). */
+  def tableInfo(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val cols = spark.catalog.listColumns(table).collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      (i, c.name, c.dataType, if (c.nullable) 0 else 1,
+        null.asInstanceOf[String], 0)
+    }.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+  }
+
+  /** sqlite_master-style table listing: a single `name` column. */
+  def tableList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().map(_.name).toSeq.toDF("name")
+  }
+
+  /** `CREATE TABLE` DDL text per table (reference builds prompt DDL from
+    * sqlite_master / INFORMATION_SCHEMA; Spark derives it from the schema).
+    */
+  def ddl(spark: SparkSession, table: String): String = {
+    val schema = spark.table(table).schema
+    s"CREATE TABLE $table (${schema.toDDL})"
+  }
+}

@@ -1,0 +1,60 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TranspilerSpec extends AnyFunSuite {
+  import Transpiler.transpile
+
+  test("GETDATE → current_timestamp") {
+    assert(transpile("SELECT GETDATE()") == "SELECT current_timestamp()")
+  }
+
+  test("IIF → IF, word-bounded, literal-safe") {
+    assert(transpile("SELECT IIF(a>1, 'x', 'y') FROM t") == "SELECT IF(a>1, 'x', 'y') FROM t")
+    assert(transpile("SELECT 'IIF(a)' FROM t") == "SELECT 'IIF(a)' FROM t")
+    assert(transpile("SELECT miif_col FROM t") == "SELECT miif_col FROM t")
+  }
+
+  test("strftime → date_format") {
+    assert(transpile("SELECT strftime('%Y', o_orderdate) FROM orders") ==
+      "SELECT date_format(o_orderdate, 'yyyy') FROM orders")
+    assert(transpile("SELECT STRFTIME('%Y-%m', d) FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
+  }
+
+  test("GROUP_CONCAT → array_join(collect_list)") {
+    assert(transpile("SELECT GROUP_CONCAT(name) FROM t GROUP BY k") ==
+      "SELECT array_join(collect_list(name), ',') FROM t GROUP BY k")
+    assert(transpile("SELECT group_concat(name, ';') FROM t") ==
+      "SELECT array_join(collect_list(name), ';') FROM t")
+  }
+
+  test("QUALIFY → subquery filter") {
+    val in = "SELECT o_custkey, o_totalprice FROM orders " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) <= 2 " +
+      "ORDER BY o_custkey LIMIT 10"
+    val out = transpile(in)
+    assert(out.contains("AS __qualify__"))
+    assert(out.contains("WHERE __qualify__"))
+    assert(out.startsWith("SELECT * EXCEPT (__qualify__) FROM (SELECT o_custkey, o_totalprice,"))
+    assert(out.endsWith("ORDER BY o_custkey LIMIT 10"))
+  }
+
+  test("type names: TEXT/REAL/INTEGER") {
+    assert(transpile("SELECT CAST(x AS TEXT), CAST(y AS REAL), CAST(z AS INTEGER) FROM t") ==
+      "SELECT CAST(x AS STRING), CAST(y AS DOUBLE), CAST(z AS INT) FROM t")
+  }
+
+  test("passthrough + idempotence") {
+    val q = "SELECT a, b FROM t WHERE c LIKE '%x%' GROUP BY a, b HAVING COUNT(*) > 1"
+    assert(transpile(q) == q)
+    val weird = "SELECT IIF(a, 'GETDATE()', b) FROM t -- IIF comment"
+    assert(transpile(transpile(weird)) == transpile(weird))
+  }
+
+  test("keywords inside strings and comments untouched") {
+    assert(transpile("SELECT 'QUALIFY x' FROM t") == "SELECT 'QUALIFY x' FROM t")
+    val c = "SELECT a FROM t -- QUALIFY nothing"
+    assert(transpile(c) == c)
+  }
+}

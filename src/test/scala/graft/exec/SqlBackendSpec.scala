@@ -1,0 +1,72 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+class SqlBackendSpec extends SparkSpec {
+  lazy val backend: SqlBackend = {
+    Tables.registerAll(spark, sfDir)
+    new SqlBackend(spark)
+  }
+
+  test("run returns ExecOk with a lazy DataFrame") {
+    val r = backend.run("SELECT COUNT(*) AS n FROM lineitem")
+    assert(r.isSuccess)
+    assert(r.asInstanceOf[ExecOk].df.collect()(0).getLong(0) == 6000L)
+  }
+
+  test("analysis errors become ExecErr values, not throws") {
+    val r = backend.run("SELECT no_such_col FROM lineitem")
+    assert(!r.isSuccess)
+    assert(r.errorMessage.get.contains("no_such_col"))
+    val r2 = backend.run("THIS IS NOT SQL")
+    assert(!r2.isSuccess)
+  }
+
+  test("runDialect transpiles sqlite-isms end to end") {
+    val r = backend.runDialect(
+      "SELECT IIF(l_quantity > 25, 'big', 'small') AS sz, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY sz ORDER BY sz")
+    assert(r.isSuccess)
+    val rows = r.asInstanceOf[ExecOk].df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("big", "small"))
+  }
+
+  test("runDialect rewrites QUALIFY") {
+    val r = backend.runDialect(
+      "SELECT o_custkey, o_totalprice FROM orders " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 1")
+    assert(r.isSuccess, r.errorMessage)
+    val df = r.asInstanceOf[ExecOk].df
+    assert(df.columns.toSeq == Seq("o_custkey", "o_totalprice"))
+    val custs = df.collect().map(_.getLong(0))
+    assert(custs.length == custs.distinct.length) // one row per customer
+  }
+
+  test("introspection shims answer PRAGMA and sqlite_master probes") {
+    val info = backend.runDialect("PRAGMA table_info(lineitem)")
+    assert(info.isSuccess)
+    val names = info.asInstanceOf[ExecOk].df.collect().map(_.getString(1)).toSeq
+    assert(names.contains("l_orderkey") && names.contains("l_shipdate"))
+
+    val tables = backend.runDialect("SELECT name FROM sqlite_master WHERE type='table'")
+    assert(tables.isSuccess)
+    val tnames = tables.asInstanceOf[ExecOk].df.collect().map(_.getString(0)).toSet
+    assert(Tables.all.toSet.subsetOf(tnames))
+  }
+
+  test("runToString renders results and the empty-result convention") {
+    val s = backend.runToString("SELECT r_name FROM region ORDER BY r_name")
+    assert(s.startsWith("r_name"))
+    val empty = backend.runToString("SELECT r_name FROM region WHERE r_name = 'NOPE'")
+    assert(empty.contains("No data found"))
+    val err = backend.runToString("SELECT * FROM not_a_table")
+    assert(err.startsWith("Execution error:"))
+  }
+
+  test("runCollect enforces timeout via job-group cancel") {
+    // A tiny query finishes well within the timeout
+    val ok = backend.runCollect("SELECT 1 AS one", timeoutSec = 60)
+    assert(ok.isSuccess)
+  }
+}
