@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Relational, RowOpsQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** All query packs, in SURVEY §2 inventory order. */
   def packs: Seq[QueryPack] = Seq(
-    Relational)
+    Relational,
+    RowOpsQueries,
+    TextQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for LLM training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All are compositions of codegen'd built-ins (no UDFs): at 100 TB the
+  * per-row work stays inside whole-stage codegen and the only cost is
+  * the scan. Every function has a mechanical SQL translation (used by
+  * the DuckDB oracles), so semantics are engine-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single punctuation. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Characters that count as punctuation for quality scoring. */
+  val PunctClass = "[.,!?;:'\"()-]"
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctClass, ""))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Tiny built-in stopword list (language-agnostic English core). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Mean token length (chars of non-space content / token count). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Composite quality score in [0,1]-ish: rewards moderate length and
+    * stopword presence, penalizes punctuation soup. Deterministic
+    * arithmetic only, so thresholds are reproducible across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(400.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    round(lenScore * lit(0.4) + swScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2), 6)
+  }
+
+  /** Stopword-vote language ID. Votes are exact token matches against
+    * per-language marker sets; argmax with a fixed precedence order on
+    * ties. (On synthetic corpora this is a determinism fixture; on real
+    * text the marker sets are where a real model plugs in.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def langVote(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    val m = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(m, t)))
+  }
+
+  def langId(text: Column): Column = {
+    val votes = LangMarkers.map { case (lang, markers) => lang -> langVote(text, markers) }
+    // precedence = declaration order on ties; unknown when all zero
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    votes.foldRight(lit("unknown"): Column) { case ((lang, v), acc) =>
+      when(v === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint of the full text:
+    * fold(acc = (acc * 31 + ascii(char)) mod 1e9+7). Stable across
+    * engines and partitionings (it is a per-row scalar, not an agg).
+    */
+  val FingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % FingerprintMod)
+
+  /** Word n-gram shingles (space-joined) of the token array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, n))))
+  }
+}

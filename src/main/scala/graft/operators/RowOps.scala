@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset row operators (SURVEY §2.2): the reference's driver-side list
+  * comprehensions over question records, re-expressed as Catalyst column
+  * predicates and joins so they run distributed at any scale.
+  */
+object RowOps {
+
+  /** The declarative row-filter mini-language
+    * (`filter_dataset`, reference `core/data_manage.py:1482-1557`).
+    *
+    * Grammar (conditions joined by `spliter`, default "."):
+    *   `<field>`              field present and truthy (non-null, non-empty)
+    *   `<field>-<value>`      string equality
+    *   `<field>-<op>-<n>`     numeric compare; op ∈ l,e,m,le,me (<,=,>,<=,>=)
+    *   `<field>_length-<op>-<n>`  compare LENGTH(field)  (the reference's
+    *                          ques_length/query_length generalized)
+    *
+    * Compiles to a single `Column` predicate — Catalyst pushes it into
+    * the scan, so the "filter" costs a parquet predicate, not a pass.
+    */
+  def compileFilter(filterBy: String, spliter: String = "."): Column = {
+    val conditions = filterBy.split(java.util.regex.Pattern.quote(spliter)).filter(_.nonEmpty)
+    val ops: Map[String, (Column, Column) => Column] = Map(
+      "l" -> (_ < _), "e" -> (_ === _), "m" -> (_ > _),
+      "le" -> (_ <= _), "me" -> (_ >= _))
+    val preds = conditions.toSeq.map { cond =>
+      cond.split("-") match {
+        case Array(field) =>
+          col(field).isNotNull && col(field).cast("string") =!= ""
+        case Array(field, value) =>
+          col(field).cast("string") === value
+        case Array(field, op, value) =>
+          val opFn = ops.getOrElse(op,
+            throw new IllegalArgumentException(s"Unsupported operator: $op"))
+          val lhs =
+            if (field.endsWith("_length")) length(col(field.stripSuffix("_length")))
+            else col(field)
+          opFn(lhs.cast("long"), lit(value.toLong))
+        case _ =>
+          throw new IllegalArgumentException(s"Invalid filter condition: $cond")
+      }
+    }
+    preds.reduce(_ && _)
+  }
+
+  def filterDataset(df: DataFrame, filterBy: String): DataFrame =
+    df.filter(compileFilter(filterBy))
+
+  /** Cross-actor dataset merge (`update_dataset`,
+    * `core/data_manage.py:363-394`): align by key, other's fields
+    * overwrite self's (`r1.update(r2)`), other-only columns appended.
+    * Spark version: full outer join + per-column coalesce(right, left),
+    * one shuffle on the key.
+    */
+  def updateDataset(self: DataFrame, other: DataFrame, key: String): DataFrame = {
+    val l = self.as("l")
+    val r = other.as("r")
+    val joined = l.join(r, self(key) === other(key), "full_outer")
+    val shared = self.columns.toSet.intersect(other.columns.toSet) - key
+    val leftOnly = self.columns.filterNot(shared.contains).filterNot(_ == key)
+    val rightOnly = other.columns.filterNot(self.columns.toSet.contains)
+    val cols =
+      Seq(coalesce(col(s"l.$key"), col(s"r.$key")).as(key)) ++
+        leftOnly.map(c => col(s"l.$c").as(c)) ++
+        self.columns.filter(shared.contains).map(c =>
+          coalesce(col(s"r.$c"), col(s"l.$c")).as(c)) ++
+        rightOnly.map(c => col(s"r.$c").as(c))
+    joined.select(cols: _*)
+  }
+
+  /** Deterministic systematic sample: key mod `every` == `offset`.
+    * The reference's `random.sample` (`core/data_manage.py:156-162`) is
+    * driver-side and unreproducible across engines; hash/key-mod sampling
+    * gives the same subset on any engine and any cluster size.
+    */
+  def systematicSample(df: DataFrame, key: String, every: Int, offset: Int): DataFrame =
+    df.filter(pmod(col(key), lit(every)) === offset)
+
+  /** Random sample by fraction (seeded) — the scalable analog of
+    * `random_size` fraction sampling.
+    */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Split a schema/record set into slices of ≤ sliceSize for parallel
+    * downstream processing (`parallel_slice_parse`,
+    * `core/actor/parser/BaseParse.py:160-217`). Slice id is assigned by
+    * a window over an explicit ordering so it is deterministic.
+    */
+  def withSliceId(df: DataFrame, orderCol: String, sliceSize: Int): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    df.withColumn("slice_id",
+      ((row_number().over(w) - 1) / sliceSize).cast("long"))
+  }
+
+  /** Per-round exponential retention decay
+    * (`LinkAlignReduce.py:151-167`): keep `initRate * decayRate^round`
+    * of each round's rows, seeded per-group sampling.
+    */
+  def retainDecay(df: DataFrame, roundCol: String, initRate: Double,
+      decayRate: Double, seed: Long = 42L): DataFrame = {
+    // fraction depends on the row's round: filter on a seeded uniform draw
+    val fraction = lit(initRate) * pow(lit(decayRate), col(roundCol).cast("double"))
+    df.filter(rand(seed) < fraction)
+  }
+
+  /** Dedup by a column subset with a deterministic survivor (smallest
+    * `tieBreak`), unlike dropDuplicates' partition-order-dependent pick
+    * (`LinkAlignReduce.py:209-212` analog).
+    */
+  def dedupBy(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Remove LLM-flagged irrelevant (table, column) pairs: left-anti join
+    * against the flagged set (`LinkAlignReduce.py:197-201`).
+    */
+  def antiFilter(df: DataFrame, flagged: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(flagged, keys, "left_anti")
+
+  /** Weighted majority vote → argmax group
+    * (`LinkAlignReduce.py:202-218`): groupBy + sum(weight), pick the top
+    * key with a deterministic tiebreak.
+    */
+  def majorityVote(df: DataFrame, voteCol: String, weightCol: String): DataFrame =
+    df.groupBy(col(voteCol))
+      .agg(sum(col(weightCol)).as("total_weight"))
+      .orderBy(col("total_weight").desc, col(voteCol))
+      .limit(1)
+}

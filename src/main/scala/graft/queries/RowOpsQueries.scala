@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.QueryPack._
+import graft.catalog.Tables
+import graft.operators.RowOps
+
+/** Oracle-checked demonstrations of the §2.2 row operators, each running
+  * the real `graft.operators.RowOps` implementation over the driver
+  * test tables.
+  */
+object RowOpsQueries extends QueryPack {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_filter_lang",
+      "filter_dataset mini-language compiled to pushed-down Column " +
+        "predicates: documents with n_chars>=200, lang='en', non-empty text.",
+      (s, dir) =>
+        RowOps.filterDataset(
+          Tables.load(s, dir, "documents"), "n_chars-me-200.lang-en.text")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE n_chars >= 200 AND lang = 'en'
+             |  AND text IS NOT NULL AND text <> ''
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_filter_lang_length",
+      "filter_dataset length-compare conditions (ques_length analog): " +
+        "short texts from one source.",
+      (s, dir) =>
+        RowOps.filterDataset(
+          Tables.load(s, dir, "documents"), "text_length-l-300.source-src1")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE LENGTH(text) < 300 AND source = 'src1'
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_update_merge",
+      "update_dataset: keyed full-outer merge where the other side's " +
+        "columns overwrite — run over two derived per-language views.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // self: stats for all langs; other: overriding stats for 'en'+'fr'
+        val self = docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"), lit("base").as("origin"))
+        val other = docs.filter(col("lang").isin("en", "fr"))
+          .groupBy(col("lang")).agg(
+            sum(col("n_chars")).as("total_chars"), lit("override").as("origin"))
+        RowOps.updateDataset(self, other, "lang").orderBy(col("lang"))
+      },
+      Some("""WITH self AS (
+             |  SELECT lang, COUNT(*) AS n_docs, 'base' AS origin
+             |  FROM documents GROUP BY lang),
+             |other AS (
+             |  SELECT lang, SUM(n_chars) AS total_chars, 'override' AS origin
+             |  FROM documents WHERE lang IN ('en','fr') GROUP BY lang)
+             |SELECT COALESCE(self.lang, other.lang) AS lang,
+             |       n_docs,
+             |       COALESCE(other.origin, self.origin) AS origin,
+             |       total_chars
+             |FROM self FULL OUTER JOIN other ON self.lang = other.lang
+             |ORDER BY lang""".stripMargin)),
+
+    GQuery(
+      "q_systematic_sample",
+      "Deterministic key-mod sampling (engine-portable analog of " +
+        "random_size subsampling).",
+      (s, dir) =>
+        RowOps.systematicSample(Tables.load(s, dir, "documents"), "doc_id", 20, 7)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE doc_id % 20 = 7 ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_slice_assign",
+      "parallel_slice_parse slicing: deterministic ≤200-row slices, " +
+        "then per-slice counts.",
+      (s, dir) =>
+        RowOps.withSliceId(Tables.load(s, dir, "documents"), "doc_id", 200)
+          .groupBy(col("slice_id"))
+          .agg(count(lit(1)).as("rows_in_slice"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("slice_id")),
+      Some("""WITH sliced AS (
+             |  SELECT doc_id,
+             |         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 200) AS BIGINT) AS slice_id
+             |  FROM documents)
+             |SELECT slice_id, COUNT(*) AS rows_in_slice,
+             |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM sliced GROUP BY slice_id ORDER BY slice_id""".stripMargin)),
+
+    GQuery(
+      "q_dedup_by_cols",
+      "Deterministic dedup on a column subset (smallest doc_id survives) " +
+        "— the engine's drop_duplicates with a defined survivor.",
+      (s, dir) =>
+        RowOps.dedupBy(Tables.load(s, dir, "documents"),
+          Seq("lang", "source"), "doc_id")
+          .select(col("lang"), col("source"), col("doc_id"))
+          .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, MIN(doc_id) AS doc_id FROM documents
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    GQuery(
+      "q_anti_filter",
+      "Anti-filter against a flagged set (schema-link removal analog): " +
+        "drop all (lang, source) pairs that contain short docs.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val flagged = docs.filter(col("n_chars") < 60)
+          .select(col("lang"), col("source")).distinct()
+        RowOps.antiFilter(docs, flagged, Seq("lang", "source"))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents d
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM documents f
+             |  WHERE f.n_chars < 60 AND f.lang = d.lang AND f.source = d.source)
+             |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_majority_vote",
+      "Weighted majority vote (multi-DB disambiguation analog): source " +
+        "with the highest total character weight.",
+      (s, dir) =>
+        RowOps.majorityVote(
+          Tables.load(s, dir, "documents"), "source", "n_chars"),
+      Some("""SELECT source, SUM(n_chars) AS total_weight FROM documents
+             |GROUP BY source ORDER BY total_weight DESC, source LIMIT 1""".stripMargin)),
+
+    GQuery(
+      "q_profile_scan",
+      "Single-pass per-column profile (OpenSearch DB_AGENT analog): " +
+        "null/distinct/row counts for customer in ONE aggregation, not " +
+        "the reference's full-scan-per-column loop.",
+      (s, dir) =>
+        Tables.load(s, dir, "customer").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_name").isNull.cast("long")).as("nulls_c_name"),
+          countDistinct(col("c_name")).as("distinct_c_name"),
+          sum(col("c_nationkey").isNull.cast("long")).as("nulls_c_nationkey"),
+          countDistinct(col("c_nationkey")).as("distinct_c_nationkey"),
+          sum(col("c_acctbal").isNull.cast("long")).as("nulls_c_acctbal"),
+          countDistinct(col("c_acctbal")).as("distinct_c_acctbal")),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nulls_c_name,
+             |  COUNT(DISTINCT c_name) AS distinct_c_name,
+             |  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_nationkey,
+             |  COUNT(DISTINCT c_nationkey) AS distinct_c_nationkey,
+             |  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls_c_acctbal,
+             |  COUNT(DISTINCT c_acctbal) AS distinct_c_acctbal
+             |FROM customer""".stripMargin))
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.functions.TextAnalysis._
+
+/** Text-analysis operators over the documents table, oracle-checked.
+  * The DuckDB oracles are mechanical translations of the same scalar
+  * pipelines (list_filter/list_reduce instead of filter/aggregate).
+  */
+object TextQueries extends QueryPack {
+
+  // DuckDB fragments mirroring TextAnalysis
+  private val oToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
+  private val oStop = "['the','a','an','and','or','of','to','in','is','it']"
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_text_tokens",
+      "Token counting: whitespace tokens + BPE-ish subword count, pure " +
+        "codegen'd expressions (no UDF).",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($oToks) AS BIGINT) AS n_tokens,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_text_quality",
+      "Quality scoring: punctuation ratio, stopword ratio, mean token " +
+        "length, composite score — per-document scalar pipeline.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            round(punctRatio(col("text")), 6).as("punct_ratio"),
+            round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+            round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+            qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, $oToks AS toks,
+              |    CAST(length(text) AS DOUBLE) AS n_chars
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id,
+              |    (n_chars - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g'))) / greatest(n_chars, 1.0) AS pr,
+              |    CAST(len(list_filter(toks, t2 -> list_contains($oStop, t2))) AS DOUBLE)
+              |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS sr,
+              |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+              |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mtl,
+              |    n_chars
+              |  FROM t)
+              |SELECT doc_id,
+              |  round(pr, 6) AS punct_ratio,
+              |  round(sr, 6) AS stopword_ratio,
+              |  round(mtl, 6) AS mean_token_len,
+              |  round(least(n_chars / 400.0, 1.0) * 0.4
+              |      + least(sr * 5.0, 1.0) * 0.4
+              |      + (1.0 - least(pr * 4.0, 1.0)) * 0.2, 6) AS quality
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_lang_id",
+      "Stopword-vote language ID with deterministic tie precedence, " +
+        "plus agreement against the labeled lang column.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            langId(col("text")).as("lang_pred"))
+          .withColumn("agree", (col("lang") === col("lang_pred")).cast("int"))
+          .orderBy(col("doc_id")),
+      Some {
+        val votes = LangMarkers.map { case (lang, markers) =>
+          val arr = markers.map(m => s"'$m'").mkString("[", ",", "]")
+          s"CAST(len(list_filter(toks, t2 -> list_contains($arr, t2))) AS INT) AS v_$lang"
+        }.mkString(",\n    ")
+        val best = LangMarkers.map { case (l, _) => s"v_$l" }.mkString("greatest(", ", ", ")")
+        val cases = LangMarkers.map { case (l, _) =>
+          s"WHEN v_$l = best AND best > 0 THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, $oToks AS toks FROM documents),
+           |v AS (
+           |  SELECT doc_id, lang,
+           |    $votes
+           |  FROM t),
+           |b AS (SELECT *, $best AS best FROM v)
+           |SELECT doc_id, lang,
+           |  CASE
+           |    $cases
+           |    ELSE 'unknown' END AS lang_pred,
+           |  CAST(lang = (CASE
+           |    $cases
+           |    ELSE 'unknown' END) AS INT) AS agree
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
+      "q_fingerprint",
+      "Document fingerprinting: polynomial rolling hash over characters " +
+        "(mod 1e9+7), grouped to expose exact-duplicate clusters.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("first_doc")),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000000007) AS fp
+             |  FROM documents)
+             |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM f GROUP BY fp ORDER BY first_doc""".stripMargin))
+  )
+}
