@@ -99,6 +99,6 @@ object TextAnalysis {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, n))))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 }

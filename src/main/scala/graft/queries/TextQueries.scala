@@ -57,7 +57,7 @@ object TextQueries extends QueryPack {
               |    (n_chars - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g'))) / greatest(n_chars, 1.0) AS pr,
               |    CAST(len(list_filter(toks, t2 -> list_contains($oStop, t2))) AS DOUBLE)
               |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS sr,
-              |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+              |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
               |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mtl,
               |    n_chars
               |  FROM t)
