@@ -59,7 +59,7 @@ object SchemaMetrics {
       .groupBy(col("instance_id"), col("g"))
       .agg(max(col("p").isNotNull).as("hit"))
       .groupBy(col("instance_id"))
-      .agg((sum(col("hit").cast("int")) / count(lit(1))).as("recall"))
+      .agg((sum(col("hit").cast("int")) / count(lit(1))).as("__recall_raw"))
 
     val predHits = base
       .select(col("instance_id"), explode(col("pred_schemas")).as("p"))
@@ -70,9 +70,27 @@ object SchemaMetrics {
       .groupBy(col("instance_id"), col("p"))
       .agg(max(col("g").isNotNull).as("hit"))
       .groupBy(col("instance_id"))
-      .agg((sum(col("hit").cast("int")) / count(lit(1))).as("precision"))
+      .agg((sum(col("hit").cast("int")) / count(lit(1))).as("__precision_raw"))
 
-    goldHits.join(predHits, Seq("instance_id"), "full_outer")
+    // explode() drops empty/null-array rows, so re-anchor on the full
+    // question set and encode the driver-side None/Some(0.0) semantics:
+    // gold empty or pred null → undefined (null); pred present-but-empty
+    // → precision 0.0 (and recall 0.0, every gold entry missed).
+    base
+      .select(col("instance_id"),
+        (col("gold_schemas").isNull || size(col("gold_schemas")) === 0).as("__gold_undef"),
+        col("pred_schemas").isNull.as("__pred_null"),
+        (col("pred_schemas").isNotNull && size(col("pred_schemas")) === 0).as("__pred_empty"))
+      .join(goldHits, Seq("instance_id"), "left_outer")
+      .join(predHits, Seq("instance_id"), "left_outer")
+      .withColumn("recall",
+        when(col("__gold_undef") || col("__pred_null"), lit(null).cast("double"))
+          .otherwise(coalesce(col("__recall_raw"), lit(0.0))))
+      .withColumn("precision",
+        when(col("__gold_undef") || col("__pred_null"), lit(null).cast("double"))
+          .when(col("__pred_empty"), lit(0.0))
+          .otherwise(col("__precision_raw")))
       .withColumn("exact_match", col("recall") === col("precision"))
+      .select("instance_id", "recall", "precision", "exact_match")
   }
 }

@@ -66,11 +66,19 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     val t0 = System.nanoTime()
     val group = s"graft-sql-${java.util.UUID.randomUUID()}"
     try {
-      spark.sparkContext.setJobGroup(group, sql.take(200), interruptOnCancel = true)
+      // The job group is a thread-local: it must be set on the thread that
+      // actually runs collect() (the Future body), not the calling thread —
+      // pool threads don't inherit it, and a stale group on a reused pool
+      // thread could cancel someone else's query.
       val fut = scala.concurrent.Future {
-        val df = spark.sql(sql)
-        df.collect() // force execution inside the job group
-        df
+        spark.sparkContext.setJobGroup(group, sql.take(200), interruptOnCancel = true)
+        try {
+          val df = spark.sql(sql)
+          df.collect() // force execution inside the job group
+          df
+        } finally {
+          spark.sparkContext.clearJobGroup()
+        }
       }(scala.concurrent.ExecutionContext.global)
       val df = scala.concurrent.Await.result(
         fut, scala.concurrent.duration.Duration(timeoutSec.toLong, "s"))
@@ -80,8 +88,6 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
         spark.sparkContext.cancelJobGroup(group)
         ExecErr(s"timeout after ${timeoutSec}s", secondsSince(t0))
       case NonFatal(e) => ExecErr(renderError(e), secondsSince(t0))
-    } finally {
-      spark.sparkContext.clearJobGroup()
     }
   }
 

@@ -89,24 +89,51 @@ object RowOps {
 
   /** Split a schema/record set into slices of ≤ sliceSize for parallel
     * downstream processing (`parallel_slice_parse`,
-    * `core/actor/parser/BaseParse.py:160-217`). Slice id is assigned by
-    * a window over an explicit ordering so it is deterministic.
+    * `core/actor/parser/BaseParse.py:160-217`).
+    *
+    * Scale-safe global ordering: range-partition on `orderCol`, count
+    * rows per partition (one tiny job — #partitions rows on the
+    * driver), then global row number = partition offset + within-
+    * partition rank. No single-partition window; both shuffles are
+    * full-width. Deterministic up to ties in `orderCol` (same as any
+    * distributed sort).
     */
   def withSliceId(df: DataFrame, orderCol: String, sliceSize: Int): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.withColumn("slice_id",
-      ((row_number().over(w) - 1) / sliceSize).cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__pid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    ranged
+      .join(broadcast(offDf), "__pid")
+      .withColumn("slice_id",
+        ((col("__off") + row_number().over(w) - 1) / sliceSize).cast("long"))
+      .drop("__pid", "__off")
   }
 
   /** Per-round exponential retention decay
     * (`LinkAlignReduce.py:151-167`): keep `initRate * decayRate^round`
-    * of each round's rows, seeded per-group sampling.
+    * of each round's rows.
+    *
+    * The draw is a deterministic per-row hash of `keyCols` + seed, not
+    * `rand(seed)` — `rand` is partition-layout-dependent, so its output
+    * changes across cluster sizes, AQE decisions, and task retries. The
+    * hash draw is invariant under any repartitioning.
     */
   def retainDecay(df: DataFrame, roundCol: String, initRate: Double,
-      decayRate: Double, seed: Long = 42L): DataFrame = {
-    // fraction depends on the row's round: filter on a seeded uniform draw
+      decayRate: Double, keyCols: Seq[String], seed: Long = 42L): DataFrame = {
     val fraction = lit(initRate) * pow(lit(decayRate), col(roundCol).cast("double"))
-    df.filter(rand(seed) < fraction)
+    val draw =
+      pmod(xxhash64(keyCols.map(col) :+ lit(seed): _*), lit(1000000L)).cast("double") / 1000000.0
+    df.filter(draw < fraction)
   }
 
   /** Dedup by a column subset with a deterministic survivor (smallest
