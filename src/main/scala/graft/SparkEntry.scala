@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, RowOpsQueries, TextQueries}
+import graft.queries.{Relational, RowOpsQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     Relational,
     RowOpsQueries,
-    TextQueries)
+    TextQueries,
+    SimilarityQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 
