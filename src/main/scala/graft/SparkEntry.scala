@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, RowOpsQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, Relational, RowOpsQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational,
     RowOpsQueries,
     TextQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    DedupQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

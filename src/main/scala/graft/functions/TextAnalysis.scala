@@ -101,4 +101,14 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
+
+  /** The same polynomial rolling hash as `fingerprint`, applicable to any
+    * string-valued (lambda) column — the engine-portable hash primitive
+    * under MinHash and SimHash.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % FingerprintMod)
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftvec.TextHashExpr
+
+import graft.functions.TextAnalysis
+
+/** Near-duplicate document detection — the LLM-training-pipeline dedup
+  * family: MinHash + banded LSH, SimHash with exact-recall banding, and
+  * the relational exact-Jaccard baseline.
+  *
+  * Every hash is deterministic integer arithmetic (polynomial rolling
+  * hash mod 1e9+7, affine permutations, 31-chains), so a DuckDB oracle
+  * reproduces byte-identical signatures — and results are invariant
+  * across partitionings, retries, and cluster sizes.
+  *
+  * All shingle handling is hash-space: the codegen'd `ShingleHashes`
+  * expression hashes n-gram windows straight off the token array (no
+  * shingle strings ever materialize), and joins/intersections key on
+  * 8-byte longs, not n-gram text. (Distinct hashes stand in for
+  * distinct shingles; with P≈1e9 both engines see the same rare
+  * collisions, so results still agree bit-for-bit.)
+  *
+  * Scale design: no operator here ever forms an all-pairs cross product.
+  *  - MinHash: shuffle on (band, bandValue) — candidates only.
+  *  - SimHash: pigeonhole banding (maxHamming+1 bands ⇒ a qualifying
+  *    pair always shares a band ⇒ EXACT recall), shuffle on band value.
+  *  - Exact Jaccard: shuffle on shingle hash (equi-join), never on pairs.
+  */
+object TextDedup {
+
+  val P: Long = TextAnalysis.FingerprintMod
+
+  /** Deterministic affine MinHash coefficients (a odd, in [1,P); b in [0,P)). */
+  def minhashCoeffs(h: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(h) {
+      val a = (math.abs(rnd.nextLong()) % (P - 1)) | 1L
+      val b = math.abs(rnd.nextLong()) % P
+      (a, b)
+    }
+  }
+
+  /** doc → (id, distinct shingle hashes); empty-shingle docs dropped. */
+  def withShingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      array_distinct(TextHashExpr.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("__shh"))
+      .filter(size(col("__shh")) > 0)
+
+  /** Band value: 31-chain fold over one signature band (r entries). */
+  private def bandValue(sig: Column, j: Int, r: Int): Column =
+    aggregate(slice(sig, j * r + 1, r), lit(0L), (acc, x) => acc * 31 + x)
+
+  /** Candidate pairs sharing at least one MinHash band. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, h: Int, bands: Int, seed: Long = 42L): DataFrame = {
+    require(h % bands == 0, s"h $h not divisible by bands $bands")
+    val r = h / bands
+    val coeffs = minhashCoeffs(h, seed)
+    val sig = withShingleHashes(df, idCol, textCol, n)
+      .withColumn("__sig", TextHashExpr.minhashSignature(col("__shh"), coeffs))
+    val banded = sig.select(col(idCol).as("__id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), bandValue(col("__sig"), j, r).as("val"))
+      }: _*)).as("b"))
+      .select(col("__id"), col("b.band").as("band"), col("b.val").as("val"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.val") === col("r.val") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup: banded candidates verified with the exact
+    * distinct-shingle Jaccard (jac = |∩| / (n1+n2-|∩|)).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, n, h, bands, seed)
+    val sh = withShingleHashes(df, idCol, textCol, n)
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("__shh").as("__sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("__shh").as("__sh2")), "id2")
+      .withColumn("__i", size(array_intersect(col("__sh1"), col("__sh2"))))
+      .withColumn("jaccard",
+        col("__i").cast("double") /
+          (size(col("__sh1")) + size(col("__sh2")) - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Relational exact n-gram Jaccard pairs: explode distinct shingle
+    * hashes, equi-join on hash (only co-shingled pairs are ever formed),
+    * count intersections, join sizes. The exact baseline at any scale.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val s = withShingleHashes(df, idCol, textCol, n)
+      .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
+    val sizes = s.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = s.as("a")
+      .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("id1"), col("__n").as("__n1")), "id1")
+      .join(sizes.select(col("__id").as("id2"), col("__n").as("__n2")), "id2")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__n1") + col("__n2") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  val SimhashBits = 30 // polyHash < 1e9+7 < 2^30
+
+  /** Per-document SimHash over distinct n-gram shingles: bit j is set
+    * when the ±1 vote sum over shingle-hash bit j is positive. Shingle
+    * units (vs raw tokens) keep the vote space wide enough that
+    * unrelated documents land ~SimhashBits/2 apart.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val tok = withShingleHashes(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__shh")).as("__h"))
+    val sums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until SimhashBits).map { j =>
+          when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup with EXACT recall: maxHamming+1 bands (pigeonhole —
+    * ≤ maxHamming differing bits cannot touch every band), candidates
+    * verified by true Hamming distance.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol, n)
+    val bands = maxHamming + 1
+    val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt
+    val banded = sh.select(col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("val"))
+      }: _*)).as("b"))
+      .select(col("__id"), col("simhash"), col("b.band").as("band"), col("b.val").as("val"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.val") === col("r.val") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
+        col("l.simhash").as("__s1"), col("r.simhash").as("__s2"))
+      .distinct()
+      .withColumn("hamming",
+        call_function("bit_count", col("__s1").bitwiseXOR(col("__s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.operators.TextDedup
+
+/** Near-duplicate dedup operators over the documents table,
+  * oracle-checked. The oracles reproduce the full hash arithmetic
+  * (polynomial shingle hash, affine MinHash permutations, 31-chain band
+  * folds, ±1 SimHash votes) so candidate *mechanics* — not just final
+  * pair sets — are cross-engine verified.
+  */
+object DedupQueries extends QueryPack {
+
+  private val P = TextDedup.P
+
+  private val oPolyHash =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+
+  /** Shared oracle CTEs: tokens → shingles → distinct shingle hashes →
+    * sizes (mirrors ShingleHashes + array_distinct).
+    */
+  private val oBase =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+       |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+       |  FROM toks),
+       |s AS (SELECT DISTINCT doc_id, $oPolyHash AS h FROM shl),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)""".stripMargin
+
+  private val oInterJac =
+    """inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id1, id2,
+      |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id1
+      |  JOIN sizes sb ON sb.doc_id = id2)""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_minhash_dedup",
+      "MinHash (16 hashes, 4 bands) + LSH near-dup dedup: banded " +
+        "candidates (shuffle on band value, no all-pairs) verified by " +
+        "exact shingle Jaccard >= 0.5. Oracle reproduces every signature.",
+      (s, dir) =>
+        TextDedup.minhashNearDupPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, n = 3, h = 16, bands = 4)
+          .orderBy(col("id1"), col("id2")),
+      Some {
+        val coeffs = TextDedup.minhashCoeffs(16)
+        val mins = coeffs.zipWithIndex.map { case ((a, b), k) =>
+          s"list_min(list_transform(hl, x -> ($a * x + $b) % $P)) AS m$k"
+        }.mkString(",\n    ")
+        val bands = (0 until 4).map { j =>
+          val Seq(a, b, c, d) = (0 until 4).map(k => s"m${j * 4 + k}")
+          s"((($a * 31 + $b) * 31 + $c) * 31 + $d) AS band$j"
+        }.mkString(",\n    ")
+        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        s"""WITH $oBase,
+           |hs AS (
+           |  SELECT doc_id, list(h) AS hl
+           |  FROM s GROUP BY doc_id),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM hs),
+           |bnd AS (
+           |  SELECT doc_id,
+           |    $bands
+           |  FROM sig),
+           |$oInterJac
+           |SELECT j.id1, j.id2, j.jaccard
+           |FROM j
+           |JOIN bnd x ON x.doc_id = j.id1
+           |JOIN bnd y ON y.doc_id = j.id2
+           |WHERE j.jaccard >= 0.5 AND ($bandCond)
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
+    GQuery(
+      "q_jaccard_neardup",
+      "Exact n-gram Jaccard near-dup baseline: relational explode + " +
+        "equi-join on shingle (pairs only materialize when they share a " +
+        "shingle — never a cross product).",
+      (s, dir) =>
+        TextDedup.jaccardPairsExact(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, n = 3)
+          .orderBy(col("id1"), col("id2")),
+      Some(
+        s"""WITH $oBase,
+           |$oInterJac
+           |SELECT id1, id2, jaccard FROM j
+           |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin)),
+
+    GQuery(
+      "q_simhash_neardup",
+      "SimHash near-dup with EXACT recall: 30-bit ±1-vote fingerprints " +
+        "over distinct shingles, pigeonhole banding (4 bands for " +
+        "Hamming<=3 — a qualifying pair always shares a band), true " +
+        "Hamming verification.",
+      (s, dir) =>
+        TextDedup.simhashNearDupPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id1"), col("id2")),
+      Some {
+        val votes = (0 until TextDedup.SimhashBits).map { j =>
+          s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+        }.mkString(",\n    ")
+        val assemble = (0 until TextDedup.SimhashBits).map { j =>
+          s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH $oBase,
+           |h AS (SELECT doc_id, h AS hv FROM s),
+           |b AS (
+           |  SELECT doc_id,
+           |    $votes
+           |  FROM h GROUP BY doc_id),
+           |sg AS (SELECT doc_id, $assemble AS simhash FROM b)
+           |SELECT a.doc_id AS id1, c.doc_id AS id2,
+           |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+           |FROM sg a JOIN sg c ON a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+           |ORDER BY id1, id2""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,165 @@
+package org.apache.spark.sql.graftvec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Codegen'd shingle hasher: given a token array and window size n,
+  * emits one polynomial hash per n-gram window —
+  * `acc = (acc*31 + char) % (1e9+7)` over the characters of
+  * `concat_ws(" ", tok_i..tok_{i+n-1})`, without materializing the
+  * shingle strings.
+  *
+  * Value-identical to `TextAnalysis.polyHash(concat_ws(" ", window))`
+  * (and to the DuckDB oracle's list_reduce mirror): the space joiner is
+  * folded in as char 32 between tokens. Replaces a 4-deep interpreted
+  * HOF chain (sequence→slice→concat_ws→aggregate-per-char) with one
+  * tight loop — the hot path of MinHash/SimHash/Jaccard dedup at scale.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val cnt = math.max(m - n + 1, 0)
+    val out = new Array[Long](cnt)
+    val toks = Array.tabulate(m)(i => arr.getUTF8String(i).toString)
+    var i = 0
+    while (i < cnt) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + 32) % 1000000007L
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) {
+          acc = (acc * 31 + t.charAt(k)) % 1000000007L
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+         |int $m = $a.numElements();
+         |int $cnt = java.lang.Math.max($m - $n + 1, 0);
+         |long[] $out = new long[$cnt];
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($j > 0) $acc = ($acc * 31 + 32) % 1000000007L;
+         |    String $t = $a.getUTF8String($i + $j).toString();
+         |    for (int $k = 0; $k < $t.length(); $k++) {
+         |      $acc = ($acc * 31 + $t.charAt($k)) % 1000000007L;
+         |    }
+         |  }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd MinHash signature: for each affine permutation (a_i, b_i),
+  * the min of (a_i*x + b_i) % (1e9+7) over the input hash array — one
+  * fused loop instead of h interpreted transform+array_min chains.
+  */
+case class MinHashSignature(child: Expression, coeffsA: Seq[Long], coeffsB: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(coeffsA.length == coeffsB.length && coeffsA.nonEmpty)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  private val h = coeffsA.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = Array.fill(h)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val x = arr.getLong(i)
+      var q = 0
+      while (q < h) {
+        val v = (coeffsA(q) * x + coeffsB(q)) % 1000000007L
+        if (v < out(q)) out(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val ca = ctx.freshName("ca")
+      val cb = ctx.freshName("cb")
+      val caInit = ctx.addMutableState("long[]", ca,
+        vn => s"$vn = new long[]{${coeffsA.mkString("L,")}L};", forceInline = true)
+      val cbInit = ctx.addMutableState("long[]", cb,
+        vn => s"$vn = new long[]{${coeffsB.mkString("L,")}L};", forceInline = true)
+      s"""
+         |int $m = $a.numElements();
+         |long[] $out = new long[$h];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $x = $a.getLong($i);
+         |  for (int $q = 0; $q < $h; $q++) {
+         |    long $v = ($caInit[$q] * $x + $cbInit[$q]) % 1000000007L;
+         |    if ($v < $out[$q]) $out[$q] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExpr {
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
+
+  def minhashSignature(hashes: Column, coeffs: Seq[(Long, Long)]): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(hashes), coeffs.map(_._1), coeffs.map(_._2)))
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup mechanics on a hand-built corpus: exact Jaccard ground truth,
+  * MinHash candidate recall, SimHash pigeonhole exactness, and
+  * partitioning invariance of all signatures.
+  */
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "every single morning while seven silent owls watch from tall pines and " +
+      "a cold wind carries dry leaves across the narrow wooden bridge toward town"
+    val nearDup = base.replace("old", "new") // 1-token edit → high Jaccard
+    val exactDup = base
+    val unrelated1 = "completely different words compose this sentence about spark engines and catalyst optimizers working hard"
+    val unrelated2 = "yet another text that shares absolutely nothing with the first group of documents in this corpus"
+    Seq(
+      (0L, base), (1L, nearDup), (2L, exactDup),
+      (3L, unrelated1), (4L, unrelated2))
+      .toDF("doc_id", "text").repartition(3)
+  }
+
+  test("jaccardPairsExact finds planted dup pairs and nothing else") {
+    val pairs = TextDedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 2L))).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhashNearDupPairs recovers the same pairs via banded candidates") {
+    val pairs = TextDedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("simhash exact dup has identical signature; near dup within Hamming 3") {
+    val sig = TextDedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(1L)) <= 3)
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(3L)) > 3)
+    val pairs = TextDedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("signatures invariant under repartitioning") {
+    def sigs(parts: Int) =
+      TextDedup.simhash(docs.repartition(parts), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1) == sigs(8))
+    def minhash(parts: Int) =
+      TextDedup.minhashCandidatePairs(docs.repartition(parts), "doc_id", "text",
+        n = 3, h = 16, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash(1) == minhash(8))
+  }
+}
