@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, Relational, RowOpsQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EvalQueries, Relational, RowOpsQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     RowOpsQueries,
     TextQueries,
     SimilarityQueries,
-    DedupQueries)
+    DedupQueries,
+    EvalQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

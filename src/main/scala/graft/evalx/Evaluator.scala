@@ -1,0 +1,112 @@
+package graft.evalx
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.exec.{ExecErr, ExecOk, SqlBackend}
+
+/** One EX evaluation item: gold label SQL vs predicted SQL. */
+final case class ExItem(instanceId: String, goldSql: Option[String], predSql: Option[String])
+
+/** Per-item outcome. `score` is None when the item is excluded from the
+  * denominator (gold missing/failed — reference semantics), Some(0/1)
+  * otherwise.
+  */
+final case class ExOutcome(
+    instanceId: String,
+    score: Option[Int],
+    goldError: Option[String],
+    predError: Option[String],
+    goldSecs: Double,
+    predSecs: Double)
+
+/** eval_all-style aggregate: avg over scored items, valid/total counts. */
+final case class ExSummary(avg: Double, validNum: Int, totalItems: Int)
+
+/** End-to-end execute-accuracy (EX) evaluation — the reference's core
+  * product metric (`core/evaluate.py:254-303` per item,
+  * `core/evaluate.py:58-117` aggregate):
+  *
+  *  - gold SQL missing or failing  → item excluded (None)
+  *  - pred SQL missing or failing  → 0
+  *  - both execute                 → `ResultComparator` equivalence
+  *    (bipartite distinct-column matching, 1e-2 tolerance, NA==NA;
+  *    ordered rows by default, as the reference's compare defaults)
+  *  - per-item wall-clock cap (reference: 60 s `func_timeout`) enforced
+  *    via the backend's job-group cancel.
+  *
+  * Items run through a bounded driver-side pool (the reference's
+  * ThreadPoolExecutor ≤5) — each SQL is a distributed Spark job, so the
+  * pool bounds concurrent *jobs*, not work.
+  */
+class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5) {
+
+  private val backend = new SqlBackend(spark, timeoutSec)
+
+  private def transpiled(sql: String): String = graft.dialect.Transpiler.transpile(sql)
+
+  def evalOne(item: ExItem): ExOutcome = {
+    val gold = item.goldSql.map(_.trim).filter(_.nonEmpty)
+    val pred = item.predSql.map(_.trim).filter(_.nonEmpty)
+    gold match {
+      case None => ExOutcome(item.instanceId, None, Some("gold sql missing"), None, 0.0, 0.0)
+      case Some(g) =>
+        backend.runCollect(transpiled(g), timeoutSec) match {
+          case ExecErr(e, gs) =>
+            ExOutcome(item.instanceId, None, Some(e), None, gs, 0.0)
+          case ExecOk(gdf, gs) =>
+            pred match {
+              case None =>
+                ExOutcome(item.instanceId, Some(0), None, Some("pred sql missing"), gs, 0.0)
+              case Some(p) =>
+                backend.runCollect(transpiled(p), timeoutSec) match {
+                  case ExecErr(e, ps) =>
+                    ExOutcome(item.instanceId, Some(0), None, Some(e), gs, ps)
+                  case ExecOk(pdf, ps) =>
+                    val score = ResultComparator.equivalent(pdf, gdf)
+                    ExOutcome(item.instanceId, Some(score), None, None, gs, ps)
+                }
+            }
+        }
+    }
+  }
+
+  def evalAll(items: Seq[ExItem]): (Seq[ExOutcome], ExSummary) = {
+    val pool = Executors.newFixedThreadPool(math.max(parallelism, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val res = Await.result(
+        Future.sequence(items.map(i => Future(evalOne(i)))), Duration.Inf)
+      val scored = res.flatMap(_.score)
+      val avg = if (scored.isEmpty) 0.0 else scored.sum.toDouble / scored.size
+      (res, ExSummary(avg, scored.size, items.size))
+    } finally pool.shutdown()
+  }
+
+  /** DataFrame front door: items (instance_id, gold_sql, pred_sql) →
+    * (instance_id, score, gold_error, pred_error). Benchmark item sets
+    * are driver-sized (each row triggers distributed jobs — the row
+    * count is the number of *queries*, not data volume).
+    */
+  def evalDataFrame(items: DataFrame): DataFrame = {
+    val rows = items.select("instance_id", "gold_sql", "pred_sql").collect().map { r =>
+      ExItem(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))
+    }
+    val (outcomes, _) = evalAll(rows.toSeq)
+    val schema = StructType(Seq(
+      StructField("instance_id", StringType, nullable = false),
+      StructField("score", IntegerType, nullable = true),
+      StructField("gold_error", StringType, nullable = true),
+      StructField("pred_error", StringType, nullable = true)))
+    val out = outcomes.map(o => Row(
+      o.instanceId, o.score.map(Int.box).orNull,
+      o.goldError.orNull, o.predError.orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.evalx.Evaluator
+import graft.operators.FastExecSelect
+
+/** End-to-end evaluation + selection operators, driven over the real
+  * engine (transpile → execute → compare). The oracles are fixture
+  * expectations (VALUES literals): the outcome semantics — exclusion,
+  * zero-on-pred-failure, subset-column equivalence, tolerance — are not
+  * SQL-expressible, but the expected scores on these fixed items are
+  * exact and engine-checkable.
+  */
+object EvalQueries extends QueryPack {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_eval_ex",
+      "Execute-accuracy (EX) end-to-end: gold fail→excluded(null), pred " +
+        "fail→0, else bipartite-column comparison with 1e-2 tolerance. " +
+        "Six fixture items exercise every branch.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.registerAll(s, dir)
+        val items = Seq(
+          // identical result, different text → 1
+          ("ex1", "SELECT r_name FROM region ORDER BY r_name",
+            "SELECT region.r_name FROM region WHERE 1 = 1 ORDER BY r_name"),
+          // pred has extra column + permuted order → 1 (subset columns)
+          ("ex2", "SELECT n_name, n_regionkey FROM nation ORDER BY n_name",
+            "SELECT n_regionkey, n_name, n_nationkey FROM nation ORDER BY n_name"),
+          // wrong result → 0
+          ("ex3", "SELECT COUNT(*) AS c FROM customer",
+            "SELECT COUNT(*) AS c FROM customer WHERE c_acctbal > 0"),
+          // pred does not execute → 0
+          ("ex4", "SELECT COUNT(*) AS c FROM orders",
+            "SELECT no_such_column FROM orders"),
+          // gold does not execute → excluded (null)
+          ("ex5", "SELECT broken FROM region", "SELECT 1 AS x"),
+          // numeric tolerance 1e-2 → 1
+          ("ex6", "SELECT CAST(100.004 AS DOUBLE) AS v",
+            "SELECT CAST(100.01 AS DOUBLE) AS v"))
+          .toDF("instance_id", "gold_sql", "pred_sql")
+        new Evaluator(s).evalDataFrame(items)
+          .select(col("instance_id"), col("score"))
+          .orderBy(col("instance_id"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('ex1', 1), ('ex2', 1), ('ex3', 0), ('ex4', 0),
+             |  ('ex5', CAST(NULL AS INT)), ('ex6', 1)) AS t(instance_id, score)
+             |ORDER BY instance_id""".stripMargin)),
+
+    GQuery(
+      "q_eval_ex_ordered",
+      "EX respects row order by default (reference compare default): " +
+        "same rows, different order → 0.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.registerAll(s, dir)
+        val items = Seq(
+          ("ord1", "SELECT r_name FROM region ORDER BY r_name",
+            "SELECT r_name FROM region ORDER BY r_name"),
+          ("ord2", "SELECT c_custkey FROM customer ORDER BY c_custkey",
+            "SELECT c_custkey FROM customer ORDER BY c_custkey DESC"))
+          .toDF("instance_id", "gold_sql", "pred_sql")
+        new Evaluator(s).evalDataFrame(items)
+          .select(col("instance_id"), col("score"))
+          .orderBy(col("instance_id"))
+      },
+      Some("""SELECT * FROM (VALUES ('ord1', 1), ('ord2', 0)) AS t(instance_id, score)
+             |ORDER BY instance_id""".stripMargin)),
+
+    GQuery(
+      "q_select_fastexec",
+      "FastExecSelect: execute candidates, group by distributed result " +
+        "fingerprints, largest group wins. Output is the winning group " +
+        "(member indices + size) — deterministic regardless of timing.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.registerAll(s, dir)
+        val candidates = Seq(
+          "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+          "SELECT COUNT(*) AS cnt, c_mktsegment AS seg FROM customer GROUP BY c_mktsegment",
+          "SELECT c_mktsegment, COUNT(*) AS n FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+          "SELECT broken_column FROM customer")
+        val sel = FastExecSelect.select(s, candidates).get
+        Seq((sel.groupIndices.mkString(","), sel.groupSize.toLong))
+          .toDF("group_members", "group_size")
+      },
+      Some("SELECT * FROM (VALUES ('0,1', CAST(2 AS BIGINT))) AS t(group_members, group_size)"))
+  )
+}

@@ -1,0 +1,77 @@
+package graft.evalx
+
+import graft.SparkSpec
+import graft.catalog.Tables
+import graft.operators.FastExecSelect
+
+/** EX evaluation branches (mirroring `core/evaluate.py:254-303`) and
+  * FastExecSelect grouping/pick logic.
+  */
+class EvaluatorSpec extends SparkSpec {
+
+  private lazy val ev = {
+    Tables.registerAll(spark, sfDir)
+    new Evaluator(spark, timeoutSec = 60, parallelism = 3)
+  }
+
+  test("equivalent pred scores 1; subset columns allowed") {
+    val o = ev.evalOne(ExItem("a",
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      Some("SELECT r_name, r_regionkey, length(r_name) AS extra FROM region ORDER BY r_regionkey")))
+    assert(o.score == Some(1))
+  }
+
+  test("pred execution failure scores 0; error captured") {
+    val o = ev.evalOne(ExItem("b",
+      Some("SELECT COUNT(*) AS c FROM region"), Some("SELECT nope FROM region")))
+    assert(o.score == Some(0) && o.predError.isDefined)
+  }
+
+  test("gold execution failure excludes the item (None)") {
+    val o = ev.evalOne(ExItem("c", Some("SELECT nope FROM region"), Some("SELECT 1 AS x")))
+    assert(o.score == None && o.goldError.isDefined)
+  }
+
+  test("missing pred scores 0; missing gold excludes") {
+    assert(ev.evalOne(ExItem("d", Some("SELECT 1 AS x"), None)).score == Some(0))
+    assert(ev.evalOne(ExItem("e", None, Some("SELECT 1 AS x"))).score == None)
+  }
+
+  test("evalAll aggregates like eval_all: avg over valid, counts") {
+    val (_, summary) = ev.evalAll(Seq(
+      ExItem("1", Some("SELECT 1 AS x"), Some("SELECT 1 AS x")),   // 1
+      ExItem("2", Some("SELECT 1 AS x"), Some("SELECT 2 AS x")),   // 0
+      ExItem("3", Some("SELECT nope FROM region"), Some("SELECT 1 AS x")))) // excluded
+    assert(summary.validNum == 2 && summary.totalItems == 3)
+    assert(summary.avg == 0.5)
+  }
+
+  test("dialect transpile applies before execution (sqlite-isms in gold/pred)") {
+    val o = ev.evalOne(ExItem("f",
+      Some("SELECT IIF(1 < 2, 'y', 'n') AS v"),
+      Some("SELECT 'y' AS v")))
+    assert(o.score == Some(1))
+  }
+
+  test("FastExecSelect groups equivalents, drops failures, picks in largest group") {
+    Tables.registerAll(spark, sfDir)
+    val sel = FastExecSelect.select(spark, Seq(
+      "SELECT r_regionkey FROM region",
+      "SELECT r_regionkey AS k FROM region ORDER BY k DESC", // same multiset → same group
+      "SELECT r_regionkey FROM region WHERE r_regionkey > 0",
+      "SELECT kaboom FROM region")).get
+    assert(sel.groupIndices == Seq(0, 1) && sel.groupSize == 2)
+    assert(Set(0, 1).contains(sel.index))
+  }
+
+  test("FastExecSelect all-distinct picks fastest overall; all-failed → None") {
+    val execs = Seq(
+      FastExecSelect.CandidateExec(0, "a", 2.0, None, Some(Seq(1L))),
+      FastExecSelect.CandidateExec(1, "b", 0.5, None, Some(Seq(2L))),
+      FastExecSelect.CandidateExec(2, "c", 1.0, None, Some(Seq(3L))))
+    val sel = FastExecSelect.groupAndPick(execs).get
+    assert(sel.index == 1 && sel.groupSize == 1)
+    assert(FastExecSelect.groupAndPick(Seq(
+      FastExecSelect.CandidateExec(0, "a", 1.0, Some("boom"), None))) == None)
+  }
+}
