@@ -91,6 +91,28 @@ object EvalQueries extends QueryPack {
         Seq((sel.groupIndices.mkString(","), sel.groupSize.toLong))
           .toDF("group_members", "group_size")
       },
-      Some("SELECT * FROM (VALUES ('0,1', CAST(2 AS BIGINT))) AS t(group_members, group_size)"))
+      Some("SELECT * FROM (VALUES ('0,1', CAST(2 AS BIGINT))) AS t(group_members, group_size)")),
+
+    GQuery(
+      "q_actor_pipeline",
+      "Actor composition end-to-end: PipelineActor(FilterReducer -> " +
+        "SliceParser) over documents, then per-slice aggregation — the " +
+        "workflow layer driving real distributed operators.",
+      (s, dir) => {
+        val pipeline = graft.actors.PipelineActor(Seq(
+          graft.actors.FilterReducer("lang-en"),
+          graft.actors.SliceParser("doc_id", 100)))
+        pipeline.act(Tables.load(s, dir, "documents"))
+          .groupBy(col("slice_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("slice_id"))
+      },
+      Some("""WITH f AS (SELECT * FROM documents WHERE lang = 'en'),
+             |sliced AS (
+             |  SELECT doc_id,
+             |         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT) AS slice_id
+             |  FROM f)
+             |SELECT slice_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM sliced GROUP BY slice_id ORDER BY slice_id""".stripMargin))
   )
 }
