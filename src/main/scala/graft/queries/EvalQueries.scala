@@ -113,6 +113,29 @@ object EvalQueries extends QueryPack {
              |         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100) AS BIGINT) AS slice_id
              |  FROM f)
              |SELECT slice_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-             |FROM sliced GROUP BY slice_id ORDER BY slice_id""".stripMargin))
+             |FROM sliced GROUP BY slice_id ORDER BY slice_id""".stripMargin)),
+
+    GQuery(
+      "q_cell_link",
+      "Cell-value linking as ONE aggregation scan: exact/partial hit " +
+        "flags for every (token, column) pair — replacing the " +
+        "reference's probe-query-per-token loop.",
+      (s, dir) =>
+        graft.text.SchemaLinking.cellValueLinks(
+          Tables.load(s, dir, "customer"),
+          tokens = Seq("building", "automobile", "unfindable"),
+          stringCols = Seq("c_name", "c_mktsegment"))
+          .orderBy(col("token"), col("col")),
+      Some {
+        val combos = for {
+          t <- Seq("building", "automobile", "unfindable")
+          c <- Seq("c_name", "c_mktsegment")
+        } yield
+          s"""SELECT '$t' AS token, '$c' AS col,
+             |  CAST(MAX(CASE WHEN lower(CAST($c AS VARCHAR)) = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit,
+             |  CAST(MAX(CASE WHEN contains(lower(CAST($c AS VARCHAR)), '$t') THEN 1 ELSE 0 END) AS BIGINT) AS partial_hit
+             |FROM customer""".stripMargin
+        combos.mkString("\nUNION ALL\n") + "\nORDER BY token, col"
+      })
   )
 }

@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Question↔schema linking utilities (reference
+  * `DAILSQLGenerate.py:203-242, 369-431, 433-720, 722-773`): n-gram
+  * matching, overlap resolution, question masking, and DB cell-value
+  * probes. The n-gram/mask/shift pieces are driver-side (question-sized
+  * strings); the cell-value probe is the one data-touching member and
+  * runs as a single Spark scan per table — not the reference's
+  * query-per-token loop.
+  */
+object SchemaLinking {
+
+  sealed trait MatchFlag
+  case object ColExact extends MatchFlag
+  case object ColPartial extends MatchFlag
+  case object TabExact extends MatchFlag
+  case object TabPartial extends MatchFlag
+
+  final case class Match(qId: Int, targetId: Int, flag: MatchFlag)
+
+  private def toTokens(v: String): Seq[String] =
+    v.split("[\\s_]+").filter(_.nonEmpty).toSeq
+
+  /** n-gram (5→1) question↔column/table matching
+    * (`compute_schema_linking`, `DAILSQLGenerate.py:369-431`): exact
+    * n-gram equality first, then word-boundary partial containment;
+    * earlier (longer) matches keep priority per (q,target) pair.
+    */
+  def computeSchemaLinking(question: Seq[String], columns: Seq[String],
+      tables: Seq[String], stopwords: Set[String] = DefaultStopwords): Seq[Match] = {
+    val colToks = columns.map(c => toTokens(c.toLowerCase).mkString(" "))
+    val tabToks = tables.map(t => toTokens(t.toLowerCase).mkString(" "))
+    val seen = scala.collection.mutable.Map[(String, Int), MatchFlag]()
+
+    def note(kind: String, qIds: Range, id: Int, flag: MatchFlag): Unit =
+      qIds.foreach { q =>
+        val k = (s"$kind,$q", id)
+        if (!seen.contains(k)) seen(k) = flag
+        else (seen(k), flag) match {
+          case (ColPartial, ColExact) | (TabPartial, TabExact) => seen(k) = flag
+          case _ =>
+        }
+      }
+
+    for (n <- 5 to 1 by -1; i <- 0 to question.length - n) {
+      val gram = question.slice(i, i + n).mkString(" ").toLowerCase
+      if (gram.trim.nonEmpty) {
+        val partialOk = !stopwords.contains(gram) && gram.exists(_.isLetterOrDigit)
+        colToks.zipWithIndex.foreach { case (c, id) =>
+          if (gram == c) note("c", i until i + n, id, ColExact)
+          else if (partialOk && s" $c ".contains(s" $gram "))
+            note("c", i until i + n, id, ColPartial)
+        }
+        tabToks.zipWithIndex.foreach { case (t, id) =>
+          if (gram == t) note("t", i until i + n, id, TabExact)
+          else if (partialOk && s" $t ".contains(s" $gram "))
+            note("t", i until i + n, id, TabPartial)
+        }
+      }
+    }
+    seen.map { case ((key, id), flag) =>
+      Match(key.split(",")(1).toInt, id, flag)
+    }.toSeq.sortBy(m => (m.qId, m.targetId, m.flag.toString))
+  }
+
+  /** Overlap resolution (`match_shift`, `DAILSQLGenerate.py:722-773`):
+    * question tokens with fewer candidate matches claim first; exact
+    * matches beat partials; already-claimed (flag, target) pairs are
+    * reused rather than re-claimed.
+    */
+  def matchShift(matches: Seq[Match]): Seq[Match] = {
+    val byQ = matches.groupBy(_.qId).view.mapValues(_.map(m => (m.flag, m.targetId)).distinct).toMap
+    val priority = byQ.toSeq.map { case (q, ms) => (ms.length, q) }.sorted
+    val claimed = scala.collection.mutable.Set[(MatchFlag, Int)]()
+    val out = scala.collection.mutable.ArrayBuffer[Match]()
+    priority.foreach { case (_, q) =>
+      val ms = byQ(q)
+      val overlap = ms.filter(claimed.contains)
+      val res =
+        if (overlap.nonEmpty) overlap
+        else {
+          val exact = ms.filter(m => m._1 == ColExact || m._1 == TabExact)
+          val pick = if (exact.nonEmpty) exact else ms
+          claimed ++= pick
+          pick
+        }
+      res.foreach { case (f, id) => out += Match(q, id, f) }
+    }
+    out.toSeq.sortBy(m => (m.qId, m.targetId, m.flag.toString))
+  }
+
+  /** Question masking (`mask_question_with_schema_linking`,
+    * `DAILSQLGenerate.py:203-242`): value-linked tokens get `valueTag`,
+    * schema-linked tokens get `maskTag`.
+    */
+  def maskQuestion(question: Seq[String], schemaIds: Set[Int], valueIds: Set[Int],
+      maskTag: String = "<mask>", valueTag: String = ""): String =
+    question.zipWithIndex.map { case (tok, i) =>
+      if (schemaIds.contains(i)) maskTag
+      else if (valueIds.contains(i)) valueTag
+      else tok
+    }.mkString(" ")
+
+  val DefaultStopwords: Set[String] = Set(
+    "the", "a", "an", "of", "in", "on", "for", "to", "and", "or", "is",
+    "are", "was", "what", "which", "who", "how", "many", "much", "all")
+
+  /** Cell-value linking (`compute_cell_value_linking`,
+    * `DAILSQLGenerate.py:433-720`) as ONE aggregation scan per table:
+    * for every (token, column) pair, exact (lower(value) = token) and
+    * partial (contains) hit flags — where the reference issues a
+    * `SELECT ... LIMIT 5` probe per token per column.
+    */
+  def cellValueLinks(table: DataFrame, tokens: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val combos = for (t <- tokens; c <- stringCols) yield (t, c)
+    val aggs = combos.flatMap { case (t, c) =>
+      val v = lower(col(c).cast("string"))
+      Seq(
+        max(when(v === t.toLowerCase, 1L).otherwise(0L)).as(s"__e_${t}_$c"),
+        max(when(v.contains(t.toLowerCase), 1L).otherwise(0L)).as(s"__p_${t}_$c"))
+    }
+    val row = table.agg(aggs.head, aggs.tail: _*)
+    val stacked = combos.map { case (t, c) =>
+      struct(lit(t).as("token"), lit(c).as("col"),
+        col(s"__e_${t}_$c").as("exact_hit"), col(s"__p_${t}_$c").as("partial_hit"))
+    }
+    row.select(explode(array(stacked: _*)).as("m"))
+      .select(col("m.token").as("token"), col("m.col").as("col"),
+        col("m.exact_hit").as("exact_hit"), col("m.partial_hit").as("partial_hit"))
+  }
+}

@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert(found.subsetOf(exact))
   }
 
+  test("FewShot.retrieve concatenates top-k exemplars in rank order") {
+    import org.apache.spark.sql.functions.col
+    val corpus = clustered.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc-"), col("vec_id")))
+    val q = clustered.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val out = graft.retrieve.FewShot.retrieve(corpus, q, k = 3).collect()
+    assert(out.length == 1)
+    val ctx = out.head.getString(1)
+    // nearest neighbors of vec 0 are cluster-mates 1,2,3 — all present
+    assert(Seq("doc-1", "doc-2", "doc-3").forall(ctx.contains))
+    assert(ctx.split("\n\n").length == 3)
+  }
+
   test("iterativeRetrieve excludes prior rounds and tags round_n") {
     val q = clustered.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
