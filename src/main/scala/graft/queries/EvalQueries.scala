@@ -136,6 +136,53 @@ object EvalQueries extends QueryPack {
              |  CAST(MAX(CASE WHEN contains(lower(CAST($c AS VARCHAR)), '$t') THEN 1 ELSE 0 END) AS BIGINT) AS partial_hit
              |FROM customer""".stripMargin
         combos.mkString("\nUNION ALL\n") + "\nORDER BY token, col"
-      })
+      }),
+
+    GQuery(
+      "q_media_sniff",
+      "Multimodal binary columns: synthesize media payloads (magic bytes " +
+        "+ text body), sniff container format from magic via pure " +
+        "expressions, aggregate per format — binary plumbing end to end.",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val magic = Multimodal.Magic.toMap
+        val docs = Tables.load(s, dir, "documents")
+        val body = col("text").cast("binary")
+        val bytes = when(pmod(col("doc_id"), lit(4)) === 0, concat(lit(magic("jpeg")), body))
+          .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(magic("png")), body))
+          .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(magic("wav")), body))
+          .otherwise(body)
+        docs.select(col("doc_id"), bytes.as("bytes"))
+          .select(col("doc_id"),
+            Multimodal.sniffFormat(col("bytes")).as("format"),
+            length(col("bytes")).cast("long").as("n_bytes"))
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bytes")).as("total_bytes"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 4 AS INT)
+             |      WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || CAST(text AS BLOB)
+             |      WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB || CAST(text AS BLOB)
+             |      WHEN 2 THEN 'RIFF'::BLOB || CAST(text AS BLOB)
+             |      ELSE CAST(text AS BLOB) END AS bytes
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+             |    CASE
+             |      WHEN substring(hex(bytes), 1, 6) = 'FFD8FF' THEN 'jpeg'
+             |      WHEN substring(hex(bytes), 1, 8) = '89504E47' THEN 'png'
+             |      WHEN substring(hex(bytes), 1, 8) = '47494638' THEN 'gif'
+             |      WHEN substring(hex(bytes), 1, 8) = '52494646' THEN 'wav'
+             |      WHEN substring(hex(bytes), 1, 6) = '494433' THEN 'mp3'
+             |      ELSE 'unknown' END AS format
+             |  FROM m)
+             |SELECT format, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             |       MIN(doc_id) AS first_doc
+             |FROM f GROUP BY format ORDER BY format""".stripMargin))
   )
 }
