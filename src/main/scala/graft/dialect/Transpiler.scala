@@ -160,7 +160,6 @@ object Transpiler {
     "SYSDATE()" -> "current_timestamp()",
     "IIF" -> "IF",
     "LEN" -> "LENGTH",
-    "CHARINDEX" -> "INSTR",
     "ISNULL" -> "COALESCE", // T-SQL two-arg form; sqlite's 1-arg differs and passes through the parser error path
     "STRFTIME_HANDLED_SEPARATELY" -> "")
 
@@ -180,12 +179,56 @@ object Transpiler {
     sql.replaceAll("(?i)\\bAS\\s+TEXT\\b", "AS STRING")
       .replaceAll("(?i)\\bAS\\s+REAL\\b", "AS DOUBLE")
       .replaceAll("(?i)\\bAS\\s+INTEGER\\b", "AS INT")
+      .replaceAll("(?i)\\bAS\\s+NUMERIC\\b", "AS DOUBLE")
+
+  /** CHARINDEX(needle, haystack) → INSTR(haystack, needle): T-SQL's
+    * argument order is the REVERSE of Spark's instr — a bare rename
+    * would silently return wrong positions.
+    */
+  private val charindexRe =
+    """(?i)\bCHARINDEX\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)""".r
+
+  private def rewriteCharindex(sql: String): String =
+    charindexRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"INSTR(${m.group(2)}, ${m.group(1)})"))
+
+  /** sqlite date idioms:
+    * DATE('now') → current_date(); DATETIME('now') → current_timestamp();
+    * DATE('now', '±N day/month/year') → date_add/add_months arithmetic;
+    * julianday(x) → days-since-epoch + 2440587.5 (so julianday
+    * differences come out exactly as datediff).
+    */
+  private val dateNowModRe =
+    """(?i)\b(DATE|DATETIME)\s*\(\s*'now'\s*(?:,\s*'([+-]?\d+)\s+(day|days|month|months|year|years)'\s*)?\)""".r
+
+  private def rewriteSqliteDates(sql: String): String = {
+    val withNow = dateNowModRe.replaceAllIn(sql, m => {
+      val base = if (m.group(1).equalsIgnoreCase("DATE")) "current_date()" else "current_timestamp()"
+      val repl = Option(m.group(2)) match {
+        case None => base
+        case Some(n) =>
+          val amount = n.toInt
+          m.group(3).toLowerCase match {
+            case d if d.startsWith("day") => s"date_add($base, $amount)"
+            case mo if mo.startsWith("month") => s"add_months($base, $amount)"
+            case _ => s"add_months($base, ${amount * 12})"
+          }
+      }
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+    """(?i)\bjulianday\s*\(\s*([^()]*?)\s*\)""".r.replaceAllIn(withNow, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"(CAST(datediff(${m.group(1)}, DATE'1970-01-01') AS DOUBLE) + 2440587.5)"))
+  }
 
   /** Full rewrite pipeline. Idempotent. */
   def transpile(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
     out = rewriteQualify(out)
     out = rewriteStrftime(out)
+    out = rewriteSqliteDates(out)
+    out = rewriteCharindex(out)
     out = rewriteGroupConcat(out)
     out = rewriteTypes(out)
     tokenMap.foreach { case (from, to) =>

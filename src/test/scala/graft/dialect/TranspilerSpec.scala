@@ -57,4 +57,23 @@ class TranspilerSpec extends AnyFunSuite {
     val c = "SELECT a FROM t -- QUALIFY nothing"
     assert(transpile(c) == c)
   }
+
+  test("sqlite date idioms: DATE('now') family and julianday") {
+    assert(transpile("SELECT DATE('now')") == "SELECT current_date()")
+    assert(transpile("SELECT DATETIME('now')") == "SELECT current_timestamp()")
+    assert(transpile("SELECT DATE('now', '-1 year')") == "SELECT add_months(current_date(), -12)")
+    assert(transpile("SELECT DATE('now', '+3 months')") == "SELECT add_months(current_date(), 3)")
+    assert(transpile("SELECT DATE('now', '-7 day')") == "SELECT date_add(current_date(), -7)")
+    val jd = transpile("SELECT julianday(o_orderdate) - julianday(l_shipdate) FROM t")
+    assert(jd.contains("datediff(o_orderdate, DATE'1970-01-01'"))
+    assert(jd.contains("+ 2440587.5"))
+  }
+
+  test("NUMERIC cast and INSTR argument order pass through correctly") {
+    assert(transpile("SELECT CAST(x AS NUMERIC) FROM t") == "SELECT CAST(x AS DOUBLE) FROM t")
+    // sqlite INSTR(haystack, needle) matches Spark instr(str, substr) - no rewrite
+    assert(transpile("SELECT INSTR(name, 'a') FROM t") == "SELECT INSTR(name, 'a') FROM t")
+    // T-SQL CHARINDEX(needle, haystack) must SWAP arguments for Spark instr
+    assert(transpile("SELECT CHARINDEX('a', name) FROM t") == "SELECT INSTR(name, 'a') FROM t")
+  }
 }
