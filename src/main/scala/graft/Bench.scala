@@ -1,24 +1,44 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.exec.ScanMetrics
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with total/per-query wall seconds plus per-query
+  * bytes read off the file-scan metrics (the reference logs BigQuery
+  * total_bytes_processed per query, `core/db_connect.py:117-119`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val stats =
+        try Some(ScanMetrics.execAndMeasure(q.build(spark, sfDir))._2)
+        catch { case _: Throwable => None }
+      (q.name, (System.nanoTime() - t0) / 1e9, stats)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val bytes = results.map { case (k, _, s) =>
+      s"\"$k\":${s.map(_.bytesRead).getOrElse(-1L)}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes_read":$bytes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
