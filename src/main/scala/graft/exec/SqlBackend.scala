@@ -82,6 +82,12 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
       }(scala.concurrent.ExecutionContext.global)
       val df = scala.concurrent.Await.result(
         fut, scala.concurrent.duration.Duration(timeoutSec.toLong, "s"))
+      // scan accounting (BigQuery total_bytes_processed analog,
+      // core/db_connect.py:117-119) — logged per query
+      val stats = ScanMetrics.fromExecuted(df.queryExecution)
+      if (stats.bytesRead > 0)
+        graft.util.GraftLog.info(
+          f"query scanned ${stats.bytesRead / 1e9}%.4f GB (${stats.filesRead} files)")
       ExecOk(df, secondsSince(t0))
     } catch {
       case _: java.util.concurrent.TimeoutException =>
@@ -100,6 +106,9 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
       case ExecOk(df, _) =>
         val rows = df.limit(maxRows + 1).collect()
         if (rows.isEmpty) "No data found for the specified query."
+        else if (rows.length == 1 && df.columns.length == 1)
+          // 1×1 result → bare scalar (core/db_connect.py:130-131)
+          Option(rows(0).get(0)).map(_.toString).getOrElse("NULL")
         else {
           val shown = rows.take(maxRows)
           val header = df.columns.mkString(", ")

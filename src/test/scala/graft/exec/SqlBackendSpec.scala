@@ -62,6 +62,9 @@ class SqlBackendSpec extends SparkSpec {
     assert(empty.contains("No data found"))
     val err = backend.runToString("SELECT * FROM not_a_table")
     assert(err.startsWith("Execution error:"))
+    // 1x1 result renders as a bare scalar (reference shortcut)
+    assert(backend.runToString("SELECT COUNT(*) FROM region") == "5")
+    assert(backend.runToString("SELECT NULL AS x") == "NULL")
   }
 
   test("runCollect enforces timeout via job-group cancel") {
