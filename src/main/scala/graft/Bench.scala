@@ -26,6 +26,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: JVM/codegen/parquet-footer startup should not be
+    // charged to whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      graft.catalog.Tables.load(spark, sfDir, "region").count()
+    } catch { case _: Throwable => }
+
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       val stats =
