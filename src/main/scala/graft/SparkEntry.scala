@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, Relational, RowOpsQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EvalQueries, Relational, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     DedupQueries,
-    EvalQueries)
+    EvalQueries,
+    StreamQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.streaming.EventStreams
+
+/** Streaming-shaped operators verified in batch mode over the events
+  * table: the same transforms run behind readStream (StreamingSpec
+  * drives them with MemoryStream); the DuckDB oracles pin the batch
+  * semantics.
+  */
+object StreamQueries extends QueryPack {
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_event_windows",
+      "Tumbling 1-hour windows per event type (watermarked streaming agg " +
+        "run in batch): counts + exact decimal value sums.",
+      (s, dir) =>
+        EventStreams.windowedAgg(Tables.load(s, dir, "events"))
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+             |       event_type,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    GQuery(
+      "q_event_sessions",
+      "Session windows (30-minute gap) per user via native " +
+        "session_window, aggregated to per-user session stats; oracle " +
+        "mirrors with a lag/gap-cumsum rewrite.",
+      (s, dir) =>
+        EventStreams.sessionAgg(Tables.load(s, dir, "events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy(col("user_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g),
+             |per AS (
+             |  SELECT user_id, session_id, COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, session_id)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+             |       MAX(n_events) AS max_session_events
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the events table (an engine
+  * EXTENSION — the reference has no streaming; SURVEY §2.9 notes this
+  * explicitly). Every transform is written against a plain DataFrame so
+  * the identical code runs in batch (oracle-checked) and behind
+  * `readStream` (watermarks apply only there; `withWatermark` is a
+  * no-op in batch).
+  *
+  * Scale notes: tumbling/session windows key the shuffle on
+  * (window/user) — state is bounded by the watermark; the custom-state
+  * sessionizer bounds memory per key to one open session.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts + exact decimal sums per
+    * event type. Streaming: append-mode after watermark; batch: plain
+    * group-by (hour windows align to date_trunc).
+    */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Native session windows (Spark ≥3.2 `session_window`): events within
+    * `gap` of each other merge into one session — Catalyst handles the
+    * merge; no custom state needed for the common case.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"), col("n_events"))
+
+  /** Streaming dedup on event_id bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: explicit sessionizer -----------------------------
+
+  final case class Event(eventId: Long, ts: Timestamp, userId: Long,
+      eventType: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int)
+  final case class ClosedSession(userId: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** `flatMapGroupsWithState` sessionizer (the
+    * KeyValueGroupedDataset custom-state path the brief calls for): one
+    * open session per user; an event arriving past the gap CLOSES the
+    * previous session and emits it. State per key = 3 scalars.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
+              case Some(s) =>
+                out += ClosedSession(userId, s.start, s.lastTs, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{ClosedSession, Event}
+
+/** The streaming transforms running as REAL streams (MemoryStream →
+  * memory sink): windowed agg under watermark, stateful sessionizer,
+  * watermarked dedup.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedAgg aggregates a live stream with watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.windowedAgg(
+      src.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      watermark = "10 minutes", win = "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(10), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first hour window
+      src.addData(Event(4, ts(200), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, total_value FROM win_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "click", 0))
+      q.processAllAvailable()
+      src.addData(Event(3, ts(120), 7, "click", 0)) // 110-min gap → closes session
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sess_out").as[ClosedSession].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head == ClosedSession(7, ts(0).getTime, ts(10).getTime, 2))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(
+      src.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // replay of id 1
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(DISTINCT event_id) c, COUNT(*) n FROM dedup_out").head()
+      assert(n.getLong(0) == 2 && n.getLong(1) == 2)
+    } finally q.stop()
+  }
+}
