@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, Relational, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
   /** All query packs, in SURVEY §2 inventory order. */
   def packs: Seq[QueryPack] = Seq(
     Relational,
+    RelationalExt,
     RowOpsQueries,
     TextQueries,
     SimilarityQueries,

@@ -1,0 +1,27 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed co-located joins — the 100 TB fact-to-fact join path: write
+  * both sides bucketed (and sorted) by the join keys, and equi-joins
+  * between them need NO shuffle at read time — each task sort-merges
+  * bucket i against bucket i. This is the pre-partitioning story for
+  * joins too big to broadcast and too hot to reshuffle per query.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table. Bucket count should
+    * divide evenly into cluster cores at the target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** True when a physical plan string contains a shuffle exchange. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

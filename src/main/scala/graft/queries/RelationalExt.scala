@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.QueryPack._
+import graft.catalog.Tables
+
+/** Relational-surface extensions beyond the round-1 envelope:
+  * multi-dimensional aggregation (ROLLUP/CUBE with grouping ids),
+  * PIVOT-style cross tabulation, and correlated EXISTS.
+  */
+object RelationalExt extends QueryPack {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_rollup",
+      "ROLLUP over (priority, status): subtotal rows at each level with " +
+        "grouping_id disambiguation.",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+            grouping_id().cast("long").as("gid"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            col("gid"), col("n"), col("total"))
+          .orderBy(col("gid"), col("prio"), col("status")),
+      Some(s"""SELECT COALESCE(o_orderpriority, '(all)') AS prio,
+              |       COALESCE(o_orderstatus, '(all)') AS status,
+              |       CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+              |       COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+              |FROM orders
+              |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+              |ORDER BY gid, prio, status""".stripMargin)),
+
+    GQuery(
+      "q_cube",
+      "CUBE over (lang, source) on documents: all 4 grouping combinations.",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .cube(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            grouping_id().cast("long").as("gid"))
+          .select(
+            coalesce(col("lang"), lit("(all)")).as("lang"),
+            coalesce(col("source"), lit("(all)")).as("source"),
+            col("gid"), col("n_docs"), col("total_chars"))
+          .orderBy(col("gid"), col("lang"), col("source")),
+      Some("""SELECT COALESCE(lang, '(all)') AS lang,
+             |       COALESCE(source, '(all)') AS source,
+             |       CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents
+             |GROUP BY CUBE (lang, source)
+             |ORDER BY gid, lang, source""".stripMargin)),
+
+    GQuery(
+      "q_pivot",
+      "PIVOT cross-tab: document counts per source pivoted over an " +
+        "explicit language list (explicit values keep the schema static " +
+        "— no extra pass to discover columns).",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", Seq("en", "fr", "es", "de"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("source")),
+      Some("""SELECT source,
+             |  COALESCE(COUNT(*) FILTER (lang = 'en'), 0) AS en,
+             |  COALESCE(COUNT(*) FILTER (lang = 'fr'), 0) AS fr,
+             |  COALESCE(COUNT(*) FILTER (lang = 'es'), 0) AS es,
+             |  COALESCE(COUNT(*) FILTER (lang = 'de'), 0) AS de
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    GQuery(
+      "q_exists_correlated",
+      "Correlated EXISTS through spark.sql: customers with at least one " +
+        "urgent order, counted per market segment.",
+      (s, dir) => QueryPack.withTables(s, dir) { spark =>
+        spark.sql(
+          """SELECT c_mktsegment, COUNT(*) AS n_customers
+            |FROM customer c
+            |WHERE EXISTS (
+            |  SELECT 1 FROM orders o
+            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+             |FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
+  )
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan regression net: the properties that make these plans
+  * scale — predicate pushdown into parquet, column pruning, broadcast
+  * of small dims, rank-filter group limits, no single-partition windows
+  * — asserted on the REAL executed plans so a refactor can't silently
+  * lose them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String, execute: Boolean = false): String = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    val df = q.build(spark, sfDir)
+    if (execute) df.queryExecution.toRdd.count() // finalize AQE stages
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_filter pushes predicates into the parquet scan") {
+    val p = planOf("q_scan_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(!p.contains("PushedFilters: []"), "pushed filter list is empty")
+  }
+
+  test("q_join_agg_topk broadcasts dimensions and takes ordered top-k") {
+    val p = planOf("q_join_agg_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "dimension join is not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k is a full sort")
+  }
+
+  test("q_knn_exact uses WindowGroupLimit (local top-k before shuffle)") {
+    val p = planOf("q_knn_exact")
+    assert(p.contains("WindowGroupLimit"), "rank filter not pushed into window")
+    assert(p.contains("float_dot"), "codegen'd dot product missing from plan")
+  }
+
+  test("q_text_tokens prunes to the referenced columns only") {
+    val p = planOf("q_text_tokens")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"unpruned columns in scan: $scanLine")
+  }
+
+  test("no query plan contains a single-partition window") {
+    // a Window node prints as `Window [exprs], [partitionSpec], [orderSpec]`;
+    // an empty partition spec (`], [], [`) is the single-partition funnel
+    Seq("q_slice_assign", "q_window_rank", "q_knn_exact").foreach { name =>
+      val p = planOf(name, execute = true)
+      p.linesIterator.filter(_.contains("Window [")).foreach { line =>
+        assert(!line.contains("], [], ["),
+          s"$name: window without partition columns: $line")
+      }
+    }
+  }
+
+  test("whole-stage codegen covers the dedup hash pipeline") {
+    val p = planOf("q_minhash_dedup", execute = true)
+    // codegen'd operators print with the `*(n)` stage marker
+    assert(p.contains("*("), "no whole-stage-codegen spans in dedup plan")
+    assert(p.contains("shingle_hashes") && p.contains("minhash_signature"),
+      "custom hash expressions missing from plan")
+  }
+}
