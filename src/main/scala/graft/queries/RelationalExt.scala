@@ -100,6 +100,27 @@ object RelationalExt extends QueryPack {
              |  SELECT 1 FROM orders o
              |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    GQuery(
+      "q_json_extract",
+      "Semi-structured column handling: extract a typed field from the " +
+        "events JSON props column (get_json_object pushdown-friendly " +
+        "scalar path), bucket and aggregate.",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .withColumn("k_bucket", (col("k") / 10).cast("long"))
+          .groupBy(col("event_type"), col("k_bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+          .orderBy(col("event_type"), col("k_bucket")),
+      Some("""SELECT event_type,
+             |       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY event_type, k_bucket""".stripMargin))
   )
 }

@@ -90,4 +90,21 @@ class SimilaritySpec extends SparkSpec {
     // round 1 should find cluster 0 itself
     assert(byRound(1).map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
+
+  test("IVF search: probed-cell recall vs exact on clustered data") {
+    val queries = clustered.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = Similarity.knnExact(clustered, queries, "vec_id", "qid", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = graft.operators.IvfIndex.searchIvf(
+      clustered, queries, "vec_id", "qid", "embedding", k = 3, nlist = 12, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall below 0.7")
+    // determinism: same result on a different partitioning
+    val again = graft.operators.IvfIndex.searchIvf(
+      clustered.repartition(7), queries, "vec_id", "qid", "embedding", 3, 12, 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf == again)
+  }
 }
