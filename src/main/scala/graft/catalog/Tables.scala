@@ -22,19 +22,35 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros —
-      // the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(dir, name))
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else spark.read.parquet(path(dir, name))
-  }
+  // DataFrames are immutable plans — memoize per (session, dir, name) so
+  // repeated loads (queries, eval fixtures, selectors) share one
+  // analyzed plan and one footer read instead of re-planning per call.
+  private val loadCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private val currentDir =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
 
-  /** Register every table as a temp view named after itself. Idempotent. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.getOrElseUpdate((spark, dir, name), {
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        // reader rejects. Read nanos as long and truncate to micros —
+        // the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(path(dir, name))
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      } else spark.read.parquet(path(dir, name))
+    })
+
+  /** Register every table as a temp view named after itself. Idempotent
+    * and memoized on the session's current dir — the first caller pays,
+    * later callers (eval fixtures, selectors, serving) are free; a dir
+    * switch re-registers.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (!currentDir.get(spark).contains(dir)) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      currentDir(spark) = dir
+    }
 }
