@@ -1,0 +1,88 @@
+package graft.core
+
+/** Engine configuration (reference `Router`, `core/base.py:7-341` — a
+  * flat ~60-field config holder loaded from JSON with a system-level
+  * benchmark registry). Spark-native: a typed case class with the same
+  * section structure; loading is `fromPairs` over any key→value source
+  * (properties file, CLI args, parsed JSON) — no JSON dependency.
+  */
+final case class GraftConfig(
+    // dataset / database
+    dataId: String = "",            // "id:sub_id:filter" grammar
+    schemaId: String = "",          // "id:sub_id"
+    dataRoot: String = "/root/testdata",
+    // reducer
+    reduceTopK: Int = 0,            // 0 = auto-schedule by db_size
+    reduceTurns: Int = 0,
+    initRetainRate: Double = 1.0,
+    decayRate: Double = 0.8,
+    // generation
+    generateNum: Int = 3,
+    debugTurns: Int = 2,
+    // evaluation
+    evalTimeoutSec: Int = 60,
+    sqlTimeoutSec: Int = 120,
+    // engine
+    parallelism: Int = 5) {
+
+  /** "id:sub_id:filter" → (id, subId, filter) (reference identifier
+    * grammar, `core/data_manage.py:852-854`).
+    */
+  def dataIdentifier: (String, String, String) = GraftConfig.splitId(dataId, 3) match {
+    case Seq(a, b, c) => (a, b, c)
+  }
+  def schemaIdentifier: (String, String) = GraftConfig.splitId(schemaId, 2) match {
+    case Seq(a, b) => (a, b)
+  }
+}
+
+object GraftConfig {
+
+  private[core] def splitId(s: String, n: Int): Seq[String] =
+    (s.split(":", -1).toSeq ++ Seq.fill(n)("")).take(n)
+
+  /** One registered benchmark (reference `config/sys_config.json`). */
+  final case class Benchmark(rootPath: String, dbType: String,
+      hasSub: Boolean, subSplits: Seq[String] = Nil)
+
+  /** Benchmark registry: resolvable data sources for the identifier
+    * grammar. The TPC-H-ish test corpus registers its scale factors as
+    * sub-splits.
+    */
+  val benchmarks: Map[String, Benchmark] = Map(
+    "testdata" -> Benchmark("/root/testdata", "spark", hasSub = true,
+      subSplits = Seq("sf0.001", "sf0.01", "sf0.1")),
+    "spider" -> Benchmark("benchmarks/spider", "sqlite", hasSub = true,
+      subSplits = Seq("dev", "test")),
+    "bird" -> Benchmark("benchmarks/bird", "sqlite", hasSub = true,
+      subSplits = Seq("dev")),
+    "spider2-lite" -> Benchmark("benchmarks/spider2", "big_query", hasSub = false),
+    "spider2-snow" -> Benchmark("benchmarks/spider2", "snowflake", hasSub = false))
+
+  /** DB path resolution: `<root>/database` or `<root>/<sub>/database`
+    * (reference `core/base.py:467-488`); for the parquet corpus the
+    * "database" is the scale-factor directory itself.
+    */
+  def resolveDbPath(benchmark: String, subId: String): Option[String] =
+    benchmarks.get(benchmark).map { b =>
+      if (b.hasSub && subId.nonEmpty) s"${b.rootPath}/$subId" else b.rootPath
+    }
+
+  /** Build from any key→value pairs; unknown keys ignored, types coerced. */
+  def fromPairs(pairs: Map[String, String]): GraftConfig = {
+    val base = GraftConfig()
+    base.copy(
+      dataId = pairs.getOrElse("data_id", base.dataId),
+      schemaId = pairs.getOrElse("schema_id", base.schemaId),
+      dataRoot = pairs.getOrElse("data_root", base.dataRoot),
+      reduceTopK = pairs.get("reduce_top_k").map(_.toInt).getOrElse(base.reduceTopK),
+      reduceTurns = pairs.get("reduce_turns").map(_.toInt).getOrElse(base.reduceTurns),
+      initRetainRate = pairs.get("init_retain_rate").map(_.toDouble).getOrElse(base.initRetainRate),
+      decayRate = pairs.get("decay_rate").map(_.toDouble).getOrElse(base.decayRate),
+      generateNum = pairs.get("generate_num").map(_.toInt).getOrElse(base.generateNum),
+      debugTurns = pairs.get("debug_turns").map(_.toInt).getOrElse(base.debugTurns),
+      evalTimeoutSec = pairs.get("eval_timeout_sec").map(_.toInt).getOrElse(base.evalTimeoutSec),
+      sqlTimeoutSec = pairs.get("sql_timeout_sec").map(_.toInt).getOrElse(base.sqlTimeoutSec),
+      parallelism = pairs.get("parallelism").map(_.toInt).getOrElse(base.parallelism))
+  }
+}
