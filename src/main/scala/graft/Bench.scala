@@ -40,12 +40,12 @@ object Bench {
         catch { case _: Throwable => None }
       (q.name, (System.nanoTime() - t0) / 1e9, stats)
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val bytes = results.map { case (k, _, s) =>
-      s"\"$k\":${s.map(_.bytesRead).getOrElse(-1L)}"
-    }.mkString("{", ",", "}")
+    // The consuming driver captures a bounded tail of stdout: keep the JSON
+    // line compact (millisecond precision, aggregate bytes) so it survives.
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes_read":$bytes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bytes_read":$bytesTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,13 +328,15 @@ object Relational extends QueryPack {
     GQuery(
       "q_array_agg",
       "ARRAY_AGG with canonical (sorted) ordering — collect_list order is " +
-        "nondeterministic under parallel agg, so both sides sort.",
+        "nondeterministic under parallel agg, so both sides sort. The array " +
+        "is serialized to a joined string for the compare harness (the " +
+        "driver's pandas-side sort cannot order ndarray cells).",
       (s, dir) =>
         t(s, dir, "nation")
           .groupBy(col("n_regionkey"))
-          .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
           .orderBy(col("n_regionkey")),
-      Some("""SELECT n_regionkey, list_sort(ARRAY_AGG(n_name)) AS nations
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     // -- NULLS LAST ordering -----------------------------------------------------

@@ -135,7 +135,7 @@ object RowOpsQueries extends QueryPack {
       (s, dir) =>
         RowOps.majorityVote(
           Tables.load(s, dir, "documents"), "source", "n_chars"),
-      Some("""SELECT source, SUM(n_chars) AS total_weight FROM documents
+      Some("""SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_weight FROM documents
              |GROUP BY source ORDER BY total_weight DESC, source LIMIT 1""".stripMargin)),
 
     GQuery(
@@ -153,11 +153,11 @@ object RowOpsQueries extends QueryPack {
           sum(col("c_acctbal").isNull.cast("long")).as("nulls_c_acctbal"),
           countDistinct(col("c_acctbal")).as("distinct_c_acctbal")),
       Some("""SELECT COUNT(*) AS n_rows,
-             |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nulls_c_name,
+             |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_name,
              |  COUNT(DISTINCT c_name) AS distinct_c_name,
-             |  SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_nationkey,
+             |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_nationkey,
              |  COUNT(DISTINCT c_nationkey) AS distinct_c_nationkey,
-             |  SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls_c_acctbal,
+             |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_acctbal,
              |  COUNT(DISTINCT c_acctbal) AS distinct_c_acctbal
              |FROM customer""".stripMargin))
   )
