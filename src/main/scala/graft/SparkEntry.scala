@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{CoverageQueries, DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     SimilarityQueries,
     DedupQueries,
     EvalQueries,
-    StreamQueries)
+    StreamQueries,
+    CoverageQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

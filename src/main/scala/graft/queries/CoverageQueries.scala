@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.dialect.Transpiler
+import graft.evalx.SchemaMetrics
+import graft.functions.VectorOps
+import graft.multimodal.Multimodal
+import graft.operators.{IvfIndex, LinkAlignReduce}
+import graft.retrieve.FewShot
+import graft.streaming.EventStreams
+
+/** Oracle coverage for components previously verified only by unit
+  * specs: schema-linking metrics, few-shot retrieval, the dialect
+  * transpiler (run end-to-end through `spark.sql`), streaming dedup's
+  * batch analog, multimodal frame windowing, the LinkAlign reduction
+  * loop, and IVF approximate nearest neighbor.
+  *
+  * Everything here follows the pack-wide bit-exactness rules: decimal
+  * or fold-pinned double arithmetic mirrored in the DuckDB SQL, BIGINT
+  * casts wherever DuckDB would widen an integer aggregate to HUGEINT,
+  * and no array-typed output columns (the driver's pandas compare
+  * cannot sort ndarray cells).
+  */
+object CoverageQueries extends QueryPack {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private def oCos(a: String, b: String) = VectorOps.oCosine(a, b)
+  private def oDot(a: String, b: String) = VectorOps.oDot(a, b)
+
+  val queries: Seq[GQuery] = Seq(
+
+    // -- schema-linking metrics (reference core/evaluate.py:305-396) --------
+    GQuery(
+      "q_schema_metrics",
+      "Distributed schema recall/precision/exact-match over per-source " +
+        "instances: gold = the source's languages as table.column links, " +
+        "pred = languages holding a >=400-char doc plus one decoy. The " +
+        "hit rule is the reference's substring containment, computed with " +
+        "exploded fuzzy joins (no per-row loops).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.groupBy(col("source").as("instance_id"))
+          .agg(
+            sort_array(collect_set(concat(lit("documents."), col("lang"))))
+              .as("gold_schemas"),
+            concat(
+              sort_array(collect_set(when(col("n_chars") >= 400, col("lang")))),
+              array(lit("zz"))).as("pred_schemas"))
+        SchemaMetrics.evalDataset(base).orderBy(col("instance_id"))
+      },
+      Some("""WITH gold AS (
+             |  SELECT DISTINCT source AS iid, 'documents.' || lang AS g FROM documents),
+             |p0 AS (
+             |  SELECT DISTINCT source AS iid, lang AS p FROM documents WHERE n_chars >= 400),
+             |pred AS (
+             |  SELECT * FROM p0
+             |  UNION ALL SELECT DISTINCT source AS iid, 'zz' AS p FROM documents),
+             |rec AS (
+             |  SELECT g.iid,
+             |    CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM pred p
+             |        WHERE p.iid = g.iid AND strpos(g.g, p.p) > 0)
+             |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+             |  FROM gold g GROUP BY g.iid),
+             |prc AS (
+             |  SELECT p.iid,
+             |    CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM gold g
+             |        WHERE g.iid = p.iid AND strpos(g.g, p.p) > 0)
+             |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+             |  FROM pred p GROUP BY p.iid)
+             |SELECT r.iid AS instance_id, r.recall, prc.precision,
+             |       r.recall = prc.precision AS exact_match
+             |FROM rec r JOIN prc ON r.iid = prc.iid ORDER BY instance_id""".stripMargin)),
+
+    // -- few-shot exemplar retrieval (core/data_manage.py:1209-1298) --------
+    GQuery(
+      "q_fewshot_context",
+      "Few-shot context assembly: top-3 cosine exemplars per query vector " +
+        "concatenated in rank order into one context string per query " +
+        "(the reference's per-question reasoning_examples file).",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        FewShot.retrieve(
+          emb.select(col("vec_id"), col("embedding"),
+            concat(lit("ex_"), col("vec_id")).as("text")),
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3)
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              |s AS (
+              |  SELECT q.qid, e.vec_id AS nid,
+              |         ${oCos("e.embedding", "q.qv")} AS score
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+              |r AS (
+              |  SELECT qid, nid,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+              |  FROM s)
+              |SELECT qid AS query_id,
+              |       string_agg('ex_' || nid, e'\\n\\n' ORDER BY rk) AS few_shot_context
+              |FROM r WHERE rk <= 3 GROUP BY qid ORDER BY query_id""".stripMargin)),
+
+    // -- dialect transpiler, end-to-end through spark.sql -------------------
+    GQuery(
+      "q_transpile_sqlite",
+      "sqlite/T-SQL-isms (strftime, IIF, LEN, CHARINDEX arg order, CAST " +
+        "AS REAL) transpiled and executed via spark.sql — the " +
+        "deterministic replacement for the reference's per-dialect LLM " +
+        "repair prompts (sql_debug.py:120-250).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpile(
+            """SELECT strftime('%Y', o_orderdate) AS yr,
+              |       IIF(o_totalprice > 150000.0, 'big', 'small') AS bucket,
+              |       COUNT(*) AS n_orders,
+              |       CAST(MIN(o_totalprice) AS REAL) AS min_price
+              |FROM orders
+              |WHERE CHARINDEX('URGENT', o_orderpriority) > 0
+              |  AND LEN(o_orderstatus) >= 1
+              |GROUP BY yr, bucket ORDER BY yr, bucket""".stripMargin))
+        },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) AS yr,
+             |       CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS bucket,
+             |       COUNT(*) AS n_orders,
+             |       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+             |FROM orders
+             |WHERE strpos(o_orderpriority, 'URGENT') > 0
+             |  AND LENGTH(o_orderstatus) >= 1
+             |GROUP BY yr, bucket ORDER BY yr, bucket""".stripMargin)),
+
+    GQuery(
+      "q_transpile_qualify",
+      "QUALIFY (Snowflake-ism) transpiled to a subquery filter and " +
+        "executed: top-2 lineitems per supplier by quantity.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpile(
+            """SELECT l_suppkey, l_orderkey, l_quantity,
+              |       CAST(ROW_NUMBER() OVER (
+              |         PARTITION BY l_suppkey
+              |         ORDER BY l_quantity DESC, l_orderkey) AS INTEGER) AS rk
+              |FROM lineitem
+              |QUALIFY ROW_NUMBER() OVER (
+              |  PARTITION BY l_suppkey
+              |  ORDER BY l_quantity DESC, l_orderkey) <= 2
+              |ORDER BY l_suppkey, rk""".stripMargin))
+        },
+      Some("""SELECT l_suppkey, l_orderkey, l_quantity,
+             |       CAST(ROW_NUMBER() OVER (
+             |         PARTITION BY l_suppkey
+             |         ORDER BY l_quantity DESC, l_orderkey) AS INTEGER) AS rk
+             |FROM lineitem
+             |QUALIFY ROW_NUMBER() OVER (
+             |  PARTITION BY l_suppkey
+             |  ORDER BY l_quantity DESC, l_orderkey) <= 2
+             |ORDER BY l_suppkey, rk""".stripMargin)),
+
+    // -- streaming dedup, batch analog --------------------------------------
+    GQuery(
+      "q_event_dedup",
+      "Watermark-bounded event dedup (batch analog of " +
+        "dropDuplicatesWithinWatermark): a self-union doubles every " +
+        "event, dedup restores exactly one row per event_id. Duplicates " +
+        "are bit-identical, so the survivor is deterministic.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        EventStreams.dedupEvents(ev.union(ev))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // -- multimodal frame windowing ------------------------------------------
+    GQuery(
+      "q_media_frames",
+      "Video frame-sample analog over binary payloads: 32-byte frame " +
+        "windows, every 2nd kept, emitted as hex (pure sequence/" +
+        "transform/substring exprs — no UDF; DuckDB mirrors on the hex " +
+        "string since it cannot substring BLOBs).",
+      (s, dir) => {
+        val media = t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.sampleFrames(media, "doc_id", "payload", frameSize = 32, everyN = 2)
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            hex(col("frame_bytes")).as("frame_hex"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id < 50),
+             |f AS (
+             |  SELECT doc_id, i AS frame_idx,
+             |         substr(hx, CAST(i*64 + 1 AS BIGINT), 64) AS frame_hex
+             |  FROM d, (SELECT unnest(generate_series(0, 63)) AS i)
+             |  WHERE i % 2 = 0 AND i*32 < n)
+             |SELECT doc_id, frame_idx, frame_hex FROM f
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // -- the LinkAlign reduction loop ----------------------------------------
+    GQuery(
+      "q_linkalign_reduce",
+      "Two-round LinkAlign schema reduction (retrieve top-40 by cosine, " +
+        "re-center the query on the id-ordered fold of round-1 vectors, " +
+        "retrieve 40 more excluding seen, dedup by (table,column) with " +
+        "min-id survivor, anti-filter flagged pairs). The 150-column " +
+        "schema is synthesized from the embeddings table; decay rate 1.0 " +
+        "isolates the loop mechanics (the hash-draw decay has its own " +
+        "repartition-invariance spec).",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val sch = emb.filter(col("vec_id") < 150)
+          .select(col("vec_id").as("col_id"),
+            concat(lit("t"), pmod(col("vec_id"), lit(5)).cast("string")).as("table_name"),
+            concat(lit("c"), pmod(col("vec_id"), lit(9)).cast("string")).as("column_name"),
+            col("embedding"))
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        val flagged = sch.filter(col("table_name") === "t0")
+          .select(col("table_name"), col("column_name")).distinct()
+        LinkAlignReduce.reduce(sch, Seq.fill(dim)(1.0), dbSize = 150,
+          initRetainRate = 1.0, decayRate = 1.0, flagged = Some(flagged))
+          .select(col("col_id"), col("table_name"), col("column_name"), col("turn_n"))
+          .orderBy(col("col_id"))
+      },
+      Some(s"""WITH sch AS (
+              |  SELECT vec_id AS col_id,
+              |         't' || CAST(vec_id % 5 AS VARCHAR) AS table_name,
+              |         'c' || CAST(vec_id % 9 AS VARCHAR) AS column_name,
+              |         embedding
+              |  FROM embeddings WHERE vec_id < 150),
+              |q1 AS (
+              |  SELECT list_transform(generate_series(1, len(embedding)),
+              |                        i -> CAST(1.0 AS DOUBLE)) AS qv
+              |  FROM embeddings WHERE vec_id = 0),
+              |s1 AS (
+              |  SELECT col_id, ${oCos("embedding", "q1.qv")} AS score
+              |  FROM sch, q1),
+              |r1 AS (
+              |  SELECT col_id, 0 AS turn_n FROM s1
+              |  ORDER BY score DESC, col_id LIMIT 40),
+              |q2 AS (
+              |  SELECT list(v ORDER BY d) AS qv FROM (
+              |    SELECT ds.d AS d,
+              |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |             list(CAST(r.embedding[ds.d] AS DOUBLE) ORDER BY r.col_id)),
+              |             (acc, x) -> acc + x) AS v
+              |    FROM (SELECT s.col_id, s.embedding
+              |          FROM sch s JOIN r1 ON s.col_id = r1.col_id) r
+              |    CROSS JOIN (SELECT unnest(generate_series(1,
+              |      (SELECT len(embedding) FROM embeddings WHERE vec_id = 0))) AS d) ds
+              |    GROUP BY ds.d)),
+              |s2 AS (
+              |  SELECT col_id, ${oCos("embedding", "q2.qv")} AS score
+              |  FROM sch, q2 WHERE col_id NOT IN (SELECT col_id FROM r1)),
+              |r2 AS (
+              |  SELECT col_id, 1 AS turn_n FROM s2
+              |  ORDER BY score DESC, col_id LIMIT 40),
+              |ret AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+              |tagged AS (
+              |  SELECT s.col_id, s.table_name, s.column_name, ret.turn_n
+              |  FROM sch s JOIN ret ON s.col_id = ret.col_id),
+              |dd AS (
+              |  SELECT *, ROW_NUMBER() OVER (
+              |    PARTITION BY table_name, column_name ORDER BY col_id) AS rn
+              |  FROM tagged),
+              |flg AS (
+              |  SELECT DISTINCT table_name, column_name FROM sch
+              |  WHERE table_name = 't0')
+              |SELECT d.col_id, d.table_name, d.column_name, d.turn_n
+              |FROM dd d
+              |WHERE d.rn = 1 AND NOT EXISTS (
+              |  SELECT 1 FROM flg f
+              |  WHERE f.table_name = d.table_name AND f.column_name = d.column_name)
+              |ORDER BY d.col_id""".stripMargin)),
+
+    // -- IVF approximate nearest neighbor ------------------------------------
+    GQuery(
+      "q_ivf_ann",
+      "IVF search, fully mirrored: 16 systematically-picked centroids, " +
+        "argmax-dot cell assignment, 4-cell probe per query, exact " +
+        "cosine top-5 inside the probed cells. Corpus-scan cost is " +
+        "~nprobe/nlist of brute force; every dot product is the pinned " +
+        "left fold on both engines.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        IvfIndex.searchIvf(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "vec_id", "qid", "embedding", k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rnk"),
+            col("neighbor_id"), col("score"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+              |         embedding AS cv
+              |  FROM embeddings
+              |  WHERE vec_id % GREATEST((SELECT COUNT(*) // 16 FROM embeddings), 1) = 0
+              |  ORDER BY vec_id LIMIT 16),
+              |asg AS (
+              |  SELECT e.vec_id, e.embedding, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS arn
+              |  FROM embeddings e CROSS JOIN cent c),
+              |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE arn = 1),
+              |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+              |pr AS (
+              |  SELECT q.qid, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY q.qid
+              |           ORDER BY ${oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
+              |  FROM q CROSS JOIN cent c),
+              |probed AS (SELECT qid, cell FROM pr WHERE prn <= 4),
+              |s AS (
+              |  SELECT p.qid, a.vec_id AS nid,
+              |         ${oCos("a.embedding", "q2.qv")} AS score
+              |  FROM probed p
+              |  JOIN assigned a ON a.cell = p.cell
+              |  JOIN q q2 ON q2.qid = p.qid
+              |  WHERE a.vec_id <> p.qid),
+              |r AS (
+              |  SELECT qid, nid, score,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+              |  FROM s)
+              |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
+  )
+}

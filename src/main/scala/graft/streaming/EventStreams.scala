@@ -45,10 +45,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("s.start").as("session_start"), col("n_events"))
 
-  /** Streaming dedup on event_id bounded by the watermark. */
+  /** Dedup on event_id: bounded by the watermark when streaming (state
+    * eviction past the watermark); plain dropDuplicates in batch, where
+    * `dropDuplicatesWithinWatermark` is rejected by Spark — the output
+    * contract is identical on the events the stream would keep.
+    */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   // ---- custom state: explicit sessionizer -----------------------------
 
