@@ -87,6 +87,22 @@ object RowOps {
   def randomSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Deterministic per-stratum sampling (the engine-portable `sampleBy`:
+    * reference `random_size` + the reducer's per-turn sampleBy). The
+    * draw is multiplicative-hash arithmetic on the key — pure integer
+    * ops, so the SAME rows are selected on any engine, any partitioning,
+    * any cluster size (unlike `DataFrameStatFunctions.sampleBy`, whose
+    * rand() draw is partition-layout-dependent). Strata missing from
+    * `fractions` are dropped.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], keyCol: String): DataFrame = {
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit((v * 1000000L).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(col(keyCol).cast("long") * lit(2654435761L), lit(1000000L)) < threshold)
+  }
+
   /** Split a schema/record set into slices of ≤ sliceSize for parallel
     * downstream processing (`parallel_slice_parse`,
     * `core/actor/parser/BaseParse.py:160-217`).

@@ -8,7 +8,7 @@ import graft.dialect.Transpiler
 import graft.evalx.SchemaMetrics
 import graft.functions.VectorOps
 import graft.multimodal.Multimodal
-import graft.operators.{IvfIndex, LinkAlignReduce}
+import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps}
 import graft.retrieve.FewShot
 import graft.streaming.EventStreams
 
@@ -332,6 +332,54 @@ object CoverageQueries extends QueryPack {
               |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
               |  FROM s)
               |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
-              |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // -- composed corpus-curation pipeline -----------------------------------
+    GQuery(
+      "q_corpus_clean",
+      "The full training-corpus curation pipeline composed end-to-end: " +
+        "language allowlist -> length floor -> exact dedup (fingerprint, " +
+        "min-id survivor) -> near-dup removal (exact shingle Jaccard " +
+        ">= 0.5, larger id of each pair dropped). One scan predicate, " +
+        "one fingerprint shuffle, one shingle-hash shuffle.",
+      (s, dir) =>
+        CorpusClean.clean(
+          t(s, dir, "documents"), langs = Seq("en", "de", "fr"),
+          minChars = 100, jaccardThreshold = 0.5)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH filt AS (
+              |  SELECT doc_id, text, lang, source FROM documents
+              |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
+              |fp AS (
+              |  SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM filt),
+              |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+              |d1 AS (SELECT f.doc_id, f.text, f.lang, f.source
+              |       FROM filt f JOIN k1 USING (doc_id)),
+              |${DedupOracles.base("d1")},
+              |${DedupOracles.interJac},
+              |drp AS (SELECT DISTINCT id2 FROM j WHERE jaccard >= 0.5)
+              |SELECT d.doc_id, d.lang, d.source FROM d1 d
+              |WHERE d.doc_id NOT IN (SELECT id2 FROM drp)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // -- deterministic stratified sampling -----------------------------------
+    GQuery(
+      "q_stratified_sample",
+      "Engine-portable stratified sampling: per-language fractions drawn " +
+        "by multiplicative-hash arithmetic on doc_id — the same rows " +
+        "survive on any engine, partitioning, or cluster size, unlike " +
+        "rand()-based sampleBy.",
+      (s, dir) =>
+        RowOps.stratifiedSample(
+          t(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), "doc_id")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 2654435761) % 1000000 <
+             |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
+             |            WHEN 'fr' THEN 200000 ELSE 0 END
+             |ORDER BY doc_id""".stripMargin))
   )
 }

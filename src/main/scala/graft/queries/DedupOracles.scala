@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.operators.TextDedup
+
+/** Shared DuckDB oracle fragments mirroring the engine's text-hash
+  * arithmetic (polynomial rolling hash mod 1e9+7, 3-gram shingles,
+  * distinct-shingle Jaccard) — used by the dedup oracles and by any
+  * composed pipeline whose oracle needs the same stages over a
+  * different source relation.
+  */
+object DedupOracles {
+
+  val P: Long = TextDedup.P
+
+  /** Rolling polynomial hash of a string column named `sh`. */
+  val polyHashSh: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+
+  /** Rolling polynomial hash of an arbitrary string expression. */
+  def polyHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+
+  /** CTE chain `toks → shl → s → sizes` computing distinct 3-gram
+    * shingle hashes and per-doc shingle counts over `from` (a relation
+    * with doc_id + text columns). Mirrors ShingleHashes + array_distinct.
+    */
+  def base(from: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS tk
+       |  FROM $from),
+       |shl AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+       |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+       |  FROM toks),
+       |s AS (SELECT DISTINCT doc_id, $polyHashSh AS h FROM shl),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)""".stripMargin
+
+  /** CTE chain `inter → j` computing exact distinct-shingle Jaccard for
+    * every co-shingled (id1 < id2) pair, on top of `base`.
+    */
+  val interJac: String =
+    """inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id1, id2,
+      |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id1
+      |  JOIN sizes sb ON sb.doc_id = id2)""".stripMargin
+}

@@ -16,38 +16,11 @@ object DedupQueries extends QueryPack {
 
   private val P = TextDedup.P
 
-  private val oPolyHash =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
-
-  /** Shared oracle CTEs: tokens → shingles → distinct shingle hashes →
-    * sizes (mirrors ShingleHashes + array_distinct).
-    */
-  private val oBase =
-    s"""toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-       |                             t -> length(t) > 0) AS tk
-       |  FROM documents),
-       |shl AS (
-       |  SELECT doc_id,
-       |         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
-       |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-       |  FROM toks),
-       |s AS (SELECT DISTINCT doc_id, $oPolyHash AS h FROM shl),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)""".stripMargin
-
-  private val oInterJac =
-    """inter AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-      |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |j AS (
-      |  SELECT id1, id2,
-      |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-      |  FROM inter
-      |  JOIN sizes sa ON sa.doc_id = id1
-      |  JOIN sizes sb ON sb.doc_id = id2)""".stripMargin
+  // Shared oracle CTE fragments (tokens → shingles → hashes → Jaccard)
+  // live in DedupOracles so composed pipelines can reuse them over
+  // other source relations.
+  private val oBase = DedupOracles.base("documents")
+  private val oInterJac = DedupOracles.interJac
 
   val queries: Seq[GQuery] = Seq(
 

@@ -57,6 +57,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ivf_ann broadcasts the probed queries and rank-limits per query") {
+    val p = planOf("q_ivf_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probed query side is not broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k not group-limited")
+  }
+
+  test("q_fewshot_context keeps the codegen'd dot product and group limit") {
+    val p = planOf("q_fewshot_context")
+    assert(p.contains("WindowGroupLimit"), "rank filter not pushed into window")
+    assert(p.contains("float_dot"), "codegen'd dot product missing from plan")
+  }
+
+  test("q_corpus_clean never forms a cross product") {
+    val p = planOf("q_corpus_clean", execute = true)
+    assert(!p.contains("CartesianProduct"), "corpus clean plan has a cross join")
+  }
+
   test("whole-stage codegen covers the dedup hash pipeline") {
     val p = planOf("q_minhash_dedup", execute = true)
     // codegen'd operators print with the `*(n)` stage marker
