@@ -7,8 +7,9 @@ import graft.catalog.Tables
 import graft.dialect.Transpiler
 import graft.evalx.SchemaMetrics
 import graft.functions.VectorOps
+import graft.catalog.DatasetIO
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps}
+import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps, Salting}
 import graft.retrieve.FewShot
 import graft.streaming.EventStreams
 
@@ -380,6 +381,45 @@ object CoverageQueries extends QueryPack {
              |WHERE (doc_id * 2654435761) % 1000000 <
              |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
              |            WHEN 'fr' THEN 200000 ELSE 0 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // -- skew-mitigated aggregation ------------------------------------------
+    GQuery(
+      "q_salted_agg",
+      "Two-stage salted aggregation (skew mitigation for hot group " +
+        "keys): stage 1 spreads each key over 8 hash salts, stage 2 " +
+        "combines partials. The oracle is the PLAIN group-by — salting " +
+        "must be invisible in the result.",
+      (s, dir) =>
+        Salting.saltedSum(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          saltBuckets = 8, disambiguator = "l_orderkey")
+          .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |       ${QueryPack.oSum4("l_extendedprice")} AS total
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // -- polymorphic IO round-trip -------------------------------------------
+    GQuery(
+      "q_import_roundtrip",
+      "save_dataset/load_dataset + file->table import verified against " +
+        "the parquet source of truth: documents written to CSV " +
+        "(distributed write), re-imported as a temp view via the " +
+        "file-import flow, and aggregated — any loss or type drift in " +
+        "the round-trip breaks the compare.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val tmp = "/root/repo/target/tmp/graft_import_docs.csv"
+        DatasetIO.save(docs, tmp)
+        DatasetIO.importFiles(s, "imported", Seq(tmp))
+        s.sql("""SELECT lang, COUNT(*) AS n_docs,
+                |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                |FROM graft_import_docs GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
