@@ -7,7 +7,7 @@ import graft.catalog.Tables
 import graft.dialect.Transpiler
 import graft.evalx.SchemaMetrics
 import graft.functions.VectorOps
-import graft.catalog.DatasetIO
+import graft.catalog.{Bucketing, DatasetIO}
 import graft.multimodal.Multimodal
 import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps, Salting}
 import graft.retrieve.FewShot
@@ -420,6 +420,32 @@ object CoverageQueries extends QueryPack {
       },
       Some("""SELECT lang, COUNT(*) AS n_docs,
              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // -- bucketed co-located join --------------------------------------------
+    GQuery(
+      "q_bucketed_join",
+      "Fact-to-fact join via bucketed tables (the 100 TB co-location " +
+        "path): both sides written bucketed+sorted on the join key, the " +
+        "join sort-merges bucket i against bucket i with no read-time " +
+        "shuffle. Oracle is the plain parquet join — bucketing must be " +
+        "invisible in the result.",
+      (s, dir) => {
+        Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "b_orders", Seq("o_orderkey"), numBuckets = 8)
+        Bucketing.writeBucketed(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+          "b_lineitem", Seq("o_orderkey"), numBuckets = 8)
+        s.table("b_orders").join(s.table("b_lineitem"), "o_orderkey")
+          .filter(col("o_totalprice") > 200000.0)
+          .agg(count(lit(1)).as("n_pairs"),
+            QueryPack.dsum4(col("l_extendedprice")).as("total"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_pairs,
+              |       ${QueryPack.oSum4("l_extendedprice")} AS total
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_totalprice > 200000.0""".stripMargin))
   )
 }

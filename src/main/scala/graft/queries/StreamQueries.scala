@@ -60,6 +60,50 @@ object StreamQueries extends QueryPack {
              |SELECT user_id, COUNT(*) AS n_sessions,
              |       CAST(SUM(n_events) AS BIGINT) AS n_events,
              |       MAX(n_events) AS max_session_events
-             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    GQuery(
+      "q_event_sessions_stateful",
+      "The flatMapGroupsWithState sessionizer run in batch: explicit " +
+        "per-user state closes a session when an event arrives past the " +
+        "30-minute gap. Only CLOSED sessions are emitted — each user's " +
+        "final session stays open in state — so the oracle's " +
+        "gaps-and-islands rewrite drops the last session per user.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id").as("eventId"), col("ts"),
+            col("user_id").as("userId"), col("event_type").as("eventType"),
+            col("value"))
+          .as[EventStreams.Event]
+        EventStreams.sessionizeStateful(ev, gapMinutes = 30).toDF()
+          .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+            col("endMs").as("end_ms"), col("nEvents").cast("long").as("n_events"))
+          .orderBy(col("user_id"), col("start_ms"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g),
+             |per AS (
+             |  SELECT user_id, session_id,
+             |         CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+             |         CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
+             |         COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, session_id),
+             |fin AS (
+             |  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS last_s
+             |  FROM per)
+             |SELECT user_id, start_ms, end_ms, n_events FROM fin
+             |WHERE session_id < last_s
+             |ORDER BY user_id, start_ms""".stripMargin))
   )
 }
