@@ -12,14 +12,25 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table. Bucket count should
     * divide evenly into cluster cores at the target scale.
+    *
+    * The in-memory catalog dies with the session but the warehouse
+    * directory does not, so Overwrite alone hits LOCATION_ALREADY_EXISTS
+    * on the next session — drop the table AND clear any stale location.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val stale = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** True when a physical plan string contains a shuffle exchange. */
   def hasShuffle(df: DataFrame): Boolean =

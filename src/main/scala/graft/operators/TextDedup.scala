@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftvec.TextHashExpr
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextAnalysis
 
@@ -55,11 +56,20 @@ object TextDedup {
 
   /** Candidate pairs sharing at least one MinHash band. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, h: Int, bands: Int, seed: Long = 42L): DataFrame = {
+      n: Int, h: Int, bands: Int, seed: Long = 42L): DataFrame =
+    candidatePairsFromBase(
+      withShingleHashes(df, idCol, textCol, n), idCol, h, bands, seed)
+
+  /** Candidate pairs from a precomputed (id, shingle hashes) table — the
+    * entry point when the caller already materialized the hash table
+    * (minhashNearDupPairs persists it across candidate + verify stages).
+    */
+  private def candidatePairsFromBase(base: DataFrame, idCol: String,
+      h: Int, bands: Int, seed: Long): DataFrame = {
     require(h % bands == 0, s"h $h not divisible by bands $bands")
     val r = h / bands
     val coeffs = minhashCoeffs(h, seed)
-    val sig = withShingleHashes(df, idCol, textCol, n)
+    val sig = base
       .withColumn("__sig", TextHashExpr.minhashSignature(col("__shh"), coeffs))
     val banded = sig.select(col(idCol).as("__id"),
       explode(array((0 until bands).map { j =>
@@ -76,12 +86,19 @@ object TextDedup {
 
   /** MinHash+LSH near-dup: banded candidates verified with the exact
     * distinct-shingle Jaccard (jac = |∩| / (n1+n2-|∩|)).
+    *
+    * The shingle-hash table feeds four consumers (both banded-join
+    * sides, both verify joins); Catalyst does not share non-exchange
+    * subtrees across consumers, so it is persisted MEMORY_AND_DISK —
+    * one scan+tokenize+hash pass instead of four. Unbounded-corpus
+    * callers should checkpoint the table instead.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, n, h, bands, seed)
     val sh = withShingleHashes(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairsFromBase(sh, idCol, h, bands, seed)
     cands
       .join(sh.select(col(idCol).as("id1"), col("__shh").as("__sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("__shh").as("__sh2")), "id2")
@@ -95,20 +112,25 @@ object TextDedup {
 
   /** Relational exact n-gram Jaccard pairs: explode distinct shingle
     * hashes, equi-join on hash (only co-shingled pairs are ever formed),
-    * count intersections, join sizes. The exact baseline at any scale.
+    * count intersections. The exact baseline at any scale.
+    *
+    * Plan shape: per-doc shingle counts ride the exploded rows (a
+    * `size()` before the explode), so there is NO separate sizes
+    * aggregation and no post-join size lookups — one self-join, one
+    * groupBy. The exploded table is persisted because its two join
+    * consumers would otherwise each re-run scan+tokenize+hash.
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val s = withShingleHashes(df, idCol, textCol, n)
-      .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
-    val sizes = s.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val inter = s.as("a")
+      .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
+        explode(col("__shh")).as("__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
-      .agg(count(lit(1)).as("__i"))
-    inter
-      .join(sizes.select(col("__id").as("id1"), col("__n").as("__n1")), "id1")
-      .join(sizes.select(col("__id").as("id2"), col("__n").as("__n2")), "id2")
+      .agg(count(lit(1)).as("__i"),
+        max(col("a.__n")).as("__n1"), max(col("b.__n")).as("__n2"))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__n1") + col("__n2") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -143,7 +165,9 @@ object TextDedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol, n)
+    // one row per doc and two banded-join consumers: persist so the
+    // explode+vote aggregation runs once
+    val sh = simhash(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = maxHamming + 1
     val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt
     val banded = sh.select(col(idCol).as("__id"), col("simhash"),
