@@ -26,9 +26,15 @@ object SparkEntry {
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the composed training-corpus curation pipeline —
+    * language filter → length floor → exact dedup → near-dup removal —
+    * the engine's 100 TB headline capability (see SCALE.md).
+    */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.head.build(spark, "/root/testdata/sf0.001")
+    allQueries.find(_.name == "q_corpus_clean")
+      .getOrElse(allQueries.head)
+      .build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

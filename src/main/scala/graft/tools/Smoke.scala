@@ -41,6 +41,10 @@ object Smoke {
         if (eq != 1 || fa("n") != fb("n")) sys.exit(1)
       case _ => println("[smoke] candidate exec failed"); sys.exit(1)
     }
+    val entryRows = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] flagship entry rows = $entryRows (expect > 0)")
+    if (entryRows == 0) sys.exit(1)
+
     spark.stop()
     println("[smoke] OK")
   }
