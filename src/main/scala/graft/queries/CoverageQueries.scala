@@ -9,7 +9,7 @@ import graft.evalx.SchemaMetrics
 import graft.functions.VectorOps
 import graft.catalog.{Bucketing, DatasetIO}
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps, Salting}
+import graft.operators.{CorpusClean, IvfIndex, LinkAlignReduce, RowOps, Salting, SeqPack}
 import graft.retrieve.FewShot
 import graft.streaming.EventStreams
 
@@ -446,6 +446,40 @@ object CoverageQueries extends QueryPack {
       Some(s"""SELECT COUNT(*) AS n_pairs,
               |       ${QueryPack.oSum4("l_extendedprice")} AS total
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-              |WHERE o_totalprice > 200000.0""".stripMargin))
+              |WHERE o_totalprice > 200000.0""".stripMargin)),
+
+    // -- sequence packing ----------------------------------------------------
+    GQuery(
+      "q_seq_pack",
+      "Sequence packing (concat-then-chunk): documents assigned to " +
+        "512-token training bins by a scale-safe global running token " +
+        "total (partition-offset arithmetic — no single-partition " +
+        "window). bin = floor(tokens_before / budget).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+        SeqPack.packByBudget(docs, "doc_id", "n_tokens", budget = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("tokens_before"),
+            col("bin_id"), col("bin_offset"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |           AS tokens_before
+             |  FROM t)
+             |SELECT doc_id, n_tokens, tokens_before,
+             |       CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) AS bin_id,
+             |       tokens_before - CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) * 512
+             |         AS bin_offset
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }
