@@ -15,6 +15,28 @@ object RelationalExt extends QueryPack {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** Shared ANSI text — the same string is the Spark query AND the
+    * DuckDB oracle (both parse it natively). Defined BEFORE `queries`:
+    * object vals initialize in declaration order, and a forward
+    * reference would be null inside the GQuery constructors.
+    */
+  private val GroupingSetsSql =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |       COALESCE(o_orderpriority, '(all)') AS prio,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, prio""".stripMargin
+
+  private val WindowRangeSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY l_suppkey ORDER BY l_quantity
+      |         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_qty_sum
+      |FROM lineitem
+      |WHERE l_suppkey < 10
+      |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -121,6 +143,44 @@ object RelationalExt extends QueryPack {
              |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
              |FROM events
              |GROUP BY 1, 2
-             |ORDER BY event_type, k_bucket""".stripMargin))
+             |ORDER BY event_type, k_bucket""".stripMargin)),
+
+    GQuery(
+      "q_grouping_sets",
+      "Explicit GROUPING SETS (beyond ROLLUP/CUBE): per-status, " +
+        "per-priority, and grand-total groups in one aggregation pass. " +
+        "Identical ANSI text runs on both engines.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir)(_.sql(GroupingSetsSql)),
+      Some(GroupingSetsSql)),
+
+    GQuery(
+      "q_window_range",
+      "RANGE-framed window (value-based frame, includes peers — " +
+        "deterministic under ties): running quantity sum within 5 units " +
+        "below the current row's quantity, per supplier. Identical ANSI " +
+        "text on both engines; decimal-exact sum inside the frame.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir)(_.sql(WindowRangeSql)),
+      Some(WindowRangeSql)),
+
+    GQuery(
+      "q_token_freq",
+      "Distributed token frequency: explode whitespace tokens (hash " +
+        "shuffle on token — the classic wide explode/agg), global " +
+        "top-20 by count.",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""WITH tk AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                            t -> length(t) > 0)) AS token
+             |  FROM documents)
+             |SELECT token, COUNT(*) AS n FROM tk
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
   )
 }
