@@ -82,6 +82,34 @@ object TextAnalysis {
     }
   }
 
+  /** Char-n-gram language ID (the n-gram-heuristic variant of `langId`):
+    * per-language character-gram profiles; a language's vote is the
+    * total characters matched by its grams (occurrence count weighted
+    * by gram length, computed as length-shrinkage under removal —
+    * pure string arithmetic, so an engine mirror is exact). Argmax with
+    * declaration-order precedence; 'unknown' when nothing matches.
+    */
+  val CharGramMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", "ing "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "de" -> Seq(" der ", " die ", " und "))
+
+  def charGramVote(text: Column, grams: Seq[String]): Column = {
+    val lowered = lower(text)
+    grams.map { g =>
+      length(lowered) - length(call_function("replace", lowered, lit(g), lit("")))
+    }.reduce(_ + _)
+  }
+
+  def langIdNgram(text: Column): Column = {
+    val votes = CharGramMarkers.map { case (lang, grams) => lang -> charGramVote(text, grams) }
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    votes.foldRight(lit("unknown"): Column) { case ((lang, v), acc) =>
+      when(v === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text:
     * fold(acc = (acc * 31 + ascii(char)) mod 1e9+7). Stable across
     * engines and partitionings (it is a per-row scalar, not an agg).

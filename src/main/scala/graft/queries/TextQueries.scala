@@ -107,6 +107,43 @@ object TextQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_lang_id_ngram",
+      "Char-n-gram language ID: per-language character-gram profiles, " +
+        "vote = characters matched (length shrinkage under gram " +
+        "removal — exact string arithmetic on both engines), argmax " +
+        "with declaration precedence.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            langIdNgram(col("text")).as("lang_pred"))
+          .withColumn("agree", (col("lang") === col("lang_pred")).cast("int"))
+          .orderBy(col("doc_id")),
+      Some {
+        val votes = CharGramMarkers.map { case (lang, grams) =>
+          val terms = grams.map(g =>
+            s"(length(lower(text)) - length(replace(lower(text), '$g', '')))")
+          s"CAST(${terms.mkString(" + ")} AS INT) AS v_$lang"
+        }.mkString(",\n    ")
+        val best = CharGramMarkers.map { case (l, _) => s"v_$l" }.mkString("greatest(", ", ", ")")
+        val cases = CharGramMarkers.map { case (l, _) =>
+          s"WHEN v_$l = best AND best > 0 THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH v AS (
+           |  SELECT doc_id, lang,
+           |    $votes
+           |  FROM documents),
+           |b AS (SELECT *, $best AS best FROM v)
+           |SELECT doc_id, lang,
+           |  CASE
+           |    $cases
+           |    ELSE 'unknown' END AS lang_pred,
+           |  CAST(lang = (CASE
+           |    $cases
+           |    ELSE 'unknown' END) AS INT) AS agree
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_fingerprint",
       "Document fingerprinting: polynomial rolling hash over characters " +
         "(mod 1e9+7), grouped to expose exact-duplicate clusters.",
