@@ -37,7 +37,25 @@ object RelationalExt extends QueryPack {
       |WHERE l_suppkey < 10
       |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin
 
+  private val LateralSql =
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey < 50
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_lateral_topk",
+      "Correlated LATERAL subquery (per-customer top-2 orders by " +
+        "price): Catalyst decorrelates into a ranked join. Identical " +
+        "ANSI text on both engines.",
+      (s, dir) => QueryPack.withTables(s, dir)(_.sql(LateralSql)),
+      Some(LateralSql)),
 
     GQuery(
       "q_rollup",
