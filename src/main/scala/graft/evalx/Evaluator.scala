@@ -28,6 +28,10 @@ final case class ExOutcome(
 /** eval_all-style aggregate: avg over scored items, valid/total counts. */
 final case class ExSummary(avg: Double, validNum: Int, totalItems: Int)
 
+/** Pass@n aggregate over n generation replicas. */
+final case class PassAtN(
+    passRate: Double, passedQuestions: Int, validQuestions: Int, totalQuestions: Int)
+
 /** End-to-end execute-accuracy (EX) evaluation — the reference's core
   * product metric (`core/evaluate.py:254-303` per item,
   * `core/evaluate.py:58-117` aggregate):
@@ -86,6 +90,23 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5)
       val avg = if (scored.isEmpty) 0.0 else scored.sum.toDouble / scored.size
       (res, ExSummary(avg, scored.size, items.size))
     } finally pool.shutdown()
+  }
+
+  /** Pass@n over n generation replicas (the reference's reproduction
+    * harness aggregate, `reproduce/eval_utils.py:60-96`): replicas
+    * align by question index; a question is VALID when at least one
+    * replica has a scorable item (its gold executes), and PASSES when
+    * at least one replica achieves EX = 1. Score = passed / valid.
+    */
+  def passAtN(replicas: Seq[Seq[ExItem]]): PassAtN = {
+    require(replicas.nonEmpty, "need at least one replica")
+    val n = replicas.head.length
+    require(replicas.forall(_.length == n), "replicas must align by question index")
+    val outcomes = replicas.map(r => evalAll(r)._1)
+    val perQuestion = (0 until n).map(i => outcomes.map(_(i)))
+    val valid = perQuestion.count(_.exists(_.score.isDefined))
+    val passed = perQuestion.count(_.exists(_.score.contains(1)))
+    PassAtN(if (valid > 0) passed.toDouble / valid else 0.0, passed, valid, n)
   }
 
   /** DataFrame front door: items (instance_id, gold_sql, pred_sql) →

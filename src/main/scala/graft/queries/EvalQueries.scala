@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GQuery, QueryPack}
 import graft.catalog.Tables
-import graft.evalx.Evaluator
+import graft.evalx.{Evaluator, ExItem}
 import graft.operators.FastExecSelect
 
 /** End-to-end evaluation + selection operators, driven over the real
@@ -73,6 +73,32 @@ object EvalQueries extends QueryPack {
       },
       Some("""SELECT * FROM (VALUES ('ord1', 1), ('ord2', 0)) AS t(instance_id, score)
              |ORDER BY instance_id""".stripMargin)),
+
+    GQuery(
+      "q_eval_passn",
+      "Pass@n over generation replicas (the reproduction-harness " +
+        "aggregate): a question is valid when >=1 replica's gold " +
+        "executes, passes when >=1 replica scores EX=1. Fixture: q1 " +
+        "passes only in replica 2, q2 never passes, q3's gold is broken " +
+        "in both -> pass@2 = 1/2.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.registerAll(s, dir)
+        val gold = "SELECT COUNT(*) AS c FROM region"
+        val r1 = Seq(
+          ExItem("q1", Some(gold), Some("SELECT COUNT(*) AS c FROM region WHERE r_name = 'NOPE'")),
+          ExItem("q2", Some(gold), Some("SELECT broken FROM region")),
+          ExItem("q3", Some("SELECT broken FROM region"), Some(gold)))
+        val r2 = Seq(
+          ExItem("q1", Some(gold), Some(gold)),
+          ExItem("q2", Some(gold), Some("SELECT COUNT(*) AS c FROM region WHERE 1 = 0")),
+          ExItem("q3", Some("SELECT broken FROM region"), Some(gold)))
+        val p = new Evaluator(s).passAtN(Seq(r1, r2))
+        Seq((p.passRate, p.passedQuestions, p.validQuestions, p.totalQuestions))
+          .toDF("pass_rate", "passed", "valid", "total")
+      },
+      Some("""SELECT CAST(0.5 AS DOUBLE) AS pass_rate, 1 AS passed,
+             |       2 AS valid, 3 AS total""".stripMargin)),
 
     GQuery(
       "q_select_fastexec",
