@@ -51,6 +51,64 @@ object IvfIndex {
     corpus.withColumn("__cell",
       array_max(cellScores(col(vecCol), cents)).getField("cell"))
 
+  /** Materialize the index for build-once/search-many reuse: cell
+    * assignments written `partitionBy(cell)` — a probe then resolves to
+    * reading only its nprobe partition DIRECTORIES (static partition
+    * pruning, `PartitionFilters` in the scan) — plus the centroid
+    * table. At 100 TB this is the difference between scanning the
+    * corpus per query batch and reading nprobe/nlist of it.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids(corpus, idCol, vecCol, nlist)
+    assignCells(corpus, idCol, vecCol, cents)
+      .withColumnRenamed("__cell", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a materialized index: the union of all probed cells is
+    * collected (queries × nprobe ints — driver-bounded by construction)
+    * and pushed as an `isin` partition filter, so the scan touches only
+    * probed directories; per-query cell membership then restricts the
+    * join as in `searchIvf`.
+    */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, queryIdCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+
+    val probed = queries.select(
+      col(queryIdCol).as("__qid"), col(vecCol).as("__qvec"),
+      FloatVec.normF(col(vecCol)).as("__qnorm"),
+      transform(
+        slice(reverse(array_sort(cellScores(col(vecCol), cents))), 1, nprobe),
+        s => s.getField("cell")).as("__cells"))
+
+    val allCells = probed.select(explode(col("__cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("cell").isin(allCells: _*))
+      .withColumn("__cnorm", FloatVec.normF(col(vecCol)))
+
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col(idCol))
+    assigned
+      .join(broadcast(probed),
+        array_contains(col("__cells"), col("cell")) && col(idCol) =!= col("__qid"))
+      .withColumn("score",
+        FloatVec.dotF(col(vecCol), col("__qvec")) / (col("__cnorm") * col("__qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), col("score"))
+  }
+
   /** IVF search: per query, probe the `nprobe` best cells and rank
     * exact cosine inside them.
     */

@@ -33,6 +33,44 @@ object CoverageQueries extends QueryPack {
   private def oCos(a: String, b: String) = VectorOps.oCosine(a, b)
   private def oDot(a: String, b: String) = VectorOps.oDot(a, b)
 
+  /** Shared oracle for both IVF variants (in-plan index and the
+    * materialized partition-pruned index — identical output contract).
+    * Defined before `queries`: object vals initialize in order.
+    */
+  private val IvfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS cv
+       |  FROM embeddings
+       |  WHERE vec_id % GREATEST((SELECT COUNT(*) // 16 FROM embeddings), 1) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS arn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE arn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |pr AS (
+       |  SELECT q.qid, c.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY q.qid
+       |           ORDER BY ${oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
+       |  FROM q CROSS JOIN cent c),
+       |probed AS (SELECT qid, cell FROM pr WHERE prn <= 4),
+       |s AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |         ${oCos("a.embedding", "q2.qv")} AS score
+       |  FROM probed p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN q q2 ON q2.qid = p.qid
+       |  WHERE a.vec_id <> p.qid),
+       |r AS (
+       |  SELECT qid, nid, score,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+       |  FROM s)
+       |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
 
     // -- schema-linking metrics (reference core/evaluate.py:305-396) --------
@@ -302,38 +340,29 @@ object CoverageQueries extends QueryPack {
             col("neighbor_id"), col("score"))
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some(s"""WITH cent AS (
-              |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-              |         embedding AS cv
-              |  FROM embeddings
-              |  WHERE vec_id % GREATEST((SELECT COUNT(*) // 16 FROM embeddings), 1) = 0
-              |  ORDER BY vec_id LIMIT 16),
-              |asg AS (
-              |  SELECT e.vec_id, e.embedding, c.cell,
-              |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS arn
-              |  FROM embeddings e CROSS JOIN cent c),
-              |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE arn = 1),
-              |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-              |pr AS (
-              |  SELECT q.qid, c.cell,
-              |         ROW_NUMBER() OVER (PARTITION BY q.qid
-              |           ORDER BY ${oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
-              |  FROM q CROSS JOIN cent c),
-              |probed AS (SELECT qid, cell FROM pr WHERE prn <= 4),
-              |s AS (
-              |  SELECT p.qid, a.vec_id AS nid,
-              |         ${oCos("a.embedding", "q2.qv")} AS score
-              |  FROM probed p
-              |  JOIN assigned a ON a.cell = p.cell
-              |  JOIN q q2 ON q2.qid = p.qid
-              |  WHERE a.vec_id <> p.qid),
-              |r AS (
-              |  SELECT qid, nid, score,
-              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
-              |  FROM s)
-              |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
-              |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+      Some(IvfOracle)),
+
+    GQuery(
+      "q_ivf_indexed",
+      "The materialized IVF index (build-once/search-many): assignments " +
+        "written partitionBy(cell), probes push an isin partition filter " +
+        "so the scan reads only probed directories. Same output contract " +
+        "— and oracle — as the in-plan variant.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = "/root/repo/target/tmp/ivf_index"
+        IvfIndex.buildIndex(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          nlist = 16, path = path)
+        IvfIndex.searchIndexed(s, path,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "vec_id", "qid", "embedding", k = 5, nprobe = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rnk"),
+            col("neighbor_id"), col("score"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(IvfOracle)),
 
     // -- composed corpus-curation pipeline -----------------------------------
     GQuery(

@@ -70,6 +70,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("float_dot"), "codegen'd dot product missing from plan")
   }
 
+  test("q_ivf_indexed probes via partition pruning on the cell directories") {
+    val p = planOf("q_ivf_indexed")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scanLine.isDefined, "no partition filter on the cell column in the index scan")
+    assert(scanLine.get.matches(".*PartitionFilters: \\[.*cell.*"),
+      s"empty partition filter: ${scanLine.get.take(200)}")
+  }
+
   test("q_corpus_clean never forms a cross product") {
     val p = planOf("q_corpus_clean", execute = true)
     assert(!p.contains("CartesianProduct"), "corpus clean plan has a cross join")
