@@ -291,10 +291,15 @@ object Relational extends QueryPack {
     GQuery(
       "q_window_running",
       "Running sum (rows unbounded preceding → current) per supplier by " +
-        "ship date; decimal-exact so the prefix sums match the oracle.",
+        "ship date; decimal-exact so the prefix sums match the oracle. " +
+        "l_quantity closes the ordering: the synthetic data duplicates " +
+        "(orderkey, linenumber), and a ROWS frame over an ambiguous " +
+        "order is engine-dependent — with quantity in the key, any " +
+        "remaining ties are interchangeable for the sum.",
       (s, dir) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .withColumn("running_qty",
@@ -305,7 +310,7 @@ object Relational extends QueryPack {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
              |    PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
              |FROM lineitem
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
