@@ -183,6 +183,57 @@ object RelationalExt extends QueryPack {
       Some(WindowRangeSql)),
 
     GQuery(
+      "q_unpivot",
+      "UNPIVOT (wide -> long): part metrics stacked into (metric, value) " +
+        "rows — Spark's stack() generator, DuckDB's UNPIVOT; both are " +
+        "scan-time row generation, no shuffle.",
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            expr("stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE))")
+              .as(Seq("metric", "value")))
+          .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, p_retailprice AS retail,
+             |         CAST(p_size AS DOUBLE) AS "size"
+             |  FROM part WHERE p_partkey <= 100)
+             |UNPIVOT (value FOR metric IN (retail, "size"))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    GQuery(
+      "q_nullsafe_join",
+      "Null-safe equality join (<=> / IS NOT DISTINCT FROM): a " +
+        "synthesized nullable key joins with NULL matching NULL — the " +
+        "semantics LLM-generated SQL trips over most.",
+      (s, dir) => {
+        val ev = t(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            when(col("s_nationkey") < 5, lit(null)).otherwise(col("s_nationkey"))
+              .as("nk"))
+        val dim = t(s, dir, "nation")
+          .select(when(col("n_nationkey") < 5, lit(null)).otherwise(col("n_nationkey"))
+            .as("nk2"), col("n_name"))
+          .distinct()
+        ev.join(dim, col("nk") <=> col("nk2"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_sup"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH s AS (
+             |  SELECT s_suppkey,
+             |         CASE WHEN s_nationkey < 5 THEN NULL ELSE s_nationkey END AS nk
+             |  FROM supplier),
+             |d AS (
+             |  SELECT DISTINCT
+             |         CASE WHEN n_nationkey < 5 THEN NULL ELSE n_nationkey END AS nk2,
+             |         n_name
+             |  FROM nation)
+             |SELECT n_name, COUNT(*) AS n_sup
+             |FROM s JOIN d ON s.nk IS NOT DISTINCT FROM d.nk2
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    GQuery(
       "q_token_freq",
       "Distributed token frequency: explode whitespace tokens (hash " +
         "shuffle on token — the classic wide explode/agg), global " +
