@@ -1,0 +1,45 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Small-file hygiene for curated outputs: a 100 TB pipeline that
+  * writes per-task files at high parallelism produces millions of tiny
+  * parquet files; later scans then pay a footer read per file.
+  * Compaction rewrites a directory into size-targeted files.
+  *
+  * File count = ceil(input bytes / target), derived from the actual
+  * scan statistics (not row counts — row width varies wildly across
+  * text/media tables). `repartition` (round-robin) balances bytes
+  * evenly; use `repartitionByRange(keys)` instead when downstream
+  * queries filter on those keys (range-clustered files give min/max
+  * footer pruning).
+  */
+object Compaction {
+
+  /** Bytes the current plan would scan (pre-execution estimate off the
+    * file index — exact for parquet directories).
+    */
+  def scanBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+
+  def targetFileCount(df: DataFrame, targetBytesPerFile: Long): Int =
+    math.max(1L, (scanBytes(df) + targetBytesPerFile - 1) / targetBytesPerFile)
+      .min(Int.MaxValue.toLong).toInt
+
+  /** Rewrite `inPath` into ~targetBytesPerFile files at `outPath`;
+    * returns the file count written. Content is unchanged (asserted by
+    * CompactionSpec's fingerprint compare).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Int = {
+    val df = spark.read.parquet(inPath)
+    val n = targetFileCount(df, targetBytesPerFile)
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, clusterBy.map(col): _*)
+    shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+}
