@@ -477,6 +477,24 @@ object CoverageQueries extends QueryPack {
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |WHERE o_totalprice > 200000.0""".stripMargin)),
 
+    // -- z-order clustering values -------------------------------------------
+    GQuery(
+      "q_zorder",
+      "Z-order (Morton) values for two-key data clustering: sort/range-" +
+        "partition by z and files cluster in BOTH keys, enabling parquet " +
+        "min/max pruning on either dimension. Bit-interleave arithmetic " +
+        "is shared with the oracle (identical shift/mask steps).",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            graft.functions.ZOrder.zValue(col("o_custkey"), col("o_orderkey")).as("z"))
+          .orderBy(col("z"), col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_custkey,
+              |       ${graft.functions.ZOrder.oZValue("o_custkey", "o_orderkey")} AS z
+              |FROM orders WHERE o_orderkey <= 2000
+              |ORDER BY z, o_orderkey""".stripMargin)),
+
     // -- sequence packing ----------------------------------------------------
     GQuery(
       "q_seq_pack",
