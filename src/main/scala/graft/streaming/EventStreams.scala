@@ -55,6 +55,18 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Idempotent parquet sink for `foreachBatch`: each micro-batch
+    * writes to its own `batch_id=<id>` partition directory with
+    * overwrite — a replayed batch (failure/retry re-delivery) rewrites
+    * the SAME directory instead of appending duplicates, giving
+    * exactly-once output on top of the engine's at-least-once batch
+    * delivery. Readers see `path` as one partitioned dataset.
+    */
+  def idempotentParquetSink(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write
+      .mode("overwrite")
+      .parquet(s"$path/batch_id=$batchId")
+
   // ---- custom state: explicit sessionizer -----------------------------
 
   final case class Event(eventId: Long, ts: Timestamp, userId: Long,

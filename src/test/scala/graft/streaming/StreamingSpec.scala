@@ -78,4 +78,30 @@ class StreamingSpec extends SparkSpec {
       assert(n.getLong(0) == 2 && n.getLong(1) == 2)
     } finally q.stop()
   }
+
+  test("idempotentParquetSink: a replayed batch does not duplicate output") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val src = MemoryStream[Event]
+    val sink = EventStreams.idempotentParquetSink(s"$dir/out") _
+    val q = src.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id) }
+      .outputMode("append").start()
+    try {
+      src.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(Event(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      // simulate at-least-once re-delivery: rewrite batch 1's directory
+      // (materialize first — a real retry re-delivers from the SOURCE,
+      // not from the sink directory being overwritten)
+      val batch1Rows = spark.read.parquet(s"$dir/out/batch_id=1")
+        .as[Event].collect().toSeq
+      sink(batch1Rows.toDF(), 1L)
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 3, "replayed batch duplicated rows")
+      assert(out.select("eventId").distinct().count() == 3)
+    } finally q.stop()
+  }
 }
