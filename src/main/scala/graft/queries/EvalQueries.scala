@@ -16,6 +16,19 @@ import graft.operators.FastExecSelect
   */
 object EvalQueries extends QueryPack {
 
+  /** Shared by the single-scan and indexed cell-linking variants. */
+  private def cellLinkOracle: String = {
+    val combos = for {
+      t <- Seq("building", "automobile", "unfindable")
+      c <- Seq("c_name", "c_mktsegment")
+    } yield
+      s"""SELECT '$t' AS token, '$c' AS col,
+         |  CAST(MAX(CASE WHEN lower(CAST($c AS VARCHAR)) = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit,
+         |  CAST(MAX(CASE WHEN contains(lower(CAST($c AS VARCHAR)), '$t') THEN 1 ELSE 0 END) AS BIGINT) AS partial_hit
+         |FROM customer""".stripMargin
+    combos.mkString("\nUNION ALL\n") + "\nORDER BY token, col"
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -152,17 +165,23 @@ object EvalQueries extends QueryPack {
           tokens = Seq("building", "automobile", "unfindable"),
           stringCols = Seq("c_name", "c_mktsegment"))
           .orderBy(col("token"), col("col")),
-      Some {
-        val combos = for {
-          t <- Seq("building", "automobile", "unfindable")
-          c <- Seq("c_name", "c_mktsegment")
-        } yield
-          s"""SELECT '$t' AS token, '$c' AS col,
-             |  CAST(MAX(CASE WHEN lower(CAST($c AS VARCHAR)) = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS exact_hit,
-             |  CAST(MAX(CASE WHEN contains(lower(CAST($c AS VARCHAR)), '$t') THEN 1 ELSE 0 END) AS BIGINT) AS partial_hit
-             |FROM customer""".stripMargin
-        combos.mkString("\nUNION ALL\n") + "\nORDER BY token, col"
-      }),
+      Some(cellLinkOracle)),
+
+    GQuery(
+      "q_cell_link_indexed",
+      "Cell-value linking against a prebuilt broadcast value index " +
+        "(build once per table, probe per question batch without " +
+        "rescanning). Same output contract — and oracle — as the " +
+        "single-scan variant.",
+      (s, dir) => {
+        val index = graft.text.SchemaLinking.buildValueIndex(
+          Tables.load(s, dir, "customer"), Seq("c_name", "c_mktsegment"))
+        graft.text.SchemaLinking.linkAgainstIndex(
+          index, Seq("building", "automobile", "unfindable"),
+          Seq("c_name", "c_mktsegment"))
+          .orderBy(col("token"), col("col"))
+      },
+      Some(cellLinkOracle)),
 
     GQuery(
       "q_media_sniff",

@@ -114,6 +114,48 @@ object SchemaLinking {
     * partial (contains) hit flags — where the reference issues a
     * `SELECT ... LIMIT 5` probe per token per column.
     */
+  /** Build-once value index for repeated cell-value linking: the
+    * distinct lowered values of the probe columns, one (col, value)
+    * row each. Built once per table, a SMALL index (distinct values of
+    * name/category-like columns) broadcasts under every later question
+    * batch's token probe — the per-batch cost drops from a table scan
+    * to a broadcast join against tokens (`linkAgainstIndex`). Guard
+    * `maxDistinctPerCol` keeps free-text columns out of the index (at
+    * 100 TB an unbounded distinct of a text column is its own job).
+    */
+  def buildValueIndex(table: DataFrame, stringCols: Seq[String],
+      maxDistinctPerCol: Int = 100000): DataFrame = {
+    val stacked = stringCols.map { c =>
+      table.select(lit(c).as("col"), lower(col(c).cast("string")).as("value"))
+        .filter(col("value").isNotNull).distinct()
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("col"))
+    stacked
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxDistinctPerCol)
+      .drop("__n")
+  }
+
+  /** Token linking against a prebuilt value index: exact hit = token
+    * equals a distinct value; partial hit = token contained in one.
+    * Same output contract as `cellValueLinks`, but the probe side is a
+    * tokens×cols frame joined under the broadcast index — no table
+    * scan per question batch.
+    */
+  def linkAgainstIndex(index: DataFrame, tokens: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probes = (for (t <- tokens; c <- stringCols) yield (t.toLowerCase, c))
+      .toDF("token", "col")
+    probes.as("p")
+      .join(broadcast(index).as("i"), col("p.col") === col("i.col"), "left_outer")
+      .groupBy(col("p.token").as("token"), col("p.col").as("col"))
+      .agg(
+        max(when(col("i.value") === col("p.token"), 1L).otherwise(0L)).as("exact_hit"),
+        max(when(col("i.value").contains(col("p.token")), 1L).otherwise(0L)).as("partial_hit"))
+  }
+
   def cellValueLinks(table: DataFrame, tokens: Seq[String],
       stringCols: Seq[String]): DataFrame = {
     val combos = for (t <- tokens; c <- stringCols) yield (t, c)

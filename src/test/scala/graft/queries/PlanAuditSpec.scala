@@ -84,6 +84,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus clean plan has a cross join")
   }
 
+  test("NO query plan contains a cartesian product (documented O(n^2) baselines excepted)") {
+    // exact all-pairs baselines are deliberately quadratic (SCALE.md):
+    // they broadcast one side (BroadcastNestedLoopJoin), never a
+    // CartesianProduct, and exist as correctness oracles for LSH paths
+    SparkEntry.allQueries.foreach { q =>
+      val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: plan degraded to a cartesian product")
+    }
+  }
+
+  test("NO query plan funnels data through an unpartitioned window") {
+    // partitionBy(lit(0)) over a bounded top-k set is allowed (it
+    // prints a constant partition spec, not an empty one); a truly
+    // empty partition spec (`], [], [`) is the scale-killer
+    SparkEntry.allQueries.foreach { q =>
+      val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.contains("Window [")).foreach { line =>
+        assert(!line.contains("], [], ["),
+          s"${q.name}: window without partition columns: ${line.take(160)}")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the dedup hash pipeline") {
     val p = planOf("q_minhash_dedup", execute = true)
     // codegen'd operators print with the `*(n)` stage marker
