@@ -222,6 +222,15 @@ object Transpiler {
         s"(CAST(datediff(${m.group(1)}, DATE'1970-01-01') AS DOUBLE) + 2440587.5)"))
   }
 
+  /** sqlite-strict variant: sqlite's LIKE is ASCII-case-insensitive by
+    * default, Spark's is case-sensitive — a silent row-set difference
+    * on every text predicate. Word-bounded LIKE → ILIKE (NOT ILIKE is
+    * valid Spark, and the 'I' prefix keeps an existing ILIKE token out
+    * of the rewriter's word boundary).
+    */
+  def transpileSqlite(sql: String): String =
+    replaceToken(transpile(sql), "LIKE", "ILIKE")
+
   /** Full rewrite pipeline. Idempotent. */
   def transpile(sql: String): String = {
     var out = sql.trim.stripSuffix(";")

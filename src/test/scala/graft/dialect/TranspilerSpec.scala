@@ -76,4 +76,24 @@ class TranspilerSpec extends AnyFunSuite {
     // T-SQL CHARINDEX(needle, haystack) must SWAP arguments for Spark instr
     assert(transpile("SELECT CHARINDEX('a', name) FROM t") == "SELECT INSTR(name, 'a') FROM t")
   }
+
+  test("sqlite-strict mode maps case-insensitive LIKE to ILIKE") {
+    import Transpiler.transpileSqlite
+    assert(transpileSqlite("SELECT a FROM t WHERE name LIKE '%x%'") ==
+      "SELECT a FROM t WHERE name ILIKE '%x%'")
+    assert(transpileSqlite("SELECT a FROM t WHERE name NOT LIKE 'y%'") ==
+      "SELECT a FROM t WHERE name NOT ILIKE 'y%'")
+    // an already-ILIKE token and string literals stay untouched
+    assert(transpileSqlite("SELECT a FROM t WHERE name ILIKE 'z'") ==
+      "SELECT a FROM t WHERE name ILIKE 'z'")
+    assert(transpileSqlite("SELECT 'LIKE' FROM t") == "SELECT 'LIKE' FROM t")
+    // and the sqlite semantics actually differ: ILIKE matches across case
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val ci = spark.sql(transpileSqlite(
+      "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%RED%'")).head().getLong(0)
+    val cs = spark.sql(
+      "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%RED%'").head().getLong(0)
+    assert(ci >= cs, "ILIKE must match at least the case-sensitive rows")
+  }
 }
