@@ -121,6 +121,20 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % FingerprintMod)
 
+  /** PII-style redaction for training corpora: emails and long digit
+    * runs replaced by typed tags. Patterns use explicit character
+    * classes only (no \d/\w shorthands), so the Java-regex and
+    * RE2-based engines agree byte-for-byte; Spark's regexp_replace is
+    * replace-all by default, the DuckDB mirror passes the 'g' option.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   /** Word n-gram shingles (space-joined) of the token array. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -37,6 +37,15 @@ object RelationalExt extends QueryPack {
       |WHERE l_suppkey < 10
       |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin
 
+  private val WindowOffsetSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |       LAG(c_acctbal, 1) OVER w AS prev_bal,
+      |       LEAD(c_acctbal, 1, 0.0) OVER w AS next_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
   private val LateralSql =
     """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
       |FROM customer c,
@@ -181,6 +190,14 @@ object RelationalExt extends QueryPack {
       (s, dir) =>
         QueryPack.withTables(s, dir)(_.sql(WindowRangeSql)),
       Some(WindowRangeSql)),
+
+    GQuery(
+      "q_window_offset",
+      "Offset window functions (NTILE quartiles, LAG, LEAD-with-default) " +
+        "in one named WINDOW clause — identical ANSI text on both " +
+        "engines; ties in the window order are output-identical rows.",
+      (s, dir) => QueryPack.withTables(s, dir)(_.sql(WindowOffsetSql)),
+      Some(WindowOffsetSql)),
 
     GQuery(
       "q_unpivot",

@@ -144,6 +144,39 @@ object TextQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_redact",
+      "PII-style redaction: emails and 6+-digit runs replaced by typed " +
+        "tags (replace-all on both engines; synthesized suffix " +
+        "guarantees every doc has matches). Per-row scalar regex — " +
+        "zero shuffles, cost = the scan.",
+      (s, dir) => {
+        val synth = concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@example.com id "), (col("doc_id") * 1000000L).cast("string"))
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            length(synth).cast("long").as("n_before"),
+            length(redact(synth)).cast("long").as("n_after"),
+            (synth =!= redact(synth)).as("changed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |         text || ' user' || CAST(doc_id AS VARCHAR) ||
+              |         '@example.com id ' || CAST(doc_id * 1000000 AS VARCHAR) AS t
+              |  FROM documents WHERE doc_id < 100),
+              |r AS (
+              |  SELECT doc_id, t,
+              |         regexp_replace(
+              |           regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+              |           '$LongNumRe', '<NUM>', 'g') AS rt
+              |  FROM s)
+              |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+              |       CAST(length(rt) AS BIGINT) AS n_after,
+              |       t <> rt AS changed
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "q_fingerprint",
       "Document fingerprinting: polynomial rolling hash over characters " +
         "(mod 1e9+7), grouped to expose exact-duplicate clusters.",
