@@ -43,7 +43,7 @@ object Bench {
     }
     // The consuming driver captures a bounded tail of stdout: keep the JSON
     // line compact (millisecond precision, aggregate bytes) so it survives.
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bytes_read":$bytesTotal,"sf":"$sfDir"}""")
