@@ -60,6 +60,29 @@ object TextDedup {
     candidatePairsFromBase(
       withShingleHashes(df, idCol, textCol, n), idCol, h, bands, seed)
 
+  /** One (id[, carry...], band, value) row per signature band — the
+    * bucketing primitive shared by the pair join and the streaming
+    * near-dup suppressor. Pure scan-time expressions.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, h: Int, bands: Int, seed: Long = 42L,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(h % bands == 0, s"h $h not divisible by bands $bands")
+    val r = h / bands
+    val keep = Seq(col(idCol)) ++ carry.map(col)
+    val sig = df
+      .select(keep :+ array_distinct(TextHashExpr.shingleHashes(
+        TextAnalysis.tokens(col(textCol)), n)).as("__shh"): _*)
+      .filter(size(col("__shh")) > 0)
+      .withColumn("__sig",
+        TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+    sig
+      .select(keep :+ explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), bandValue(col("__sig"), j, r).as("val"))
+      }: _*)).as("b"): _*)
+      .select(keep :+ col("b.band").as("band") :+ col("b.val").as("val"): _*)
+  }
+
   /** Candidate pairs from a precomputed (id, shingle hashes) table — the
     * entry point when the caller already materialized the hash table
     * (minhashNearDupPairs persists it across candidate + verify stages).

@@ -41,6 +41,34 @@ object DedupOracles {
        |s AS (SELECT DISTINCT doc_id, $polyHashSh AS h FROM shl),
        |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)""".stripMargin
 
+  /** CTE chain `hs → sig → bnd` mirroring the MinHash signature and
+    * 31-chain band folds (columns band0..band{bands-1}), on top of
+    * `base`. Shared by the batch pair dedup and the streaming
+    * suppressor's batch oracle.
+    */
+  def minhashBandCtes(h: Int = 16, bands: Int = 4, seed: Long = 42L): String = {
+    val coeffs = TextDedup.minhashCoeffs(h, seed)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), k) =>
+      s"list_min(list_transform(hl, x -> ($a * x + $b) % $P)) AS m$k"
+    }.mkString(",\n    ")
+    val r = h / bands
+    val bandExprs = (0 until bands).map { j =>
+      val terms = (0 until r).map(k => s"m${j * r + k}")
+      terms.tail.foldLeft(terms.head)((acc, t) => s"($acc * 31 + $t)") + s" AS band$j"
+    }.mkString(",\n    ")
+    s"""hs AS (
+       |  SELECT doc_id, list(h) AS hl
+       |  FROM s GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hs),
+       |bnd AS (
+       |  SELECT doc_id,
+       |    $bandExprs
+       |  FROM sig)""".stripMargin
+  }
+
   /** CTE chain `inter → j` computing exact distinct-shingle Jaccard for
     * every co-shingled (id1 < id2) pair, on top of `base`.
     */

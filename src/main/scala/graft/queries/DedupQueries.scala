@@ -35,27 +35,9 @@ object DedupQueries extends QueryPack {
           threshold = 0.5, n = 3, h = 16, bands = 4)
           .orderBy(col("id1"), col("id2")),
       Some {
-        val coeffs = TextDedup.minhashCoeffs(16)
-        val mins = coeffs.zipWithIndex.map { case ((a, b), k) =>
-          s"list_min(list_transform(hl, x -> ($a * x + $b) % $P)) AS m$k"
-        }.mkString(",\n    ")
-        val bands = (0 until 4).map { j =>
-          val Seq(a, b, c, d) = (0 until 4).map(k => s"m${j * 4 + k}")
-          s"((($a * 31 + $b) * 31 + $c) * 31 + $d) AS band$j"
-        }.mkString(",\n    ")
         val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
         s"""WITH $oBase,
-           |hs AS (
-           |  SELECT doc_id, list(h) AS hl
-           |  FROM s GROUP BY doc_id),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $mins
-           |  FROM hs),
-           |bnd AS (
-           |  SELECT doc_id,
-           |    $bands
-           |  FROM sig),
+           |${DedupOracles.minhashBandCtes()},
            |$oInterJac
            |SELECT j.id1, j.id2, j.jaccard
            |FROM j

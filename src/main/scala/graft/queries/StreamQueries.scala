@@ -104,6 +104,37 @@ object StreamQueries extends QueryPack {
              |  FROM per)
              |SELECT user_id, start_ms, end_ms, n_events FROM fin
              |WHERE session_id < last_s
-             |ORDER BY user_id, start_ms""".stripMargin))
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    GQuery(
+      "q_stream_neardup",
+      "Ingest-time near-dup suppression run in batch: per-band state " +
+        "holds the first document per MinHash band value (event-time " +
+        "order); later colliders emit candidate pairs. Oracle mirrors " +
+        "the full signature arithmetic and pairs every doc with its " +
+        "band-group minimum.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            timestamp_seconds(col("doc_id") + lit(1700000000L)).as("ts"),
+            col("text"))
+        graft.streaming.StreamDedup.nearDupCandidates(docs, "doc_id", "ts", "text")
+          .toDF()
+          .select(col("docId").as("doc_id"), col("earlierId").as("earlier_id"))
+          .distinct()
+          .orderBy(col("doc_id"), col("earlier_id"))
+      },
+      Some(s"""WITH ${DedupOracles.base("documents")},
+              |${DedupOracles.minhashBandCtes()},
+              |u AS (
+              |  SELECT doc_id, 0 AS band, band0 AS val FROM bnd
+              |  UNION ALL SELECT doc_id, 1, band1 FROM bnd
+              |  UNION ALL SELECT doc_id, 2, band2 FROM bnd
+              |  UNION ALL SELECT doc_id, 3, band3 FROM bnd),
+              |f AS (SELECT band, val, MIN(doc_id) AS first_id FROM u GROUP BY band, val)
+              |SELECT DISTINCT u.doc_id, f.first_id AS earlier_id
+              |FROM u JOIN f ON u.band = f.band AND u.val = f.val
+              |WHERE u.doc_id > f.first_id
+              |ORDER BY doc_id, earlier_id""".stripMargin))
   )
 }

@@ -79,6 +79,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup suppressor flags a cross-batch duplicate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamDedup.nearDupCandidates(
+      src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog today"),
+        (2L, ts(1), "completely different words appear in this other document here"))
+      q.processAllAvailable()
+      src.addData( // exact near-dup of doc 1, arriving a batch later
+        (3L, ts(2), "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT docId, earlierId FROM neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((3L, 1L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate output") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
