@@ -42,11 +42,15 @@ object Bench {
       (q.name, (System.nanoTime() - t0) / 1e9, stats)
     }
     // The consuming driver captures a bounded tail of stdout: keep the JSON
-    // line compact (millisecond precision, aggregate bytes) so it survives.
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    // line compact (centisecond precision, aggregate bytes) so it survives.
+    // Locale.ROOT formatting — the f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON.
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"bytes_read":$bytesTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"bytes_read":$bytesTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,13 +94,21 @@ object RowOps {
     * any cluster size (unlike `DataFrameStatFunctions.sampleBy`, whose
     * rand() draw is partition-layout-dependent). Strata missing from
     * `fractions` are dropped.
+    *
+    * The key is reduced mod a prime BEFORE the Knuth multiply: with
+    * ANSI mode on, `key * 2654435761` overflow-throws for keys past
+    * ~3.5e9 — exactly the id range a 100 TB corpus reaches — and the
+    * BIGINT oracle mirror would error the same way.
     */
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], keyCol: String): DataFrame = {
     val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit((v * 1000000L).toLong)).otherwise(acc)
     }
-    df.filter(pmod(col(keyCol).cast("long") * lit(2654435761L), lit(1000000L)) < threshold)
+    val draw = pmod(
+      pmod(col(keyCol).cast("long"), lit(1000003L)) * lit(2654435761L),
+      lit(1000000L))
+    df.filter(draw < threshold)
   }
 
   /** Split a schema/record set into slices of ≤ sliceSize for parallel
@@ -117,9 +125,13 @@ object RowOps {
   def withSliceId(df: DataFrame, orderCol: String, sliceSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted so the counts job and the output job share one set of
+    // range bounds (reservoir-sampled bounds are not stable across
+    // re-executions — see SeqPack.withRunningTotal)
     val ranged = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = ranged
       .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__pid"))

@@ -26,9 +26,15 @@ object SeqPack {
       out: String = "tokens_before"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the offsets job and the output job must see the SAME
+    // range bounds — RangePartitioner's reservoir sampling is seeded by
+    // RDD id, so re-executing the exchange in a second job can shift
+    // boundary rows into a different partition than the one their
+    // offset was computed for
     val ranged = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = ranged
       .groupBy(col("__pid")).agg(sum(col(weightCol).cast("long")).as("__t"))
       .orderBy(col("__pid"))

@@ -54,6 +54,22 @@ object TextDedup {
   private def bandValue(sig: Column, j: Int, r: Int): Column =
     aggregate(slice(sig, j * r + 1, r), lit(0L), (acc, x) => acc * 31 + x)
 
+  /** Shared band explode over a frame carrying `__sig`: ONE home for
+    * the banding construction keeps the pair join, the streaming
+    * suppressor, and the DuckDB band mirror in lockstep.
+    */
+  private def explodeBands(sig: DataFrame, keepCols: Seq[String],
+      h: Int, bands: Int): DataFrame = {
+    require(h % bands == 0, s"h $h not divisible by bands $bands")
+    val r = h / bands
+    val keep = keepCols.map(col)
+    sig
+      .select(keep :+ explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), bandValue(col("__sig"), j, r).as("val"))
+      }: _*)).as("b"): _*)
+      .select(keep :+ col("b.band").as("band") :+ col("b.val").as("val"): _*)
+  }
+
   /** Candidate pairs sharing at least one MinHash band. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, h: Int, bands: Int, seed: Long = 42L): DataFrame =
@@ -67,8 +83,6 @@ object TextDedup {
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, h: Int, bands: Int, seed: Long = 42L,
       carry: Seq[String] = Nil): DataFrame = {
-    require(h % bands == 0, s"h $h not divisible by bands $bands")
-    val r = h / bands
     val keep = Seq(col(idCol)) ++ carry.map(col)
     val sig = df
       .select(keep :+ array_distinct(TextHashExpr.shingleHashes(
@@ -76,11 +90,7 @@ object TextDedup {
       .filter(size(col("__shh")) > 0)
       .withColumn("__sig",
         TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
-    sig
-      .select(keep :+ explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), bandValue(col("__sig"), j, r).as("val"))
-      }: _*)).as("b"): _*)
-      .select(keep :+ col("b.band").as("band") :+ col("b.val").as("val"): _*)
+    explodeBands(sig, idCol +: carry, h, bands)
   }
 
   /** Candidate pairs from a precomputed (id, shingle hashes) table — the
@@ -89,16 +99,10 @@ object TextDedup {
     */
   private def candidatePairsFromBase(base: DataFrame, idCol: String,
       h: Int, bands: Int, seed: Long): DataFrame = {
-    require(h % bands == 0, s"h $h not divisible by bands $bands")
-    val r = h / bands
-    val coeffs = minhashCoeffs(h, seed)
     val sig = base
-      .withColumn("__sig", TextHashExpr.minhashSignature(col("__shh"), coeffs))
-    val banded = sig.select(col(idCol).as("__id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), bandValue(col("__sig"), j, r).as("val"))
-      }: _*)).as("b"))
-      .select(col("__id"), col("b.band").as("band"), col("b.val").as("val"))
+      .select(col(idCol).as("__id"), col("__shh"))
+      .withColumn("__sig", TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+    val banded = explodeBands(sig, Seq("__id"), h, bands)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.val") === col("r.val") &&

@@ -238,9 +238,11 @@ object CoverageQueries extends QueryPack {
              |         octet_length(encode(text)) AS n
              |  FROM documents WHERE doc_id < 50),
              |f AS (
+             |  -- series bound derived from the data, not a literal cap
              |  SELECT doc_id, i AS frame_idx,
              |         substr(hx, CAST(i*64 + 1 AS BIGINT), 64) AS frame_hex
-             |  FROM d, (SELECT unnest(generate_series(0, 63)) AS i)
+             |  FROM d, (SELECT unnest(generate_series(0,
+             |           (SELECT CAST(ceil(max(n) / 32.0) AS BIGINT) FROM d))) AS i)
              |  WHERE i % 2 = 0 AND i*32 < n)
              |SELECT doc_id, frame_idx, frame_hex FROM f
              |ORDER BY doc_id, frame_idx""".stripMargin)),
@@ -407,7 +409,7 @@ object CoverageQueries extends QueryPack {
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, lang FROM documents
-             |WHERE (doc_id * 2654435761) % 1000000 <
+             |WHERE ((doc_id % 1000003) * 2654435761) % 1000000 <
              |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
              |            WHEN 'fr' THEN 200000 ELSE 0 END
              |ORDER BY doc_id""".stripMargin)),

@@ -82,7 +82,11 @@ object StreamQueries extends QueryPack {
           .orderBy(col("user_id"), col("start_ms"))
       },
       Some("""WITH e AS (
-             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |  -- truncate to ms: the sessionizer compares Timestamp.getTime
+             |  -- (millisecond) gaps, and the raw data carries microseconds
+             |  SELECT user_id,
+             |         date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS ts
+             |  FROM events),
              |g AS (
              |  SELECT user_id, ts,
              |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)

@@ -120,8 +120,10 @@ object SchemaLinking {
     * name/category-like columns) broadcasts under every later question
     * batch's token probe — the per-batch cost drops from a table scan
     * to a broadcast join against tokens (`linkAgainstIndex`). Guard
-    * `maxDistinctPerCol` keeps free-text columns out of the index (at
-    * 100 TB an unbounded distinct of a text column is its own job).
+    * `maxDistinctPerCol` REJECTS free-text columns loudly (at 100 TB an
+    * unbounded distinct of a text column is its own job): silently
+    * dropping a column would make later probes return false-negative
+    * 0/0 hits with no signal, breaking the cellValueLinks contract.
     */
   def buildValueIndex(table: DataFrame, stringCols: Seq[String],
       maxDistinctPerCol: Int = 100000): DataFrame = {
@@ -130,10 +132,13 @@ object SchemaLinking {
         .filter(col("value").isNotNull).distinct()
     }.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("col"))
-    stacked
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxDistinctPerCol)
-      .drop("__n")
+    val counted = stacked.withColumn("__n", count(lit(1)).over(w))
+    val over = counted.filter(col("__n") > maxDistinctPerCol)
+      .select(col("col")).distinct().collect().map(_.getString(0))
+    require(over.isEmpty,
+      s"columns exceed maxDistinctPerCol=$maxDistinctPerCol and cannot be " +
+        s"value-indexed (probe them with cellValueLinks instead): ${over.mkString(", ")}")
+    counted.drop("__n")
   }
 
   /** Token linking against a prebuilt value index: exact hit = token

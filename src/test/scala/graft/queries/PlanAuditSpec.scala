@@ -18,6 +18,14 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  // built ONCE for the all-queries sweeps: several builds have eager
+  // side effects (index/bucketed-table/CSV writes, candidate
+  // evaluations) that two per-test loops would repeat for identical
+  // plan text
+  private lazy val allPlans: Seq[(String, String)] =
+    SparkEntry.allQueries.map(q =>
+      q.name -> q.build(spark, sfDir).queryExecution.executedPlan.toString)
+
   test("q_scan_filter pushes predicates into the parquet scan") {
     val p = planOf("q_scan_filter")
     assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
@@ -88,10 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // exact all-pairs baselines are deliberately quadratic (SCALE.md):
     // they broadcast one side (BroadcastNestedLoopJoin), never a
     // CartesianProduct, and exist as correctness oracles for LSH paths
-    SparkEntry.allQueries.foreach { q =>
-      val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+    allPlans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
-        s"${q.name}: plan degraded to a cartesian product")
+        s"$name: plan degraded to a cartesian product")
     }
   }
 
@@ -99,11 +106,10 @@ class PlanAuditSpec extends SparkSpec {
     // partitionBy(lit(0)) over a bounded top-k set is allowed (it
     // prints a constant partition spec, not an empty one); a truly
     // empty partition spec (`], [], [`) is the scale-killer
-    SparkEntry.allQueries.foreach { q =>
-      val p = q.build(spark, sfDir).queryExecution.executedPlan.toString
+    allPlans.foreach { case (name, p) =>
       p.linesIterator.filter(_.contains("Window [")).foreach { line =>
         assert(!line.contains("], [], ["),
-          s"${q.name}: window without partition columns: ${line.take(160)}")
+          s"$name: window without partition columns: ${line.take(160)}")
       }
     }
   }
