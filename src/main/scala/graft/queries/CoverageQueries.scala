@@ -479,6 +479,40 @@ object CoverageQueries extends QueryPack {
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |WHERE o_totalprice > 200000.0""".stripMargin)),
 
+    // -- typed Aggregator top-k ----------------------------------------------
+    GQuery(
+      "q_topk_agg",
+      "Per-group top-3 via a typed Aggregator (bounded k-entry buffer, " +
+        "map-side partials ship k rows per group — no sort, no window): " +
+        "the custom-function surface SURVEY reserves for semantics the " +
+        "built-ins can't express cheaply. Oracle is the window-rank " +
+        "formulation — the two shapes must agree exactly.",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+            col("l_extendedprice"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .agg(graft.functions.TopKAgg(3).toColumn.name("top_ids"))
+          .toDF("l_returnflag", "top_ids")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_returnflag, l_orderkey * 100 + l_linenumber AS id,
+             |         l_extendedprice AS p
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag, id,
+             |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |                            ORDER BY p DESC, id) AS rn
+             |  FROM x)
+             |SELECT l_returnflag,
+             |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY rn) AS top_ids
+             |FROM r WHERE rn <= 3
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // -- z-order clustering values -------------------------------------------
     GQuery(
       "q_zorder",
