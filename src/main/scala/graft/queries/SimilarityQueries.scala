@@ -98,6 +98,38 @@ object SimilarityQueries extends QueryPack {
               |         ${oCos("a.embedding", "b.embedding")} AS score
               |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
               |SELECT id1, id2, score FROM p
-              |WHERE score >= 0.35 ORDER BY id1, id2""".stripMargin))
+              |WHERE score >= 0.35 ORDER BY id1, id2""".stripMargin)),
+
+    GQuery(
+      "q_vec_quant",
+      "Symmetric int8 vector quantization (the 4x storage cut for " +
+        "embedding tables): per-vector scale = max|x|/127, codes = " +
+        "floor(x/scale + 0.5) — engine-exact arithmetic, verified via " +
+        "an order-weighted code checksum instead of array output.",
+      (s, dir) => {
+        import graft.functions.VectorQuant._
+        Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .withColumn("scale", quantScale(col("embedding")))
+          .select(col("vec_id"), col("scale"),
+            codeChecksum(quantize(col("embedding"), col("scale"))).as("code_checksum"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, embedding,
+             |         list_max(list_transform(embedding,
+             |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |  FROM embeddings WHERE vec_id < 50),
+             |c AS (
+             |  SELECT vec_id, scale,
+             |         list_transform(generate_series(1, len(embedding)),
+             |           i -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+             |                ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+             |                END * i) AS weighted
+             |  FROM q)
+             |SELECT vec_id, scale,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT), weighted),
+             |                   (a, x) -> a + x) AS code_checksum
+             |FROM c ORDER BY vec_id""".stripMargin))
   )
 }
