@@ -41,7 +41,11 @@ final case class TopKAgg(k: Int)
   def zero: Buf = Buf(Array.empty, Array.empty)
 
   def reduce(buf: Buf, row: (String, Long, Double)): Buf =
-    merged(buf, Buf(Array(row._3), Array(row._2)))
+    // fast path: a full buffer whose worst entry beats the row — the
+    // overwhelmingly common case on huge groups — allocates nothing
+    if (buf.ids.length >= k &&
+        !better(row._3, row._2, buf.vals(k - 1), buf.ids(k - 1))) buf
+    else merged(buf, Buf(Array(row._3), Array(row._2)))
 
   def merge(a: Buf, b: Buf): Buf = merged(a, b)
 

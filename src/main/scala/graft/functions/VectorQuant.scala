@@ -31,8 +31,12 @@ object VectorQuant {
     * emitting array columns.
     */
   def codeChecksum(codes: Column): Column =
-    aggregate(
-      zip_with(codes, sequence(lit(1), size(codes)), (q, i) => q.cast("long") * i.cast("long")),
-      lit(0L),
-      (acc, x) => acc + x)
+    // empty-array guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+    // (zip_with would null-pad → NULL checksum) where the oracle's
+    // generate_series(1, 0) is empty → 0
+    when(size(codes) === 0, lit(0L)).otherwise(
+      aggregate(
+        zip_with(codes, sequence(lit(1), size(codes)), (q, i) => q.cast("long") * i.cast("long")),
+        lit(0L),
+        (acc, x) => acc + x))
 }

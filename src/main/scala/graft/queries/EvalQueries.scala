@@ -174,8 +174,12 @@ object EvalQueries extends QueryPack {
         "rescanning). Same output contract — and oracle — as the " +
         "single-scan variant.",
       (s, dir) => {
+        // c_name is unique-per-row, so the cardinality cap is set to the
+        // name-column regime explicitly — the default 100k cap would
+        // correctly reject it at larger scale factors
         val index = graft.text.SchemaLinking.buildValueIndex(
-          Tables.load(s, dir, "customer"), Seq("c_name", "c_mktsegment"))
+          Tables.load(s, dir, "customer"), Seq("c_name", "c_mktsegment"),
+          maxDistinctPerCol = 10000000)
         graft.text.SchemaLinking.linkAgainstIndex(
           index, Seq("building", "automobile", "unfindable"),
           Seq("c_name", "c_mktsegment"))

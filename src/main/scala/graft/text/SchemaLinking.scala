@@ -131,14 +131,16 @@ object SchemaLinking {
       table.select(lit(c).as("col"), lower(col(c).cast("string")).as("value"))
         .filter(col("value").isNotNull).distinct()
     }.reduce(_ unionAll _)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("col"))
-    val counted = stacked.withColumn("__n", count(lit(1)).over(w))
-    val over = counted.filter(col("__n") > maxDistinctPerCol)
-      .select(col("col")).distinct().collect().map(_.getString(0))
+    // validation via groupBy count (map-side partials — no window
+    // shuffle) and the RETURNED plan is the plain stacked frame, so the
+    // production index plan carries no leftover counting machinery
+    val over = stacked.groupBy(col("col")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDistinctPerCol)
+      .select(col("col")).collect().map(_.getString(0))
     require(over.isEmpty,
       s"columns exceed maxDistinctPerCol=$maxDistinctPerCol and cannot be " +
         s"value-indexed (probe them with cellValueLinks instead): ${over.mkString(", ")}")
-    counted.drop("__n")
+    stacked
   }
 
   /** Token linking against a prebuilt value index: exact hit = token
