@@ -164,6 +164,28 @@ object RowOps {
     df.filter(draw < fraction)
   }
 
+  /** Deterministic train/validation/test assignment: the same
+    * overflow-safe multiplicative-hash draw as `stratifiedSample`,
+    * thresholded into labeled splits with exact expected fractions.
+    * Every engine, partitioning, and retry assigns each row the same
+    * split — the property a reproducible corpus split requires.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val draw = pmod(
+      pmod(col(keyCol).cast("long"), lit(1000003L)) * lit(2654435761L),
+      lit(1000000L))
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => (f * 1000000L).toLong)
+    val labeled = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, t), acc) =>
+        when(draw < t, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", labeled)
+  }
+
   /** Dedup by a column subset with a deterministic survivor (smallest
     * `tieBreak`), unlike dropDuplicates' partition-order-dependent pick
     * (`LinkAlignReduce.py:209-212` analog).

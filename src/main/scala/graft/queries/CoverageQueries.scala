@@ -479,6 +479,56 @@ object CoverageQueries extends QueryPack {
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |WHERE o_totalprice > 200000.0""".stripMargin)),
 
+    // -- train/valid/test hash split -----------------------------------------
+    GQuery(
+      "q_hash_split",
+      "Reproducible corpus splitting: 80/10/10 train/valid/test by the " +
+        "overflow-safe multiplicative-hash draw — every engine, " +
+        "partitioning, and retry assigns each row the same split.",
+      (s, dir) =>
+        RowOps.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("split")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         ((doc_id % 1000003) * 2654435761) % 1000000 AS draw
+             |  FROM documents)
+             |SELECT CASE WHEN draw < 800000 THEN 'train'
+             |            WHEN draw < 900000 THEN 'valid'
+             |            ELSE 'test' END AS split,
+             |       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM d GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // -- benchmark decontamination -------------------------------------------
+    GQuery(
+      "q_decontaminate",
+      "n-gram-overlap decontamination: training docs sharing any word " +
+        "8-gram with the held-out eval slice are dropped (hash-keyed " +
+        "semi-join against the broadcast eval shingle set — the standard " +
+        "pre-training hygiene step between curation and training).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.decontaminate(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id >= 50) src_c", 8, "_c")},
+              |${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id < 50) src_e", 8, "_e")},
+              |bad AS (
+              |  SELECT DISTINCT s_c.doc_id
+              |  FROM s_c JOIN (SELECT DISTINCT h FROM s_e) e ON s_c.h = e.h)
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id >= 50
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY doc_id""".stripMargin)),
+
     // -- typed Aggregator top-k ----------------------------------------------
     GQuery(
       "q_topk_agg",

@@ -41,6 +41,24 @@ object DedupOracles {
        |s AS (SELECT DISTINCT doc_id, $polyHashSh AS h FROM shl),
        |sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id)""".stripMargin
 
+  /** CTE chain `toks$sfx → shl$sfx → s$sfx` computing distinct
+    * n-gram shingle hashes over `from` for arbitrary n, with a name
+    * suffix so two corpora (training vs eval) can coexist in one query.
+    */
+  def baseN(from: String, n: Int, sfx: String): String = {
+    val terms = (0 until n).map(k => s"tk[i+$k]").mkString(", ")
+    s"""toks$sfx AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS tk
+       |  FROM $from),
+       |shl$sfx AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(tk) - ${n - 1}, 0)),
+       |           i -> concat_ws(' ', $terms))) AS sh
+       |  FROM toks$sfx),
+       |s$sfx AS (SELECT DISTINCT doc_id, $polyHashSh AS h FROM shl$sfx)""".stripMargin
+  }
+
   /** CTE chain `hs → sig → bnd` mirroring the MinHash signature and
     * 31-chain band folds (columns band0..band{bands-1}), on top of
     * `base`. Shared by the batch pair dedup and the streaming
