@@ -144,6 +144,46 @@ object TextQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_repetition",
+      "Within-document repetition ratio (1 - distinct/total 3-gram " +
+        "shingles): the boilerplate/loop-generated-text quality signal " +
+        "corpus filters threshold on. Hash-space distinctness, scan-time " +
+        "expressions only.",
+      (s, dir) => {
+        val sh = org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(
+          tokens(col("text")), 3)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(sh).as("total"),
+            size(array_distinct(sh)).as("dst"))
+          .filter(col("total") > 0)
+          .select(col("doc_id"),
+            (lit(1.0) - col("dst").cast("double") / col("total").cast("double"))
+              .as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             t -> length(t) > 0) AS tk
+             |  FROM documents),
+             |shl AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+             |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+             |  FROM toks),
+             |h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000000007) AS hv
+             |  FROM shl),
+             |rep AS (
+             |  SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT hv) AS dst
+             |  FROM h GROUP BY doc_id)
+             |SELECT doc_id,
+             |       1.0 - CAST(dst AS DOUBLE) / CAST(total AS DOUBLE) AS rep_ratio
+             |FROM rep WHERE total > 0 ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "q_redact",
       "PII-style redaction: emails and 6+-digit runs replaced by typed " +
         "tags (replace-all on both engines; synthesized suffix " +
