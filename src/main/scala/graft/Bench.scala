@@ -41,16 +41,26 @@ object Bench {
         catch { case _: Throwable => None }
       (q.name, (System.nanoTime() - t0) / 1e9, stats)
     }
-    // The consuming driver captures a bounded tail of stdout: keep the JSON
-    // line compact (centisecond precision, aggregate bytes) so it survives.
+    // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
+    // and sbt appends its own [success] banner after us: with 87+ queries the
+    // full per-query map overflowed that tail two rounds running. So stdout
+    // gets ONE compact line (total + top-10 slowest only, guaranteed well
+    // under the ceiling) and the complete per-query map goes to a file.
     // Locale.ROOT formatting — the f-interpolator uses the JVM default
     // locale, and a comma-decimal locale would emit invalid JSON.
     def num(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"bytes_read":$bytesTotal,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$top10,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

@@ -10,30 +10,40 @@ import graft.functions.TextAnalysis
   * verified primitives:
   *
   *   language allowlist → length floor → exact dedup (fingerprint
-  *   groupBy, min-id survivor) → near-duplicate removal (exact n-gram
-  *   Jaccard pairs; the larger id of every qualifying pair is dropped).
+  *   groupBy, min-id survivor) → near-duplicate removal (MinHash +
+  *   banded LSH candidates, exact-Jaccard verified; the larger id of
+  *   every qualifying pair is dropped).
   *
   * Scale shape: the filters are scan predicates; exact dedup shuffles
-  * once on the 8-byte fingerprint; near-dup pairing shuffles on shingle
-  * hash (co-shingled pairs only — never a cross product). Swap
-  * `TextDedup.jaccardPairsExact` for `minhashNearDupPairs` at corpus
-  * sizes where even co-shingled pairing is too wide; the drop policy is
-  * unchanged.
+  * once on the 8-byte fingerprint; near-dup candidate generation
+  * shuffles on (band, bandValue) — the banded path is the DEFAULT
+  * because the exact co-shingled self-join (`jaccardPairsExact`) keys
+  * a full shuffle on raw shingle hash, and at corpus scale a frequent
+  * 3-gram co-shingles millions of documents, making one hot hash group
+  * quadratic. Banding bounds every bucket by signature agreement
+  * instead; pass `bandedLsh = false` only for small-corpus exact
+  * baselines. The drop policy is identical on either path.
   */
 object CorpusClean {
 
   def clean(docs: DataFrame, langs: Seq[String], minChars: Int,
       jaccardThreshold: Double, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      langCol: String = "lang"): DataFrame = {
+      langCol: String = "lang", bandedLsh: Boolean = true,
+      minhashH: Int = 16, minhashBands: Int = 4): DataFrame = {
     val filtered = docs.filter(
       col(langCol).isin(langs: _*) && length(col(textCol)) >= minChars)
     val exact = RowOps.dedupBy(
       filtered.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp")
-    val nearDupLosers = TextDedup.jaccardPairsExact(
-      exact, idCol, textCol, jaccardThreshold, shingleN)
-      .select(col("id2").as(idCol)).distinct()
+    val pairs =
+      if (bandedLsh)
+        TextDedup.minhashNearDupPairs(exact, idCol, textCol,
+          jaccardThreshold, shingleN, minhashH, minhashBands)
+      else
+        TextDedup.jaccardPairsExact(exact, idCol, textCol,
+          jaccardThreshold, shingleN)
+    val nearDupLosers = pairs.select(col("id2").as(idCol)).distinct()
     exact.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 }

@@ -17,9 +17,12 @@ import graft.functions.{FloatVec, VectorOps}
   * badly skewed.
   *
   * Scale shape: cell assignment is one scan (nlist dot products per
-  * row, codegen'd); the query→cell fan-out joins on cell id (shuffle on
-  * cell, never a cross join); per-query top-k is a rank-filtered window
-  * (WindowGroupLimit).
+  * row, codegen'd); the probe side is EXPLODED to one (query, cell) row
+  * per probed cell and equi-joined on cell id — a BroadcastHashJoin, so
+  * each corpus row is tested only against the queries probing ITS cell
+  * (an `array_contains` membership join would be a nested loop over
+  * every query per corpus row); per-query top-k is a rank-filtered
+  * window (WindowGroupLimit).
   */
 object IvfIndex {
 
@@ -100,11 +103,17 @@ object IvfIndex {
       .filter(col("cell").isin(allCells: _*))
       .withColumn("__cnorm", FloatVec.normF(col(vecCol)))
 
+    // one (query, cell) row per probed cell: cells are distinct per
+    // query and a corpus row lives in exactly one cell, so the hash
+    // join produces each (corpus, query) pair at most once
+    val probeRows = probed.select(col("__qid"), col("__qvec"), col("__qnorm"),
+      explode(col("__cells")).as("__pcell"))
+
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col(idCol))
     assigned
-      .join(broadcast(probed),
-        array_contains(col("__cells"), col("cell")) && col(idCol) =!= col("__qid"))
+      .join(broadcast(probeRows),
+        col("cell") === col("__pcell") && col(idCol) =!= col("__qid"))
       .withColumn("score",
         FloatVec.dotF(col(vecCol), col("__qvec")) / (col("__cnorm") * col("__qnorm")))
       .withColumn("rank", row_number().over(w))
@@ -130,11 +139,14 @@ object IvfIndex {
         slice(reverse(array_sort(cellScores(col(vecCol), cents))), 1, nprobe),
         s => s.getField("cell")).as("__cells"))
 
+    val probeRows = probed.select(col("__qid"), col("__qvec"), col("__qnorm"),
+      explode(col("__cells")).as("__pcell"))
+
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col(idCol))
     assigned
-      .join(broadcast(probed),
-        array_contains(col("__cells"), col("__cell")) && col(idCol) =!= col("__qid"))
+      .join(broadcast(probeRows),
+        col("__cell") === col("__pcell") && col(idCol) =!= col("__qid"))
       .withColumn("score",
         FloatVec.dotF(col(vecCol), col("__qvec")) / (col("__cnorm") * col("__qnorm")))
       .withColumn("rank", row_number().over(w))

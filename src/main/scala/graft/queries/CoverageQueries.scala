@@ -371,29 +371,37 @@ object CoverageQueries extends QueryPack {
       "q_corpus_clean",
       "The full training-corpus curation pipeline composed end-to-end: " +
         "language allowlist -> length floor -> exact dedup (fingerprint, " +
-        "min-id survivor) -> near-dup removal (exact shingle Jaccard " +
-        ">= 0.5, larger id of each pair dropped). One scan predicate, " +
-        "one fingerprint shuffle, one shingle-hash shuffle.",
+        "min-id survivor) -> near-dup removal (MinHash banded LSH " +
+        "candidates verified by exact Jaccard >= 0.5, larger id of each " +
+        "pair dropped). One scan predicate, one fingerprint shuffle, one " +
+        "(band, value) shuffle — never a self-join on raw shingle hash.",
       (s, dir) =>
         CorpusClean.clean(
           t(s, dir, "documents"), langs = Seq("en", "de", "fr"),
           minChars = 100, jaccardThreshold = 0.5)
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id")),
-      Some(s"""WITH filt AS (
-              |  SELECT doc_id, text, lang, source FROM documents
-              |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
-              |fp AS (
-              |  SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM filt),
-              |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-              |d1 AS (SELECT f.doc_id, f.text, f.lang, f.source
-              |       FROM filt f JOIN k1 USING (doc_id)),
-              |${DedupOracles.base("d1")},
-              |${DedupOracles.interJac},
-              |drp AS (SELECT DISTINCT id2 FROM j WHERE jaccard >= 0.5)
-              |SELECT d.doc_id, d.lang, d.source FROM d1 d
-              |WHERE d.doc_id NOT IN (SELECT id2 FROM drp)
-              |ORDER BY d.doc_id""".stripMargin)),
+      Some {
+        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        s"""WITH filt AS (
+           |  SELECT doc_id, text, lang, source FROM documents
+           |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
+           |fp AS (
+           |  SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM filt),
+           |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+           |d1 AS (SELECT f.doc_id, f.text, f.lang, f.source
+           |       FROM filt f JOIN k1 USING (doc_id)),
+           |${DedupOracles.base("d1")},
+           |${DedupOracles.minhashBandCtes()},
+           |${DedupOracles.interJac},
+           |drp AS (SELECT DISTINCT j.id2 FROM j
+           |        JOIN bnd x ON x.doc_id = j.id1
+           |        JOIN bnd y ON y.doc_id = j.id2
+           |        WHERE j.jaccard >= 0.5 AND ($bandCond))
+           |SELECT d.doc_id, d.lang, d.source FROM d1 d
+           |WHERE d.doc_id NOT IN (SELECT id2 FROM drp)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
 
     // -- deterministic stratified sampling -----------------------------------
     GQuery(

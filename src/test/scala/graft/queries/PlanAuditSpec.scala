@@ -65,10 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_ivf_ann broadcasts the probed queries and rank-limits per query") {
+  test("q_ivf_ann equi-joins probes on cell (hash join, not nested loop)") {
     val p = planOf("q_ivf_ann")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "probed query side is not broadcast")
+    assert(p.contains("BroadcastHashJoin"), "probe join is not a broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "probe join degraded to a nested loop (array_contains membership join)")
     assert(p.contains("WindowGroupLimit"), "per-query top-k not group-limited")
   }
 
@@ -85,11 +86,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanLine.isDefined, "no partition filter on the cell column in the index scan")
     assert(scanLine.get.matches(".*PartitionFilters: \\[.*cell.*"),
       s"empty partition filter: ${scanLine.get.take(200)}")
+    assert(p.contains("BroadcastHashJoin"), "probe join is not a broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "probe join degraded to a nested loop (array_contains membership join)")
   }
 
   test("q_corpus_clean never forms a cross product") {
     val p = planOf("q_corpus_clean", execute = true)
     assert(!p.contains("CartesianProduct"), "corpus clean plan has a cross join")
+  }
+
+  test("q_corpus_clean has no self-join keyed on raw shingle hash") {
+    // the exact-Jaccard path explodes shingle hashes into a `__h` column
+    // and self-joins on it — a full shuffle on a power-law key that goes
+    // quadratic inside any hot hash group at corpus scale. The flagship
+    // must stay on the banded MinHash path: no `__h` column anywhere.
+    val p = planOf("q_corpus_clean")
+    assert(!p.contains("__h#"),
+      "flagship plan contains the exploded raw-shingle-hash column __h " +
+        "(exact-Jaccard self-join path)")
+    assert(p.contains("minhash_signature"),
+      "flagship plan lost the MinHash signature expression")
   }
 
   test("NO query plan contains a cartesian product (documented O(n^2) baselines excepted)") {
