@@ -101,6 +101,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup suppressor state TTL: a duplicate after the TTL is NOT suppressed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val dupText = "the quick brown fox jumps over the lazy dog today"
+    // NOTE: with ProcessingTimeTimeout the engine runs micro-batches
+    // continuously to fire expiries, so processAllAvailable() would
+    // block forever (see StreamDedup scaladoc) — this test polls the
+    // sink / progress metrics with deadlines instead.
+    // cumulative source-row counter (recentProgress is a bounded buffer
+    // that the continuous empty timeout batches would evict from)
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "neardup_ttl_out")
+          inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = StreamDedup.nearDupCandidates(
+      src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      stateTtl = Some(java.time.Duration.ofMillis(1000)))
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    def pairs(): Set[(Long, Long)] =
+      spark.sql("SELECT DISTINCT docId, earlierId FROM neardup_ttl_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def awaitInputRows(want: Long, deadlineMs: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (inputRows.get() < want && System.currentTimeMillis() - t0 < deadlineMs)
+        Thread.sleep(50)
+      assert(inputRows.get() >= want,
+        s"stream stalled: ${inputRows.get()} of $want source rows")
+    }
+    try {
+      src.addData((1L, ts(0), dupText))
+      awaitInputRows(1)
+      // batches keep running while we sleep, so doc 1's idle band state
+      // fires its 1 s timeout and is removed well within this window
+      Thread.sleep(3000)
+      // same text again: state was forgotten, so NOT flagged — doc 3
+      // becomes the new first-seen (documented post-TTL semantics)...
+      src.addData((3L, ts(2), dupText))
+      // ...and a prompt duplicate of doc 3 IS still flagged against it
+      src.addData((4L, ts(3), dupText))
+      val t0 = System.currentTimeMillis()
+      while (!pairs().contains((4L, 3L)) && System.currentTimeMillis() - t0 < 30000)
+        Thread.sleep(100)
+      assert(pairs() == Set((4L, 3L)),
+        s"expected only (4,3) — doc 1's expired state must not flag doc 3; got ${pairs()}")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("idempotentParquetSink: a replayed batch does not duplicate output") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
