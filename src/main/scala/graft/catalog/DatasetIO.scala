@@ -24,6 +24,9 @@ object DatasetIO {
     case "tsv" => spark.read.option("header", "true").option("inferSchema", "true")
       .option("sep", "\t").csv(path)
     case "parquet" => spark.read.parquet(path)
+    case "xlsx" => // driver-side pre-convert (XlsxConvert), distributed read
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(XlsxConvert.toCsv(path))
     case other => throw new IllegalArgumentException(
       s"unsupported tabular format .$other (use loadText for txt/sql/md)")
   }

@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.actors.{LlmGenerator, OptimizeActors, ParseActors, PipelineActor, ZeroReducer}
+import graft.catalog.{SchemaCodec, Tables}
+import graft.evalx.{Evaluator, ExOutcome, ExSummary}
+import graft.exec.SqlBackend
+import graft.llm.LlmClient
+
+/** The config-described run loop — the Spark-native mirror of the
+  * reference's Router → Engine → execute() → evaluate() entry
+  * (`startup_run/run.py:11-22`, `core/engine.py`): a `GraftConfig`
+  * names the data source through the benchmark registry + identifier
+  * grammar, and its knobs (timeouts, parallelism, debug turns) drive
+  * the pipeline; nothing about the run is decided outside the config.
+  *
+  * `execute` runs reduce → parse → generate → optimize over a
+  * questions frame; `evaluate` is eval_all over the answered frame,
+  * returning per-item outcomes plus the one-row summary.
+  */
+final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
+    schemaTables: Seq[String] = Seq("region", "nation", "customer", "orders")) {
+
+  /** Data root resolved from the registry: `data_id = "<benchmark>:<sub>"`. */
+  val dbPath: String = {
+    val (bench, sub, _) = cfg.dataIdentifier
+    GraftConfig.resolveDbPath(bench, sub).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown benchmark '$bench' (registered: ${GraftConfig.benchmarks.keys.mkString(", ")})"))
+  }
+
+  private lazy val backend = new SqlBackend(spark, cfg.sqlTimeoutSec)
+
+  /** Schema-as-data harvested from the registered catalog tables. */
+  lazy val schemaDf: DataFrame = {
+    Tables.registerAll(spark, dbPath)
+    SchemaCodec.toDF(spark, SchemaCodec.centralToParallel(
+      SchemaCodec.fromRegisteredTables(spark, "tpch", schemaTables)))
+  }
+
+  /** The configured actor chain. ZeroReducer stands in when no reduce
+    * turns are configured (reduceTurns == 0, the registry default).
+    */
+  def pipeline(): PipelineActor = PipelineActor(Seq(
+    ZeroReducer(),
+    ParseActors.dinsql(llm, schemaDf),
+    LlmGenerator(llm, schemaDf),
+    OptimizeActors.macsql(llm, backend, schemaDf)))
+
+  /** Run the pipeline over (instance_id, question, gold_sql) rows. */
+  def execute(questions: DataFrame): DataFrame = pipeline().act(questions)
+
+  /** eval_all over the answered frame: per-item outcomes + summary. */
+  def evaluate(answered: DataFrame): (Seq[ExOutcome], ExSummary) = {
+    val items = answered.select("instance_id", "gold_sql", "pred_sql")
+      .collect().map { r =>
+        graft.evalx.ExItem(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))
+      }
+    new Evaluator(spark, cfg.evalTimeoutSec, cfg.parallelism).evalAll(items.toSeq)
+  }
+
+  /** The eval_all summary as a one-row frame (`avg_ex, valid_num,
+    * total_items`) — the shape the reference prints at the end of a run.
+    */
+  def summaryDf(summary: ExSummary): DataFrame = {
+    import spark.implicits._
+    Seq((summary.avg, summary.validNum.toLong, summary.totalItems.toLong))
+      .toDF("avg_ex", "valid_num", "total_items")
+  }
+}
