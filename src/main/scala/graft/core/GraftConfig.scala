@@ -68,6 +68,26 @@ object GraftConfig {
       if (b.hasSub && subId.nonEmpty) s"${b.rootPath}/$subId" else b.rootPath
     }
 
+  /** Load from a flat JSON config file (the reference's
+    * `Router(config_path=...)` entry, `startup_run/run.py:11` +
+    * `config/sys_config.json` shape): scalar fields become the
+    * `fromPairs` key→value source; unknown keys are ignored so a
+    * reference config file loads as-is.
+    */
+  def fromJsonFile(path: String): GraftConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    require(root.isObject, s"config $path is not a JSON object")
+    val names = root.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (names.hasNext) {
+      val k = names.next()
+      val v = root.get(k)
+      if (v.isValueNode) b += k -> v.asText()
+    }
+    fromPairs(b.result())
+  }
+
   /** Build from any key→value pairs; unknown keys ignored, types coerced. */
   def fromPairs(pairs: Map[String, String]): GraftConfig = {
     val base = GraftConfig()

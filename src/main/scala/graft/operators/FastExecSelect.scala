@@ -42,6 +42,14 @@ object FastExecSelect {
 
   /** Execute all candidates (bounded driver pool — each is a distributed
     * job) and fingerprint their results.
+    *
+    * Deadline posture: each candidate is individually bounded by the
+    * backend's `timeoutSec` job-group cancel, and the outer await adds
+    * a belt-and-braces ceiling of `timeoutSec × ceil(n/parallelism) +
+    * timeoutSec` — if a backend timeout ever failed to fire (e.g. a
+    * source that blocks before any job starts), the selector still
+    * returns instead of wedging the caller forever. On outer expiry
+    * every unfinished candidate is reported as timed out.
     */
   def execCandidates(spark: SparkSession, sqls: Seq[String],
       timeoutSec: Int = 60, parallelism: Int = 5): Seq[CandidateExec] = {
@@ -49,7 +57,7 @@ object FastExecSelect {
     val pool = Executors.newFixedThreadPool(math.max(parallelism, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      Await.result(Future.sequence(sqls.zipWithIndex.map { case (sql, i) =>
+      val futures = sqls.zipWithIndex.map { case (sql, i) =>
         Future {
           val t0 = System.nanoTime()
           backend.run(graft.dialect.Transpiler.transpile(sql)) match {
@@ -65,7 +73,18 @@ object FastExecSelect {
             case ExecErr(e, sec) => CandidateExec(i, sql, sec, Some(e), None)
           }
         }
-      }), Duration.Inf)
+      }
+      val waves = math.max(1, math.ceil(sqls.size.toDouble / math.max(parallelism, 1)).toInt)
+      val outer = Duration(timeoutSec.toLong * (waves + 1), scala.concurrent.duration.SECONDS)
+      try Await.result(Future.sequence(futures), outer)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          futures.zipWithIndex.map { case (f, i) =>
+            f.value.flatMap(_.toOption).getOrElse(
+              CandidateExec(i, sqls(i), outer.toSeconds.toDouble,
+                Some("outer deadline exceeded"), None))
+          }
+      }
     } finally pool.shutdown()
   }
 

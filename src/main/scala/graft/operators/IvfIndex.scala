@@ -48,6 +48,61 @@ object IvfIndex {
         lit(cid).as("cell"))
     }: _*)
 
+  /** Spherical k-means refinement of the systematic-sample centroids —
+    * the quantizer upgrade for a skewed corpus, without touching the
+    * search path: centroids stay (cell, vector) pairs consumed by the
+    * same `cellScores` argmax.
+    *
+    * Spherical (unit-normalized centroids over unit-normalized points)
+    * because cell assignment is argmax-dot everywhere in this file:
+    * with unit centroids, argmax dot(x, c) IS argmax cosine(x, c), so
+    * build-time and probe-time assignment agree with the cosine
+    * ranking the final search performs.
+    *
+    * Determinism (cluster-size/partitioning invariant): per-dimension
+    * sums go through decimal(28,10) (commutative, exact), and the
+    * unit-normalize runs on the driver — byte-identical centroids on
+    * any partitioning, so a rebuilt index never silently reshuffles
+    * cells. Per iteration: one scan + one (cell, pos) aggregation of
+    * nlist×dim rows to the driver. Empty cells keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): Seq[(Int, Seq[Double])] = {
+    def unit(v: IndexedSeq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.toSeq else v.map(_ / n).toSeq
+    }
+    var cents = centroids(corpus, idCol, vecCol, nlist)
+      .map { case (cid, c) => cid -> unit(c.toIndexedSeq) }
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    val base = corpus
+      .select(col(vecCol).as("__vec"), FloatVec.normF(col(vecCol)).as("__nrm"))
+      .filter(col("__nrm") > 0)
+    for (_ <- 0 until iters) {
+      val sums = base
+        .withColumn("__cell",
+          array_max(cellScores(col("__vec"), cents)).getField("cell"))
+        .select(col("__cell"), col("__nrm"),
+          posexplode(col("__vec")).as(Seq("pos", "v")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(sum((col("v") / col("__nrm")).cast("decimal(28,10)")).as("s"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val vec = Array.fill(dim)(0.0)
+            rows.foreach(r => vec(r.getInt(1)) = r.getDecimal(2).doubleValue())
+            cid -> unit(vec.toIndexedSeq)
+          case None => cid -> old
+        }
+      }
+    }
+    cents
+  }
+
   /** Corpus with its assigned cell (argmax centroid dot). */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])]): DataFrame =
@@ -62,10 +117,11 @@ object IvfIndex {
     * corpus per query batch and reading nprobe/nlist of it.
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, path: String): Unit = {
+      nlist: Int, path: String,
+      centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = centroids(corpus, idCol, vecCol, nlist)
+    val cents = centroidsOpt.getOrElse(centroids(corpus, idCol, vecCol, nlist))
     assignCells(corpus, idCol, vecCol, cents)
       .withColumnRenamed("__cell", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
@@ -127,8 +183,9 @@ object IvfIndex {
     */
   def searchIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16, nprobe: Int = 4,
+      centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val cents = centroidsOpt.getOrElse(centroids(corpus, idCol, vecCol, nlist))
     val assigned = assignCells(corpus, idCol, vecCol, cents)
       .withColumn("__cnorm", FloatVec.normF(col(vecCol)))
 

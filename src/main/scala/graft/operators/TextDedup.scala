@@ -146,13 +146,38 @@ object TextDedup {
     * aggregation and no post-join size lookups — one self-join, one
     * groupBy. The exploded table is persisted because its two join
     * consumers would otherwise each re-run scan+tokenize+hash.
+    *
+    * `maxDocFreq`: the hot-key guard for corpus scale. The self-join
+    * shuffles on shingle hash — a power-law key where one frequent
+    * 3-gram ("of the and"-class) co-shingles millions of documents and
+    * makes its hash group quadratic. With a cap, shingles appearing in
+    * more than `maxDocFreq` documents ("stop-shingles") are dropped
+    * BEFORE the join, and Jaccard is computed exactly over the
+    * remaining (discriminative) shingle space — sizes and intersections
+    * both from the filtered sets, so it stays a well-defined metric the
+    * oracle mirrors bit-for-bit. Hot shingles carry almost no pair
+    * signal (sharing "of the and" is not evidence of duplication), so
+    * this is the standard bound when the exact path must run wide.
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
-    val s = withShingleHashes(df, idCol, textCol, n)
-      .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
-        explode(col("__shh")).as("__h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      threshold: Double, n: Int = 3, maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = (maxDocFreq match {
+      case None =>
+        withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
+            explode(col("__shh")).as("__h"))
+      case Some(cap) =>
+        val ex = withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
+        // rows are (doc, hash)-distinct, so count(*) per hash IS document
+        // frequency; the keep-join reuses the same hash partitioning the
+        // pair join needs
+        val keep = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("__h"))
+        val filtered = ex.join(keep, "__h")
+        val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+        filtered.join(sizes, "__id").select(col("__id"), col("__n"), col("__h"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))

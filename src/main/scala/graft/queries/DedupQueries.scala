@@ -64,6 +64,35 @@ object DedupQueries extends QueryPack {
            |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin)),
 
     GQuery(
+      "q_jaccard_dfcap",
+      "Exact Jaccard with the corpus-scale hot-key guard: shingles in " +
+        "more than 3 documents (stop-shingles) are dropped BEFORE the " +
+        "self-join, bounding every hash group; Jaccard is exact over " +
+        "the remaining discriminative shingle space on both engines.",
+      (s, dir) =>
+        TextDedup.jaccardPairsExact(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, n = 3, maxDocFreq = Some(3L))
+          .orderBy(col("id1"), col("id2")),
+      Some(
+        s"""WITH $oBase,
+           |keep AS (SELECT h FROM s GROUP BY h HAVING count(*) <= 3),
+           |sfil AS (SELECT s.doc_id, s.h FROM s JOIN keep USING (h)),
+           |sizesf AS (SELECT doc_id, count(*) AS n FROM sfil GROUP BY doc_id),
+           |interf AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           |  FROM sfil a JOIN sfil b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jf AS (
+           |  SELECT id1, id2,
+           |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+           |  FROM interf
+           |  JOIN sizesf sa ON sa.doc_id = id1
+           |  JOIN sizesf sb ON sb.doc_id = id2)
+           |SELECT id1, id2, jaccard FROM jf
+           |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin)),
+
+    GQuery(
       "q_simhash_neardup",
       "SimHash near-dup with EXACT recall: 30-bit ±1-vote fingerprints " +
         "over distinct shingles, pigeonhole banding (4 bands for " +

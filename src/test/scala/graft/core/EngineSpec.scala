@@ -20,6 +20,18 @@ class EngineSpec extends SparkSpec {
     assert(new Engine(spark, cfg, llm).dbPath == "/root/testdata/sf0.001")
   }
 
+  test("a reference-shaped JSON config file loads via fromJsonFile") {
+    val p = java.nio.file.Files.createTempFile("graft_cfg", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"data_id": "testdata:sf0.001", "parallelism": 2,
+        | "decay_rate": 0.7, "unknown_reference_key": {"nested": true}}""".stripMargin)
+    val cfg = GraftConfig.fromJsonFile(p.toString)
+    assert(cfg.dataId == "testdata:sf0.001")
+    assert(cfg.parallelism == 2 && cfg.decayRate == 0.7)
+    assert(cfg.generateNum == 3, "unset keys keep defaults")
+    assert(new Engine(spark, cfg, llm).dbPath == "/root/testdata/sf0.001")
+  }
+
   test("an unregistered benchmark fails loudly") {
     val cfg = GraftConfig.fromPairs(Map("data_id" -> "nosuch:dev"))
     val e = intercept[IllegalArgumentException](new Engine(spark, cfg, llm).dbPath)
