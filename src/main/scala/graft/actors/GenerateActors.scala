@@ -71,7 +71,7 @@ final case class LlmGenerator(llm: LlmClient, schema: DataFrame,
     val cols = if (hasLinks) Seq("instance_id", "question", "schema_links")
       else Seq("instance_id", "question")
     val rows = ds.select(cols.map(col): _*).collect()
-    val out = rows.map { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
       val links =
         if (hasLinks && !r.isNullAt(2))
           "\nSchema links:\n" + SchemaRender.formatLinks(r.getSeq[String](2))
@@ -98,7 +98,7 @@ final case class LlmDecomposer(llm: LlmClient,
     val spark = ds.sparkSession
     import spark.implicits._
     val rows = ds.select(col("instance_id"), col("question")).collect()
-    val out = rows.map { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
       (r.getString(0), SqlText.parseList(llm.complete(
         s"Decompose into sub-questions as a list.\nQuestion: ${r.getString(1)}\n[...]")))
     }
@@ -120,7 +120,7 @@ final case class LlmScaler(llm: LlmClient, generateNum: Int,
     val spark = ds.sparkSession
     import spark.implicits._
     val rows = ds.select(col("instance_id"), col("question")).collect()
-    val out = rows.map { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
       val cands = (0 until generateNum).map(i => SqlText.clean(llm.complete(
         s"Variant $i: write one SQL query for: ${r.getString(1)}\nSQL:")))
       (r.getString(0), cands.distinct)
@@ -146,7 +146,7 @@ final case class RepairOptimizer(llm: LlmClient, backend: SqlBackend,
     import spark.implicits._
     val schemaText = SchemaRender.parseSchemaFromDf(schema)
     val rows = ds.select(col("instance_id"), col("question"), col("pred_sql")).collect()
-    val out = rows.map { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
       val (q, sql) = (r.getString(1), r.getString(2))
       val repaired = mode match {
         case "experience" => SqlDebug.debugByExperience(llm, q, schemaText, sql)

@@ -110,6 +110,24 @@ class HttpLlmClientSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("LlmPar.mapBounded runs concurrently and keeps item order") {
+    val t0 = System.nanoTime()
+    val inFlight = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val out = LlmPar.mapBounded((1 to 10).toSeq, parallelism = 5) { i =>
+      val cur = inFlight.incrementAndGet()
+      maxSeen.accumulateAndGet(cur, math.max)
+      Thread.sleep(100)
+      inFlight.decrementAndGet()
+      i * 2
+    }
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    assert(out == (1 to 10).map(_ * 2), "order not preserved")
+    assert(maxSeen.get() > 1, "never ran concurrently")
+    assert(maxSeen.get() <= 5, s"exceeded parallelism bound: ${maxSeen.get()}")
+    assert(wallMs < 900, s"10x100ms at parallelism 5 took ${wallMs}ms — serial?")
+  }
+
   test("drives a skeleton generator end to end over HTTP") {
     // the stub plays the DIN-SQL role: classifier prompt -> tier label,
     // generation prompt -> fenced SQL that SqlText.clean must unwrap
