@@ -59,7 +59,8 @@ object SqlDebug {
   * probe execution, candidate runs — is shared here.
   */
 final case class LlmGenerator(llm: LlmClient, schema: DataFrame,
-    override val name: String = "LlmGenerator") extends Actor {
+    override val name: String = "LlmGenerator",
+    parallelism: Int = 5) extends Actor {
   override val outputName = "pred_sql"
   override val skill = s"$name: question + schema -> SQL via LLM"
 
@@ -71,7 +72,7 @@ final case class LlmGenerator(llm: LlmClient, schema: DataFrame,
     val cols = if (hasLinks) Seq("instance_id", "question", "schema_links")
       else Seq("instance_id", "question")
     val rows = ds.select(cols.map(col): _*).collect()
-    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq, parallelism) { r =>
       val links =
         if (hasLinks && !r.isNullAt(2))
           "\nSchema links:\n" + SchemaRender.formatLinks(r.getSeq[String](2))
@@ -89,7 +90,8 @@ final case class LlmGenerator(llm: LlmClient, schema: DataFrame,
   * sub_questions, extend): one LLM call per question, list-parsed.
   */
 final case class LlmDecomposer(llm: LlmClient,
-    override val name: String = "LlmDecomposer") extends Actor {
+    override val name: String = "LlmDecomposer",
+    parallelism: Int = 5) extends Actor {
   override val outputName = "sub_questions"
   override val strategy: MergeStrategy = MergeStrategy.Extend
   override val skill = s"$name: question -> sub-question list"
@@ -98,7 +100,7 @@ final case class LlmDecomposer(llm: LlmClient,
     val spark = ds.sparkSession
     import spark.implicits._
     val rows = ds.select(col("instance_id"), col("question")).collect()
-    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq, parallelism) { r =>
       (r.getString(0), SqlText.parseList(llm.complete(
         s"Decompose into sub-questions as a list.\nQuestion: ${r.getString(1)}\n[...]")))
     }
@@ -111,7 +113,8 @@ final case class LlmDecomposer(llm: LlmClient,
   * order like `list(dict.fromkeys(...))`).
   */
 final case class LlmScaler(llm: LlmClient, generateNum: Int,
-    override val name: String = "LlmScaler") extends Actor {
+    override val name: String = "LlmScaler",
+    parallelism: Int = 5) extends Actor {
   override val outputName = "pred_sql_list"
   override val strategy: MergeStrategy = MergeStrategy.Extend
   override val skill = s"$name: $generateNum SQL candidates per question"
@@ -120,7 +123,7 @@ final case class LlmScaler(llm: LlmClient, generateNum: Int,
     val spark = ds.sparkSession
     import spark.implicits._
     val rows = ds.select(col("instance_id"), col("question")).collect()
-    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq, parallelism) { r =>
       val cands = (0 until generateNum).map(i => SqlText.clean(llm.complete(
         s"Variant $i: write one SQL query for: ${r.getString(1)}\nSQL:")))
       (r.getString(0), cands.distinct)
@@ -137,7 +140,9 @@ final case class LlmScaler(llm: LlmClient, generateNum: Int,
   */
 final case class RepairOptimizer(llm: LlmClient, backend: SqlBackend,
     schema: DataFrame, mode: String,
-    override val name: String) extends Actor {
+    override val name: String,
+    debugTurns: Int = 2,
+    parallelism: Int = 5) extends Actor {
   override val outputName = "pred_sql"
   override val skill = s"$name: $mode-mode SQL repair with execution feedback"
 
@@ -146,14 +151,14 @@ final case class RepairOptimizer(llm: LlmClient, backend: SqlBackend,
     import spark.implicits._
     val schemaText = SchemaRender.parseSchemaFromDf(schema)
     val rows = ds.select(col("instance_id"), col("question"), col("pred_sql")).collect()
-    val out = graft.llm.LlmPar.mapBounded(rows.toSeq) { r =>
+    val out = graft.llm.LlmPar.mapBounded(rows.toSeq, parallelism) { r =>
       val (q, sql) = (r.getString(1), r.getString(2))
       val repaired = mode match {
         case "experience" => SqlDebug.debugByExperience(llm, q, schemaText, sql)
         case "chain" =>
           val first = SqlDebug.debugByExperience(llm, q, schemaText, sql)
-          SqlDebug.debugByFeedback(backend, llm, q, schemaText, first)._2
-        case _ => SqlDebug.debugByFeedback(backend, llm, q, schemaText, sql)._2
+          SqlDebug.debugByFeedback(backend, llm, q, schemaText, first, debugTurns)._2
+        case _ => SqlDebug.debugByFeedback(backend, llm, q, schemaText, sql, debugTurns)._2
       }
       (r.getString(0), repaired)
     }
@@ -163,14 +168,20 @@ final case class RepairOptimizer(llm: LlmClient, backend: SqlBackend,
 
 object OptimizeActors {
   /** DIN-SQL self-correction (`DINSQLOptimize.py:14-254`). */
-  def dinsql(llm: LlmClient, backend: SqlBackend, schema: DataFrame) =
-    RepairOptimizer(llm, backend, schema, "experience", "DINSQLOptimizer")
+  def dinsql(llm: LlmClient, backend: SqlBackend, schema: DataFrame,
+      debugTurns: Int = 2, parallelism: Int = 5) =
+    RepairOptimizer(llm, backend, schema, "experience", "DINSQLOptimizer",
+      debugTurns, parallelism)
   /** MAC-SQL Refiner execute-and-repair (`MACSQLOptimize.py:25-227`). */
-  def macsql(llm: LlmClient, backend: SqlBackend, schema: DataFrame) =
-    RepairOptimizer(llm, backend, schema, "feedback", "MACSQLOptimizer")
+  def macsql(llm: LlmClient, backend: SqlBackend, schema: DataFrame,
+      debugTurns: Int = 2, parallelism: Int = 5) =
+    RepairOptimizer(llm, backend, schema, "feedback", "MACSQLOptimizer",
+      debugTurns, parallelism)
   /** LinkAlign experience→feedback chain (`LinkAlignOptimize.py:14-395`). */
-  def linkAlign(llm: LlmClient, backend: SqlBackend, schema: DataFrame) =
-    RepairOptimizer(llm, backend, schema, "chain", "LinkAlignOptimizer")
+  def linkAlign(llm: LlmClient, backend: SqlBackend, schema: DataFrame,
+      debugTurns: Int = 2, parallelism: Int = 5) =
+    RepairOptimizer(llm, backend, schema, "chain", "LinkAlignOptimizer",
+      debugTurns, parallelism)
 }
 
 /** Adaptive meta-SQL optimization (reference

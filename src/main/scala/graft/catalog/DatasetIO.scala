@@ -24,8 +24,11 @@ object DatasetIO {
     case "tsv" => spark.read.option("header", "true").option("inferSchema", "true")
       .option("sep", "\t").csv(path)
     case "parquet" => spark.read.parquet(path)
-    case "xlsx" => // driver-side pre-convert (XlsxConvert), distributed read
+    case "xlsx" => // driver-side pre-convert (XlsxConvert), distributed read;
+      // multiLine + escape because csvQuote emits quoted embedded
+      // newlines and doubled quotes (Alt+Enter cells are common)
       spark.read.option("header", "true").option("inferSchema", "true")
+        .option("multiLine", "true").option("escape", "\"")
         .csv(XlsxConvert.toCsv(path))
     case other => throw new IllegalArgumentException(
       s"unsupported tabular format .$other (use loadText for txt/sql/md)")

@@ -19,6 +19,12 @@ import org.w3c.dom.Element
   * Spreadsheets are driver-sized by nature (the reference materializes
   * them through pandas the same way); the DISTRIBUTED load happens on
   * the converted CSV through `spark.read`.
+  *
+  * The default output is a driver-local temp file (deleted on JVM
+  * exit): fine for local mode and shared filesystems — the same
+  * constraint the reference's pandas path has. On a multi-node cluster
+  * without a shared FS, pass `csvPath` pointing at cluster storage so
+  * executors can read the converted file.
   */
 object XlsxConvert {
 
@@ -41,10 +47,14 @@ object XlsxConvert {
       val sheet = parse(zip.getInputStream(zip.getEntry(sheetName)))
 
       val rows = elems(sheet.getDocumentElement, "row").map { row =>
+        // the r= cell reference is optional (ECMA-376): an unreferenced
+        // cell is positional — it follows the previous cell in the row
+        var next = 0
         elems(row, "c").map { c =>
-          val colIdx = colIndex(c.getAttribute("r"))
-          val v = cellValue(c, shared)
-          colIdx -> v
+          val ref = colIndex(c.getAttribute("r"))
+          val colIdx = if (ref >= 0) ref else next
+          next = colIdx + 1
+          colIdx -> cellValue(c, shared)
         }
       }
       val width = rows.flatMap(_.map(_._1)).maxOption.getOrElse(-1) + 1
@@ -57,6 +67,7 @@ object XlsxConvert {
       val out = csvPath.getOrElse {
         val f = Files.createTempFile(
           Paths.get(xlsxPath).getFileName.toString.replaceAll("\\.[^.]+$", "") + "_", ".csv")
+        f.toFile.deleteOnExit()
         f.toString
       }
       Files.write(Paths.get(out),
@@ -83,13 +94,29 @@ object XlsxConvert {
   private def localName(e: Element): String =
     Option(e.getLocalName).getOrElse(e.getTagName.split(":").last)
 
-  /** Concatenated text of every `t` descendant (rich-text runs split a
-    * shared string across several `t` nodes).
+  /** Concatenated text of the `t` descendants that carry the value —
+    * rich-text runs split a shared string across several `t` nodes, but
+    * `t` nodes under `rPh` are phonetic guides (furigana in East Asian
+    * workbooks), not cell content, and must be excluded.
     */
   private def text(si: Element): String =
-    elems(si, "t").map(_.getTextContent).mkString
+    elems(si, "t").filterNot(underPhonetic(_, si)).map(_.getTextContent).mkString
 
-  /** "BC23" → 0-based column 54; empty/missing ref → -1 (caller appends). */
+  private def underPhonetic(t: Element, stop: Element): Boolean = {
+    var p = t.getParentNode
+    while (p != null && p != stop) {
+      p match {
+        case e: Element if localName(e) == "rPh" => return true
+        case _ => ()
+      }
+      p = p.getParentNode
+    }
+    false
+  }
+
+  /** "BC23" → 0-based column 54; empty/missing ref → -1 (caller treats
+    * the cell as positional, following the previous cell).
+    */
   private[catalog] def colIndex(ref: String): Int = {
     val letters = ref.takeWhile(_.isLetter).toUpperCase
     if (letters.isEmpty) -1

@@ -13,11 +13,16 @@ import graft.llm.LlmClient
   * reference's Router → Engine → execute() → evaluate() entry
   * (`startup_run/run.py:11-22`, `core/engine.py`): a `GraftConfig`
   * names the data source through the benchmark registry + identifier
-  * grammar, and its knobs (timeouts, parallelism, debug turns) drive
-  * the pipeline; nothing about the run is decided outside the config.
+  * grammar, and each knob feeds the stage that consumes it —
+  * `sqlTimeoutSec` the backend, `parallelism` the actors' bounded LLM
+  * fan-out and the evaluator pool, `debugTurns` the repair optimizer,
+  * `evalTimeoutSec` per-item evaluation.
   *
-  * `execute` runs reduce → parse → generate → optimize over a
-  * questions frame; `evaluate` is eval_all over the answered frame,
+  * `execute` runs the default reduce → parse → generate → optimize
+  * chain (the reference's single-SQL path) over a questions frame;
+  * pass a custom actor list via `execute(questions, actors)` for the
+  * candidate-scaling path (`LlmScaler(llm, cfg.generateNum)` + a
+  * selector). `evaluate` is eval_all over the answered frame,
   * returning per-item outcomes plus the one-row summary.
   */
 final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
@@ -41,16 +46,25 @@ final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
   }
 
   /** The configured actor chain. ZeroReducer stands in when no reduce
-    * turns are configured (reduceTurns == 0, the registry default).
+    * turns are configured (reduceTurns == 0, the registry default);
+    * the LLM-calling stages fan out at cfg.parallelism and the
+    * optimizer repairs for cfg.debugTurns rounds.
     */
   def pipeline(): PipelineActor = PipelineActor(Seq(
     ZeroReducer(),
     ParseActors.dinsql(llm, schemaDf),
-    LlmGenerator(llm, schemaDf),
-    OptimizeActors.macsql(llm, backend, schemaDf)))
+    LlmGenerator(llm, schemaDf, parallelism = cfg.parallelism),
+    OptimizeActors.macsql(llm, backend, schemaDf,
+      debugTurns = math.max(cfg.debugTurns, 1), parallelism = cfg.parallelism)))
 
   /** Run the pipeline over (instance_id, question, gold_sql) rows. */
   def execute(questions: DataFrame): DataFrame = pipeline().act(questions)
+
+  /** Run a caller-supplied actor chain with the same configured data
+    * root and schema — the override point for scaling/selection paths.
+    */
+  def execute(questions: DataFrame, actors: Seq[graft.actors.Actor]): DataFrame =
+    graft.actors.PipelineActor(actors).act(questions)
 
   /** eval_all over the answered frame: per-item outcomes + summary. */
   def evaluate(answered: DataFrame): (Seq[ExOutcome], ExSummary) = {

@@ -65,7 +65,9 @@ final class HttpLlmClient(cfg: LlmConfig,
   private def parseContent(json: String): String = {
     val root = mapper.readTree(json)
     val content = root.path("choices").path(0).path("message").path("content")
-    require(!content.isMissingNode,
+    // explicit null content (tool-call / filtered responses) must fail,
+    // not become the literal string "null" flowing into pred_sql
+    require(!content.isMissingNode && !content.isNull,
       s"malformed chat-completions response (no choices[0].message.content): " +
         json.take(200))
     content.asText()

@@ -23,6 +23,13 @@ import graft.functions.TextAnalysis
   * quadratic. Banding bounds every bucket by signature agreement
   * instead; pass `bandedLsh = false` only for small-corpus exact
   * baselines. The drop policy is identical on either path.
+  *
+  * Band tuning: the LSH S-curve threshold sits near (1/b)^(1/r), so
+  * the default h=16, bands=8 (rows r=2) centers at ~0.35 — giving
+  * ~90% candidate recall at the advertised 0.5 Jaccard cut (b=4/r=4
+  * would center at ~0.71 and silently miss ~3/4 of threshold pairs).
+  * Extra candidates below the cut only cost verification — they are
+  * exact-Jaccard-filtered, never dropped.
   */
 object CorpusClean {
 
@@ -30,7 +37,7 @@ object CorpusClean {
       jaccardThreshold: Double, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang", bandedLsh: Boolean = true,
-      minhashH: Int = 16, minhashBands: Int = 4): DataFrame = {
+      minhashH: Int = 16, minhashBands: Int = 8): DataFrame = {
     val filtered = docs.filter(
       col(langCol).isin(langs: _*) && length(col(textCol)) >= minChars)
     val exact = RowOps.dedupBy(

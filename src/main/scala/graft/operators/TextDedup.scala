@@ -167,16 +167,18 @@ object TextDedup {
           .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
             explode(col("__shh")).as("__h"))
       case Some(cap) =>
-        val ex = withShingleHashes(df, idCol, textCol, n)
+        // rows are (doc, hash)-distinct, so a count over the hash
+        // partition IS document frequency. Both counts are window
+        // functions (not groupBy+join-back) so the scan+tokenize+hash
+        // subtree is evaluated ONCE — Catalyst does not share
+        // non-exchange subtrees across join consumers.
+        import org.apache.spark.sql.expressions.Window
+        withShingleHashes(df, idCol, textCol, n)
           .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
-        // rows are (doc, hash)-distinct, so count(*) per hash IS document
-        // frequency; the keep-join reuses the same hash partitioning the
-        // pair join needs
-        val keep = ex.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select(col("__h"))
-        val filtered = ex.join(keep, "__h")
-        val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-        filtered.join(sizes, "__id").select(col("__id"), col("__n"), col("__h"))
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+          .filter(col("__df") <= cap)
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+          .select(col("__id"), col("__n"), col("__h"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
     s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))

@@ -382,7 +382,9 @@ object CoverageQueries extends QueryPack {
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy(col("doc_id")),
       Some {
-        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        // flagship banding is h=16, bands=8 (S-curve centered ~0.35 for
+        // ~90% candidate recall at the 0.5 cut) — mirror exactly
+        val bandCond = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
         s"""WITH filt AS (
            |  SELECT doc_id, text, lang, source FROM documents
            |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
@@ -392,7 +394,7 @@ object CoverageQueries extends QueryPack {
            |d1 AS (SELECT f.doc_id, f.text, f.lang, f.source
            |       FROM filt f JOIN k1 USING (doc_id)),
            |${DedupOracles.base("d1")},
-           |${DedupOracles.minhashBandCtes()},
+           |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
            |${DedupOracles.interJac},
            |drp AS (SELECT DISTINCT j.id2 FROM j
            |        JOIN bnd x ON x.doc_id = j.id1
