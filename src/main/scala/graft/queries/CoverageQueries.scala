@@ -71,7 +71,84 @@ object CoverageQueries extends QueryPack {
        |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
        |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** One unrolled spherical k-means iteration as DuckDB CTEs:
+    * assignment (argmax fold-dot, larger-cell tie-break — the exact
+    * `array_max(struct(score, cell))` semantics), per-(cell, pos)
+    * decimal(28,10) sums of the unit-normalized members, and the
+    * COALESCE keep-old for empty cells. Mirrors
+    * `IvfIndex.kmeansCentroids` bit for bit.
+    */
+  private def kmeansIterCtes(prev: String, next: String): String =
+    s"""asg_$next AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM eb e CROSS JOIN $prev c),
+       |x_$next AS (
+       |  SELECT cell, nrm,
+       |         unnest(embedding) AS v,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM asg_$next WHERE rn = 1),
+       |sum_$next AS (
+       |  SELECT cell, pos,
+       |         SUM(CAST(CAST(v AS DOUBLE) / nrm AS DECIMAL(28,10))) AS s
+       |  FROM x_$next GROUP BY cell, pos),
+       |lst_$next AS (
+       |  SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS sv
+       |  FROM sum_$next GROUP BY cell),
+       |$next AS (
+       |  SELECT c.cell,
+       |         CASE WHEN l.sv IS NULL THEN c.cv
+       |              ELSE list_transform(l.sv, u -> u / sqrt(${oDot("l.sv", "l.sv")}))
+       |         END AS cv
+       |  FROM $prev c LEFT JOIN lst_$next l ON l.cell = c.cell)""".stripMargin
+
+  private val KmeansOracle: String =
+    s"""WITH cent0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         embedding AS cv0
+       |  FROM embeddings
+       |  WHERE vec_id % GREATEST((SELECT COUNT(*) // 8 FROM embeddings), 1) = 0
+       |  ORDER BY vec_id LIMIT 8),
+       |centu0 AS (
+       |  SELECT cell,
+       |         list_transform(cv0, u -> CAST(u AS DOUBLE) / sqrt(${oDot("cv0", "cv0")})) AS cv
+       |  FROM cent0),
+       |eb AS (
+       |  SELECT vec_id, embedding, ${VectorOps.oNorm("embedding")} AS nrm
+       |  FROM embeddings
+       |  WHERE ${VectorOps.oNorm("embedding")} > 0),
+       |${kmeansIterCtes("centu0", "centu1")},
+       |${kmeansIterCtes("centu1", "centu2")},
+       |fin AS (
+       |  SELECT e.vec_id, c.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings e CROSS JOIN centu2 c)
+       |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS first_vec
+       |FROM fin WHERE rn = 1
+       |GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_ivf_kmeans",
+      "Spherical k-means quantizer refinement with the FULL algorithm " +
+        "mirrored in the oracle: systematic unit-normalized seeds, two " +
+        "Lloyd iterations (argmax fold-dot assignment with the " +
+        "struct-max tie-break, decimal(28,10) member sums, driver " +
+        "normalize, keep-old empty cells), then final cell assignment — " +
+        "membership counts agree bit-for-bit across engines.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = IvfIndex.kmeansCentroids(emb, "vec_id", "embedding",
+          nlist = 8, iters = 2)
+        IvfIndex.assignCells(emb, "vec_id", "embedding", cents)
+          .groupBy(col("__cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_vec"))
+          .orderBy(col("cell"))
+      },
+      Some(KmeansOracle)),
 
     // -- schema-linking metrics (reference core/evaluate.py:305-396) --------
     GQuery(
