@@ -111,6 +111,36 @@ object RowOps {
     df.filter(draw < threshold)
   }
 
+  /** Per-source token-budget corpus mixing — the pretraining mixture
+    * step: each source contributes documents, in a deterministic
+    * pseudo-random order (multiplicative hash of the id — same
+    * overflow-safe arithmetic as `stratifiedSample`), until its token
+    * budget is exhausted; a document is kept when the running total
+    * INCLUDING it still fits. Hash order makes the kept set a
+    * representative sample rather than an id-prefix, and identical on
+    * any engine, partitioning, or cluster size.
+    *
+    * Scale shape: one window over (source) — partitioned by the
+    * mixture key, never a global funnel; per-row work is a hash and a
+    * running sum. Budgets are per-source overrides over a default
+    * (mixtures name a handful of sources; the `when` chain stays
+    * driver-sized).
+    */
+  def tokenBudgetSample(df: DataFrame, srcCol: String, tokensCol: String,
+      defaultBudget: Long, overrides: Map[String, Long] = Map.empty,
+      idCol: String = "doc_id"): DataFrame = {
+    val budget = overrides.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    val ord = pmod(
+      pmod(col(idCol).cast("long"), lit(1000000007L)) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col(srcCol)).orderBy(ord, col(idCol))
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Split a schema/record set into slices of ≤ sliceSize for parallel
     * downstream processing (`parallel_slice_parse`,
     * `core/actor/parser/BaseParse.py:160-217`).

@@ -132,6 +132,46 @@ object CoverageQueries extends QueryPack {
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
+      "q_token_budget_mix",
+      "Pretraining corpus mixing by per-source token budgets: documents " +
+        "join the mixture in deterministic hash order until their " +
+        "source's budget (default 600 tokens; src0 capped at 200) is " +
+        "exhausted — one window partitioned by source, engine-portable " +
+        "running sums.",
+      (s, dir) => {
+        import graft.functions.TextAnalysis
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))))
+        graft.operators.RowOps.tokenBudgetSample(
+          docs, "source", "n_tok", defaultBudget = 600L,
+          overrides = Map("src0" -> 200L), idCol = "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH tk AS (
+          |  SELECT doc_id, source,
+          |         len(list_filter(string_split_regex(lower(text), '\s+'),
+          |                         t -> length(t) > 0)) AS n_tok
+          |  FROM documents),
+          |h AS (
+          |  SELECT *, ((doc_id % 1000000007) * 2654435761) % 1000000007 AS ord
+          |  FROM tk),
+          |c AS (
+          |  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+          |  FROM h),
+          |kept AS (
+          |  SELECT * FROM c
+          |  WHERE cum <= CASE WHEN source = 'src0' THEN 200 ELSE 600 END)
+          |SELECT source, COUNT(*) AS n_docs,
+          |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          |       MIN(doc_id) AS first_doc
+          |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
+
+    GQuery(
       "q_ivf_kmeans",
       "Spherical k-means quantizer refinement with the FULL algorithm " +
         "mirrored in the oracle: systematic unit-normalized seeds, two " +

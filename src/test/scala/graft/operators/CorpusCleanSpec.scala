@@ -62,4 +62,24 @@ class CorpusCleanSpec extends SparkSpec {
       assert(math.abs(got - f) < 0.25, s"$l: got $got want ~$f")
     }
   }
+
+  test("tokenBudgetSample respects budgets, overrides, and partitioning") {
+    import graft.functions.TextAnalysis
+    val withTok = docs.withColumn("n_tok", size(TextAnalysis.tokens(col("text"))))
+    def kept(parts: Int): Set[Long] =
+      RowOps.tokenBudgetSample(withTok.repartition(parts), "source", "n_tok",
+        defaultBudget = 300L, overrides = Map("src0" -> 100L))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k1 = kept(1)
+    assert(k1 == kept(13) && k1.nonEmpty, "kept set depends on partitioning")
+    // every source's kept tokens fit its budget
+    val bySource = RowOps.tokenBudgetSample(withTok, "source", "n_tok",
+      defaultBudget = 300L, overrides = Map("src0" -> 100L))
+      .groupBy("source").agg(sum(col("n_tok")).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (s, tot) =>
+      val budget = if (s == "src0") 100L else 300L
+      assert(tot <= budget, s"$s exceeded budget: $tot > $budget")
+    }
+  }
 }
