@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The consuming harness parses the LAST stdout line of `runMain graft.Bench`
+// as JSON. sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] ", which breaks line-level JSON parsing (BENCH_r04: the JSON
+// line was fully present in the tail yet recorded parsed:null). StdoutOutput
+// passes the child's stdout/stderr through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
