@@ -34,12 +34,23 @@ object Bench {
       graft.catalog.Tables.load(spark, sfDir, "region").count()
     } catch { case _: Throwable => }
 
+    // each query is timed TWICE and the min reported: two rounds of
+    // identical-code bench runs showed 2-6× per-query run-to-run noise
+    // (JIT, page cache, GC alignment), which made per-query regressions
+    // unactionable. min-of-2 keeps the bench within ~2× wall time and
+    // bounds the noise band to ~1.3×. bytes_read comes from the second
+    // (warm) run so the total reflects one pass over the data.
     val results = SparkEntry.allQueries.map { q =>
-      val t0 = System.nanoTime()
-      val stats =
-        try Some(ScanMetrics.execAndMeasure(q.build(spark, sfDir))._2)
-        catch { case _: Throwable => None }
-      (q.name, (System.nanoTime() - t0) / 1e9, stats)
+      def once() = {
+        val t0 = System.nanoTime()
+        val stats =
+          try Some(ScanMetrics.execAndMeasure(q.build(spark, sfDir))._2)
+          catch { case _: Throwable => None }
+        ((System.nanoTime() - t0) / 1e9, stats)
+      }
+      val (t1, _) = once()
+      val (t2, s2) = once()
+      (q.name, math.min(t1, t2), s2)
     }
     // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
     // and sbt appends its own [success] banner after us: with 87+ queries the

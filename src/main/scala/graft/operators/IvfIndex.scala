@@ -63,9 +63,14 @@ object IvfIndex {
     * sums go through decimal(28,10) (commutative, exact), and the
     * unit-normalize runs on the driver — byte-identical centroids on
     * any partitioning, so a rebuilt index never silently reshuffles
-    * cells. Per iteration: one scan + one (cell, pos) aggregation of
-    * nlist×dim rows to the driver. Empty cells keep their previous
-    * centroid.
+    * cells. Empty cells keep their previous centroid.
+    *
+    * Per iteration: one scan of the PERSISTED base (scan + norm are
+    * computed once, not once per Lloyd iteration) and one groupBy(cell)
+    * with dim aggregate columns — nlist rows × dim columns to the
+    * driver, no row explosion: the earlier posexplode shape shuffled
+    * rows×dim rows per iteration, this shuffles nlist×partitions
+    * partial-agg rows.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 5): Seq[(Int, Seq[Double])] = {
@@ -80,26 +85,31 @@ object IvfIndex {
     val base = corpus
       .select(col(vecCol).as("__vec"), FloatVec.normF(col(vecCol)).as("__nrm"))
       .filter(col("__nrm") > 0)
-    for (_ <- 0 until iters) {
-      val sums = base
-        .withColumn("__cell",
-          array_max(cellScores(col("__vec"), cents)).getField("cell"))
-        .select(col("__cell"), col("__nrm"),
-          posexplode(col("__vec")).as(Seq("pos", "v")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(sum((col("v") / col("__nrm")).cast("decimal(28,10)")).as("s"))
-        .collect()
-      val byCell = sums.groupBy(_.getInt(0))
-      cents = cents.map { case (cid, old) =>
-        byCell.get(cid) match {
-          case Some(rows) =>
-            val vec = Array.fill(dim)(0.0)
-            rows.foreach(r => vec(r.getInt(1)) = r.getDecimal(2).doubleValue())
-            cid -> unit(vec.toIndexedSeq)
-          case None => cid -> old
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // element_at(vec,i+1)/nrm is float/double → double, identical to
+      // the posexplode'd v/nrm it replaces; decimal sums are exact and
+      // commutative, so values are bit-equal on any partitioning.
+      val sumCols = (0 until dim).map(i =>
+        sum((element_at(col("__vec"), i + 1) / col("__nrm"))
+          .cast("decimal(28,10)")).as(s"__s$i"))
+      for (_ <- 0 until iters) {
+        val rows = base
+          .withColumn("__cell",
+            array_max(cellScores(col("__vec"), cents)).getField("cell"))
+          .groupBy(col("__cell"))
+          .agg(sumCols.head, sumCols.tail: _*)
+          .collect()
+        val byCell = rows.map(r => r.getInt(0) ->
+          (0 until dim).map(i => r.getDecimal(i + 1).doubleValue()).toIndexedSeq).toMap
+        cents = cents.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(vec) => cid -> unit(vec)
+            case None      => cid -> old
+          }
         }
       }
-    }
+    } finally base.unpersist(blocking = false)
     cents
   }
 

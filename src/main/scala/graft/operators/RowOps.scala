@@ -116,29 +116,72 @@ object RowOps {
     * pseudo-random order (multiplicative hash of the id — same
     * overflow-safe arithmetic as `stratifiedSample`), until its token
     * budget is exhausted; a document is kept when the running total
-    * INCLUDING it still fits. Hash order makes the kept set a
-    * representative sample rather than an id-prefix, and identical on
-    * any engine, partitioning, or cluster size.
+    * INCLUDING it still fits (dropped documents still consume budget —
+    * the cumsum runs over ALL rows in hash order). Hash order makes the
+    * kept set a representative sample rather than an id-prefix, and
+    * identical on any engine, partitioning, or cluster size.
     *
-    * Scale shape: one window over (source) — partitioned by the
-    * mixture key, never a global funnel; per-row work is a hash and a
-    * running sum. Budgets are per-source overrides over a default
-    * (mixtures name a handful of sources; the `when` chain stays
-    * driver-sized).
+    * Scale shape: a mixture names a HANDFUL of sources, so a window
+    * partitioned by source would serialize each source's entire corpus
+    * through one reducer — the low-key-cardinality funnel. Instead this
+    * is the `SeqPack.withRunningTotal` two-pass cumsum applied per
+    * source: range-partition on (source, hash, id) so each source's
+    * rows are globally ordered ACROSS full-width partitions, collect
+    * per-(partition, source) token totals (≤ #partitions + #sources
+    * rows — the only driver data), turn them into exclusive offsets,
+    * then a single partition-local pass accumulates the running total
+    * and keeps rows within budget. No Window node anywhere in the plan;
+    * both shuffles are full-width.
     */
   def tokenBudgetSample(df: DataFrame, srcCol: String, tokensCol: String,
       defaultBudget: Long, overrides: Map[String, Long] = Map.empty,
       idCol: String = "doc_id"): DataFrame = {
-    val budget = overrides.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
-      when(col(srcCol) === k, lit(v)).otherwise(acc)
-    }
+    val spark = df.sparkSession
     val ord = pmod(
       pmod(col(idCol).cast("long"), lit(1000000007L)) * lit(2654435761L),
       lit(1000000007L))
-    val w = Window.partitionBy(col(srcCol)).orderBy(ord, col(idCol))
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    // persisted: the offsets job and the output job must see the SAME
+    // range bounds (see SeqPack.withRunningTotal)
+    val ranged = df
+      .withColumn("__ord", ord)
+      .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .repartitionByRange(col(srcCol), col("__ord"), col(idCol))
+      .sortWithinPartitions(col(srcCol), col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged
+      .groupBy(col("__pid"), col(srcCol).cast("string").as("__src"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), String.valueOf(r.getString(1)), r.getLong(2)))
+    // exclusive running offset of each (partition, source): total of the
+    // same source in all earlier partitions
+    val offsets: Map[(Int, String), Long] = totals.groupBy(_._2).flatMap {
+      case (src, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3))
+          .map { case (pid, off) => (pid, src) -> off }
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val schema = ranged.schema
+    val srcIdx = schema.fieldIndex(srcCol)
+    val tokIdx = schema.fieldIndex("__tok")
+    val pidIdx = schema.fieldIndex("__pid")
+    val kept = ranged.mapPartitions { it =>
+      // partition-local sequential pass: rows arrive sorted by
+      // (source, hash, id); seed each source's accumulator with its
+      // exclusive cross-partition offset
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      it.filter { row =>
+        val src = String.valueOf(row.get(srcIdx))
+        val pid = row.getInt(pidIdx)
+        val cum = running.getOrElse(src,
+          offB.value.getOrElse((pid, src), 0L)) + row.getLong(tokIdx)
+        running(src) = cum
+        cum <= overrides.getOrElse(src, defaultBudget)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    kept.drop("__ord", "__tok", "__pid")
   }
 
   /** Split a schema/record set into slices of ≤ sliceSize for parallel

@@ -141,26 +141,29 @@ object Similarity {
     for (r <- 1 to rounds) {
       val qCol = array(query.map(lit): _*)
       // global top-k via orderBy+limit = TakeOrderedAndProject (scale-safe,
-      // no single-partition window); rank is then assigned over k rows only.
-      val topk = corpus
+      // no single-partition window); rank is assigned on the DRIVER over
+      // the k collected rows — a lit(0)-partitioned window is folded by
+      // Spark 4's EliminateWindowPartitions into a genuinely
+      // unpartitioned WindowExec.
+      val topkRows = corpus
         .join(seen, Seq(idCol), "left_anti")
         .withColumn("score", VectorOps.cosine(col(vecCol), qCol))
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
-      val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col(idCol))
-      val round = topk
-        .withColumn("rank", row_number().over(w))
-        .withColumn("round_n", lit(r))
-        .select(col(idCol), col("score"), col("rank"), col("round_n"))
-      val roundRows = round.collect() // k rows — tiny by construction
-      seen = seen.union(roundRows.map(_.getLong(0)).toSeq.toDF(idCol))
+        .select(col(idCol), col("score"))
+        .collect() // k rows — tiny by construction
+        .sortBy(row => (-row.getDouble(1), row.getLong(0)))
+      val round = topkRows.zipWithIndex.toSeq
+        .map { case (row, i) => (row.getLong(0), row.getDouble(1), i + 1, r) }
+        .toDF(idCol, "score", "rank", "round_n")
+      seen = seen.union(topkRows.map(_.getLong(0)).toSeq.toDF(idCol))
       out = Some(out.map(_.union(round)).getOrElse(round))
       // next query = per-dimension left-fold double sum of this round's
       // vectors in id order (same direction as the centroid — cosine is
       // scale-invariant — and an order-pinned fold, so any engine
       // reproducing the fold gets bit-identical scores next round)
       if (r < rounds) {
-        val ids = roundRows.map(_.getLong(0)).toSeq
+        val ids = topkRows.map(_.getLong(0)).toSeq
         val vecs = corpus.join(ids.toDF(idCol), Seq(idCol))
           .select(col(idCol), col(vecCol)).collect()
           .sortBy(_.getLong(0))

@@ -136,8 +136,9 @@ object CoverageQueries extends QueryPack {
       "Pretraining corpus mixing by per-source token budgets: documents " +
         "join the mixture in deterministic hash order until their " +
         "source's budget (default 600 tokens; src0 capped at 200) is " +
-        "exhausted — one window partitioned by source, engine-portable " +
-        "running sums.",
+        "exhausted — two-pass range-partitioned cumsum per source, no " +
+        "Window node (a source-partitioned window would funnel each " +
+        "source through one reducer).",
       (s, dir) => {
         import graft.functions.TextAnalysis
         val docs = t(s, dir, "documents")

@@ -131,6 +131,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_token_budget_mix has no Window node (two-pass cumsum, not a per-source funnel)") {
+    // a mixture names a handful of sources: Window.partitionBy(source)
+    // would serialize each source's whole corpus through one reducer.
+    // The two-pass range-partition cumsum must keep every Window out of
+    // the plan entirely.
+    val p = planOf("q_token_budget_mix")
+    assert(!p.contains("Window ["),
+      "token-budget mix plan contains a Window node — per-source funnel is back")
+  }
+
   test("whole-stage codegen covers the dedup hash pipeline") {
     val p = planOf("q_minhash_dedup", execute = true)
     // codegen'd operators print with the `*(n)` stage marker
