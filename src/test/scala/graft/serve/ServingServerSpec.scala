@@ -1,0 +1,90 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+import graft.actors.LlmGenerator
+import graft.catalog.Tables
+import graft.llm.MockLlm
+
+/** End-to-end serving: start the HTTP server, POST question records,
+  * decode the JSON responses — the full reference `app/run.py` path
+  * with `MockLlm` standing in for the generation model.
+  */
+class ServingServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private lazy val schemaDf = {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    Seq(("region", "r_regionkey", "INTEGER"), ("region", "r_name", "TEXT"))
+      .toDF("table_name", "column_name", "column_types")
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withServer(pred: String)(f: Int => Unit): Unit = {
+    val server = new ServingServer(spark,
+      LlmGenerator(MockLlm(default = pred), schemaDf),
+      taskTimeoutSec = 120, sqlTimeoutSec = 60)
+    val port = server.start()
+    try f(port) finally server.stop()
+  }
+
+  test("POST /api/run answers a question and scores EX against gold") {
+    withServer("SELECT COUNT(*) AS n FROM region") { port =>
+      val (status, body) = post(port, "/api/run",
+        """{"instance_id":"s1","question":"how many regions",
+          |"gold_sql":"SELECT COUNT(*) AS n FROM region"}""".stripMargin)
+      assert(status == 200, body)
+      val root = mapper.readTree(body)
+      assert(root.get("pred_sql").asText() == "SELECT COUNT(*) AS n FROM region")
+      assert(root.get("execute_accuracy").asInt() == 1)
+      assert(root.get("duration_seconds").asDouble() > 0.0)
+    }
+  }
+
+  test("POST /api/run without gold returns null accuracy; bad payload 400s") {
+    withServer("SELECT 1 AS x") { port =>
+      val (s1, b1) = post(port, "/api/run",
+        """{"instance_id":"s2","question":"anything"}""")
+      assert(s1 == 200 && mapper.readTree(b1).get("execute_accuracy").isNull)
+      val (s2, _) = post(port, "/api/run", """{"question":"no id"}""")
+      assert(s2 == 400)
+      val (s3, _) = post(port, "/api/run", "not json at all")
+      assert(s3 == 500 || s3 == 400)
+    }
+  }
+
+  test("POST /api/run_batch applies the staged reward per item") {
+    // pred executes and matches gold → 0.5 + 1 + 1.5 + speed bonus (> 3.0);
+    // pred executes but wrong result → 0.5 + 1 − 1.5 = 0.0;
+    // gold broken → cannot evaluate → 0.5 − 1 = −0.5
+    withServer("SELECT COUNT(*) AS n FROM region") { port =>
+      val (status, body) = post(port, "/api/run_batch",
+        """{"val_0":[
+          |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"},
+          |  {"question":"count regions","gold_sql":"SELECT COUNT(*) + 1 AS n FROM region"},
+          |  {"question":"count regions","gold_sql":"SELECT broken FROM nowhere"}
+          |]}""".stripMargin)
+      assert(status == 200, body)
+      val scores = mapper.readTree(body).get("val_0")
+      assert(scores.size() == 3)
+      assert(scores.get(0).asDouble() > 3.0 && scores.get(0).asDouble() <= 3.5)
+      assert(scores.get(1).asDouble() == 0.0)
+      assert(scores.get(2).asDouble() == -0.5)
+    }
+  }
+}
