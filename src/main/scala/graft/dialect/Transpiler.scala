@@ -222,14 +222,84 @@ object Transpiler {
         s"(CAST(datediff(${m.group(1)}, DATE'1970-01-01') AS DOUBLE) + 2440587.5)"))
   }
 
+  /** sqlite's double-quoted fallback: a double-quoted token is an
+    * identifier when it RESOLVES to one and silently becomes a string
+    * literal otherwise — benchmark gold SQL leans on both readings.
+    * With a caller-provided identifier set (table/column names,
+    * case-insensitive) the decision is exact; without one, structural
+    * identifier positions (dot-qualified refs, and tokens right after
+    * FROM / JOIN / AS / INTO / UPDATE / TABLE) stay identifiers and
+    * everything else falls back to a literal. Identifiers come out
+    * backtick-quoted, literals single-quoted with `''` escaping.
+    */
+  private def rewriteDoubleQuoted(sql: String, identifiers: Set[String]): String = {
+    val known = identifiers.map(_.toLowerCase)
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // copy single-quoted literals verbatim ('' escape)
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '"') {
+        val start = i
+        i += 1
+        val tok = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == '"') {
+            if (i + 1 < n && sql.charAt(i + 1) == '"') { tok.append('"'); i += 2 }
+            else { closed = true; i += 1 }
+          } else { tok.append(d); i += 1 }
+        }
+        val t = tok.toString
+        val isIdent =
+          known.contains(t.toLowerCase) ||
+            (identifiers.isEmpty && identifierPosition(sql, start, i))
+        if (isIdent) sb.append('`').append(t.replace("`", "``")).append('`')
+        else sb.append('\'').append(t.replace("'", "''")).append('\'')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Structurally-identifier positions for the no-catalog fallback. */
+  private def identifierPosition(sql: String, start: Int, end: Int): Boolean = {
+    var b = start - 1
+    while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+    var a = end
+    while (a < sql.length && sql.charAt(a).isWhitespace) a += 1
+    if (b >= 0 && sql.charAt(b) == '.') return true
+    if (a < sql.length && sql.charAt(a) == '.') return true
+    val kw = sql.substring(0, b + 1).reverse
+      .takeWhile(ch => Character.isLetterOrDigit(ch) || ch == '_')
+      .reverse.toUpperCase
+    Set("FROM", "JOIN", "AS", "INTO", "UPDATE", "TABLE").contains(kw)
+  }
+
   /** sqlite-strict variant: sqlite's LIKE is ASCII-case-insensitive by
     * default, Spark's is case-sensitive — a silent row-set difference
     * on every text predicate. Word-bounded LIKE → ILIKE (NOT ILIKE is
     * valid Spark, and the 'I' prefix keeps an existing ILIKE token out
-    * of the rewriter's word boundary).
+    * of the rewriter's word boundary). Double-quoted tokens resolve via
+    * `rewriteDoubleQuoted` FIRST (so literal-ized ones are then opaque
+    * to every later rewrite); integer-division semantics need the
+    * analyzed plan and live in `SqliteExec.sql`.
     */
-  def transpileSqlite(sql: String): String =
-    replaceToken(transpile(sql), "LIKE", "ILIKE")
+  def transpileSqlite(sql: String): String = transpileSqlite(sql, Set.empty)
+
+  def transpileSqlite(sql: String, identifiers: Set[String]): String =
+    replaceToken(transpile(rewriteDoubleQuoted(sql, identifiers)), "LIKE", "ILIKE")
 
   /** Full rewrite pipeline. Idempotent. */
   def transpile(sql: String): String = {

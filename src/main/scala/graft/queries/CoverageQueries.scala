@@ -292,6 +292,89 @@ object CoverageQueries extends QueryPack {
              |GROUP BY yr, bucket ORDER BY yr, bucket""".stripMargin)),
 
     GQuery(
+      "q_sqlite_div",
+      "sqlite-strict semantics end to end: the double-quoted " +
+        "string-literal fallback (FROM \"orders\" stays an identifier, " +
+        "= \"F\" becomes a literal — sqlite's resolution rule) and " +
+        "integer division (int/int truncates), applied as a type-aware " +
+        "rewrite of Divide to IntegralDivide on the analyzed plan.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          graft.dialect.SqliteExec.sql(spark,
+            """SELECT o_orderpriority AS priority,
+              |       COUNT(*) AS n_orders,
+              |       SUM(o_custkey) / COUNT(*) AS avg_cust_trunc
+              |FROM "orders"
+              |WHERE o_orderstatus = "F"
+              |GROUP BY o_orderpriority
+              |ORDER BY priority""".stripMargin)
+        },
+      Some("""SELECT o_orderpriority AS priority,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(o_custkey) // COUNT(*) AS BIGINT) AS avg_cust_trunc
+             |FROM orders
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderpriority
+             |ORDER BY priority""".stripMargin)),
+
+    GQuery(
+      "q_ddl_scan",
+      "Introspection shim end to end: PRAGMA table_info probes are " +
+        "intercepted by the backend's dialect door and answered from " +
+        "the Spark catalog in sqlite's (cid, name, type, notnull, " +
+        "dflt_value, pk) layout — the oracle mirrors with DuckDB's own " +
+        "pragma_table_info over the same parquet.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          val backend = new graft.exec.SqlBackend(spark)
+          def info(table: String) = backend.runDialect(s"PRAGMA table_info($table)") match {
+            case graft.exec.ExecOk(df, _) => df.withColumn("tbl", lit(table))
+            case graft.exec.ExecErr(e, _) => throw new IllegalStateException(e)
+          }
+          info("nation").unionByName(info("region"))
+            .orderBy(col("tbl"), col("cid"))
+        },
+      Some("""SELECT cid, name,
+             |       CASE type WHEN 'INTEGER' THEN 'int' WHEN 'VARCHAR' THEN 'string'
+             |                 WHEN 'BIGINT' THEN 'bigint' WHEN 'DOUBLE' THEN 'double'
+             |                 WHEN 'DATE' THEN 'date' ELSE lower(type) END AS type,
+             |       CAST("notnull" AS INT) AS notnull, dflt_value, CAST(pk AS INT) AS pk, tbl
+             |FROM (SELECT *, 'nation' AS tbl FROM pragma_table_info('nation')
+             |      UNION ALL
+             |      SELECT *, 'region' AS tbl FROM pragma_table_info('region'))
+             |ORDER BY tbl, cid""".stripMargin)),
+
+    GQuery(
+      "q_execute_sql",
+      "Stringified execute_sql facade (core/db_connect.py:158-191 " +
+        "conventions): 1x1 results collapse to a bare scalar, empty " +
+        "results yield the fixed no-data sentence, small tables render " +
+        "header + comma-joined rows — each convention reproduced " +
+        "byte-for-byte by a DuckDB string-building oracle.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          import spark.implicits._
+          val backend = new graft.exec.SqlBackend(spark)
+          Seq(
+            (1L, backend.runToString("SELECT COUNT(*) FROM region")),
+            (2L, backend.runToString("SELECT r_name FROM region WHERE r_name = 'ZZZ'")),
+            (3L, backend.runToString("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")))
+            .toDF("probe_id", "result")
+            .orderBy(col("probe_id"))
+        },
+      Some("""SELECT CAST(1 AS BIGINT) AS probe_id,
+             |       CAST(COUNT(*) AS VARCHAR) AS result FROM region
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'No data found for the specified query.'
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT),
+             |       'r_regionkey, r_name' ||
+             |       string_agg(chr(10) || CAST(r_regionkey AS VARCHAR) || ', ' || r_name,
+             |                  '' ORDER BY r_regionkey)
+             |FROM region
+             |ORDER BY probe_id""".stripMargin)),
+
+    GQuery(
       "q_transpile_qualify",
       "QUALIFY (Snowflake-ism) transpiled to a subquery filter and " +
         "executed: top-2 lineitems per supplier by quantity.",

@@ -96,4 +96,44 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%RED%'").head().getLong(0)
     assert(ci >= cs, "ILIKE must match at least the case-sensitive rows")
   }
+
+  test("double-quoted fallback: known identifiers stay, unknowns become literals") {
+    import Transpiler.transpileSqlite
+    // exact sqlite rule with a catalog: resolve → identifier, else literal
+    assert(transpileSqlite("""SELECT "name" FROM t WHERE city = "New York"""",
+      identifiers = Set("name", "t", "city")) ==
+      "SELECT `name` FROM t WHERE city = 'New York'")
+    // embedded single quote escapes as ''
+    assert(transpileSqlite("""SELECT a FROM t WHERE x = "O'Brien"""",
+      identifiers = Set("t", "a", "x")) ==
+      "SELECT a FROM t WHERE x = 'O''Brien'")
+    // no catalog: dot-qualified and FROM/JOIN/AS positions are structural
+    // identifiers, value positions fall back to literals
+    assert(transpileSqlite("""SELECT o."col a" FROM "orders" o WHERE o.x = "F"""") ==
+      "SELECT o.`col a` FROM `orders` o WHERE o.x = 'F'")
+    // the literal-ized token is then opaque to later keyword rewrites
+    assert(transpileSqlite("""SELECT a FROM t WHERE x = "LIKE"""", Set("t", "a", "x")) ==
+      "SELECT a FROM t WHERE x = 'LIKE'")
+  }
+
+  test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // int/int truncates like sqlite (Spark's / would return 3.5)
+    val r = SqliteExec.sql(spark, "SELECT 7 / 2 AS q").head()
+    assert(r.getLong(0) == 3L)
+    // mixed operands keep fractional division untouched (7/2.0 is a
+    // decimal divide in Spark — the rewrite must not touch it)
+    val d = SqliteExec.sql(spark, "SELECT 7 / 2.0 AS q").head()
+    assert(d.getDecimal(0).doubleValue() == 3.5)
+    // divide-by-zero is NULL (sqlite), not an ANSI error
+    assert(SqliteExec.sql(spark, "SELECT 7 / 0 AS q").head().isNullAt(0))
+    // aggregates: the analyzer's int→double casts are looked through
+    val agg = SqliteExec.sql(spark,
+      """SELECT SUM(o_custkey) / COUNT(*) AS avg_trunc FROM "orders"""").head()
+    assert(!agg.isNullAt(0))
+    val exact = spark.sql(
+      "SELECT CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) FROM orders").head().getDouble(0)
+    assert(agg.getLong(0) == exact.toLong, "integral divide must truncate")
+  }
 }
