@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines: media payloads are opaque `binary` columns with typed
   * metadata; everything structural — format sniffing, byte features,
-  * frame windowing, batch decode plumbing — is real Spark, while the
-  * actual codec call is an explicitly-marked deterministic STUB (the
-  * container has no image/audio libraries; swap `StubCodec` for a real
-  * binding without touching any plan shape).
+  * frame windowing, batch decode plumbing — is real Spark. Decode is a
+  * pluggable `MediaCodec`: `JvmCodec` REALLY decodes the formats the
+  * JDK ships codecs for (png/jpeg/gif/bmp via `javax.imageio`, wav via
+  * `javax.sound.sampled` — zero new dependencies), `StubCodec` remains
+  * the deterministic stand-in for containers that need native
+  * libraries (video). Both share one signature, so swapping in a
+  * JavaCV-style binding touches no plan shape.
   *
   * Scale notes: payload bytes ride the row (parquet binary column), so
   * partition sizing is byte-driven — size
@@ -68,25 +71,38 @@ object Multimodal {
   // Decode boundary
   // ---------------------------------------------------------------------
 
-  /** Decoded-media feature record (what a real image decoder yields). */
+  /** Decoded-media feature record. For images: pixel dimensions +
+    * color components. For audio (`JvmCodec` wav): `width` carries the
+    * frame count and `height` the sample rate — the two axes an audio
+    * pipeline windows on.
+    */
   final case class MediaFeatures(
       mediaId: Long, format: String, nBytes: Long,
       width: Int, height: Int, channels: Int, contentHash: Long)
 
-  /** THE CODEC STUB — deterministic fake decode.
-    *
-    * A real deployment replaces this object with a JNI/Java binding
-    * (e.g. TwelveMonkeys ImageIO, JavaCV): same signature, same
-    * per-partition init pattern. The fake derives plausible metadata
-    * purely from the bytes so tests are reproducible anywhere.
+  /** The decode boundary: executor-side, opened once per task. */
+  trait MediaCodec extends Serializable {
+    /** Per-task init hook (native codecs allocate handles here). */
+    def open(): MediaCodec = this
+    def decode(id: Long, format: String, bytes: Array[Byte]): MediaFeatures
+  }
+
+  protected[multimodal] def contentHash(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** THE CODEC STUB — deterministic fake decode for containers with no
+    * JDK codec (video). Derives plausible metadata purely from the
+    * bytes so tests are reproducible anywhere; a real deployment swaps
+    * in a JNI/Java binding (JavaCV et al.) with the same signature and
+    * per-partition init pattern.
     */
-  object StubCodec {
-    /** Simulated per-task decoder handle (amortized init). */
-    def open(): StubCodec.type = this
+  object StubCodec extends MediaCodec {
     def decode(id: Long, format: String, bytes: Array[Byte]): MediaFeatures = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val h = contentHash(bytes)
       val w = 16 + (math.abs(h) % 1024).toInt
       MediaFeatures(id, format, bytes.length.toLong,
         width = w, height = 16 + (math.abs(h >> 10) % 1024).toInt,
@@ -94,17 +110,54 @@ object Multimodal {
     }
   }
 
+  /** REAL JDK-only decode — no external libraries: `javax.imageio`
+    * reads png/jpeg/gif/bmp (pixel width/height + color components),
+    * `javax.sound.sampled` reads wav (frame count, sample rate,
+    * channels). Anything the JDK cannot decode (video containers,
+    * corrupt payloads) falls back to the deterministic stub rather
+    * than failing the partition — a 100 TB media scan must not die on
+    * one truncated file.
+    */
+  object JvmCodec extends MediaCodec {
+    def decode(id: Long, format: String, bytes: Array[Byte]): MediaFeatures = {
+      try format match {
+        case "png" | "jpeg" | "gif" | "bmp" =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) StubCodec.decode(id, format, bytes)
+          else MediaFeatures(id, format, bytes.length.toLong,
+            width = img.getWidth, height = img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            contentHash = contentHash(bytes))
+        case "wav" =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            MediaFeatures(id, "wav", bytes.length.toLong,
+              width = in.getFrameLength.toInt, height = fmt.getSampleRate.toInt,
+              channels = fmt.getChannels, contentHash = contentHash(bytes))
+          } finally in.close()
+        case _ => StubCodec.decode(id, format, bytes)
+      } catch {
+        case scala.util.control.NonFatal(_) => StubCodec.decode(id, format, bytes)
+      }
+    }
+  }
+
   /** Batch decode: per-partition codec init + row loop — the Scala
     * analog of a Pandas-UDF `mapInPandas` batch (decoder opened once
-    * per task, not per row).
+    * per task, not per row). Default codec stays the deterministic
+    * stub (oracle-reproducible anywhere); pass `JvmCodec` for real
+    * image/wav decoding.
     */
-  def decodeFeatures(media: DataFrame, idCol: String, bytesCol: String): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame, idCol: String, bytesCol: String,
+      codecFactory: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long"), sniffFormat(col(bytesCol)), col(bytesCol))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = StubCodec.open() // once per partition/task
+        val codec = codecFactory.open() // once per partition/task
         rows.map { case (id, fmt, bytes) => codec.decode(id, fmt, bytes) }
       }
   }

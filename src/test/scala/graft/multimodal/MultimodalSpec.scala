@@ -55,4 +55,47 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.mediaId -> f).toMap
     assert(feats == again)
   }
+
+  test("JvmCodec really decodes JDK-supported formats (png/jpeg/wav)") {
+    import spark.implicits._
+    // real payloads produced by the same JDK codecs that will read them
+    def image(w: Int, h: Int, tpe: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, tpe)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    def wav(frames: Int, sampleRate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, channels, true, false)
+      val pcm = Array.tabulate(frames * channels)(i => (i % 127).toByte)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val real = Seq(
+      (1L, image(20, 10, java.awt.image.BufferedImage.TYPE_INT_ARGB, "png")),
+      (2L, image(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB, "jpg")),
+      (3L, wav(frames = 4000, sampleRate = 8000f, channels = 1)),
+      (4L, "not media at all".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+
+    val feats = Multimodal.decodeFeatures(real.repartition(2), "media_id", "bytes",
+      Multimodal.JvmCodec).collect().map(f => f.mediaId -> f).toMap
+    // png: true pixel dimensions + alpha channel
+    assert(feats(1L).format == "png" && feats(1L).width == 20 &&
+      feats(1L).height == 10 && feats(1L).channels == 4)
+    // jpeg: true pixel dimensions, 3 components
+    assert(feats(2L).format == "jpeg" && feats(2L).width == 8 &&
+      feats(2L).height == 6 && feats(2L).channels == 3)
+    // wav: frame count, sample rate, mono
+    assert(feats(3L).format == "wav" && feats(3L).width == 4000 &&
+      feats(3L).height == 8000 && feats(3L).channels == 1)
+    // unknown container falls back to the deterministic stub
+    assert(feats(4L) == Multimodal.StubCodec.decode(4L, "unknown",
+      "not media at all".getBytes("UTF-8")))
+  }
 }
