@@ -66,13 +66,23 @@ final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
   def execute(questions: DataFrame, actors: Seq[graft.actors.Actor]): DataFrame =
     graft.actors.PipelineActor(actors).act(questions)
 
+  /** SQL dialect of the configured benchmark (registry `dbType`):
+    * spider/bird-family sqlite benchmarks evaluate through the
+    * sqlite-strict door (`SqliteExec`), everything else through plain
+    * transpile + `spark.sql`.
+    */
+  def dialect: String = {
+    val (bench, _, _) = cfg.dataIdentifier
+    GraftConfig.benchmarks.get(bench).map(_.dbType).getOrElse("spark")
+  }
+
   /** eval_all over the answered frame: per-item outcomes + summary. */
   def evaluate(answered: DataFrame): (Seq[ExOutcome], ExSummary) = {
     val items = answered.select("instance_id", "gold_sql", "pred_sql")
       .collect().map { r =>
         graft.evalx.ExItem(r.getString(0), Option(r.getString(1)), Option(r.getString(2)))
       }
-    new Evaluator(spark, cfg.evalTimeoutSec, cfg.parallelism).evalAll(items.toSeq)
+    new Evaluator(spark, cfg.evalTimeoutSec, cfg.parallelism, dialect).evalAll(items.toSeq)
   }
 
   /** The eval_all summary as a one-row frame (`avg_ex, valid_num,

@@ -8,7 +8,7 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.exec.{ExecErr, ExecOk, SqlBackend}
+import graft.exec.{ExecErr, ExecOk, ExecResult, SqlBackend}
 
 /** One EX evaluation item: gold label SQL vs predicted SQL. */
 final case class ExItem(instanceId: String, goldSql: Option[String], predSql: Option[String])
@@ -48,11 +48,23 @@ final case class PassAtN(
   * ThreadPoolExecutor ≤5) — each SQL is a distributed Spark job, so the
   * pool bounds concurrent *jobs*, not work.
   */
-class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5) {
+class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5,
+    dialect: String = "spark") {
 
   private val backend = new SqlBackend(spark, timeoutSec)
 
   private def transpiled(sql: String): String = graft.dialect.Transpiler.transpile(sql)
+
+  /** Dialect-routed execution: sqlite benchmarks (spider/bird families)
+    * go through `SqliteExec.sql` — lexical transpile PLUS the
+    * type-aware integer-division plan rewrite, neither of which plain
+    * transpile can express — everything else through the generic
+    * transpile + `spark.sql` door.
+    */
+  private def runSql(sql: String): ExecResult =
+    if (dialect == "sqlite")
+      backend.runCollectDf(() => graft.dialect.SqliteExec.sql(spark, sql), sql, timeoutSec)
+    else backend.runCollect(transpiled(sql), timeoutSec)
 
   def evalOne(item: ExItem): ExOutcome = {
     val gold = item.goldSql.map(_.trim).filter(_.nonEmpty)
@@ -60,7 +72,7 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5)
     gold match {
       case None => ExOutcome(item.instanceId, None, Some("gold sql missing"), None, 0.0, 0.0)
       case Some(g) =>
-        backend.runCollect(transpiled(g), timeoutSec) match {
+        runSql(g) match {
           case ExecErr(e, gs) =>
             ExOutcome(item.instanceId, None, Some(e), None, gs, 0.0)
           case ExecOk(gdf, gs) =>
@@ -68,7 +80,7 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5)
               case None =>
                 ExOutcome(item.instanceId, Some(0), None, Some("pred sql missing"), gs, 0.0)
               case Some(p) =>
-                backend.runCollect(transpiled(p), timeoutSec) match {
+                runSql(p) match {
                   case ExecErr(e, ps) =>
                     ExOutcome(item.instanceId, Some(0), None, Some(e), gs, ps)
                   case ExecOk(pdf, ps) =>

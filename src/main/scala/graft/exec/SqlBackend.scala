@@ -62,7 +62,16 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     * watchdog that cancels the job group on timeout — the Spark-native
     * version of the reference's `func_timeout`/statement-timeout pattern.
     */
-  def runCollect(sql: String, timeoutSec: Int = defaultTimeoutSec): ExecResult = {
+  def runCollect(sql: String, timeoutSec: Int = defaultTimeoutSec): ExecResult =
+    runCollectDf(() => spark.sql(sql), sql, timeoutSec)
+
+  /** `runCollect` over a caller-built DataFrame — the door for dialect
+    * front ends whose rewrite needs the analyzed plan (e.g.
+    * `SqliteExec.sql`). The builder runs INSIDE the job group / timeout
+    * scope, so analysis errors and runaway planning are governed too.
+    */
+  def runCollectDf(build: () => DataFrame, label: String,
+      timeoutSec: Int = defaultTimeoutSec): ExecResult = {
     val t0 = System.nanoTime()
     val group = s"graft-sql-${java.util.UUID.randomUUID()}"
     try {
@@ -71,9 +80,9 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
       // pool threads don't inherit it, and a stale group on a reused pool
       // thread could cancel someone else's query.
       val fut = scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(group, sql.take(200), interruptOnCancel = true)
+        spark.sparkContext.setJobGroup(group, label.take(200), interruptOnCancel = true)
         try {
-          val df = spark.sql(sql)
+          val df = build()
           df.collect() // force execution inside the job group
           df
         } finally {

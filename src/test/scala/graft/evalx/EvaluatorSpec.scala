@@ -37,6 +37,21 @@ class EvaluatorSpec extends SparkSpec {
     assert(ev.evalOne(ExItem("e", None, Some("SELECT 1 AS x"))).score == None)
   }
 
+  test("sqlite dialect evaluates gold with sqlite semantics (int division, quoted literals)") {
+    val sqliteEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2, dialect = "sqlite")
+    // sqlite: 7/2 = 3 (truncated) — a pred of 3 is CORRECT there
+    val o = sqliteEv.evalOne(ExItem("s1", Some("SELECT 7 / 2 AS q"), Some("SELECT 3 AS q")))
+    assert(o.score == Some(1), s"sqlite dialect should truncate: $o")
+    // the default dialect divides as double: 3.5 != 3
+    val p = ev.evalOne(ExItem("s2", Some("SELECT 7 / 2 AS q"), Some("SELECT 3 AS q")))
+    assert(p.score == Some(0), s"spark dialect should not truncate: $p")
+    // double-quoted value falls back to a string literal in sqlite mode
+    val q = sqliteEv.evalOne(ExItem("s3",
+      Some("""SELECT r_regionkey FROM region WHERE r_name = "AFRICA""""),
+      Some("SELECT r_regionkey FROM region WHERE r_name = 'AFRICA'")))
+    assert(q.score == Some(1), s"double-quoted literal must resolve: $q")
+  }
+
   test("evalAll aggregates like eval_all: avg over valid, counts") {
     val (_, summary) = ev.evalAll(Seq(
       ExItem("1", Some("SELECT 1 AS x"), Some("SELECT 1 AS x")),   // 1
