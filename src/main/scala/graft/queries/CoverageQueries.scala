@@ -103,8 +103,12 @@ object CoverageQueries extends QueryPack {
        |         END AS cv
        |  FROM $prev c LEFT JOIN lst_$next l ON l.cell = c.cell)""".stripMargin
 
-  private val KmeansOracle: String =
-    s"""WITH cent0 AS (
+  /** Shared CTE prefix: seeds → two refined iterations → `fin` holding
+    * every vector's final cell (rn = 1 row). Reused by the k-means
+    * membership oracle and the semantic-dedup oracle.
+    */
+  private val KmeansCtes: String =
+    s"""cent0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
        |         embedding AS cv0
        |  FROM embeddings
@@ -124,10 +128,30 @@ object CoverageQueries extends QueryPack {
        |  SELECT e.vec_id, c.cell,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings e CROSS JOIN centu2 c)
+       |  FROM embeddings e CROSS JOIN centu2 c)""".stripMargin
+
+  private val KmeansOracle: String =
+    s"""WITH $KmeansCtes
        |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS first_vec
        |FROM fin WHERE rn = 1
        |GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** SemDeDup mirror: within-cell pairs over the refined assignment,
+    * drop any id with a smaller-id cosine neighbor >= threshold.
+    */
+  private val SemanticDedupOracle: String =
+    s"""WITH $KmeansCtes,
+       |asgf AS (SELECT vec_id, cell FROM fin WHERE rn = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS id2
+       |  FROM asgf a
+       |  JOIN asgf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN eb ea ON ea.vec_id = a.vec_id
+       |  JOIN eb e2 ON e2.vec_id = b.vec_id
+       |  WHERE ${oCos("ea.embedding", "e2.embedding")} >= 0.35)
+       |SELECT s.vec_id, s.cell FROM asgf s
+       |WHERE s.vec_id NOT IN (SELECT id2 FROM drops)
+       |ORDER BY s.vec_id""".stripMargin
 
   val queries: Seq[GQuery] = Seq(
 
@@ -190,6 +214,22 @@ object CoverageQueries extends QueryPack {
           .orderBy(col("cell"))
       },
       Some(KmeansOracle)),
+
+    GQuery(
+      "q_semantic_dedup",
+      "SemDeDup-style semantic dedup: spherical k-means cells (the IVF " +
+        "quantizer, 2 refined iterations) bound the pairwise cosine " +
+        "comparison; within each cell, rows with a smaller-id neighbor " +
+        "at cosine >= 0.35 are dropped. The full pipeline — seeds, " +
+        "Lloyd iterations, assignment, within-cell pairing, survivor " +
+        "set — is mirrored in the DuckDB oracle.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.SemanticDedup.dedup(
+          emb, "vec_id", "embedding", nlist = 8, iters = 2, threshold = 0.35)
+          .orderBy(col("vec_id"))
+      },
+      Some(SemanticDedupOracle)),
 
     // -- schema-linking metrics (reference core/evaluate.py:305-396) --------
     GQuery(
