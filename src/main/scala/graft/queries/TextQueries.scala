@@ -234,6 +234,32 @@ object TextQueries extends QueryPack {
              |      (a, c) -> (a * 31 + c) % 1000000007) AS fp
              |  FROM documents)
              |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-             |FROM f GROUP BY fp ORDER BY first_doc""".stripMargin))
+             |FROM f GROUP BY fp ORDER BY first_doc""".stripMargin)),
+
+    GQuery(
+      "q_word_freq_score",
+      "Corpus-statistics quality score (CCNet-family signal): per doc, " +
+        "the mean corpus frequency of its words — integer sums over a " +
+        "data-derived frequency table (shuffle join, NOT broadcast: at " +
+        "100 TB the vocabulary is data-sized), one final double " +
+        "division for bit-exactness.",
+      (s, dir) =>
+        graft.operators.TextScore.wordFreqScore(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, unnest($oToks) AS w FROM documents),
+              |f AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+              |tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS total FROM f),
+              |s AS (
+              |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(wc) AS BIGINT) AS sum_wc
+              |  FROM w JOIN f USING (w) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+              |       COALESCE(CAST(s.sum_wc AS DOUBLE) /
+              |                (CAST(s.n_tokens AS DOUBLE) * CAST(t.total AS DOUBLE)),
+              |                0.0) AS freq_score
+              |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id CROSS JOIN tot t
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }
