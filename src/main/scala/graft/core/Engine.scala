@@ -28,12 +28,19 @@ import graft.llm.LlmClient
 final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
     schemaTables: Seq[String] = Seq("region", "nation", "customer", "orders")) {
 
+  /** Benchmark registry: the builtin map, extended by the config's
+    * optional reference-shaped `sys_config.json`.
+    */
+  val registry: Map[String, GraftConfig.Benchmark] =
+    if (cfg.sysConfigPath.nonEmpty) GraftConfig.loadBenchmarks(cfg.sysConfigPath)
+    else GraftConfig.benchmarks
+
   /** Data root resolved from the registry: `data_id = "<benchmark>:<sub>"`. */
   val dbPath: String = {
     val (bench, sub, _) = cfg.dataIdentifier
-    GraftConfig.resolveDbPath(bench, sub).getOrElse(
+    GraftConfig.resolveDbPath(bench, sub, registry).getOrElse(
       throw new IllegalArgumentException(
-        s"unknown benchmark '$bench' (registered: ${GraftConfig.benchmarks.keys.mkString(", ")})"))
+        s"unknown benchmark '$bench' (registered: ${registry.keys.mkString(", ")})"))
   }
 
   private lazy val backend = new SqlBackend(spark, cfg.sqlTimeoutSec)
@@ -73,7 +80,7 @@ final class Engine(spark: SparkSession, cfg: GraftConfig, llm: LlmClient,
     */
   def dialect: String = {
     val (bench, _, _) = cfg.dataIdentifier
-    GraftConfig.benchmarks.get(bench).map(_.dbType).getOrElse("spark")
+    registry.get(bench).map(_.dbType).getOrElse("spark")
   }
 
   /** eval_all over the answered frame: per-item outcomes + summary. */

@@ -23,7 +23,10 @@ final case class GraftConfig(
     evalTimeoutSec: Int = 60,
     sqlTimeoutSec: Int = 120,
     // engine
-    parallelism: Int = 5) {
+    parallelism: Int = 5,
+    // optional reference-shaped sys_config.json extending the benchmark
+    // registry (reference `Router._sys_config_path`)
+    sysConfigPath: String = "") {
 
   /** "id:sub_id:filter" → (id, subId, filter) (reference identifier
     * grammar, `core/data_manage.py:852-854`).
@@ -63,10 +66,36 @@ object GraftConfig {
     * (reference `core/base.py:467-488`); for the parquet corpus the
     * "database" is the scale-factor directory itself.
     */
-  def resolveDbPath(benchmark: String, subId: String): Option[String] =
-    benchmarks.get(benchmark).map { b =>
+  def resolveDbPath(benchmark: String, subId: String,
+      registry: Map[String, Benchmark] = benchmarks): Option[String] =
+    registry.get(benchmark).map { b =>
       if (b.hasSub && subId.nonEmpty) s"${b.rootPath}/$subId" else b.rootPath
     }
+
+  /** Extend the builtin registry from a reference-shaped
+    * `sys_config.json` (`config/sys_config.json`: a `benchmark` array
+    * of {id, root_path, db_type, has_sub, sub_data:[{sub_id}]}) — real
+    * benchmarks wire in by dropping the reference's own config file
+    * next to their data, no recompilation.
+    */
+  def loadBenchmarks(path: String): Map[String, Benchmark] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val arr = root.path("benchmark")
+    require(arr.isArray, s"sys config $path has no benchmark array")
+    val b = Map.newBuilder[String, Benchmark]
+    arr.forEach { n =>
+      val subs = Option(n.get("sub_data")).filter(_.isArray).map { sd =>
+        val s = Seq.newBuilder[String]
+        sd.forEach(x => s += x.path("sub_id").asText())
+        s.result()
+      }.getOrElse(Nil)
+      b += n.path("id").asText() -> Benchmark(
+        n.path("root_path").asText(), n.path("db_type").asText(),
+        n.path("has_sub").asBoolean(false), subs)
+    }
+    benchmarks ++ b.result()
+  }
 
   /** Load from a flat JSON config file (the reference's
     * `Router(config_path=...)` entry, `startup_run/run.py:11` +
@@ -103,6 +132,7 @@ object GraftConfig {
       debugTurns = pairs.get("debug_turns").map(_.toInt).getOrElse(base.debugTurns),
       evalTimeoutSec = pairs.get("eval_timeout_sec").map(_.toInt).getOrElse(base.evalTimeoutSec),
       sqlTimeoutSec = pairs.get("sql_timeout_sec").map(_.toInt).getOrElse(base.sqlTimeoutSec),
-      parallelism = pairs.get("parallelism").map(_.toInt).getOrElse(base.parallelism))
+      parallelism = pairs.get("parallelism").map(_.toInt).getOrElse(base.parallelism),
+      sysConfigPath = pairs.getOrElse("sys_config", base.sysConfigPath))
   }
 }

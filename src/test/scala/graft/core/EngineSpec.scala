@@ -38,6 +38,22 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nosuch"))
   }
 
+  test("a reference-shaped sys_config.json extends the benchmark registry") {
+    val p = java.nio.file.Files.createTempFile("graft_sys", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"benchmark": [
+        |  {"id": "mybench", "root_path": "/root/testdata", "db_type": "sqlite",
+        |   "has_sub": true,
+        |   "sub_data": [{"sub_id": "sf0.001", "has_label": true}]}
+        |]}""".stripMargin)
+    val cfg = GraftConfig.fromPairs(Map(
+      "data_id" -> "mybench:sf0.001", "sys_config" -> p.toString))
+    val engine = new Engine(spark, cfg, llm)
+    assert(engine.dbPath == "/root/testdata/sf0.001")
+    assert(engine.dialect == "sqlite", "dbType flows into the evaluation dialect")
+    assert(engine.registry.contains("spider"), "builtin registry entries survive")
+  }
+
   test("execute + evaluate run the configured pipeline to an eval_all summary") {
     import spark.implicits._
     val cfg = GraftConfig.fromPairs(Map(
