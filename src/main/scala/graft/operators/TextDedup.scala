@@ -137,6 +137,45 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Incremental (continuous-ingestion) dedup: drop incoming documents
+    * that are near-duplicates of the EXISTING corpus. One-sided banded
+    * join — incoming band rows only ever meet corpus band rows, so the
+    * shuffle is (incoming + corpus) band rows keyed on (band, value),
+    * never a growing pair space — then the exact distinct-shingle
+    * Jaccard verify. Returns the surviving incoming rows unchanged.
+    *
+    * This is the batch shape of the streaming suppressor
+    * (`StreamDedup`): at 100 TB the corpus side is the materialized
+    * band table maintained across ingests (write `bandedSignatures`
+    * partitioned by band once, scan it per batch), which this method's
+    * join accepts unchanged.
+    */
+  def minhashDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3, h: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val inSh = withShingleHashes(incoming, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coSh = withShingleHashes(corpus, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(base: DataFrame, as: String) = {
+      val sig = base.select(col(idCol).as(as), col("__shh"))
+        .withColumn("__sig",
+          TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+      explodeBands(sig, Seq(as), h, bands)
+    }
+    val cands = bandsOf(inSh, "__in")
+      .join(bandsOf(coSh, "__co"), Seq("band", "val"))
+      .select(col("__in"), col("__co")).distinct()
+    val drops = cands
+      .join(inSh.select(col(idCol).as("__in"), col("__shh").as("__s1")), "__in")
+      .join(coSh.select(col(idCol).as("__co"), col("__shh").as("__s2")), "__co")
+      .withColumn("__i", size(array_intersect(col("__s1"), col("__s2"))))
+      .filter(col("__i").cast("double") /
+        (size(col("__s1")) + size(col("__s2")) - col("__i")).cast("double") >= threshold)
+      .select(col("__in").as(idCol)).distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Relational exact n-gram Jaccard pairs: explode distinct shingle
     * hashes, equi-join on hash (only co-shingled pairs are ever formed),
     * count intersections. The exact baseline at any scale.

@@ -48,6 +48,44 @@ object DedupQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_incremental_dedup",
+      "Continuous-ingestion dedup: incoming documents (doc_id >= 400) " +
+        "are dropped when they near-dup an EXISTING corpus document " +
+        "(doc_id < 400) — one-sided banded MinHash join + exact Jaccard " +
+        ">= 0.5 verify; survivors returned. The batch shape of the " +
+        "streaming suppressor.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextDedup.minhashDedupAgainst(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "doc_id", "text", threshold = 0.5, n = 3, h = 16, bands = 4)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bandCond = (0 until 4).map(j => s"i.band$j = c.band$j").mkString(" OR ")
+        s"""WITH $oBase,
+           |${DedupOracles.minhashBandCtes()},
+           |pr AS (
+           |  SELECT DISTINCT i.doc_id AS inc, c.doc_id AS co
+           |  FROM bnd i JOIN bnd c
+           |    ON i.doc_id >= 400 AND c.doc_id < 400 AND ($bandCond)),
+           |ver AS (
+           |  SELECT p.inc
+           |  FROM pr p
+           |  JOIN s a ON a.doc_id = p.inc
+           |  JOIN s b ON b.doc_id = p.co AND b.h = a.h
+           |  JOIN sizes na ON na.doc_id = p.inc
+           |  JOIN sizes nb ON nb.doc_id = p.co
+           |  GROUP BY p.inc, p.co, na.n, nb.n
+           |  HAVING CAST(count(*) AS DOUBLE) /
+           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT inc FROM ver)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_jaccard_neardup",
       "Exact n-gram Jaccard near-dup baseline: relational explode + " +
         "equi-join on shingle (pairs only materialize when they share a " +

@@ -38,6 +38,25 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("minhashDedupAgainst drops incoming near-dups of the corpus only") {
+    import org.apache.spark.sql.functions.col
+    // corpus = docs 0,3; incoming = 1 (near-dup of 0), 2 (exact dup of 0),
+    // 4 (unrelated) → survivors = {4}
+    val corpus = docs.filter(col("doc_id").isin(0L, 3L))
+    val incoming = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val kept = TextDedup.minhashDedupAgainst(incoming, corpus,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"expected only the unrelated doc to survive, got $kept")
+    // incoming docs never compare against each other: two mutual
+    // near-dups both survive when the corpus has no match
+    val siblings = docs.filter(col("doc_id").isin(1L, 2L))
+    val kept2 = TextDedup.minhashDedupAgainst(siblings,
+      docs.filter(col("doc_id") === 4L), "doc_id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L))
+  }
+
   test("simhash exact dup has identical signature; near dup within Hamming 3") {
     val sig = TextDedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
