@@ -17,16 +17,25 @@ import graft.evalx.{Evaluator, ExItem}
   * behind a tiny HTTP server answering one question record per request.
   *
   * Endpoints (JSON in/out, mirroring the reference's routes):
-  *  - `POST /api/run`   {"instance_id", "question", "gold_sql"?}
+  *  - `POST /api/run`   {"instance_id", "question"?, "gold_sql"?,
+  *    "task_lis"?: ["ActorName",…]}
   *    → {"duration_seconds", "pred_sql", "execute_accuracy"}  — run the
-  *    actor pipeline for the single record under the task cap, then (if
-  *    a gold label is present) score EX under the eval cap.
-  *  - `POST /api/run_batch`  {"<instance_id>": [{"question", "gold_sql"?},…]}
-  *    → {"<instance_id>": [score,…]}  — the reference's staged reward:
-  *    task completes within TASK_MAX_WAIT (+0.5) or times out (−0.5,
-  *    stop); pred SQL executes (+1) or not / gold unevaluable (−1,
-  *    stop); result correct (+1.5) or wrong (−1.5); correct answers
-  *    earn a speed bonus 0.5·(cap − eval_secs)/cap.
+  *    actor pipeline (the fixed default, or one built from the named
+  *    registered actors like the reference's `init_complex_tasks`) for
+  *    the single record under the task cap, then (if a gold label is
+  *    present) score EX under the eval cap. Question/gold resolve from
+  *    the request body first, then the server-held `dataset` (the
+  *    reference holds its benchmark dataset the same way).
+  *  - `POST /api/run_batch`  — the reference payload shape
+  *    {"<instance_id>": [["Gen1"], ["Gen2","Opt1"], …]} (each entry a
+  *    task list of registered actor names; nested lists flatten, as in
+  *    `parse_task_lis_from_origin`) — and/or inline records
+  *    {"question", "gold_sql"?, "task_lis"?}. → {"<instance_id>":
+  *    [score,…]}, the staged reward: task completes within
+  *    TASK_MAX_WAIT (+0.5) or fails/times out (−0.5, stop); pred SQL
+  *    executes (+1) or not / gold unevaluable (−1, stop); result
+  *    correct (+1.5) or wrong (−1.5); correct answers earn a speed
+  *    bonus 0.5·(cap − eval_secs)/cap.
   *
   * Spark-native posture: the server is DRIVER-SIDE plumbing around the
   * same `Serving` single-record handler the specs exercise — each
@@ -38,9 +47,45 @@ import graft.evalx.{Evaluator, ExItem}
 final class ServingServer(spark: SparkSession, pipeline: Actor,
     port: Int = 0,
     taskTimeoutSec: Int = 1200,   // TASK_MAX_WAIT_TIME, app/run.py:49
-    sqlTimeoutSec: Int = 150) {   // SQL_MAX_WAIT_TIME,  app/run.py:50
+    sqlTimeoutSec: Int = 150,     // SQL_MAX_WAIT_TIME,  app/run.py:50
+    // instance_id → (question, gold) — the server-held benchmark rows
+    // the reference's dataloader provides (`app/run.py:60-70`)
+    dataset: Map[String, (String, Option[String])] = Map.empty) {
 
   private val serving = new Serving(spark, pipeline, taskTimeoutSec, sqlTimeoutSec)
+
+  /** Pipeline for a request: the named registered actors when a
+    * task_lis is present (reference `init_complex_tasks`), else the
+    * server's fixed default. Left = unknown actor name.
+    */
+  private def pipelineFor(taskLis: Option[Seq[String]]): Either[String, Actor] =
+    taskLis match {
+      case None | Some(Nil) => Right(pipeline)
+      case Some(names) =>
+        val resolved = names.map(n => n -> graft.actors.ActorPool.create(n))
+        resolved.collectFirst { case (n, None) => n } match {
+          case Some(bad) => Left(s"unknown actor '$bad' (registered: " +
+            s"${graft.actors.ActorPool.registered.mkString(", ")})")
+          case None => Right(graft.actors.PipelineActor(resolved.flatMap(_._2)))
+        }
+    }
+
+  private def servingFor(p: Actor): Serving =
+    if (p eq pipeline) serving
+    else new Serving(spark, p, taskTimeoutSec, sqlTimeoutSec)
+
+  /** Flatten a task_lis JSON node: strings and nested string arrays
+    * (reference `parse_task_lis_from_origin`, `app/run.py:156-163`).
+    */
+  private def flattenTaskLis(node: JsonNode): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    node.forEach {
+      case s if s.isTextual => out += s.asText()
+      case a if a.isArray   => a.forEach(x => if (x.isTextual) out += x.asText())
+      case _                => ()
+    }
+    out.result()
+  }
   private val evaluator = new Evaluator(spark, sqlTimeoutSec, parallelism = 2)
   private val mapper = new ObjectMapper()
 
@@ -89,31 +134,44 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     Option(node.get(field)).filter(n => n.isTextual && n.asText().nonEmpty)
       .map(_.asText())
 
-  /** `POST /api/run` — single record through the pipeline + optional EX
-    * score (reference `run_complex_actor`, `app/run.py:199-228`).
+  /** `POST /api/run` — single record through the (possibly task_lis-
+    * built) pipeline + optional EX score (reference `run_complex_actor`,
+    * `app/run.py:199-228`).
     */
-  private def runOne(root: JsonNode): (Int, ObjectNode) = {
-    (textOpt(root, "instance_id"), textOpt(root, "question")) match {
-      case (Some(iid), Some(q)) =>
-        val t0 = System.nanoTime()
-        serving.handle(iid, q, textOpt(root, "gold_sql")) match {
-          case Left(e) => (500, err(e))
-          case Right((pred, score)) =>
-            val o = mapper.createObjectNode()
-            o.put("duration_seconds", (System.nanoTime() - t0) / 1e9)
-            o.put("pred_sql", pred)
-            score match {
-              case Some(s) => o.put("execute_accuracy", s)
-              case None    => o.putNull("execute_accuracy")
+  private def runOne(root: JsonNode): (Int, ObjectNode) =
+    textOpt(root, "instance_id") match {
+      case None => (400, err("instance_id is required"))
+      case Some(iid) =>
+        val fromDs = dataset.get(iid)
+        val q = textOpt(root, "question").orElse(fromDs.map(_._1))
+        val gold = textOpt(root, "gold_sql").orElse(fromDs.flatMap(_._2))
+        val taskLis = Option(root.get("task_lis")).filter(_.isArray).map(flattenTaskLis)
+        (q, pipelineFor(taskLis)) match {
+          case (None, _) =>
+            (400, err(s"no question in request or server dataset for '$iid'"))
+          case (_, Left(e)) => (400, err(e))
+          case (Some(question), Right(p)) =>
+            val t0 = System.nanoTime()
+            servingFor(p).handle(iid, question, gold) match {
+              case Left(e) => (500, err(e))
+              case Right((pred, score)) =>
+                val o = mapper.createObjectNode()
+                o.put("duration_seconds", (System.nanoTime() - t0) / 1e9)
+                o.put("pred_sql", pred)
+                score match {
+                  case Some(s) => o.put("execute_accuracy", s)
+                  case None    => o.putNull("execute_accuracy")
+                }
+                (200, o)
             }
-            (200, o)
         }
-      case _ => (400, err("instance_id and question are required"))
     }
-  }
 
   /** `POST /api/run_batch` — staged reward per item (reference
-    * `run_batch`, `app/run.py:231-447`).
+    * `run_batch`, `app/run.py:231-447`). An item is either the
+    * reference's task list (array of registered actor names —
+    * question/gold resolve from the server dataset) or an inline
+    * record {"question", "gold_sql"?, "task_lis"?}.
     */
   private def runBatch(root: JsonNode): (Int, ObjectNode) = {
     val o = mapper.createObjectNode()
@@ -125,10 +183,18 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
         return (400, err(s"task list for `$iid` must be a list"))
       val arr = o.putArray(iid)
       e.getValue.forEach { item =>
-        val score = (textOpt(item, "question") match {
-          case None    => -0.5 // un-runnable item = failed task init
-          case Some(q) => stagedScore(iid, q, textOpt(item, "gold_sql"))
-        })
+        val (q, gold, taskLis) =
+          if (item.isArray) { // reference shape: pure task list
+            val ds = dataset.get(iid)
+            (ds.map(_._1), ds.flatMap(_._2), Some(flattenTaskLis(item)))
+          } else (
+            textOpt(item, "question").orElse(dataset.get(iid).map(_._1)),
+            textOpt(item, "gold_sql").orElse(dataset.get(iid).flatMap(_._2)),
+            Option(item.get("task_lis")).filter(_.isArray).map(flattenTaskLis))
+        val score = (q, pipelineFor(taskLis)) match {
+          case (None, _) | (_, Left(_)) => -0.5 // failed task init, app/run.py:341-346
+          case (Some(question), Right(p)) => stagedScore(servingFor(p), iid, question, gold)
+        }
         arr.add(score)
       }
     }
@@ -138,9 +204,9 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
   /** The reference's cumulative reward: ±0.5 task stage, ±1 execute
     * stage, ±1.5 correctness stage, +0.5·(cap−t)/cap speed bonus.
     */
-  private def stagedScore(iid: String, question: String,
+  private def stagedScore(s: Serving, iid: String, question: String,
       gold: Option[String]): Double =
-    serving.handle(iid, question, goldSql = None) match {
+    s.handle(iid, question, goldSql = None) match {
       case Left(_) => -0.5 // pipeline error/timeout: skip all later stages
       case Right((pred, _)) =>
         val afterTask = 0.5

@@ -68,6 +68,38 @@ class ServingServerSpec extends SparkSpec {
     }
   }
 
+  test("reference-shaped task_lis batch: pipelines built from the actor registry") {
+    import graft.actors.GeneratorRegistry
+    import graft.exec.SqlBackend
+    // register a named generator whose pipeline the CLIENT selects
+    GeneratorRegistry.registerAll(
+      MockLlm(default = "SELECT COUNT(*) AS n FROM region"),
+      new SqlBackend(spark), schemaDf)
+    val server = new ServingServer(spark,
+      LlmGenerator(MockLlm(default = "SELECT 0 AS wrong"), schemaDf), // default pipeline is WRONG
+      taskTimeoutSec = 120, sqlTimeoutSec = 60,
+      dataset = Map("v1" -> ("how many regions", Some("SELECT COUNT(*) AS n FROM region"))))
+    val port = server.start()
+    try {
+      // the registry-built pipeline answers correctly (> 3.0); the
+      // default pipeline entry ({} = no task_lis) is wrong (0.0);
+      // an unknown actor name scores the failed-init -0.5
+      val (status, body) = post(port, "/api/run_batch",
+        """{"v1": [["LlmGenerator"], {}, ["NoSuchGenerator"]]}""")
+      assert(status == 200, body)
+      val scores = mapper.readTree(body).get("v1")
+      assert(scores.get(0).asDouble() > 3.0, s"registry pipeline should win: $body")
+      assert(scores.get(1).asDouble() == 0.0, s"default pipeline is wrong: $body")
+      assert(scores.get(2).asDouble() == -0.5, s"unknown actor = failed init: $body")
+
+      // /api/run with task_lis + dataset-resolved question/gold
+      val (s2, b2) = post(port, "/api/run",
+        """{"instance_id":"v1","task_lis":["LlmGenerator"]}""")
+      assert(s2 == 200, b2)
+      assert(mapper.readTree(b2).get("execute_accuracy").asInt() == 1)
+    } finally server.stop()
+  }
+
   test("POST /api/run_batch applies the staged reward per item") {
     // pred executes and matches gold → 0.5 + 1 + 1.5 + speed bonus (> 3.0);
     // pred executes but wrong result → 0.5 + 1 − 1.5 = 0.0;
