@@ -122,13 +122,64 @@ final case class OpenSearchGenerator(llm: LlmClient, backend: SqlBackend,
   }
 }
 
+/** DIN-SQL generator (reference `DINSQLGenerate.py`): CoT link parse →
+  * difficulty tiering → tier-styled generation (EASY / NON-NESTED /
+  * NESTED prompt families, `DinSqlMethod`).
+  */
+final case class DinSqlGenerator(llm: LlmClient, schema: DataFrame) extends Actor {
+  val name = "DINSQLGenerator"
+  override val outputName = "pred_sql"
+  override val skill = "DIN-SQL: CoT links -> difficulty tier -> tiered generation"
+
+  def act(ds: DataFrame): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val linked = ParseActors.dinsql(llm, schema).act(ds)
+    val schemaText = SchemaRender.parseSchemaFromDf(schema)
+    val rows = linked.select(col("instance_id"), col("question"), col("schema_links")).collect()
+    val out = rows.map { r =>
+      (r.getString(0),
+        DinSqlMethod.generate(llm, schemaText, r.getString(1), r.getSeq[String](2)))
+    }
+    ds.drop(outputName).join(out.toSeq.toDF("instance_id", outputName), "instance_id")
+  }
+}
+
 object GeneratorRegistry {
-  /** Register the full generator/optimizer family for workflow specs. */
-  def registerAll(llm: LlmClient, backend: SqlBackend, schema: DataFrame): Unit = {
+  /** Register the full named actor roster for workflow specs and the
+    * serving task_lis door — every family name the reference's
+    * `run_batch` payloads can cite (`app/run.py` examples use
+    * `DINSQLGenerator`/`MACSQLGenerator` et al.).
+    */
+  def registerAll(llm: LlmClient, backend: SqlBackend, schema: DataFrame,
+      generateNum: Int = 3): Unit = {
+    // generators
     ActorPool.register("LlmGenerator", () => LlmGenerator(llm, schema))
+    ActorPool.register("DINSQLGenerator", () => DinSqlGenerator(llm, schema))
     ActorPool.register("MACSQLGenerator", () => MacSqlGenerator(llm, backend, schema))
+    // CHESS with no pre-built entity indexes and OpenSearch with a
+    // no-op profile: the registry variants carry the method mechanics;
+    // callers wanting entity retrieval / column profiles register their
+    // own closures over prepared tables
+    ActorPool.register("CHESSGenerator", () =>
+      ChessGenerator(llm, backend, schema, entityTables = Map.empty))
+    ActorPool.register("RSLSQLGenerator", () => RslSqlGenerator(llm, backend, schema))
+    ActorPool.register("OpenSearchSQLGenerator", () =>
+      OpenSearchGenerator(llm, backend, schema, profileOf = _ => ""))
+    ActorPool.register("LinkAlignGenerator", () => LinkAlignGenerator(llm, backend, schema))
+    // scalers
+    ActorPool.register("DINSQLScaler", () => FamilyFactories.dinsqlScaler(llm, generateNum))
+    ActorPool.register("ChessScaler", () => FamilyFactories.chessScaler(llm, generateNum))
+    ActorPool.register("MACSQLScaler", () => FamilyFactories.macsqlScaler(llm, generateNum))
+    ActorPool.register("RSLSQLScaler", () => FamilyFactories.rslsqlScaler(llm, generateNum))
+    ActorPool.register("OpenSearchSQLScaler", () => FamilyFactories.openSearchScaler(llm, generateNum))
+    // optimizers
     ActorPool.register("DINSQLOptimizer", () => OptimizeActors.dinsql(llm, backend, schema))
     ActorPool.register("MACSQLOptimizer", () => OptimizeActors.macsql(llm, backend, schema))
     ActorPool.register("LinkAlignOptimizer", () => OptimizeActors.linkAlign(llm, backend, schema))
+    ActorPool.register("CHESSOptimizer", () => FamilyFactories.chessOptimizer(llm, backend, schema))
+    ActorPool.register("RSLSQLOptimizer", () => FamilyFactories.rslsqlOptimizer(llm, backend, schema))
+    ActorPool.register("OpenSearchSQLOptimizer", () => FamilyFactories.openSearchOptimizer(llm, backend, schema))
+    ActorPool.register("AdaptiveOptimizer", () => FamilyFactories.adaptiveOptimizer(llm, backend, schema))
   }
 }
