@@ -44,6 +44,36 @@ class RowOpsSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.size < 2000)
   }
 
+  test("tokenBudgetSample: admission matches the spec and is layout-invariant") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"src${i % 3}", (i % 7 + 1).toInt))
+      .toDF("doc_id", "source", "n_tok")
+    def run(parts: Int): Set[Long] =
+      RowOps.tokenBudgetSample(df.repartition(parts), "source", "n_tok",
+        defaultBudget = 100L, overrides = Map("src0" -> 40L), idCol = "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = run(3)
+    assert(got == run(17) && got == run(1), "kept set must be partitioning-invariant")
+    // driver-side reference: per source in hash order, running total over
+    // ALL rows (dropped docs still consume budget), keep while cum<=budget
+    val ord = (id: Long) => ((id % 1000000007L) * 2654435761L) % 1000000007L
+    val expect = (0L until 500L).groupBy(i => s"src${i % 3}").flatMap { case (src, ids) =>
+      val budget = if (src == "src0") 40L else 100L
+      var cum = 0L
+      ids.toSeq.sortBy(i => (ord(i), i)).flatMap { i =>
+        cum += (i % 7 + 1)
+        if (cum <= budget) Some(i) else None
+      }
+    }.toSet
+    assert(got == expect, s"admission diverged from spec: got ${got.size}, want ${expect.size}")
+    // edge paths of the two-pass rewrite: empty input; null token weights
+    assert(RowOps.tokenBudgetSample(
+      df.filter(col("doc_id") < 0), "source", "n_tok", 10L).count() == 0)
+    val withNull = df.withColumn("n_tok",
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(null)).otherwise(col("n_tok")))
+    assert(RowOps.tokenBudgetSample(withNull, "source", "n_tok", 100L).count() > 0)
+  }
+
   test("retainDecay keeps ~initRate*decay^round per round") {
     import spark.implicits._
     val base = spark.range(0, 10000).toDF("key")
