@@ -28,9 +28,16 @@ object SqliteExec {
   /** The integral expression under an analyzer-inserted to-double cast
     * (Divide only accepts fractional inputs, so `sum(x)/count(*)`
     * analyzes as `Divide(cast(sum AS double), cast(count AS double))`).
+    *
+    * Only ANALYZER-inserted casts are looked through: a user-written
+    * `CAST(x AS REAL)` (tagged `Cast.USER_SPECIFIED_CAST` by the
+    * parser; the transpiler rewrites REAL→DOUBLE but the tag survives)
+    * is sqlite's idiom for *forcing* float division — stripping it
+    * would truncate, the opposite of sqlite semantics.
     */
   private def integralSource(e: Expression): Option[Expression] = e match {
-    case c: Cast if c.dataType == DoubleType && integral(c.child.dataType) =>
+    case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+        c.dataType == DoubleType && integral(c.child.dataType) =>
       Some(c.child)
     case _ if integral(e.dataType) => Some(e)
     case _ => None

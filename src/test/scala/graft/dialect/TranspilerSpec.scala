@@ -135,5 +135,12 @@ class TranspilerSpec extends AnyFunSuite {
     val exact = spark.sql(
       "SELECT CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*) FROM orders").head().getDouble(0)
     assert(agg.getLong(0) == exact.toLong, "integral divide must truncate")
+    // a USER-written CAST(... AS REAL) is sqlite's idiom for forcing
+    // float division — the rewrite must NOT strip it and truncate
+    val real = SqliteExec.sql(spark,
+      """SELECT CAST(SUM(o_custkey) AS REAL) / COUNT(*) AS avg_f FROM "orders"""").head()
+    assert(real.getDouble(0) == exact, "user cast to REAL keeps float division")
+    val realLit = SqliteExec.sql(spark, "SELECT CAST(7 AS REAL) / 2 AS q").head()
+    assert(realLit.getDouble(0) == 3.5)
   }
 }
