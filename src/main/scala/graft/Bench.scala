@@ -47,6 +47,10 @@ object Bench {
         val stats =
           try Some(ScanMetrics.execAndMeasure(q.build(spark, sfDir))._2)
           catch { case _: Throwable => None }
+          // release operator-persisted intermediates: keeps repeat runs
+          // honest (no silent cross-run cache reuse) and the log free of
+          // "already cached" warnings that mask real cache regressions
+          finally graft.core.CacheBin.drain()
         ((System.nanoTime() - t0) / 1e9, stats)
       }
       val (t1, _) = once()

@@ -154,13 +154,13 @@ object IvfIndex {
     // persisted: the plan feeds both the allCells collect and the
     // broadcast join — without it the nlist dot products per query run
     // twice (and the queries source is re-read)
-    val probed = queries.select(
+    val probed = graft.core.CacheBin.track(queries.select(
       col(queryIdCol).as("__qid"), col(vecCol).as("__qvec"),
       FloatVec.normF(col(vecCol)).as("__qnorm"),
       transform(
         slice(reverse(array_sort(cellScores(col(vecCol), cents))), 1, nprobe),
         s => s.getField("cell")).as("__cells"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val allCells = probed.select(explode(col("__cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq

@@ -142,13 +142,13 @@ object RowOps {
       lit(1000000007L))
     // persisted: the offsets job and the output job must see the SAME
     // range bounds (see SeqPack.withRunningTotal)
-    val ranged = df
+    val ranged = graft.core.CacheBin.track(df
       .withColumn("__ord", ord)
       .withColumn("__tok", coalesce(col(tokensCol).cast("long"), lit(0L)))
       .repartitionByRange(col(srcCol), col("__ord"), col(idCol))
       .sortWithinPartitions(col(srcCol), col("__ord"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = ranged
       .groupBy(col("__pid"), col(srcCol).cast("string").as("__src"))
       .agg(sum(col("__tok")).as("__t"))
@@ -201,10 +201,10 @@ object RowOps {
     // persisted so the counts job and the output job share one set of
     // range bounds (reservoir-sampled bounds are not stable across
     // re-executions — see SeqPack.withRunningTotal)
-    val ranged = df
+    val ranged = graft.core.CacheBin.track(df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = ranged
       .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__pid"))

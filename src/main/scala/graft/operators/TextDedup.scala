@@ -123,8 +123,9 @@ object TextDedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val sh = withShingleHashes(df, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.CacheBin.track(
+      withShingleHashes(df, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val cands = candidatePairsFromBase(sh, idCol, h, bands, seed)
     cands
       .join(sh.select(col(idCol).as("id1"), col("__shh").as("__sh1")), "id1")
@@ -153,10 +154,12 @@ object TextDedup {
   def minhashDedupAgainst(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3, h: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val inSh = withShingleHashes(incoming, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val coSh = withShingleHashes(corpus, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inSh = graft.core.CacheBin.track(
+      withShingleHashes(incoming, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val coSh = graft.core.CacheBin.track(
+      withShingleHashes(corpus, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     def bandsOf(base: DataFrame, as: String) = {
       val sig = base.select(col(idCol).as(as), col("__shh"))
         .withColumn("__sig",
@@ -218,7 +221,8 @@ object TextDedup {
           .filter(col("__df") <= cap)
           .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
           .select(col("__id"), col("__n"), col("__h"))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    })
+    graft.core.CacheBin.track(s.persist(StorageLevel.MEMORY_AND_DISK))
     s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -260,7 +264,8 @@ object TextDedup {
       maxHamming: Int = 3, n: Int = 3): DataFrame = {
     // one row per doc and two banded-join consumers: persist so the
     // explode+vote aggregation runs once
-    val sh = simhash(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.core.CacheBin.track(
+      simhash(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK))
     val bands = maxHamming + 1
     val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt
     val banded = sh.select(col(idCol).as("__id"), col("simhash"),

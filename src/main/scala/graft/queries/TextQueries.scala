@@ -240,9 +240,10 @@ object TextQueries extends QueryPack {
       "q_word_freq_score",
       "Corpus-statistics quality score (CCNet-family signal): per doc, " +
         "the mean corpus frequency of its words — integer sums over a " +
-        "data-derived frequency table (shuffle join, NOT broadcast: at " +
-        "100 TB the vocabulary is data-sized), one final double " +
-        "division for bit-exactness.",
+        "data-derived frequency table, one final double division for " +
+        "bit-exactness. One persisted tokenize pass; the zipf head " +
+        "(top-K hot tokens) joins from a broadcast map-side, only the " +
+        "de-skewed cold tail shuffle-joins.",
       (s, dir) =>
         graft.operators.TextScore.wordFreqScore(
           Tables.load(s, dir, "documents"), "doc_id", "text")

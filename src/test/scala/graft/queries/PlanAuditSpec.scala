@@ -148,4 +148,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("shingle_hashes") && p.contains("minhash_signature"),
       "custom hash expressions missing from plan")
   }
+
+  test("q_word_freq_score tokenizes the corpus once (cached) and splits the zipf head to a broadcast") {
+    graft.core.CacheBin.drain()
+    val q = SparkEntry.allQueries.find(_.name == "q_word_freq_score").get
+    val df = q.build(spark, sfDir)
+    // the tokenized corpus (2 consumers) and the frequency table
+    // (2 consumers) are persisted: the optimized plan reads
+    // InMemoryRelation leaves, not fresh scan+tokenize subtrees
+    val opt = df.queryExecution.optimizedPlan
+    val cachedLeaves = opt.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryRelation => c
+    }
+    assert(cachedLeaves.size >= 3,
+      s"expected words/freq cache reuse, found ${cachedLeaves.size} cached leaves")
+    val p = df.queryExecution.executedPlan.toString
+    // the hot-token head joins map-side
+    assert(p.contains("BroadcastHashJoin"), "hot-token join is not broadcast")
+    // the only raw parquet scan left in the final plan is the doc-id
+    // spine, pruned to the id column — `text` is read once, inside the
+    // cached `words` build
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "doc-id spine scan is not pruned to the id column")
+    graft.core.CacheBin.drain()
+    assert(graft.core.CacheBin.pending == 0)
+  }
 }
