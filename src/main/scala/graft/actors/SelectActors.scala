@@ -127,9 +127,11 @@ object SelectActors {
   */
 final class Serving(spark: SparkSession,
     pipeline: Actor,
-    taskTimeoutSec: Int = 1200, sqlTimeoutSec: Int = 150) {
+    taskTimeoutSec: Int = 1200, sqlTimeoutSec: Int = 150,
+    dialect: String = "spark") {
 
-  private val evaluator = new graft.evalx.Evaluator(spark, sqlTimeoutSec, parallelism = 2)
+  private val evaluator =
+    new graft.evalx.Evaluator(spark, sqlTimeoutSec, parallelism = 2, dialect)
 
   /** Handle one record: run the actor pipeline for the single row, then
     * (if a gold label exists) score EX. Returns (pred_sql, score).
@@ -137,12 +139,26 @@ final class Serving(spark: SparkSession,
   def handle(instanceId: String, question: String,
       goldSql: Option[String] = None): Either[String, (String, Option[Int])] = {
     import spark.implicits._
+    // pipeline Spark jobs run inside a job group so a timeout CANCELS
+    // them (as SqlBackend does) — an abandoned Future would otherwise
+    // keep a zombie job on the shared session, slowing every subsequent
+    // request. The group is a thread-local: set inside the Future body.
+    val group = s"graft-serve-${java.util.UUID.randomUUID()}"
     try {
       val one = Seq((instanceId, question)).toDF("instance_id", "question")
-      val fut = scala.concurrent.Future(Actor.applyMerged(pipeline, one).collect())(
-        scala.concurrent.ExecutionContext.global)
-      val rows = scala.concurrent.Await.result(fut,
-        scala.concurrent.duration.Duration(taskTimeoutSec.toLong, "s"))
+      val fut = scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(group,
+          s"serving $instanceId".take(200), interruptOnCancel = true)
+        try Actor.applyMerged(pipeline, one).collect()
+        finally spark.sparkContext.clearJobGroup()
+      }(scala.concurrent.ExecutionContext.global)
+      val rows =
+        try scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration(taskTimeoutSec.toLong, "s"))
+        catch { case e: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw e
+        }
       val row = rows.headOption.toRight("pipeline produced no row")
       row.map { r =>
         val idx = r.schema.fieldNames.indexOf("pred_sql")

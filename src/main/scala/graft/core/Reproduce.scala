@@ -49,7 +49,9 @@ object Reproduce {
       order.map(iid => ExItem(iid, gold(iid), preds.getOrElse(iid, None)))
     }
 
-    val pass = new Evaluator(spark, cfg.evalTimeoutSec, cfg.parallelism)
+    // same dialect routing as Engine.evaluate — a sqlite benchmark must
+    // score identically whether run via Engine, Reproduce, or serving
+    val pass = new Evaluator(spark, cfg.evalTimeoutSec, cfg.parallelism, engine.dialect)
       .passAtN(replicas)
     import spark.implicits._
     val summary = Seq((pass.passRate, pass.passedQuestions.toLong,

@@ -46,7 +46,8 @@ object ServingMain {
 
     val server = new ServingServer(spark,
       pipeline = engine.pipeline(),
-      port = port)
+      port = port,
+      dialect = engine.dialect)
     val bound = server.start()
     // scalastyle:off println — operator-facing startup banner
     println(s"graft serving on http://127.0.0.1:$bound " +

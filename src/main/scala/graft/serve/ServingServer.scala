@@ -35,7 +35,13 @@ import graft.evalx.{Evaluator, ExItem}
   *    TASK_MAX_WAIT (+0.5) or fails/times out (−0.5, stop); pred SQL
   *    executes (+1) or not / gold unevaluable (−1, stop); result
   *    correct (+1.5) or wrong (−1.5); correct answers earn a speed
-  *    bonus 0.5·(cap − eval_secs)/cap.
+  *    bonus 0.5·(taskCap − task_secs)/taskCap from the TASK pipeline
+  *    time (reference `app/run.py` step 8 scores TASK execution time
+  *    over TASK_MAX_WAIT_TIME, not eval time). Identical (question,
+  *    gold, task_lis) signatures within a batch run ONCE and share the
+  *    score (reference `run_batch`'s signature dedup,
+  *    `app/run.py:276-298`).
+  *  - `GET /healthz` → {"status":"ok"} (reference `app/run.py:543`).
   *
   * Spark-native posture: the server is DRIVER-SIDE plumbing around the
   * same `Serving` single-record handler the specs exercise — each
@@ -50,9 +56,14 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     sqlTimeoutSec: Int = 150,     // SQL_MAX_WAIT_TIME,  app/run.py:50
     // instance_id → (question, gold) — the server-held benchmark rows
     // the reference's dataloader provides (`app/run.py:60-70`)
-    dataset: Map[String, (String, Option[String])] = Map.empty) {
+    dataset: Map[String, (String, Option[String])] = Map.empty,
+    // SQL dialect of the served benchmark (Engine.dialect): sqlite
+    // benchmarks must evaluate through the sqlite-strict door here
+    // exactly as in Engine.evaluate, or EX disagrees across entry points
+    dialect: String = "spark") {
 
-  private val serving = new Serving(spark, pipeline, taskTimeoutSec, sqlTimeoutSec)
+  private val serving =
+    new Serving(spark, pipeline, taskTimeoutSec, sqlTimeoutSec, dialect)
 
   /** Pipeline for a request: the named registered actors when a
     * task_lis is present (reference `init_complex_tasks`), else the
@@ -72,7 +83,7 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
 
   private def servingFor(p: Actor): Serving =
     if (p eq pipeline) serving
-    else new Serving(spark, p, taskTimeoutSec, sqlTimeoutSec)
+    else new Serving(spark, p, taskTimeoutSec, sqlTimeoutSec, dialect)
 
   /** Flatten a task_lis JSON node: strings and nested string arrays
     * (reference `parse_task_lis_from_origin`, `app/run.py:156-163`).
@@ -86,12 +97,19 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     }
     out.result()
   }
-  private val evaluator = new Evaluator(spark, sqlTimeoutSec, parallelism = 2)
+  private val evaluator = new Evaluator(spark, sqlTimeoutSec, parallelism = 2, dialect)
   private val mapper = new ObjectMapper()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/api/run", (ex: HttpExchange) => handle(ex, runOne))
   server.createContext("/api/run_batch", (ex: HttpExchange) => handle(ex, runBatch))
+  server.createContext("/healthz", (ex: HttpExchange) => {
+    val bytes = """{"status":"ok"}""".getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
   // requests serialize through one worker: the reference notes its app
   // "works for single requests" — a shared SparkSession wants one
   // pipeline in flight, and job-group cancels keep each bounded
@@ -175,6 +193,11 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     */
   private def runBatch(root: JsonNode): (Int, ObjectNode) = {
     val o = mapper.createObjectNode()
+    // identical task signatures execute ONCE per batch and share the
+    // score (reference `run_batch` dedups before dispatch,
+    // `app/run.py:276-298`) — RL rollouts routinely repeat a signature
+    val memo = scala.collection.mutable.Map
+      .empty[(String, Option[String], Option[String], Option[Seq[String]]), Double]
     val fields = root.fields()
     while (fields.hasNext) {
       val e = fields.next()
@@ -191,10 +214,11 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
             textOpt(item, "question").orElse(dataset.get(iid).map(_._1)),
             textOpt(item, "gold_sql").orElse(dataset.get(iid).flatMap(_._2)),
             Option(item.get("task_lis")).filter(_.isArray).map(flattenTaskLis))
-        val score = (q, pipelineFor(taskLis)) match {
-          case (None, _) | (_, Left(_)) => -0.5 // failed task init, app/run.py:341-346
-          case (Some(question), Right(p)) => stagedScore(servingFor(p), iid, question, gold)
-        }
+        val score = memo.getOrElseUpdate((iid, q, gold, taskLis),
+          (q, pipelineFor(taskLis)) match {
+            case (None, _) | (_, Left(_)) => -0.5 // failed task init, app/run.py:341-346
+            case (Some(question), Right(p)) => stagedScore(servingFor(p), iid, question, gold)
+          })
         arr.add(score)
       }
     }
@@ -202,26 +226,30 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
   }
 
   /** The reference's cumulative reward: ±0.5 task stage, ±1 execute
-    * stage, ±1.5 correctness stage, +0.5·(cap−t)/cap speed bonus.
+    * stage, ±1.5 correctness stage, +0.5·(taskCap−task_secs)/taskCap
+    * speed bonus — the bonus measures how fast the PIPELINE answered
+    * relative to the task cap (`app/run.py` step 8 uses task time over
+    * TASK_MAX_WAIT_TIME), not how fast the eval ran.
     */
   private def stagedScore(s: Serving, iid: String, question: String,
-      gold: Option[String]): Double =
+      gold: Option[String]): Double = {
+    val t0 = System.nanoTime()
     s.handle(iid, question, goldSql = None) match {
       case Left(_) => -0.5 // pipeline error/timeout: skip all later stages
       case Right((pred, _)) =>
+        val taskSecs = (System.nanoTime() - t0) / 1e9
         val afterTask = 0.5
         gold match {
           case None => afterTask // nothing to evaluate against
           case Some(g) =>
-            val t0 = System.nanoTime()
             val out = evaluator.evalOne(ExItem(iid, Some(g), Some(pred)))
-            val evalSecs = (System.nanoTime() - t0) / 1e9
             if (out.score.isEmpty || out.predError.isDefined)
               afterTask - 1.0 // gold unevaluable or pred not executable
             else if (out.score.contains(1))
               afterTask + 1.0 + 1.5 +
-                0.5 * math.max(sqlTimeoutSec - evalSecs, 0.0) / sqlTimeoutSec
+                0.5 * math.max(taskTimeoutSec - taskSecs, 0.0) / taskTimeoutSec
             else afterTask + 1.0 - 1.5
         }
     }
+  }
 }

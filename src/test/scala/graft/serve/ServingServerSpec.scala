@@ -119,4 +119,62 @@ class ServingServerSpec extends SparkSpec {
       assert(scores.get(2).asDouble() == -0.5)
     }
   }
+
+  test("GET /healthz responds ok") {
+    withServer("SELECT 1 AS x") { port =>
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/healthz")).GET().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200 && resp.body().contains("ok"))
+    }
+  }
+
+  test("duplicate task signatures in a batch execute once and share the score") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inner = LlmGenerator(
+      MockLlm(default = "SELECT COUNT(*) AS n FROM region"), schemaDf)
+    val counting = new graft.actors.Actor {
+      def name = "Counting"
+      override def outputName: String = inner.outputName
+      def act(ds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        calls.incrementAndGet(); inner.act(ds)
+      }
+    }
+    val server = new ServingServer(spark, counting,
+      taskTimeoutSec = 120, sqlTimeoutSec = 60)
+    val port = server.start()
+    try {
+      val (status, body) = post(port, "/api/run_batch",
+        """{"d1":[
+          |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"},
+          |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"}
+          |]}""".stripMargin)
+      assert(status == 200, body)
+      val scores = mapper.readTree(body).get("d1")
+      assert(scores.size() == 2, body)
+      assert(scores.get(0).asDouble() == scores.get(1).asDouble(), body)
+      assert(scores.get(0).asDouble() > 3.0, body)
+      assert(calls.get() == 1, s"duplicate signature must run once, ran ${calls.get()}")
+    } finally server.stop()
+  }
+
+  test("the benchmark dialect threads into serving-time EX scoring") {
+    // gold is sqlite integer division (7/2 = 3); the pred returns the
+    // truncated value — EX agrees only through the sqlite-strict door
+    def scoreWith(dialect: String): Int = {
+      val server = new ServingServer(spark,
+        LlmGenerator(MockLlm(default = "SELECT 3 AS q"), schemaDf),
+        taskTimeoutSec = 120, sqlTimeoutSec = 60, dialect = dialect)
+      val port = server.start()
+      try {
+        val (s, b) = post(port, "/api/run",
+          """{"instance_id":"sq1","question":"half of seven",
+            |"gold_sql":"SELECT 7 / 2 AS q"}""".stripMargin)
+        assert(s == 200, b)
+        mapper.readTree(b).get("execute_accuracy").asInt()
+      } finally server.stop()
+    }
+    assert(scoreWith("sqlite") == 1, "sqlite semantics: 7/2 = 3 matches")
+    assert(scoreWith("spark") == 0, "spark semantics: 7/2 = 3.5 differs")
+  }
 }
