@@ -40,4 +40,54 @@ class SemanticDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(1) == run(7))
   }
+
+  // 100 rows, 90 % exact duplicates: 40 distinct unit vectors spread
+  // around the circle, plus 60 byte-identical copies of the first 10
+  private lazy val saturated = {
+    import spark.implicits._
+    val distinct = (0 until 40).map { i =>
+      val th = i * 2.0 * math.Pi / 40
+      (i.toLong, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val dups = (0 until 60).map { j =>
+      (100L + j, distinct(j % 10)._2)
+    }
+    (distinct ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("maxCellRows bounds every pair-stage cell on a 90%-duplicate corpus") {
+    val sizes = SemanticDedup.refinedCellSizes(saturated, "vec_id", "embedding",
+      nlist = 1, iters = 1, threshold = 0.95, maxCellRows = 10L)
+      .collect().map(r => r.getLong(1))
+    // exact-twin collapse removes the 60 copies before the quadratic
+    // stage; re-quantization then splits the 40 distinct vectors (all
+    // in the single top-level cell) under the cap
+    assert(sizes.sum == 40, s"collapse should leave the distinct vectors: ${sizes.sum}")
+    assert(sizes.max <= 10, s"a refined cell exceeds the cap: ${sizes.mkString(",")}")
+  }
+
+  test("capped dedup keeps the drop rule sound and stays deterministic") {
+    def run(parts: Int) = SemanticDedup.dedup(saturated.repartition(parts),
+      "vec_id", "embedding", nlist = 1, iters = 1, threshold = 0.95,
+      maxCellRows = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = run(1)
+    assert(s1 == run(5), "capped survivor set must be partitioning-invariant")
+    // every exact twin of a smaller id must be gone (collapse is exact)
+    val ids = s1.map(_._1)
+    assert((0 until 60).forall(j => !ids.contains(100L + j)),
+      "an exact duplicate of a smaller id survived")
+    // the smallest id of every identical group survives only if no
+    // smaller near-neighbor dropped it — id 0 always survives
+    assert(ids.contains(0L))
+  }
+
+  test("exact-twin collapse does not change the uncapped survivor set") {
+    def run(maxCellRows: Long) = SemanticDedup.dedup(saturated,
+      "vec_id", "embedding", nlist = 2, iters = 1, threshold = 0.95,
+      maxCellRows = maxCellRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap far above every cell size must be a no-op vs the default
+    assert(run(Long.MaxValue) == run(1000L))
+  }
 }
