@@ -23,7 +23,7 @@ object Introspection {
   def answer(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
     case pragmaRe(table) => Some(tableInfo(spark, table))
     case masterRe() | infoTablesRe() => Some(tableList(spark))
-    case infoColumnsRe(table) => Some(tableInfo(spark, table))
+    case infoColumnsRe(table) => Some(infoSchemaColumns(spark, table))
     case _ => None
   }
 
@@ -36,6 +36,41 @@ object Introspection {
         null.asInstanceOf[String], 0)
     }.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
   }
+
+  /** INFORMATION_SCHEMA.COLUMNS layout with standard SQL type names:
+    * `(table_name, column_name, ordinal_position, data_type,
+    * is_nullable)` — the vocabulary Snowflake/BigQuery-family probes
+    * expect (VARCHAR/BIGINT/…), mapped from Spark's catalog names.
+    */
+  def infoSchemaColumns(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val cols = spark.catalog.listColumns(table).collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      (table, c.name, i + 1, ansiTypeName(c.dataType),
+        if (c.nullable) "YES" else "NO")
+    }.toSeq.toDF("table_name", "column_name", "ordinal_position",
+      "data_type", "is_nullable")
+  }
+
+  /** Spark catalog type name → standard SQL (INFORMATION_SCHEMA) name. */
+  private def ansiTypeName(sparkType: String): String =
+    sparkType.toLowerCase match {
+      case "int" | "integer"    => "INTEGER"
+      case "bigint" | "long"    => "BIGINT"
+      case "smallint" | "short" => "SMALLINT"
+      case "tinyint" | "byte"   => "TINYINT"
+      case "string"             => "VARCHAR"
+      case "double"             => "DOUBLE"
+      case "float" | "real"     => "FLOAT"
+      case "boolean"            => "BOOLEAN"
+      case "date"               => "DATE"
+      case "binary"             => "BLOB"
+      case t if t.startsWith("decimal")   => t.toUpperCase
+      case t if t.startsWith("timestamp") => "TIMESTAMP"
+      case t if t.startsWith("array<") =>
+        ansiTypeName(t.stripPrefix("array<").stripSuffix(">")) + "[]"
+      case t => t.toUpperCase
+    }
 
   /** sqlite_master-style table listing: a single `name` column. */
   def tableList(spark: SparkSession): DataFrame = {

@@ -385,6 +385,32 @@ object CoverageQueries extends QueryPack {
              |ORDER BY tbl, cid""".stripMargin)),
 
     GQuery(
+      "q_info_schema_scan",
+      "INFORMATION_SCHEMA.COLUMNS probe (the Snowflake/BigQuery-family " +
+        "introspection shape) intercepted by the dialect door and " +
+        "answered from the Spark catalog with standard SQL type names " +
+        "— mirrored against DuckDB's own information_schema.columns " +
+        "over the same parquet views.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          val backend = new graft.exec.SqlBackend(spark)
+          def info(table: String) = backend.runDialect(
+            s"SELECT column_name, data_type FROM INFORMATION_SCHEMA.COLUMNS " +
+              s"WHERE TABLE_NAME = '$table'") match {
+            case graft.exec.ExecOk(df, _) => df
+            case graft.exec.ExecErr(e, _) => throw new IllegalStateException(e)
+          }
+          info("nation").unionByName(info("region"))
+            .orderBy(col("table_name"), col("ordinal_position"))
+        },
+      Some("""SELECT table_name, column_name,
+             |       CAST(ordinal_position AS INT) AS ordinal_position,
+             |       data_type, is_nullable
+             |FROM information_schema.columns
+             |WHERE table_name IN ('nation', 'region')
+             |ORDER BY table_name, ordinal_position""".stripMargin)),
+
+    GQuery(
       "q_execute_sql",
       "Stringified execute_sql facade (core/db_connect.py:158-191 " +
         "conventions): 1x1 results collapse to a bare scalar, empty " +
