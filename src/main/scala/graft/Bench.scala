@@ -60,6 +60,29 @@ object Bench {
         (q.name, math.min(t1, math.min(t2, t3)), s3)
       } else (q.name, math.min(t1, t2), s2)
     }
+    // ANN quality guard: recall@k of the IVF variants against exact
+    // kNN over the query ids both ran (wall-time alone would let a
+    // quantizer change silently trade recall for speed). Untimed.
+    def topK(name: String): Map[Long, Set[Long]] =
+      SparkEntry.allQueries.find(_.name == name).map { q =>
+        try q.build(spark, sfDir).select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+        catch { case _: Throwable => Map.empty[Long, Set[Long]] }
+        finally graft.core.CacheBin.drain()
+      }.getOrElse(Map.empty)
+    val exactTop = topK("q_knn_exact")
+    def recallOf(name: String): Option[Double] = {
+      val ann = topK(name)
+      val common = (exactTop.keySet & ann.keySet).toSeq
+      if (common.isEmpty) None
+      else Some(common.map(qid =>
+        (exactTop(qid) & ann(qid)).size.toDouble / exactTop(qid).size)
+        .sum / common.size)
+    }
+    val recalls = Seq("q_ivf_ann", "q_ivf_indexed")
+      .flatMap(n => recallOf(n).map(n -> _))
+
     // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
     // and sbt appends its own [success] banner after us: with 87+ queries the
     // full per-query map overflowed that tail two rounds running. So stdout
@@ -72,8 +95,10 @@ object Bench {
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+    val recallJson = recalls
+      .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))

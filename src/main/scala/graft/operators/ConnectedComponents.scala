@@ -77,11 +77,11 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val allNodes = edges
+    val allNodes = graft.core.CacheBin.track(edges
       .select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     var cur = symmetrize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))

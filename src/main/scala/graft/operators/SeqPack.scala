@@ -31,10 +31,10 @@ object SeqPack {
     // RDD id, so re-executing the exchange in a second job can shift
     // boundary rows into a different partition than the one their
     // offset was computed for
-    val ranged = df
+    val ranged = graft.core.CacheBin.track(df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val totals = ranged
       .groupBy(col("__pid")).agg(sum(col(weightCol).cast("long")).as("__t"))
       .orderBy(col("__pid"))
