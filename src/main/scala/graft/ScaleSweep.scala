@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+
+/** Measured-scaling harness for the heavy dedup/ANN operators: derives
+  * a `copies`× corpus from the base scale factor (id-shifted copies
+  * with per-copy content perturbation so copies are NOT near-dups of
+  * each other — otherwise pair counts explode quadratically in copies
+  * and the sweep measures duplication pathology, not scaling), times
+  * the sweep queries at 1× and N×, and reports the per-query scaling
+  * exponent log(tN/t1)/log(N).
+  *
+  * Usage: `runMain graft.ScaleSweep [baseDir] [copies] [outDir]`.
+  * Output: one JSON line per query + `target/scale_sweep.json`.
+  */
+object ScaleSweep {
+
+  /** The operators whose 100 TB claims the sweep turns into numbers. */
+  val sweep: Seq[String] = Seq(
+    "q_minhash_dedup", "q_semantic_dedup", "q_ivf_kmeans",
+    "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score")
+
+  /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
+    * data-derived stride, so deriving FROM a derived corpus keeps ids
+    * unique) and perturbs content (every token suffixed / embedding
+    * rotated) so cross-copy rows are neither exact nor near duplicates.
+    */
+  def derive(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
+    if (Files.exists(Paths.get(s"$outDir/documents.parquet")) &&
+        Files.exists(Paths.get(s"$outDir/embeddings.parquet"))) return
+    val docs = Tables.load(spark, baseDir, "documents")
+    val docShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * docShift))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$i")))))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vecShift = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    (0 until copies).map { i =>
+      if (i == 0) emb
+      else {
+        val rot = i % dim
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+          .withColumn("embedding", concat(
+            slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)))
+      }
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def time(spark: SparkSession, q: GQuery, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try { q.build(spark, dir).queryExecution.toRdd.count(): Unit }
+      finally graft.core.CacheBin.drain()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse("target/scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    derive(spark, baseDir, outDir, copies)
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = sweep.flatMap { name =>
+      SparkEntry.allQueries.find(_.name == name).map { q =>
+        val t1 = time(spark, q, baseDir)
+        val tN = time(spark, q, outDir)
+        val exp = math.log(tN / t1) / math.log(copies.toDouble)
+        // scalastyle:off println — operator-facing sweep report
+        println(s"""{"query":"$name","t1_sec":${num(t1)},"t${copies}x_sec":${num(tN)},"exponent":${num(exp)}}""")
+        // scalastyle:on println
+        s""""$name":{"t1_sec":${num(t1)},"tN_sec":${num(tN)},"exponent":${num(exp)}}"""
+      }
+    }
+    val json = s"""{"copies":$copies,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target", "scale_sweep.json"), json)
+    spark.stop()
+  }
+}
