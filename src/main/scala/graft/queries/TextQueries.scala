@@ -261,6 +261,53 @@ object TextQueries extends QueryPack {
               |                (CAST(s.n_tokens AS DOUBLE) * CAST(t.total AS DOUBLE)),
               |                0.0) AS freq_score
               |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id CROSS JOIN tot t
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
+      "q_dsir_select",
+      "DSIR-style data selection (importance resampling): hashed " +
+        "unigram+bigram features (512 buckets), add-one-smoothed " +
+        "target-vs-raw log-likelihood-ratio weights floored to integer " +
+        "micro-LLR units, per-doc integer score sums, deterministic " +
+        "Gumbel-top-50 selection keyed on the corpus-standard id hash. " +
+        "The full recipe — features, fit, score, resample — is " +
+        "mirrored in the DuckDB oracle.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.ImportanceResample.select(
+          docs.select(col("doc_id"), col("text")),
+          docs.filter(col("source") === "src0")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", buckets = 512, k = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, source, $oToks AS t FROM documents),
+              |ng AS (
+              |  SELECT doc_id, source,
+              |         unnest(list_concat(t,
+              |           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+              |  FROM tk),
+              |f AS (SELECT doc_id, source, ${DedupOracles.polyHash("g")} % 512 AS bucket FROM ng),
+              |tc AS (SELECT bucket, COUNT(*) AS tn FROM f WHERE source = 'src0' GROUP BY bucket),
+              |rc AS (SELECT bucket, COUNT(*) AS rn FROM f GROUP BY bucket),
+              |tt AS (SELECT COALESCE(SUM(tn), 0) AS t_total FROM tc),
+              |rt AS (SELECT COALESCE(SUM(rn), 0) AS r_total FROM rc),
+              |w AS (
+              |  SELECT bucket,
+              |         CAST(floor(1000000.0 * ln(
+              |           (CAST(COALESCE(tn, 0) + 1 AS DOUBLE) * CAST(r_total + 512 AS DOUBLE)) /
+              |           (CAST(COALESCE(rn, 0) + 1 AS DOUBLE) * CAST(t_total + 512 AS DOUBLE))
+              |         )) AS BIGINT) AS wm
+              |  FROM rc FULL JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+              |sc AS (SELECT f.doc_id, SUM(wm) AS s FROM f JOIN w USING (bucket) GROUP BY f.doc_id),
+              |keyed AS (
+              |  SELECT d.doc_id, COALESCE(sc.s, 0) AS s,
+              |         CAST(COALESCE(sc.s, 0) AS DOUBLE) / 1000000.0
+              |           - ln(-ln(CAST(((d.doc_id % 1000000007) * 2654435761) % 1000000007 + 1 AS DOUBLE)
+              |                    / 1000000008.0)) AS k
+              |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+              |sel AS (SELECT doc_id, s FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+              |SELECT doc_id, s AS dsir_score_micro FROM sel ORDER BY doc_id""".stripMargin))
   )
 }
