@@ -160,6 +160,59 @@ object DedupQueries extends QueryPack {
            |FROM sg a JOIN sg c ON a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
            |ORDER BY id1, id2""".stripMargin
+      }),
+
+    GQuery(
+      "q_boilerplate_strip",
+      "Cross-document repeated-substring removal (exact-substring-dedup " +
+        "family): 5-token windows appearing in >= 3 distinct documents " +
+        "are boilerplate; every covered token position is stripped and " +
+        "the cleaned text reassembled. O(total tokens) — hash groupBy + " +
+        "equi-join, no pairwise stage.",
+      (s, dir) =>
+        graft.operators.Boilerplate.strip(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 5, minDocFreq = 3)
+          .orderBy(col("doc_id")),
+      Some {
+        val win = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                             t -> length(t) > 0) AS tk
+           |  FROM documents),
+           |wu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+           |           i -> struct_pack(pos := i - 1,
+           |                            g := concat_ws(' ', $win)))) AS u
+           |  FROM toks),
+           |w AS (SELECT doc_id, u.pos AS pos, ${DedupOracles.polyHash("u.g")} AS h FROM wu),
+           |flagged AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+           |  FROM w JOIN flagged USING (h)),
+           |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+           |tpu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, len(tk)),
+           |           i -> struct_pack(p := i - 1, tok := tk[i]))) AS u
+           |  FROM toks),
+           |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tpu),
+           |keep AS (
+           |  SELECT tp.doc_id, tp.p, tp.tok
+           |  FROM tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p
+           |  WHERE c.p IS NULL),
+           |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+           |       FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           |       CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed,
+           |       COALESCE(ct.clean_text, '') AS clean_text
+           |FROM documents d
+           |JOIN toks t USING (doc_id)
+           |LEFT JOIN nrem n USING (doc_id)
+           |LEFT JOIN ct USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
       })
   )
 }
