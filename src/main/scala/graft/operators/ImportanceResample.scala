@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftvec.TextHashExpr
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextAnalysis
 
@@ -32,25 +34,21 @@ object ImportanceResample {
 
   private val P = 1000000007L
 
-  /** Word unigram + bigram strings of a text column. */
-  private def ngrams(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val bi = zip_with(
-      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-    concat(toks, bi)
-  }
-
   /** One row per n-gram OCCURRENCE: `(idCol, bucket)` — multiplicity
-    * counts, as in the paper's bag-of-hashed-n-grams features.
+    * counts, as in the paper's bag-of-hashed-n-grams features. The
+    * hash IS the dedup family's rolling shingle hash (`ShingleHashes`
+    * at n=1 and n=2 equals `fingerprint` of the space-joined n-gram —
+    * the identity the q_repetition oracle pins), evaluated by the
+    * codegen'd expression so no n-gram string is ever materialized.
     */
   def features(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
-    docs.select(col(idCol), explode(ngrams(col(textCol))).as("__g"))
-      .select(col(idCol),
-        pmod(TextAnalysis.fingerprint(col("__g")), lit(buckets.toLong))
-          .as("bucket"))
+      buckets: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.select(col(idCol), explode(concat(
+        TextHashExpr.shingleHashes(toks, 1),
+        TextHashExpr.shingleHashes(toks, 2))).as("__h"))
+      .select(col(idCol), pmod(col("__h"), lit(buckets.toLong)).as("bucket"))
+  }
 
   /** Importance-weight table: `(bucket, w_micro)` where
     * `w_micro = floor(1e6 · ln( ((t_b+1)·(R+B)) / ((r_b+1)·(T+B)) ))`
@@ -59,12 +57,17 @@ object ImportanceResample {
     * At most `buckets` rows, whatever the corpus size.
     */
   def fitWeights(target: DataFrame, raw: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
-    def bucketCounts(df: DataFrame, as: String) =
-      features(df, idCol, textCol, buckets)
-        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    val tc = bucketCounts(target, "__tn")
-    val rc = bucketCounts(raw, "__rn")
+      textCol: String, buckets: Int): DataFrame =
+    weightTable(
+      bucketCounts(features(target, idCol, textCol, buckets), "__tn"),
+      bucketCounts(features(raw, idCol, textCol, buckets), "__rn"),
+      buckets)
+
+  private def bucketCounts(feats: DataFrame, as: String): DataFrame =
+    feats.groupBy(col("bucket")).agg(count(lit(1)).as(as))
+
+  private def weightTable(tc: DataFrame, rc: DataFrame,
+      buckets: Int): DataFrame = {
     val tTot = tc.agg(coalesce(sum(col("__tn")), lit(0L))).head().getLong(0)
     val rTot = rc.agg(coalesce(sum(col("__rn")), lit(0L))).head().getLong(0)
     val b = buckets.toLong
@@ -102,10 +105,24 @@ object ImportanceResample {
     */
   def select(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int, k: Int): DataFrame = {
-    val weights = fitWeights(target, raw, idCol, textCol, buckets)
+    // the raw feature stream feeds BOTH the raw bucket counts and the
+    // scoring join: persisted so the corpus is tokenized+hashed once
+    // (CacheBin contract — runner drains after materializing)
+    val rawFeats = graft.core.CacheBin.track(
+      features(raw, idCol, textCol, buckets)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val weights = weightTable(
+      bucketCounts(features(target, idCol, textCol, buckets), "__tn"),
+      bucketCounts(rawFeats, "__rn"), buckets)
+    val scored = rawFeats
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("w_micro")).as("__s"))
     val u = (pmod(pmod(col(idCol).cast("long"), lit(P)) * lit(2654435761L),
       lit(P)) + 1).cast("double") / lit((P + 1).toDouble)
-    scoreDocs(raw, idCol, textCol, weights, buckets)
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__s"), lit(0L)).as("dsir_score_micro"))
       .withColumn("__key",
         col("dsir_score_micro").cast("double") / lit(1e6) - log(-log(u)))
       .orderBy(col("__key").desc, col(idCol))
