@@ -28,18 +28,38 @@ object Similarity {
     * Self-matches (same id) are excluded.
     */
   def knnExact(corpus: DataFrame, queries: DataFrame, idCol: String,
-      queryIdCol: String, vecCol: String, k: Int): DataFrame = {
-    // norms are precomputed once per vector, not once per pair — the
-    // score expression dot/(na*nb) keeps the same association, so values
-    // are bit-identical to the naive form.
+      queryIdCol: String, vecCol: String, k: Int): DataFrame =
+    rankTopK(scoredPairs(corpus, queries, idCol, queryIdCol, vecCol),
+      idCol, k)
+
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the k MOST similar corpus rows whose cosine stays BELOW
+    * `dupThreshold` — the near-but-not-duplicate band (above it the
+    * pair is a positive/duplicate, far below it the negative is too
+    * easy to teach anything). Same broadcast + rank-filter plan as
+    * `knnExact` with the band filter applied before the rank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, vecCol: String, k: Int,
+      dupThreshold: Double): DataFrame =
+    rankTopK(scoredPairs(corpus, queries, idCol, queryIdCol, vecCol)
+      .filter(col("score") < dupThreshold), idCol, k)
+
+  // norms are precomputed once per vector, not once per pair — the
+  // score expression dot/(na*nb) keeps the same association, so values
+  // are bit-identical to the naive form.
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, vecCol: String): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("__qid"), col(vecCol).as("__qvec"),
       FloatVec.normF(col(vecCol)).as("__qnorm"))
-    val c = corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
-    val scored = c
+    corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
       .join(broadcast(q), col(idCol) =!= col("__qid"))
       .withColumn("score",
         FloatVec.dotF(col(vecCol), col("__qvec")) / (col("__cnorm") * col("__qnorm")))
+  }
+
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col(idCol))
     scored

@@ -49,6 +49,38 @@ object SimilarityQueries extends QueryPack {
               |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     GQuery(
+      "q_hard_negatives",
+      "Hard-negative mining for contrastive/embedding training: per " +
+        "query, the top-5 most similar corpus vectors whose cosine " +
+        "stays BELOW the duplicate threshold (0.8) — the " +
+        "near-but-not-duplicate band. Broadcast query side, band " +
+        "filter before the rank window.",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.hardNegatives(
+          emb.select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "vec_id", "qid", "embedding", k = 5, dupThreshold = 0.8)
+          .select(col("query_id"), col("rank").cast("long").as("rnk"),
+            col("neighbor_id"), col("score"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              |s AS (
+              |  SELECT q.qid, e.vec_id AS nid,
+              |         ${oCos("e.embedding", "q.qv")} AS score
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+              |b AS (SELECT * FROM s WHERE score < 0.8),
+              |r AS (
+              |  SELECT qid, nid, score,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+              |  FROM b)
+              |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, score
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    GQuery(
       "q_knn_label_vote",
       "Few-shot retrieval analog: majority label vote among the top-10 " +
         "cosine neighbors of each of 20 query vectors (deterministic " +
