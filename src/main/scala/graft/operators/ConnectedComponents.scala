@@ -35,24 +35,39 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Star-round primitive. For every node u in the symmetrized edge
-    * relation, m(u) = min(N(u) ∪ {u}); emits (v, m) for the selected
-    * neighbor side (large: v > u, small: v <= u) plus (u, m) so m's
-    * own link survives the round.
+  /** Large-star round (two-phase star contraction): for every node u
+    * of the SYMMETRIZED relation, m(u) = min(N(u) ∪ {u}); every larger
+    * neighbor links to m. Each input edge survives through its smaller
+    * endpoint's grouping, so connectivity is preserved. Output is
+    * directed larger→smaller `(src, dst)` links.
     */
-  private def starRound(sym: DataFrame, large: Boolean): DataFrame = {
+  private def largeStar(sym: DataFrame): DataFrame = {
     val withMin = sym
       .groupBy(col("u"))
       .agg(min(col("v")).as("__nmin"), collect_set(col("v")).as("__nbrs"))
       .withColumn("m", least(col("u"), col("__nmin")))
-    val side =
-      if (large) filter(col("__nbrs"), v => v > col("u"))
-      else filter(col("__nbrs"), v => v <= col("u"))
     withMin
-      .select(col("u"), col("m"), explode_outer(side).as("v"))
-      .select(
-        when(col("v").isNull, col("u")).otherwise(col("v")).as("src"),
-        col("m").as("dst"))
+      .select(col("u"), col("m"),
+        explode(filter(col("__nbrs"), v => v > col("u"))).as("v"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: consumes the large round's DIRECTED
+    * larger→smaller links, groups each node u with its smaller
+    * neighbors N⁻(u), and links every member of N⁻(u) ∪ {u} to
+    * m = min(N⁻(u)) — contracting each local star onto its minimum.
+    */
+  private def smallStar(directed: DataFrame): DataFrame = {
+    val withMin = directed
+      .select(col("src").as("u"), col("dst").as("v"))
+      .groupBy(col("u"))
+      .agg(min(col("v")).as("m"), collect_set(col("v")).as("__nbrs"))
+    withMin
+      .select(col("m"),
+        explode(concat(col("__nbrs"), array(col("u")))).as("v"))
+      .select(col("v").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
@@ -90,7 +105,7 @@ object ConnectedComponents {
     var it = 0
     while (!converged && it < maxIterations) {
       val next =
-        symmetrize(starRound(starRound(cur, large = true), large = false))
+        symmetrize(smallStar(largeStar(cur)))
           .localCheckpoint(true)
       // Converged when the (canonical, symmetrized) edge sets match:
       // equal cardinality + empty difference — two cheap aggregates

@@ -163,6 +163,54 @@ object DedupQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_leak_safe_split",
+      "Leakage-safe train/valid/test split: near-duplicate clusters " +
+        "(banded MinHash pairs -> connected components, min-id label) " +
+        "share one split key, so no near-copy straddles train and eval. " +
+        "Oracle mirrors pairs, a recursive-CTE transitive closure, and " +
+        "the multiplicative-hash draw.",
+      (s, dir) =>
+        graft.operators.LeakSafeSplit.split(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          threshold = 0.5, n = 3, h = 16, bands = 4)
+          .orderBy(col("doc_id")),
+      Some {
+        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        s"""WITH RECURSIVE $oBase,
+           |${DedupOracles.minhashBandCtes()},
+           |$oInterJac,
+           |pairs AS (
+           |  SELECT j.id1, j.id2 FROM j
+           |  JOIN bnd x ON x.doc_id = j.id1
+           |  JOIN bnd y ON y.doc_id = j.id2
+           |  WHERE j.jaccard >= 0.5 AND ($bandCond)),
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION
+           |  SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+           |comp AS (
+           |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+           |  FROM reach GROUP BY a),
+           |keyed AS (
+           |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+           |draw AS (
+           |  SELECT doc_id, split_key,
+           |         ((split_key % 1000003) * 2654435761) % 1000000 AS dr
+           |  FROM keyed)
+           |SELECT doc_id, split_key,
+           |       CASE WHEN dr < 800000 THEN 'train'
+           |            WHEN dr < 900000 THEN 'valid'
+           |            ELSE 'test' END AS split
+           |FROM draw ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_boilerplate_strip",
       "Cross-document repeated-substring removal (exact-substring-dedup " +
         "family): 5-token windows appearing in >= 3 distinct documents " +
