@@ -23,7 +23,8 @@ object ScaleSweep {
   /** The operators whose 100 TB claims the sweep turns into numbers. */
   val sweep: Seq[String] = Seq(
     "q_minhash_dedup", "q_semantic_dedup", "q_ivf_kmeans",
-    "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score")
+    "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score",
+    "q_dsir_select", "q_boilerplate_strip", "q_leak_safe_split")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids
