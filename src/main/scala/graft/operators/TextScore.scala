@@ -37,6 +37,75 @@ object TextScore {
     * for the map-side join (a few thousand rows of (token, count) —
     * KBs on the wire, covers the zipf head at any corpus size).
     */
+  /** Bigram language-model score (the CCNet perplexity filter analog,
+    * deterministic): per document, the add-one-smoothed conditional
+    * log-probability of its bigrams under the CORPUS bigram model,
+    *
+    *   score = Σ ln( (C(w1 w2)+1) / (C(w1·)+V) )
+    *
+    * with C(w1·) the context count and V the context vocabulary size.
+    * Fluent in-distribution text scores high (close to 0); gibberish
+    * and shuffled text score low. Weights are floored to integer
+    * micro-log-prob units, so per-doc sums are exact integer
+    * arithmetic; the one final double division yields the per-bigram
+    * average.
+    *
+    * Scale shape mirrors `wordFreqScore`: the bigram weight table is
+    * vocabulary-sized (too big to broadcast in full at corpus scale),
+    * and bigram OCCURRENCES are zipf distributed — the top
+    * `hotBigrams` weights broadcast and join map-side, only the
+    * de-skewed cold tail shuffle-joins. Hashing is the codegen'd
+    * rolling shingle hash at n=1/2 (no bigram strings materialized).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      hotBigrams: Int = 2048): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.graftvec.TextHashExpr
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one row per bigram occurrence: (id, bigram hash, context hash)
+    val rows = graft.core.CacheBin.track(
+      docs.select(col(idCol),
+        TextHashExpr.shingleHashes(toks, 2).as("__bg"),
+        TextHashExpr.shingleHashes(toks, 1).as("__ug"))
+        .select(col(idCol), explode(arrays_zip(
+          col("__bg"),
+          slice(col("__ug"), lit(1), size(col("__bg"))).as("__cx"))).as("__z"))
+        .select(col(idCol), col("__z.__bg").as("__b"), col("__z.__cx").as("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // bigram hash determines its context, so (b, c) grouping is the
+    // distinct-bigram table with the context carried
+    val cb = rows.groupBy(col("__b"), col("__c")).agg(count(lit(1)).as("__cb"))
+    val cu = rows.groupBy(col("__c").as("__c2")).agg(count(lit(1)).as("__cu"))
+    val weights = graft.core.CacheBin.track(
+      cb.join(cu, col("__c") === col("__c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val v = cu.count() // context-vocabulary size (distinct contexts)
+    val w = weights.select(col("__b"), col("__cb"),
+      floor(lit(1e6) * log((col("__cb") + 1).cast("double") /
+        (col("__cu") + lit(v)).cast("double"))).as("__wm"))
+    val hot = broadcast(
+      w.orderBy(col("__cb").desc, col("__b")).limit(hotBigrams)
+        .select(col("__b"), col("__wm").as("__wm_hot")))
+    val tagged = rows.join(hot, Seq("__b"), "left_outer")
+    val contrib = tagged.filter(col("__wm_hot").isNotNull)
+      .select(col(idCol), col("__wm_hot").as("__wm"))
+      .unionByName(
+        tagged.filter(col("__wm_hot").isNull)
+          .select(col(idCol), col("__b"))
+          .join(w.select(col("__b"), col("__wm")), "__b")
+          .select(col(idCol), col("__wm")))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__wm")).as("__s"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s"), lit(0L)).as("logprob_micro"),
+        coalesce(col("__s").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)), lit(0.0))
+          .as("avg_logprob"))
+  }
+
   def wordFreqScore(docs: DataFrame, idCol: String, textCol: String,
       hotTokens: Int = 1024): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -264,6 +264,44 @@ object TextQueries extends QueryPack {
               |ORDER BY d.doc_id""".stripMargin)),
 
     GQuery(
+      "q_bigram_logprob",
+      "Bigram language-model score (the CCNet perplexity-filter " +
+        "analog): per doc, the add-one-smoothed conditional " +
+        "log-probability of its bigrams under the corpus bigram model, " +
+        "in exact integer micro-log-prob units plus one final double " +
+        "average. Zipf head broadcast, cold tail shuffle-joined.",
+      (s, dir) =>
+        graft.operators.TextScore.bigramLogProb(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, $oToks AS t FROM documents),
+              |bg AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+              |    struct_pack(b := ${DedupOracles.polyHash("t[i] || ' ' || t[i+1]")},
+              |                c := ${DedupOracles.polyHash("t[i]")}))) AS u
+              |  FROM tk),
+              |r AS (SELECT doc_id, u.b AS b, u.c AS c FROM bg),
+              |cb AS (SELECT b, c, COUNT(*) AS cbn FROM r GROUP BY b, c),
+              |cu AS (SELECT c, COUNT(*) AS cun FROM r GROUP BY c),
+              |vv AS (SELECT COUNT(*) AS v FROM cu),
+              |w AS (
+              |  SELECT b,
+              |         CAST(floor(1000000.0 * ln(
+              |           CAST(cbn + 1 AS DOUBLE) / CAST(cun + v AS DOUBLE))) AS BIGINT) AS wm
+              |  FROM cb JOIN cu USING (c) CROSS JOIN vv),
+              |sc AS (
+              |  SELECT r.doc_id, COUNT(*) AS n_bigrams, SUM(wm) AS s
+              |  FROM r JOIN w USING (b) GROUP BY r.doc_id)
+              |SELECT d.doc_id,
+              |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |       CAST(COALESCE(s, 0) AS BIGINT) AS logprob_micro,
+              |       COALESCE(CAST(s AS DOUBLE) /
+              |                (CAST(n_bigrams AS DOUBLE) * 1000000.0), 0.0) AS avg_logprob
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
       "q_dsir_select",
       "DSIR-style data selection (importance resampling): hashed " +
         "unigram+bigram features (512 buckets), add-one-smoothed " +
