@@ -46,6 +46,9 @@ object Reproduce {
       }
       val preds = answered.select("instance_id", "pred_sql").collect()
         .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      // replica results are materialized above: release any
+      // operator-persisted frames before the next replica runs
+      graft.core.CacheBin.drain()
       order.map(iid => ExItem(iid, gold(iid), preds.getOrElse(iid, None)))
     }
 

@@ -134,6 +134,11 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
       } catch {
         case scala.util.control.NonFatal(e) =>
           (500, err(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+      } finally {
+        // release operator-persisted frames: requests materialize their
+        // results before responding, and a long-lived serving session
+        // must not accumulate cache blocks across requests
+        graft.core.CacheBin.drain()
       }
     val bytes = mapper.writeValueAsBytes(body)
     ex.getResponseHeaders.set("Content-Type", "application/json")
