@@ -60,7 +60,8 @@ final case class TemplateGenerator(template: String, cols: Seq[String]) extends 
   def act(ds: DataFrame): DataFrame = {
     val parts = template.split("\\{\\}", -1)
     require(parts.length == cols.length + 1, "template holes must match cols")
-    val exprs = parts.zipAll(cols.map(c => col(c).cast("string")), "", lit(""))
+    val exprs = parts.toIndexedSeq
+      .zipAll(cols.map(c => col(c).cast("string")), "", lit(""))
       .flatMap { case (s, c) => Seq(lit(s), c) }
     ds.withColumn(outputName, concat(exprs: _*))
   }

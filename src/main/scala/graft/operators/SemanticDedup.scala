@@ -141,7 +141,8 @@ object SemanticDedup {
               .withColumn("__rcell", col("__cell").cast("long") + lit(base))
               .drop("__cell")
           }
-          val untouched = cur.filter(!col("__rcell").isin(big.map(_._1): _*))
+          val untouched =
+            cur.filter(!col("__rcell").isin(big.map(_._1).toIndexedSeq: _*))
           cur = graft.core.CacheBin.track(
             (untouched +: relabeled).reduce(_ unionByName _)
               .persist(StorageLevel.MEMORY_AND_DISK))

@@ -531,7 +531,7 @@ object CoverageQueries extends QueryPack {
             concat(lit("t"), pmod(col("vec_id"), lit(5)).cast("string")).as("table_name"),
             concat(lit("c"), pmod(col("vec_id"), lit(9)).cast("string")).as("column_name"),
             col("embedding"))
-        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val flagged = sch.filter(col("table_name") === "t0")
           .select(col("table_name"), col("column_name")).distinct()
         LinkAlignReduce.reduce(sch, Seq.fill(dim)(1.0), dbSize = 150,

@@ -203,7 +203,7 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     // `app/run.py:276-298`) — RL rollouts routinely repeat a signature
     val memo = scala.collection.mutable.Map
       .empty[(String, Option[String], Option[String], Option[Seq[String]]), Double]
-    val fields = root.fields()
+    val fields = root.properties().iterator()
     while (fields.hasNext) {
       val e = fields.next()
       val iid = e.getKey
