@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The complete training-corpus preparation pipeline as ONE call — the
+  * end-to-end path a 100 TB data-curation run actually executes, each
+  * stage the engine's own oracle-verified operator:
+  *
+  *  1. language allowlist + length floor + exact/near dedup
+  *     (`CorpusClean.clean` — banded MinHash, no all-pairs stage);
+  *  2. cross-document boilerplate removal (`Boilerplate.strip`);
+  *  3. quality gates on the CLEANED text: heuristic quality score
+  *     floor and bigram-LM floor (`TextAnalysis.qualityScore`,
+  *     `TextScore.bigramLogProb`);
+  *  4. benchmark decontamination (`Decontaminate`, 13-gram overlap);
+  *  5. leakage-safe split assignment (`LeakSafeSplit` — near-dup
+  *     clusters never straddle train/eval);
+  *  6. per-source token-budget mixing of the TRAIN split
+  *     (`RowOps.tokenBudgetSample`);
+  *  7. sequence packing into fixed-token bins (`SeqPack.packByBudget`).
+  *
+  * Output: one row per packed training document with `(idCol, split,
+  * n_tokens, bin_id, bin_offset, clean_text)` plus the untouched
+  * valid/test rows (bin columns null) — everything a tokenizer shard
+  * writer needs downstream.
+  *
+  * Scale story = the composed operators' own stories (each documented
+  * in SCALE.md); this class adds no shuffle of its own beyond the
+  * stage handoffs.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Seq[String] = Seq("en"),
+      minChars: Int = 100,
+      jaccardThreshold: Double = 0.5,
+      boilerWindow: Int = 5,
+      boilerMinDocFreq: Int = 3,
+      minQuality: Double = 0.0,
+      minAvgLogProb: Double = Double.NegativeInfinity,
+      decontaminationNgram: Int = 13,
+      // leak clustering runs BELOW the dedup threshold: docs similar
+      // enough to correlate but distinct enough to survive dedup must
+      // still share a split
+      splitLeakThreshold: Double = 0.3,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+      trainBudgetPerSource: Long = Long.MaxValue,
+      packTokens: Long = 2048L)
+
+  /** Run the full preparation over `docs` (needs idCol, textCol, a
+    * lang column, and srcCol); `evalSet` is the benchmark to
+    * decontaminate against (empty frame → stage is a no-op).
+    */
+  def prepare(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    // 1. allowlist + floors + exact/near dedup (keeps original columns)
+    val cleaned = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
+      cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
+
+    // 2. boilerplate scrub — downstream stages score the CLEAN text
+    val stripped = cleaned
+      .join(Boilerplate.strip(cleaned, idCol, textCol,
+        cfg.boilerWindow, cfg.boilerMinDocFreq)
+        .select(col(idCol), col("clean_text")), idCol)
+      .drop(textCol)
+      .withColumnRenamed("clean_text", textCol)
+
+    // 3. quality gates
+    val q1 = stripped.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
+    val q2 =
+      if (cfg.minAvgLogProb == Double.NegativeInfinity) q1
+      else q1.join(
+        TextScore.bigramLogProb(q1, idCol, textCol)
+          .filter(col("avg_logprob") >= cfg.minAvgLogProb)
+          .select(col(idCol)), idCol)
+
+    // 4. decontamination against the held-out benchmark
+    val decon =
+      if (evalSet.isEmpty) q2
+      else Decontaminate.decontaminate(q2, evalSet, idCol, textCol,
+        cfg.decontaminationNgram)
+
+    // 5. leakage-safe split
+    val split = decon.join(
+      LeakSafeSplit.split(decon, idCol, textCol, cfg.splits,
+        cfg.splitLeakThreshold).select(col(idCol), col("split")), idCol)
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+
+    // 6+7. budget-mix and pack the TRAIN split only
+    val train = split.filter(col("split") === "train")
+    val mixed =
+      if (cfg.trainBudgetPerSource == Long.MaxValue) train
+      else RowOps.tokenBudgetSample(train, srcCol, "n_tokens",
+        cfg.trainBudgetPerSource, idCol = idCol)
+    val packed = SeqPack.packByBudget(mixed, idCol, "n_tokens",
+      cfg.packTokens)
+      .select(col(idCol), col("split"), col("n_tokens"),
+        col("bin_id"), col("bin_offset"), col(textCol).as("clean_text"))
+    val held = split.filter(col("split") =!= "train")
+      .select(col(idCol), col("split"), col("n_tokens"),
+        lit(null).cast("long").as("bin_id"),
+        lit(null).cast("long").as("bin_offset"),
+        col(textCol).as("clean_text"))
+    packed.unionByName(held)
+  }
+}

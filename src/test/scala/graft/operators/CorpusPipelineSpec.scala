@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** End-to-end corpus preparation invariants over the real documents
+  * table: stage composition, split hygiene, packing bounds,
+  * decontamination, and determinism.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private lazy val evalSet = {
+    import spark.implicits._
+    // "benchmark" = two real documents: their 13-gram content must not
+    // survive into the training corpus
+    docs.filter(col("doc_id").isin(3L, 7L))
+      .select(col("doc_id"), col("text"))
+  }
+
+  private lazy val out = CorpusPipeline.prepare(
+    docs, evalSet,
+    CorpusPipeline.Config(
+      langs = Seq("en", "de", "fr"), minChars = 100,
+      packTokens = 256L),
+    "doc_id", "text", "source").cache()
+
+  test("output is one row per surviving doc with a legal split label") {
+    val n = out.count()
+    assert(n > 0 && n < docs.count(), "pipeline must filter something")
+    assert(out.select("doc_id").distinct().count() == n, "ids must be unique")
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")), splits.toString)
+  }
+
+  test("train rows are packed within the token budget; held-out rows are not") {
+    val bad = out.filter(col("split") === "train" &&
+      (col("bin_id").isNull || col("bin_offset") < 0 ||
+        col("bin_offset") >= 256)).count()
+    assert(bad == 0, s"$bad train rows violate packing bounds")
+    assert(out.filter(col("split") =!= "train" && col("bin_id").isNotNull)
+      .count() == 0, "held-out rows must not be packed")
+  }
+
+  test("benchmark documents are decontaminated out of the corpus") {
+    assert(out.filter(col("doc_id").isin(3L, 7L)).count() == 0,
+      "eval-set documents must not survive")
+  }
+
+  test("the pipeline is deterministic under repartitioning") {
+    def run(parts: Int) = CorpusPipeline.prepare(
+      docs.repartition(parts), evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L),
+      "doc_id", "text", "source")
+      .select("doc_id", "split", "bin_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(run(2) == run(9))
+  }
+}
