@@ -28,6 +28,26 @@ object Decontaminate {
       .select(col(idCol)).distinct()
   }
 
+  /** Contamination audit: per EVAL item, how many corpus documents
+    * share at least one n-gram and how many distinct n-grams leak —
+    * the report a benchmark owner reads before trusting scores. One
+    * row per contaminated eval id: `(idCol, n_corpus_docs,
+    * n_shared_ngrams)`. Same join shape as [[contaminatedIds]] with
+    * the eval id carried through.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusShingles = TextDedup.withShingleHashes(corpus, idCol, textCol, n)
+      .select(col(idCol).as("__cid"), explode(col("__shh")).as("__h"))
+    val evalShingles = TextDedup.withShingleHashes(evalSet, idCol, textCol, n)
+      .select(col(idCol), explode(col("__shh")).as("__h"))
+    evalShingles
+      .join(corpusShingles, "__h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__cid")).as("n_corpus_docs"),
+        countDistinct(col("__h")).as("n_shared_ngrams"))
+  }
+
   /** The corpus minus contaminated documents. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame =

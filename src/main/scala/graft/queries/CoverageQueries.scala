@@ -806,6 +806,31 @@ object CoverageQueries extends QueryPack {
               |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
               |ORDER BY doc_id""".stripMargin)),
 
+    GQuery(
+      "q_contamination_report",
+      "Contamination audit: per eval item, how many training docs " +
+        "share a word 8-gram and how many distinct 8-grams leak — the " +
+        "report read before trusting benchmark scores (same hash join " +
+        "as decontamination with the eval id carried through).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id >= 50) src_c", 8, "_c")},
+              |${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id < 50) src_e", 8, "_e")}
+              |SELECT s_e.doc_id,
+              |       CAST(COUNT(DISTINCT s_c.doc_id) AS BIGINT) AS n_corpus_docs,
+              |       CAST(COUNT(DISTINCT s_e.h) AS BIGINT) AS n_shared_ngrams
+              |FROM s_e JOIN s_c ON s_e.h = s_c.h
+              |GROUP BY s_e.doc_id
+              |ORDER BY s_e.doc_id""".stripMargin)),
+
     // -- typed Aggregator top-k ----------------------------------------------
     GQuery(
       "q_topk_agg",
