@@ -139,6 +139,24 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors to an EXISTING materialized index without a
+    * rebuild (continuous-ingestion serving: build once, append every
+    * batch): the stored centroids assign the incoming vectors, and
+    * their rows land as new files inside the existing `cell=`
+    * partition directories (`Append` + `partitionBy` writes only the
+    * touched partitions). Quantization drifts as the corpus grows away
+    * from the frozen centroids — rebuild (or re-run `kmeansCentroids`)
+    * on a schedule; searches see appended vectors immediately.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    assignCells(incoming, idCol, vecCol, cents)
+      .withColumnRenamed("__cell", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Search a materialized index: the union of all probed cells is
     * collected (queries × nprobe ints — driver-bounded by construction)
     * and pushed as an `isin` partition filter, so the scan touches only

@@ -56,4 +56,30 @@ class IvfKmeansSpec extends SparkSpec {
     assert(byQuery.values.forall(_.length == 3), "k rows per query")
     assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self excluded")
   }
+
+  test("appendToIndex: appended vectors are searchable without a rebuild") {
+    val path = "target/tmp/ivf_append_spec"
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    IvfIndex.buildIndex(first, "vec_id", "embedding", nlist = 8, path = path)
+    IvfIndex.appendToIndex(spark, path, second, "vec_id", "embedding")
+    // every vector (original + appended) is in the index exactly once
+    val assigned = spark.read.parquet(s"$path/assigned")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    // an appended-half query finds appended-half neighbors: results
+    // match a from-scratch search with the SAME (frozen) centroids
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+    val queries = emb.filter(col("vec_id") < 7 && col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val viaIndex = IvfIndex.searchIndexed(spark, path, queries,
+      "vec_id", "qid", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = IvfIndex.searchIvf(emb, queries,
+      "vec_id", "qid", "embedding", k = 3, nlist = 8, nprobe = 2,
+      centroidsOpt = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == direct, "appended index must search like a full build")
+  }
 }
