@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 import graft.exec.ScanMetrics
 
@@ -14,18 +13,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.GraftSession.build("graft-bench", cores = cpus.toInt)
 
     // untimed warmup: JVM/codegen/parquet-footer startup should not be
     // charged to whichever query happens to run first
@@ -73,12 +61,16 @@ object Bench {
       }.getOrElse(Map.empty)
     val exactTop = topK("q_knn_exact")
     def recallOf(name: String): Option[Double] = {
+      if (exactTop.isEmpty) return None // exact baseline failed: no metric
       val ann = topK(name)
-      val common = (exactTop.keySet & ann.keySet).toSeq
-      if (common.isEmpty) None
-      else Some(common.map(qid =>
-        (exactTop(qid) & ann(qid)).size.toDouble / exactTop(qid).size)
-        .sum / common.size)
+      // denominator is EVERY exact query id: a query the ANN variant
+      // dropped entirely scores 0, not "absent" — otherwise a regression
+      // that answers 1 of 5 queries could report recall 1.0
+      val qs = exactTop.keySet.toSeq
+      Some(qs.map(qid =>
+        (exactTop(qid) & ann.getOrElse(qid, Set.empty)).size.toDouble /
+          exactTop(qid).size)
+        .sum / qs.size)
     }
     val recalls = Seq("q_ivf_ann", "q_ivf_indexed")
       .flatMap(n => recallOf(n).map(n -> _))

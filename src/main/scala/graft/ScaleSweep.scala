@@ -30,11 +30,20 @@ object ScaleSweep {
     * data-derived stride, so deriving FROM a derived corpus keeps ids
     * unique) and perturbs content (every token suffixed / embedding
     * rotated) so cross-copy rows are neither exact nor near duplicates.
+    * Caveat: NESTED derivation composes rotations mod dim, so a
+    * two-level 10×10 corpus holds a bounded number of exact-twin
+    * vectors (distinct text) — the linear collapse case, not a pair
+    * explosion.
     */
   def derive(spark: SparkSession, baseDir: String, outDir: String,
       copies: Int): Unit = {
+    // a stale dir built with a DIFFERENT copies count would silently
+    // produce wrong exponents — the marker pins the multiplier
+    val marker = Paths.get(s"$outDir/copies.txt")
     if (Files.exists(Paths.get(s"$outDir/documents.parquet")) &&
-        Files.exists(Paths.get(s"$outDir/embeddings.parquet"))) return
+        Files.exists(Paths.get(s"$outDir/embeddings.parquet")) &&
+        Files.exists(marker) &&
+        Files.readString(marker).trim == s"$baseDir x$copies") return
     val docs = Tables.load(spark, baseDir, "documents")
     val docShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     (0 until copies).map { i =>
@@ -51,7 +60,10 @@ object ScaleSweep {
     (0 until copies).map { i =>
       if (i == 0) emb
       else {
-        val rot = i % dim
+        // rot is never 0 for i > 0 (i % dim would be the identity at
+        // multiples of dim, making copy i a byte-duplicate of copy 0 —
+        // exactly the pair pathology this derivation exists to avoid)
+        val rot = 1 + (i - 1) % (dim - 1)
         emb
           .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
           .withColumn("embedding", concat(
@@ -60,6 +72,7 @@ object ScaleSweep {
       }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    Files.writeString(marker, s"$baseDir x$copies")
   }
 
   private def time(spark: SparkSession, q: GQuery, dir: String): Double = {
@@ -78,17 +91,7 @@ object ScaleSweep {
     val outDir = args.lift(2).getOrElse("target/scale10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.GraftSession.build("graft-scale-sweep", cores = cpus.toInt)
 
     derive(spark, baseDir, outDir, copies)
 

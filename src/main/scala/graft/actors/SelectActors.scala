@@ -139,26 +139,37 @@ final class Serving(spark: SparkSession,
   def handle(instanceId: String, question: String,
       goldSql: Option[String] = None): Either[String, (String, Option[Int])] = {
     import spark.implicits._
-    // pipeline Spark jobs run inside a job group so a timeout CANCELS
-    // them (as SqlBackend does) — an abandoned Future would otherwise
-    // keep a zombie job on the shared session, slowing every subsequent
-    // request. The group is a thread-local: set inside the Future body.
+    // the pipeline runs on a dedicated thread inside a job group: a
+    // timeout CANCELS the group's active Spark jobs (as SqlBackend
+    // does) AND interrupts the thread, so driver-side actor loops that
+    // treat a cancelled job as an error VALUE (SqlBackend returns
+    // ExecErr) cannot keep submitting fresh jobs afterwards —
+    // InterruptedException is fatal to the worker by design.
     val group = s"graft-serve-${java.util.UUID.randomUUID()}"
     try {
       val one = Seq((instanceId, question)).toDF("instance_id", "question")
-      val fut = scala.concurrent.Future {
+      @volatile var outcome:
+          Either[Throwable, Array[org.apache.spark.sql.Row]] = null
+      val worker = new Thread(() => {
         spark.sparkContext.setJobGroup(group,
           s"serving $instanceId".take(200), interruptOnCancel = true)
-        try Actor.applyMerged(pipeline, one).collect()
+        try outcome = Right(Actor.applyMerged(pipeline, one).collect())
+        catch { case e: Throwable => outcome = Left(e) }
         finally spark.sparkContext.clearJobGroup()
-      }(scala.concurrent.ExecutionContext.global)
-      val rows =
-        try scala.concurrent.Await.result(fut,
-          scala.concurrent.duration.Duration(taskTimeoutSec.toLong, "s"))
-        catch { case e: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          throw e
-        }
+      }, s"graft-serve-worker")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(taskTimeoutSec * 1000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        worker.interrupt()
+        return Left(s"timeout after ${taskTimeoutSec}s")
+      }
+      val rows = outcome match {
+        case Right(r) => r
+        case Left(e)  => throw e
+        case null     => throw new IllegalStateException("worker died silently")
+      }
       val row = rows.headOption.toRight("pipeline produced no row")
       row.map { r =>
         val idx = r.schema.fieldNames.indexOf("pred_sql")

@@ -15,7 +15,7 @@ object Introspection {
   private val pragmaRe = """(?is)\s*PRAGMA\s+table_info\s*\(\s*['"`]?(\w+)['"`]?\s*\)\s*;?\s*""".r
   private val masterRe = """(?is)\s*SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type\s*=\s*'table'.*""".r
   private val infoTablesRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.TABLES.*""".r
-  private val infoColumnsRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.COLUMNS\s+WHERE\s+TABLE_NAME\s*=\s*'(\w+)'.*""".r
+  private val infoColumnsRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s+INFORMATION_SCHEMA\.COLUMNS\s+WHERE\s+TABLE_NAME\s*=\s*'(\w+)'.*""".r
 
   /** If `sql` is a recognized introspection probe, answer it from the
     * Spark catalog; otherwise None and the SQL goes to `spark.sql`.
@@ -23,7 +23,15 @@ object Introspection {
   def answer(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
     case pragmaRe(table) => Some(tableInfo(spark, table))
     case masterRe() | infoTablesRe() => Some(tableList(spark))
-    case infoColumnsRe(table) => Some(infoSchemaColumns(spark, table))
+    case infoColumnsRe(selectList, table) =>
+      // honor the probe's projection: a caller reading positionally
+      // (row(0) = column_name) must get the columns it asked for. `*`
+      // or anything non-trivial falls back to the full layout.
+      val full = infoSchemaColumns(spark, table)
+      val asked = selectList.split(",").map(_.trim.toLowerCase).toSeq
+      if (asked.nonEmpty && asked.forall(full.columns.contains))
+        Some(full.select(asked.map(org.apache.spark.sql.functions.col): _*))
+      else Some(full)
     case _ => None
   }
 

@@ -26,18 +26,25 @@ import graft.functions.{FloatVec, VectorOps}
   */
 object IvfIndex {
 
-  /** Deterministic centroid pick: every (n/nlist)-th vector by id. */
+  /** Deterministic centroid pick: every (n/nlist)-th vector by id.
+    * Degenerate id sets (no id divisible by the stride — possible on
+    * arbitrary subsets, e.g. a cell being re-quantized) fall back to
+    * the lowest-id vectors so the pick is never empty or singular.
+    */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Seq[(Int, Seq[Double])] = {
     val n = corpus.count()
     val every = math.max(n / nlist, 1L)
-    corpus
+    val sampled = corpus
       .withColumn("__rk", col(idCol).cast("long"))
       .filter(pmod(col("__rk"), lit(every)) === 0)
       .orderBy(col(idCol))
       .limit(nlist)
       .select(col(vecCol)).collect()
-      .zipWithIndex
+    val rows =
+      if (sampled.length >= math.min(nlist.toLong, n).toInt) sampled
+      else corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol)).collect()
+    rows.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toSeq }
       .toSeq
   }

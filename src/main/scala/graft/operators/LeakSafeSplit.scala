@@ -28,12 +28,25 @@ object LeakSafeSplit {
     * the document's own id when it has no near-duplicate) and `split`
     * is the deterministic draw over `splits` (name → fraction,
     * fractions summing to 1).
+    *
+    * `bands = 0` (the default) picks the LSH banding from the
+    * threshold so candidate RECALL stays high — for leak safety a
+    * missed pair is a leak, while a false candidate only costs the
+    * exact-Jaccard verify (rows/band r: the band S-curve threshold is
+    * (1/b)^(1/r), so low thresholds need narrow bands). With h=16:
+    * threshold ≥ 0.65 → 4 bands (r=4), ≥ 0.35 → 8 (r=2), else 16
+    * (r=1 — every shared minhash is a candidate).
     */
   def split(docs: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], threshold: Double = 0.5,
-      n: Int = 3, h: Int = 16, bands: Int = 4): DataFrame = {
+      n: Int = 3, h: Int = 16, bands: Int = 0): DataFrame = {
+    val b =
+      if (bands > 0) bands
+      else if (threshold >= 0.65) 4
+      else if (threshold >= 0.35) 8
+      else 16
     val pairs = TextDedup.minhashNearDupPairs(docs, idCol, textCol,
-      threshold, n, h, bands)
+      threshold, n, h, b)
     val comp = ConnectedComponents.components(
       pairs.select(col("id1").as("src"), col("id2").as("dst")))
     val keyed = docs.select(col(idCol))

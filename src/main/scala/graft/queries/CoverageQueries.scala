@@ -395,7 +395,8 @@ object CoverageQueries extends QueryPack {
         QueryPack.withTables(s, dir) { spark =>
           val backend = new graft.exec.SqlBackend(spark)
           def info(table: String) = backend.runDialect(
-            s"SELECT column_name, data_type FROM INFORMATION_SCHEMA.COLUMNS " +
+            s"SELECT table_name, column_name, ordinal_position, data_type, " +
+              s"is_nullable FROM INFORMATION_SCHEMA.COLUMNS " +
               s"WHERE TABLE_NAME = '$table'") match {
             case graft.exec.ExecOk(df, _) => df
             case graft.exec.ExecErr(e, _) => throw new IllegalStateException(e)

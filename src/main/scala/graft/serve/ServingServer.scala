@@ -110,17 +110,21 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     ex.getResponseBody.write(bytes)
     ex.close()
   })
-  // requests serialize through one worker: the reference notes its app
-  // "works for single requests" — a shared SparkSession wants one
-  // pipeline in flight, and job-group cancels keep each bounded
-  server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor())
+  // pipeline requests SERIALIZE through `apiLock` (the reference notes
+  // its app "works for single requests" — a shared SparkSession wants
+  // one pipeline in flight, and job-group cancels keep each bounded),
+  // but the HTTP executor itself is a pool so /healthz answers even
+  // while a pipeline request is running — a liveness probe that blocks
+  // behind a 20-minute query would restart a healthy server
+  private val apiLock = new Object
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
   def start(): Int = { server.start(); boundPort }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
 
   private def handle(ex: HttpExchange,
-      route: JsonNode => (Int, ObjectNode)): Unit = {
+      route: JsonNode => (Int, ObjectNode)): Unit = apiLock.synchronized {
     val (status, body) =
       try {
         if (ex.getRequestMethod != "POST")
@@ -200,9 +204,11 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
     val o = mapper.createObjectNode()
     // identical task signatures execute ONCE per batch and share the
     // score (reference `run_batch` dedups before dispatch,
-    // `app/run.py:276-298`) — RL rollouts routinely repeat a signature
+    // `app/run.py:276-298`) — RL rollouts routinely repeat a signature.
+    // The signature is (question, gold, task_lis) — NOT the instance
+    // id: the same signature under two ids is still one execution
     val memo = scala.collection.mutable.Map
-      .empty[(String, Option[String], Option[String], Option[Seq[String]]), Double]
+      .empty[(Option[String], Option[String], Option[Seq[String]]), Double]
     val fields = root.properties().iterator()
     while (fields.hasNext) {
       val e = fields.next()
@@ -219,7 +225,7 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
             textOpt(item, "question").orElse(dataset.get(iid).map(_._1)),
             textOpt(item, "gold_sql").orElse(dataset.get(iid).flatMap(_._2)),
             Option(item.get("task_lis")).filter(_.isArray).map(flattenTaskLis))
-        val score = memo.getOrElseUpdate((iid, q, gold, taskLis),
+        val score = memo.getOrElseUpdate((q, gold, taskLis),
           (q, pipelineFor(taskLis)) match {
             case (None, _) | (_, Left(_)) => -0.5 // failed task init, app/run.py:341-346
             case (Some(question), Right(p)) => stagedScore(servingFor(p), iid, question, gold)

@@ -144,16 +144,23 @@ class ServingServerSpec extends SparkSpec {
       taskTimeoutSec = 120, sqlTimeoutSec = 60)
     val port = server.start()
     try {
+      // the SAME signature under two DIFFERENT instance ids is still
+      // one execution (the reference dedups on the signature, not the id)
       val (status, body) = post(port, "/api/run_batch",
         """{"d1":[
           |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"},
           |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"}
+          |],
+          |"d2":[
+          |  {"question":"count regions","gold_sql":"SELECT COUNT(*) AS n FROM region"}
           |]}""".stripMargin)
       assert(status == 200, body)
-      val scores = mapper.readTree(body).get("d1")
-      assert(scores.size() == 2, body)
-      assert(scores.get(0).asDouble() == scores.get(1).asDouble(), body)
-      assert(scores.get(0).asDouble() > 3.0, body)
+      val root = mapper.readTree(body)
+      val s1 = root.get("d1")
+      assert(s1.size() == 2, body)
+      assert(s1.get(0).asDouble() == s1.get(1).asDouble(), body)
+      assert(s1.get(0).asDouble() > 3.0, body)
+      assert(root.get("d2").get(0).asDouble() == s1.get(0).asDouble(), body)
       assert(calls.get() == 1, s"duplicate signature must run once, ran ${calls.get()}")
     } finally server.stop()
   }
