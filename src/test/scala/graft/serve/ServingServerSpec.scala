@@ -165,6 +165,37 @@ class ServingServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("a hung pipeline times out, is interrupted, and the server stays live") {
+    val interrupted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hanging = new graft.actors.Actor {
+      def name = "Hanging"
+      def act(ds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        try Thread.sleep(60000L)
+        catch { case _: InterruptedException => interrupted.set(true); throw new RuntimeException("interrupted") }
+        ds
+      }
+    }
+    val server = new ServingServer(spark, hanging,
+      taskTimeoutSec = 2, sqlTimeoutSec = 5)
+    val port = server.start()
+    try {
+      val t0 = System.nanoTime()
+      val (status, body) = post(port, "/api/run",
+        """{"instance_id":"h1","question":"hang"}""")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(status == 500, body)
+      assert(body.contains("timeout"), body)
+      assert(secs < 30, s"timeout must fire near the cap, took $secs s")
+      // the worker thread was interrupted, not abandoned
+      Thread.sleep(300)
+      assert(interrupted.get(), "hung worker must be interrupted")
+      // and the server still answers (healthz never blocked; api free)
+      val req = java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/healthz")).GET().build()
+      assert(http.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    } finally server.stop()
+  }
+
   test("the benchmark dialect threads into serving-time EX scoring") {
     // gold is sqlite integer division (7/2 = 3); the pred returns the
     // truncated value — EX agrees only through the sqlite-strict door
