@@ -61,10 +61,10 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5,
     * transpile can express — everything else through the generic
     * transpile + `spark.sql` door.
     */
-  private def runSql(sql: String): ExecResult =
+  private def runSql(sql: String): Either[graft.exec.ExecErr, graft.exec.ExecRows] =
     if (dialect == "sqlite")
-      backend.runCollectDf(() => graft.dialect.SqliteExec.sql(spark, sql), sql, timeoutSec)
-    else backend.runCollect(transpiled(sql), timeoutSec)
+      backend.runCollectRows(() => graft.dialect.SqliteExec.sql(spark, sql), sql, timeoutSec)
+    else backend.runCollectRows(() => spark.sql(transpiled(sql)), sql, timeoutSec)
 
   def evalOne(item: ExItem): ExOutcome = {
     val gold = item.goldSql.map(_.trim).filter(_.nonEmpty)
@@ -73,19 +73,22 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5,
       case None => ExOutcome(item.instanceId, None, Some("gold sql missing"), None, 0.0, 0.0)
       case Some(g) =>
         runSql(g) match {
-          case ExecErr(e, gs) =>
-            ExOutcome(item.instanceId, None, Some(e), None, gs, 0.0)
-          case ExecOk(gdf, gs) =>
+          case Left(err) =>
+            ExOutcome(item.instanceId, None, Some(err.error), None, err.seconds, 0.0)
+          case Right(gr) =>
             pred match {
               case None =>
-                ExOutcome(item.instanceId, Some(0), None, Some("pred sql missing"), gs, 0.0)
+                ExOutcome(item.instanceId, Some(0), None, Some("pred sql missing"), gr.seconds, 0.0)
               case Some(p) =>
                 runSql(p) match {
-                  case ExecErr(e, ps) =>
-                    ExOutcome(item.instanceId, Some(0), None, Some(e), gs, ps)
-                  case ExecOk(pdf, ps) =>
-                    val score = ResultComparator.equivalent(pdf, gdf)
-                    ExOutcome(item.instanceId, Some(score), None, None, gs, ps)
+                  case Left(err) =>
+                    ExOutcome(item.instanceId, Some(0), None, Some(err.error), gr.seconds, err.seconds)
+                  case Right(pr) =>
+                    // compare the rows the watchdog saw — each query
+                    // executes exactly once, inside its timeout scope
+                    val score = ResultComparator.equivalentRows(
+                      pr.rows, gr.rows, pr.columns.size, gr.columns.size)
+                    ExOutcome(item.instanceId, Some(score), None, None, gr.seconds, pr.seconds)
                 }
             }
         }

@@ -95,21 +95,29 @@ object ResultComparator {
     } else p != g
   }
 
-  /** Row-major comparison with the reference's semantics; returns 1/0. */
+  /** Row-major comparison with the reference's semantics; returns 1/0.
+    * `predWidth`/`goldWidth` carry the COLUMN counts when known (a
+    * zero-row result still has columns — deriving width from data rows
+    * would make ANY pred "match" a gold that returned no rows, while
+    * the reference compares empty column vectors, which only match
+    * other empty vectors).
+    */
   def compareRows(pred: Seq[Seq[Any]], gold: Seq[Seq[Any]],
       conditionCols: Seq[Int] = Nil, ignoreOrder: Boolean = false,
-      strictColumns: Boolean = false): Int = {
+      strictColumns: Boolean = false,
+      predWidth: Int = -1, goldWidth: Int = -1): Int = {
     if (strictColumns && quickReject(pred, gold, ignoreOrder)) return 0
 
-    def transpose(rows: Seq[Seq[Any]]): IndexedSeq[IndexedSeq[Any]] = {
-      val w = rows.headOption.map(_.length).getOrElse(0)
+    def transpose(rows: Seq[Seq[Any]], width: Int): IndexedSeq[IndexedSeq[Any]] = {
+      val w = rows.headOption.map(_.length)
+        .getOrElse(math.max(width, 0))
       IndexedSeq.tabulate(w)(j => rows.map(_(j)).toIndexedSeq)
     }
-    val goldCols0 = transpose(gold)
+    val goldCols0 = transpose(gold, goldWidth)
     val goldCols =
       if (conditionCols.nonEmpty) conditionCols.map(goldCols0(_)).toIndexedSeq
       else goldCols0
-    val predCols = transpose(pred)
+    val predCols = transpose(pred, predWidth)
     if (goldCols.isEmpty) return 1
 
     // Greedy first-fit: each gold column claims the first unused pred column.
@@ -125,13 +133,27 @@ object ResultComparator {
     1
   }
 
+  /** Row front door for callers that already collected under a
+    * watchdog (Evaluator): judges exactly the rows the governed run
+    * produced, no re-execution.
+    */
+  def equivalentRows(pred: Seq[org.apache.spark.sql.Row],
+      gold: Seq[org.apache.spark.sql.Row],
+      predWidth: Int, goldWidth: Int,
+      conditionCols: Seq[Int] = Nil, ignoreOrder: Boolean = false,
+      strictColumns: Boolean = false): Int =
+    compareRows(
+      pred.map(_.toSeq.map(scalaValue)), gold.map(_.toSeq.map(scalaValue)),
+      conditionCols, ignoreOrder, strictColumns, predWidth, goldWidth)
+
   /** DataFrame front door: collects both sides (EX result tables are small). */
   def equivalent(pred: DataFrame, gold: DataFrame,
       conditionCols: Seq[Int] = Nil, ignoreOrder: Boolean = false,
       strictColumns: Boolean = false, maxRows: Int = 100000): Int = {
     val p = pred.limit(maxRows + 1).collect().map(_.toSeq.map(scalaValue)).toSeq
     val g = gold.limit(maxRows + 1).collect().map(_.toSeq.map(scalaValue)).toSeq
-    compareRows(p, g, conditionCols, ignoreOrder, strictColumns)
+    compareRows(p, g, conditionCols, ignoreOrder, strictColumns,
+      predWidth = pred.schema.size, goldWidth = gold.schema.size)
   }
 
   private def scalaValue(v: Any): Any = v match {
@@ -160,7 +182,11 @@ object ResultComparator {
     val aggs = fields.flatMap { f =>
       val base = f.dataType match {
         case DoubleType | FloatType | _: DecimalType =>
-          format_number(bround(col(f.name).cast("double"), 2), 5)
+          // NaN folds into the NULL sentinel: elemEqual treats NaN and
+          // null as the same NA, so fingerprints must too or one true
+          // equivalence group splits in two
+          format_number(bround(
+            nanvl(col(f.name).cast("double"), lit(null).cast("double")), 2), 5)
         case _ => col(f.name).cast("string")
       }
       val canon = coalesce(base, lit("\u0000NULL"))

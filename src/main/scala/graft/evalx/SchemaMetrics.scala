@@ -50,13 +50,19 @@ object SchemaMetrics {
     val base = questions.select(col("instance_id"),
       col("gold_schemas"), col("pred_schemas"))
 
+    // gold entries keep their MULTIPLICITY (position-keyed): the
+    // reference divides by len(gold), so a duplicated gold link counts
+    // twice in the denominator — grouping by value would silently
+    // dedup it. Pred links are set-semantics (normalize_pred_schemas
+    // builds a set), so value grouping is correct below.
     val goldHits = base
-      .select(col("instance_id"), explode(col("gold_schemas")).as("g"))
+      .select(col("instance_id"),
+        posexplode(col("gold_schemas")).as(Seq("gi", "g")))
       .join(base.select(col("instance_id").as("iid"),
         explode(col("pred_schemas")).as("p")),
         col("instance_id") === col("iid") && col("g").contains(col("p")),
         "left_outer")
-      .groupBy(col("instance_id"), col("g"))
+      .groupBy(col("instance_id"), col("gi"))
       .agg(max(col("p").isNotNull).as("hit"))
       .groupBy(col("instance_id"))
       .agg((sum(col("hit").cast("int")) / count(lit(1))).as("__recall_raw"))

@@ -13,8 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Introspection {
 
   private val pragmaRe = """(?is)\s*PRAGMA\s+table_info\s*\(\s*['"`]?(\w+)['"`]?\s*\)\s*;?\s*""".r
-  private val masterRe = """(?is)\s*SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type\s*=\s*'table'.*""".r
-  private val infoTablesRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.TABLES.*""".r
+  private val masterRe = """(?is)\s*SELECT\s+name\s+FROM\s+sqlite_master\s+WHERE\s+type\s*=\s*'table'(.*)""".r
+  private val infoTablesRe = """(?is)\s*SELECT\s+.*FROM\s+INFORMATION_SCHEMA\.TABLES(.*)""".r
+  // trailing name predicate of a table-listing probe — an existence
+  // check must NOT get the full catalog back as a truthy answer
+  private val nameEqRe = """(?is).*\b(?:name|TABLE_NAME)\s*=\s*'(\w+)'.*""".r
   private val infoColumnsRe = """(?is)\s*SELECT\s+(.*?)\s+FROM\s+INFORMATION_SCHEMA\.COLUMNS\s+WHERE\s+TABLE_NAME\s*=\s*'(\w+)'.*""".r
 
   /** If `sql` is a recognized introspection probe, answer it from the
@@ -22,7 +25,11 @@ object Introspection {
     */
   def answer(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
     case pragmaRe(table) => Some(tableInfo(spark, table))
-    case masterRe() | infoTablesRe() => Some(tableList(spark))
+    case masterRe(rest) => Some(filterByName(tableList(spark), rest))
+    case infoTablesRe(rest) =>
+      // the standard vocabulary names the column TABLE_NAME
+      Some(filterByName(tableList(spark), rest)
+        .withColumnRenamed("name", "table_name"))
     case infoColumnsRe(selectList, table) =>
       // honor the probe's projection: a caller reading positionally
       // (row(0) = column_name) must get the columns it asked for. `*`
@@ -85,6 +92,14 @@ object Introspection {
     import spark.implicits._
     spark.catalog.listTables().collect().map(_.name).toSeq.toDF("name")
   }
+
+  private def filterByName(list: DataFrame, rest: String): DataFrame =
+    rest match {
+      case nameEqRe(t) =>
+        list.filter(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("name")) === t.toLowerCase)
+      case _ => list
+    }
 
   /** `CREATE TABLE` DDL text per table (reference builds prompt DDL from
     * sqlite_master / INFORMATION_SCHEMA; Spark derives it from the schema).

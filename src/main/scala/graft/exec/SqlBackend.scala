@@ -18,6 +18,19 @@ final case class ExecErr(error: String, seconds: Double) extends ExecResult {
   val errorMessage: Option[String] = Some(error)
 }
 
+/** Capped driver-side result of a governed execution: the rows the
+  * watchdog actually saw, plus the output column names.
+  */
+final case class ExecRows(rows: Seq[org.apache.spark.sql.Row],
+    columns: Seq[String], seconds: Double)
+
+object SqlBackend {
+  /** Forcing-materialization cap — above the comparator's 100 000-row
+    * ceiling, so governance never changes a comparison result.
+    */
+  val CollectCap: Int = 100000
+}
+
 /** The engine's single SQL execution backend.
   *
   * Replaces the reference's per-DBMS connector family
@@ -69,41 +82,81 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     * front ends whose rewrite needs the analyzed plan (e.g.
     * `SqliteExec.sql`). The builder runs INSIDE the job group / timeout
     * scope, so analysis errors and runaway planning are governed too.
+    * The forcing materialization is CAPPED (`SqlBackend.CollectCap`
+    * rows — above what any comparator consumes): an unbounded gold
+    * query cannot OOM the driver just to prove it executes.
     */
   def runCollectDf(build: () => DataFrame, label: String,
-      timeoutSec: Int = defaultTimeoutSec): ExecResult = {
+      timeoutSec: Int = defaultTimeoutSec): ExecResult =
+    governed(label, timeoutSec) { () =>
+      val df = build()
+      df.queryExecution.assertAnalyzed()
+      val limited = df.limit(SqlBackend.CollectCap + 1)
+      limited.collect() // force execution inside the job group, capped
+      logScan(limited)
+      df
+    } match {
+      case Right((df, secs)) => ExecOk(df, secs)
+      case Left(err)         => err
+    }
+
+  /** Governed execution that RETURNS the capped collected rows — the
+    * evaluator path: the timed/cancellable run is the ONLY run, so the
+    * comparator judges exactly the rows the watchdog saw instead of
+    * re-executing the query ungoverned (and paying it twice).
+    */
+  def runCollectRows(build: () => DataFrame, label: String,
+      timeoutSec: Int = defaultTimeoutSec,
+      maxRows: Int = SqlBackend.CollectCap): Either[ExecErr, ExecRows] =
+    governed(label, timeoutSec) { () =>
+      val df = build()
+      df.queryExecution.assertAnalyzed()
+      val limited = df.limit(maxRows + 1)
+      val rows = limited.collect().toSeq
+      logScan(limited)
+      ExecRows(rows, df.columns.toSeq, 0.0)
+    }.map { case (r, secs) => r.copy(seconds = secs) }
+
+  /** Run `body` on a dedicated interruptible thread inside a job group:
+    * a timeout cancels the group's ACTIVE jobs and interrupts the
+    * thread, so planning phases and driver-side loops that would treat
+    * a cancelled job as an error value cannot keep running (the
+    * abandoned-Future version of this leaked exactly that way). The
+    * job group is a thread-local: it must be set on the worker, not the
+    * caller — and a dedicated thread cannot cancel anyone else's query.
+    */
+  private def governed[A](label: String, timeoutSec: Int)(
+      body: () => A): Either[ExecErr, (A, Double)] = {
     val t0 = System.nanoTime()
     val group = s"graft-sql-${java.util.UUID.randomUUID()}"
-    try {
-      // The job group is a thread-local: it must be set on the thread that
-      // actually runs collect() (the Future body), not the calling thread —
-      // pool threads don't inherit it, and a stale group on a reused pool
-      // thread could cancel someone else's query.
-      val fut = scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(group, label.take(200), interruptOnCancel = true)
-        try {
-          val df = build()
-          df.collect() // force execution inside the job group
-          df
-        } finally {
-          spark.sparkContext.clearJobGroup()
-        }
-      }(scala.concurrent.ExecutionContext.global)
-      val df = scala.concurrent.Await.result(
-        fut, scala.concurrent.duration.Duration(timeoutSec.toLong, "s"))
-      // scan accounting (BigQuery total_bytes_processed analog,
-      // core/db_connect.py:117-119) — logged per query
-      val stats = ScanMetrics.fromExecuted(df.queryExecution)
-      if (stats.bytesRead > 0)
-        graft.util.GraftLog.info(
-          f"query scanned ${stats.bytesRead / 1e9}%.4f GB (${stats.filesRead} files)")
-      ExecOk(df, secondsSince(t0))
-    } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        spark.sparkContext.cancelJobGroup(group)
-        ExecErr(s"timeout after ${timeoutSec}s", secondsSince(t0))
-      case NonFatal(e) => ExecErr(renderError(e), secondsSince(t0))
+    @volatile var outcome: Either[Throwable, A] = null
+    val worker = new Thread(() => {
+      spark.sparkContext.setJobGroup(group, label.take(200), interruptOnCancel = true)
+      try outcome = Right(body())
+      catch { case e: Throwable => outcome = Left(e) }
+      finally spark.sparkContext.clearJobGroup()
+    }, "graft-sql-worker")
+    worker.setDaemon(true)
+    worker.start()
+    worker.join(timeoutSec * 1000L)
+    if (worker.isAlive) {
+      spark.sparkContext.cancelJobGroup(group)
+      worker.interrupt()
+      Left(ExecErr(s"timeout after ${timeoutSec}s", secondsSince(t0)))
+    } else outcome match {
+      case Right(a) => Right((a, secondsSince(t0)))
+      case Left(e)  => Left(ExecErr(renderError(e), secondsSince(t0)))
+      case null     => Left(ExecErr("execution thread died", secondsSince(t0)))
     }
+  }
+
+  // scan accounting (BigQuery total_bytes_processed analog,
+  // core/db_connect.py:117-119) — logged per query
+  private def logScan(df: DataFrame): Unit = {
+    val stats = ScanMetrics.fromExecuted(df.queryExecution)
+    if (stats.bytesRead > 0)
+      graft.util.GraftLog.info(
+        f"query scanned ${stats.bytesRead / 1e9}%.4f GB (${stats.filesRead} files)")
   }
 
   /** Stringified execution for LLM feedback loops — the analog of the
@@ -111,22 +164,26 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     * its "No data found" convention for empty results.
     */
   def runToString(sql: String, maxRows: Int = 20): String =
-    runDialect(sql) match {
-      case ExecOk(df, _) =>
-        val rows = df.limit(maxRows + 1).collect()
+    // governed like every other executing door: LLM loops routinely
+    // produce pathological SQL, and an ungoverned collect here would
+    // wedge the generation pipeline past every timeout
+    runCollectRows(() => Introspection.answer(spark, sql)
+        .getOrElse(spark.sql(graft.dialect.Transpiler.transpile(sql))),
+      sql, defaultTimeoutSec, maxRows) match {
+      case Right(ExecRows(rows, columns, _)) =>
         if (rows.isEmpty) "No data found for the specified query."
-        else if (rows.length == 1 && df.columns.length == 1)
+        else if (rows.length == 1 && columns.length == 1)
           // 1×1 result → bare scalar (core/db_connect.py:130-131)
-          Option(rows(0).get(0)).map(_.toString).getOrElse("NULL")
+          Option(rows.head.get(0)).map(_.toString).getOrElse("NULL")
         else {
           val shown = rows.take(maxRows)
-          val header = df.columns.mkString(", ")
+          val header = columns.mkString(", ")
           val body = shown.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
             .mkString(", ")).mkString("\n")
           val more = if (rows.length > maxRows) s"\n... (${maxRows}+ rows)" else ""
           s"$header\n$body$more"
         }
-      case ExecErr(err, _) => s"Execution error: $err"
+      case Left(err) => s"Execution error: ${err.error}"
     }
 
   private def secondsSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9

@@ -37,13 +37,20 @@ object EventStreams {
 
   /** Native session windows (Spark ≥3.2 `session_window`): events within
     * `gap` of each other merge into one session — Catalyst handles the
-    * merge; no custom state needed for the common case.
+    * merge; no custom state needed for the common case. A streaming
+    * source gets the watermark session aggregation REQUIRES (append
+    * mode rejects a session_window aggregate without one); batch input
+    * is untouched.
     */
-  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    events
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
       .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("s.start").as("session_start"), col("n_events"))
+  }
 
   /** Dedup on event_id: bounded by the watermark when streaming (state
     * eviction past the watermark); plain dropDuplicates in batch, where
@@ -78,32 +85,58 @@ object EventStreams {
     * KeyValueGroupedDataset custom-state path the brief calls for): one
     * open session per user; an event arriving past the gap CLOSES the
     * previous session and emits it. State per key = 3 scalars.
+    *
+    * By default the final open session stays in state (the pinned,
+    * oracle-mirrored contract). `flushOpen = true` completes it:
+    *  - batch: the group is finite, so the open session IS final — it
+    *    is emitted and state cleared (no dropped last session);
+    *  - streaming: an EVENT-TIME TIMEOUT at `lastTs + gap` flushes the
+    *    session once the watermark passes it, which also bounds state
+    *    for churned users (callers must `withWatermark("ts", …)` the
+    *    input — event-time timeouts require one).
     */
   def sessionizeStateful(events: Dataset[Event],
-      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+      gapMinutes: Int = 30, flushOpen: Boolean = false): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    val streaming = events.isStreaming // driver-side; not the closure
+    val timeoutConf =
+      if (streaming && flushOpen) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-          var cur = state.getOption
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
-              case Some(s) =>
-                out += ClosedSession(userId, s.start, s.lastTs, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start, s.lastTs, s.n))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += ClosedSession(userId, s.start, s.lastTs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            if (flushOpen && !streaming) {
+              cur.foreach(s => out += ClosedSession(userId, s.start, s.lastTs, s.n))
+              state.remove()
+            } else {
+              cur.foreach(state.update)
+              if (flushOpen && streaming)
+                cur.foreach(s => state.setTimeoutTimestamp(s.lastTs + gapMs))
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

@@ -41,6 +41,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg runs as a real stream (watermarked session windows)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionAgg(
+      src.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessagg_out")
+      .outputMode("append").start()
+    try {
+      src.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "click", 0))
+      q.processAllAvailable()
+      // advance the watermark far past the session end to emit it
+      src.addData(Event(3, ts(500), 2, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM sessagg_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)), s"session not emitted: $rows")
+    } finally q.stop()
+  }
+
+  test("flushOpen completes the final session in batch") {
+    import spark.implicits._
+    val ev = Seq(
+      Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "click", 0),
+      Event(3, ts(120), 7, "click", 0), // gap closes first session
+      Event(4, ts(5), 8, "view", 0)     // single-session user
+    ).toDS()
+    val default = EventStreams.sessionizeStateful(ev, gapMinutes = 30).collect()
+    // pinned default: final open sessions stay in state (user 8 absent)
+    assert(default.toSet == Set(ClosedSession(7, ts(0).getTime, ts(10).getTime, 2)))
+    val flushed = EventStreams.sessionizeStateful(ev, gapMinutes = 30,
+      flushOpen = true).collect()
+    assert(flushed.toSet == Set(
+      ClosedSession(7, ts(0).getTime, ts(10).getTime, 2),
+      ClosedSession(7, ts(120).getTime, ts(120).getTime, 1),
+      ClosedSession(8, ts(5).getTime, ts(5).getTime, 1)))
+  }
+
   test("stateful sessionizer emits closed sessions across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
