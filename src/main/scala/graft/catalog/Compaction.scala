@@ -24,8 +24,10 @@ object Compaction {
     df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
 
   def targetFileCount(df: DataFrame, targetBytesPerFile: Long): Int =
-    math.max(1L, (scanBytes(df) + targetBytesPerFile - 1) / targetBytesPerFile)
-      .min(Int.MaxValue.toLong).toInt
+    // BigInt: unknown stats surface as Long.MaxValue bytes, and the
+    // ceil addition would wrap negative and answer "1 file"
+    ((BigInt(scanBytes(df)) + targetBytesPerFile - 1) / targetBytesPerFile)
+      .max(1).min(Int.MaxValue).toInt
 
   /** Rewrite `inPath` into ~targetBytesPerFile files at `outPath`;
     * returns the file count written. Content is unchanged (asserted by

@@ -27,9 +27,16 @@ object Similarity {
     * `queries` must carry (queryIdCol, vecCol); corpus (idCol, vecCol).
     * Self-matches (same id) are excluded.
     */
+  /** `excludeSelf` drops pairs whose corpus id equals the query id —
+    * right when queries come FROM the corpus (self-match dedup), wrong
+    * when the two id spaces are unrelated (an exemplar store queried
+    * by question ids would silently lose the exemplar whose id
+    * collides with the question's): pass false there.
+    */
   def knnExact(corpus: DataFrame, queries: DataFrame, idCol: String,
-      queryIdCol: String, vecCol: String, k: Int): DataFrame =
-    rankTopK(scoredPairs(corpus, queries, idCol, queryIdCol, vecCol),
+      queryIdCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    rankTopK(scoredPairs(corpus, queries, idCol, queryIdCol, vecCol, excludeSelf),
       idCol, k)
 
   /** Hard-negative mining for contrastive/embedding training: per
@@ -49,12 +56,14 @@ object Similarity {
   // score expression dot/(na*nb) keeps the same association, so values
   // are bit-identical to the naive form.
   private def scoredPairs(corpus: DataFrame, queries: DataFrame,
-      idCol: String, queryIdCol: String, vecCol: String): DataFrame = {
+      idCol: String, queryIdCol: String, vecCol: String,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("__qid"), col(vecCol).as("__qvec"),
       FloatVec.normF(col(vecCol)).as("__qnorm"))
     corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
-      .join(broadcast(q), col(idCol) =!= col("__qid"))
+      .join(broadcast(q),
+        if (excludeSelf) col(idCol) =!= col("__qid") else lit(true))
       .withColumn("score",
         FloatVec.dotF(col(vecCol), col("__qvec")) / (col("__cnorm") * col("__qnorm")))
   }

@@ -17,12 +17,20 @@ object FewShot {
   /** Top-k exemplars per query by embedding cosine, concatenated in rank
     * order into one few-shot context string per query (the reference's
     * per-question `reasoning_examples` file).
+    *
+    * `excludeSelf` (default true, the pinned oracle semantics) drops an
+    * exemplar whose id equals the query id — correct when questions ARE
+    * exemplars (leave-one-out retrieval); pass false when the exemplar
+    * store and the question set use unrelated id spaces, or an id
+    * collision silently loses the best exemplar.
     */
   def retrieve(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", queryIdCol: String = "qid",
-      vecCol: String = "embedding", textCol: String = "text"): DataFrame = {
+      vecCol: String = "embedding", textCol: String = "text",
+      excludeSelf: Boolean = true): DataFrame = {
     val ranked = Similarity.knnExact(
-      corpus.select(col(idCol), col(vecCol)), queries, idCol, queryIdCol, vecCol, k)
+      corpus.select(col(idCol), col(vecCol)), queries, idCol, queryIdCol,
+      vecCol, k, excludeSelf)
       .join(corpus.select(col(idCol).as("neighbor_id"), col(textCol).as("__t")),
         "neighbor_id")
     ranked
@@ -52,8 +60,8 @@ object FewShot {
       s"Question: $question\nProposals:\n" +
         proposals.zipWithIndex.map { case (p, i) => s"$i: $p" }.mkString("\n") +
         "\nReply with the index of the best proposal.")
-    verdict.trim.takeWhile(_.isDigit) match {
-      case d if d.nonEmpty && d.toInt < proposals.length => proposals(d.toInt)
+    verdict.trim.takeWhile(_.isDigit).toIntOption match {
+      case Some(d) if d < proposals.length => proposals(d)
       case _ => proposals.head
     }
   }

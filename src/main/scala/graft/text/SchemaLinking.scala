@@ -127,6 +127,8 @@ object SchemaLinking {
     */
   def buildValueIndex(table: DataFrame, stringCols: Seq[String],
       maxDistinctPerCol: Int = 100000): DataFrame = {
+    require(stringCols.nonEmpty,
+      "buildValueIndex needs at least one string column to index")
     val stacked = stringCols.map { c =>
       table.select(lit(c).as("col"), lower(col(c).cast("string")).as("value"))
         .filter(col("value").isNotNull).distinct()
@@ -165,17 +167,20 @@ object SchemaLinking {
 
   def cellValueLinks(table: DataFrame, tokens: Seq[String],
       stringCols: Seq[String]): DataFrame = {
-    val combos = for (t <- tokens; c <- stringCols) yield (t, c)
-    val aggs = combos.flatMap { case (t, c) =>
+    val combos = (for (t <- tokens; c <- stringCols) yield (t, c)).zipWithIndex
+    // aliases are INDEX-based: raw token text in a column name breaks
+    // col() resolution (dots parse as struct access, duplicates become
+    // ambiguous) — LLM-extracted keywords are arbitrary strings
+    val aggs = combos.flatMap { case ((t, c), i) =>
       val v = lower(col(c).cast("string"))
       Seq(
-        max(when(v === t.toLowerCase, 1L).otherwise(0L)).as(s"__e_${t}_$c"),
-        max(when(v.contains(t.toLowerCase), 1L).otherwise(0L)).as(s"__p_${t}_$c"))
+        max(when(v === t.toLowerCase, 1L).otherwise(0L)).as(s"__e_$i"),
+        max(when(v.contains(t.toLowerCase), 1L).otherwise(0L)).as(s"__p_$i"))
     }
     val row = table.agg(aggs.head, aggs.tail: _*)
-    val stacked = combos.map { case (t, c) =>
+    val stacked = combos.map { case ((t, c), i) =>
       struct(lit(t).as("token"), lit(c).as("col"),
-        col(s"__e_${t}_$c").as("exact_hit"), col(s"__p_${t}_$c").as("partial_hit"))
+        col(s"__e_$i").as("exact_hit"), col(s"__p_$i").as("partial_hit"))
     }
     row.select(explode(array(stacked: _*)).as("m"))
       .select(col("m.token").as("token"), col("m.col").as("col"),

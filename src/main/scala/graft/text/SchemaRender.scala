@@ -67,13 +67,10 @@ object SchemaRender {
   /** Extract the `Schema_links: [...]` list from an LLM reply
     * (`parse_schema_link_from_str`).
     */
-  def parseSchemaLinkFromStr(s: String): Seq[String] = {
-    val start = s.indexOf('[')
-    if (start < 0) return Nil
-    val end = s.indexOf(']', start)
-    val body = s.substring(start + 1, if (end < 0) s.length else end)
-    body.split(",").map(_.trim.replaceAll("[`\"']", "")).filter(_.nonEmpty).toSeq
-  }
+  def parseSchemaLinkFromStr(s: String): Seq[String] =
+    // quote-aware splitting (a value link like 'New York, NY' must not
+    // split on its comma) — one parser, not a naive duplicate
+    SqlText.parseList(s).map(_.replaceAll("[`\"']", "")).filter(_.nonEmpty)
 
   private def cleanRef(ref: String): String = ref.trim.replaceAll("[`\"']", "")
   private def isColumnRef(ref: String): Boolean = {

@@ -11,11 +11,15 @@ object SqlText {
     * output (`sql_clean`, `core/utils.py:225-234`).
     */
   def clean(rawSql: String): String =
+    // strip the FENCE TAG only — deleting every "sql" substring would
+    // mangle identifiers and literals ("mysql", sql_text, …)
     rawSql
       .replace("\\n", " ")
       .replace("\n", " ")
+      .replace("```sql", "")
       .replace("```", "")
-      .replace("sql", "")
+      .trim
+      .replaceAll("(?i)^sql\\b\\s*", "") // bare leading tag some LLMs emit
       .trim
 
   /** Token-set Jaccard over whitespace tokens
@@ -90,8 +94,11 @@ object SqlText {
     toks.sliding(2).zipWithIndex.foreach { case (pair, i) => pair match {
       case Seq(a, alias) if a == "as" && i > 0 &&
         alias.matches("[a-z_][a-z0-9_]*") =>
-        // "<table> as <alias>"
-        if (i - 1 >= 0 && !SqlKeywords.contains(toks(i - 1)) )
+        // "<name> as <alias>" — the aliased thing must itself be an
+        // identifier: "count ( * ) as cnt" must NOT record ")" as the
+        // target or every later cnt reference is rewritten to ")"
+        if (i - 1 >= 0 && !SqlKeywords.contains(toks(i - 1)) &&
+            toks(i - 1).matches("[a-z_][a-z0-9_.]*"))
           aliases(alias) = toks(i - 1)
       case _ =>
     }}
@@ -110,8 +117,10 @@ object SqlText {
       } else out += t
     }
     var res = out.mkString(" ")
-    // add asc to bare order by
-    if (res.contains("order by") && !res.contains(" asc") && !res.contains(" desc"))
+    // add asc to a bare order by — word-boundary check, or tokens like
+    // "ascii" would suppress the append
+    if (res.contains("order by") &&
+        !res.substring(res.indexOf("order by")).matches(".*\\b(asc|desc)\\b.*"))
       res = res + " asc"
     res.replaceAll("\\s+", " ").trim
   }
