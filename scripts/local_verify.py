@@ -100,6 +100,29 @@ def main():
             n_noracle += 1
             continue
         try:
+            # Type-kind guard: the driver's hasher distinguishes int vs
+            # float representations, so a DuckDB HUGEINT (SUM over
+            # BIGINT) or DOUBLE paired with a Spark integer column (or
+            # vice versa) hash-mismatches even when values are equal.
+            # Surface that locally instead of letting vals_equal hide it.
+            rel = con.sql(oracles[name])
+            dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            stypes = {f.name: str(spark_tbl.schema.field(f.name).type)
+                      for f in spark_tbl.schema}
+            for c, dt in dtypes.items():
+                st = stypes.get(c, "")
+                d_int = dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                               "HUGEINT", "UTINYINT", "USMALLINT",
+                               "UINTEGER", "UBIGINT")
+                s_int = st.startswith("int") or st.startswith("uint")
+                d_flt = dt in ("FLOAT", "DOUBLE") or dt.startswith("DECIMAL")
+                s_flt = st in ("float", "double") or st.startswith("decimal")
+                if dt == "HUGEINT":
+                    print(f"WARN  {name}: oracle column {c} is HUGEINT "
+                          f"(cast to BIGINT in the oracle SQL)")
+                if (d_int and s_flt) or (d_flt and s_int):
+                    print(f"WARN  {name}: type-kind mismatch on {c}: "
+                          f"spark {st} vs duckdb {dt}")
             duck = con.execute(oracles[name])
             dnames = [d[0] for d in duck.description]
             drows = duck.fetchall()

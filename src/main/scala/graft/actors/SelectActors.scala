@@ -159,11 +159,14 @@ final class Serving(spark: SparkSession,
       }, s"graft-serve-worker")
       worker.setDaemon(true)
       worker.start()
-      worker.join(taskTimeoutSec * 1000L)
+      // join(0) waits forever — clamp so taskTimeoutSec <= 0 cannot
+      // silently disable governance (same guard as SqlBackend.governed)
+      val effTimeoutSec = math.max(1, taskTimeoutSec)
+      worker.join(effTimeoutSec * 1000L)
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(group)
         worker.interrupt()
-        return Left(s"timeout after ${taskTimeoutSec}s")
+        return Left(s"timeout after ${effTimeoutSec}s")
       }
       val rows = outcome match {
         case Right(r) => r

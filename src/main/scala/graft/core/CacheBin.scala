@@ -4,8 +4,8 @@ import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-level registry for persisted frames whose lifetime outlives
-  * the operator that created them.
+/** Registry for persisted frames whose lifetime outlives the operator
+  * that created them.
   *
   * Several operators persist an intermediate frame because the RETURNED
   * (lazy) plan consumes it more than once — e.g. the tokenized corpus
@@ -23,27 +23,79 @@ import org.apache.spark.sql.DataFrame
   * also keeps timings honest — a re-run starts cold instead of silently
   * reusing the previous run's cache.
   *
+  * [[drain]] is only safe once every frame tracked in the current scope
+  * has had its consuming plan TERMINALLY materialized. It is NOT safe
+  * mid-pipeline: some tracked frames (the range-partitioned bases under
+  * `RowOps.tokenBudgetSample` / `SeqPack.withRunningTotal`) are
+  * persisted precisely because recomputation resamples
+  * `repartitionByRange` bounds — a drain landing between such a frame's
+  * eager offsets job and the caller's materialization silently pairs
+  * rows with offsets computed for different partitions (a correctness
+  * bug, not just cost).
+  *
+  * To make that safety property local, bins are SCOPED: [[withScope]]
+  * installs a fresh bin for the current thread (inherited by worker
+  * threads it spawns), and [[track]]/[[drain]] operate on the innermost
+  * scope. A serving request running inside `withScope` can only release
+  * its own frames — never those of a batch pipeline tracking into the
+  * global bin from another thread. Runners with sole ownership of the
+  * session (Verify, Bench, ScaleSweep, Reproduce) use the global bin
+  * and drain between queries, where nothing is mid-flight.
+  *
   * Frames with a bounded in-operator lifetime (e.g. the k-means Lloyd
   * loop base) should keep their local try/finally and never touch this.
   */
 object CacheBin {
 
-  private val bin = new ConcurrentLinkedQueue[DataFrame]()
+  private val global = new ConcurrentLinkedQueue[DataFrame]()
+  // InheritableThreadLocal: a worker thread spawned inside a scope
+  // (serving's dedicated per-request thread) tracks into that scope.
+  private val scoped =
+    new InheritableThreadLocal[ConcurrentLinkedQueue[DataFrame]]()
 
-  /** Register an already-persisted frame for deferred release. */
-  def track(df: DataFrame): DataFrame = { bin.add(df); df }
+  private def current: ConcurrentLinkedQueue[DataFrame] = {
+    val s = scoped.get()
+    if (s != null) s else global
+  }
 
-  /** Number of tracked, not-yet-released frames (for specs). */
-  def pending: Int = bin.size()
-
-  /** Unpersist every tracked frame. Safe to call at any point between
-    * actions; a subsequent action on a drained plan just recomputes.
+  /** Register an already-persisted frame for deferred release in the
+    * innermost active scope (global when none).
     */
-  def drain(blocking: Boolean = false): Unit = {
-    var df = bin.poll()
+  def track(df: DataFrame): DataFrame = { current.add(df); df }
+
+  /** Number of tracked, not-yet-released frames in the current scope
+    * (for specs).
+    */
+  def pending: Int = current.size()
+
+  /** Unpersist every frame tracked in the current scope. Only call
+    * after the scope's consuming plans have been terminally
+    * materialized (see class doc — recomputation is not always
+    * equivalent).
+    */
+  def drain(blocking: Boolean = false): Unit = drainQueue(current, blocking)
+
+  /** Run `body` with a fresh bin installed for this thread (and any
+    * threads it spawns); drains it on the way out. Use one scope per
+    * concurrent pipeline/request so drains cannot cross.
+    */
+  def withScope[A](body: => A): A = {
+    val outer = scoped.get()
+    val mine = new ConcurrentLinkedQueue[DataFrame]()
+    scoped.set(mine)
+    try body
+    finally {
+      drainQueue(mine, blocking = false)
+      scoped.set(outer)
+    }
+  }
+
+  private def drainQueue(q: ConcurrentLinkedQueue[DataFrame],
+      blocking: Boolean): Unit = {
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking)
-      df = bin.poll()
+      df = q.poll()
     }
   }
 }

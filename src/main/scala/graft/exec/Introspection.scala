@@ -32,13 +32,32 @@ object Introspection {
         .withColumnRenamed("name", "table_name"))
     case infoColumnsRe(selectList, table) =>
       // honor the probe's projection: a caller reading positionally
-      // (row(0) = column_name) must get the columns it asked for. `*`
-      // or anything non-trivial falls back to the full layout.
+      // (row(0) = column_name) must get the columns it asked for —
+      // including aliased (`column_name AS c`), qualified
+      // (`c.column_name`), and DISTINCT select lists. Only a select
+      // item that still cannot be resolved falls back to the full
+      // layout.
+      import org.apache.spark.sql.functions.col
       val full = infoSchemaColumns(spark, table)
-      val asked = selectList.split(",").map(_.trim.toLowerCase).toSeq
-      if (asked.nonEmpty && asked.forall(full.columns.contains))
-        Some(full.select(asked.map(org.apache.spark.sql.functions.col): _*))
-      else Some(full)
+      val distinctRe = """(?is)^\s*DISTINCT\s+(.*)$""".r
+      val (wantDistinct, items) = selectList match {
+        case distinctRe(rest) => (true, rest)
+        case other            => (false, other)
+      }
+      // each item: [qualifier.]name [AS alias] | [qualifier.]name alias
+      val itemRe = """(?is)^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*$""".r
+      val resolved = items.split(",").toSeq.map {
+        case itemRe(_, name, alias) =>
+          val base = name.toLowerCase
+          if (full.columns.contains(base))
+            Some(col(base).as(Option(alias).map(_.toLowerCase).getOrElse(base)))
+          else None
+        case _ => None
+      }
+      if (resolved.nonEmpty && resolved.forall(_.isDefined)) {
+        val projected = full.select(resolved.flatten: _*)
+        Some(if (wantDistinct) projected.distinct() else projected)
+      } else Some(full)
     case _ => None
   }
 

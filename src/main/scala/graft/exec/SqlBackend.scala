@@ -138,11 +138,15 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     }, "graft-sql-worker")
     worker.setDaemon(true)
     worker.start()
-    worker.join(timeoutSec * 1000L)
+    // Thread.join(0) waits FOREVER — a config with timeout 0 (or
+    // negative) must mean "strictest governance", not "none": clamp to
+    // a 1-second minimum before computing the join millis.
+    val effTimeoutSec = math.max(1, timeoutSec)
+    worker.join(effTimeoutSec * 1000L)
     if (worker.isAlive) {
       spark.sparkContext.cancelJobGroup(group)
       worker.interrupt()
-      Left(ExecErr(s"timeout after ${timeoutSec}s", secondsSince(t0)))
+      Left(ExecErr(s"timeout after ${effTimeoutSec}s", secondsSince(t0)))
     } else outcome match {
       case Right(a) => Right((a, secondsSince(t0)))
       case Left(e)  => Left(ExecErr(renderError(e), secondsSince(t0)))

@@ -67,11 +67,11 @@ object ImportanceResample {
     feats.groupBy(col("bucket")).agg(count(lit(1)).as(as))
 
   private def weightTable(tc: DataFrame, rc: DataFrame,
-      buckets: Int): DataFrame = {
+      buckets: Int, joinType: String = "full_outer"): DataFrame = {
     val tTot = tc.agg(coalesce(sum(col("__tn")), lit(0L))).head().getLong(0)
     val rTot = rc.agg(coalesce(sum(col("__rn")), lit(0L))).head().getLong(0)
     val b = buckets.toLong
-    rc.join(tc, Seq("bucket"), "full_outer")
+    rc.join(tc, Seq("bucket"), joinType)
       .select(col("bucket"),
         floor(lit(1e6) * log(
           ((coalesce(col("__tn"), lit(0L)) + 1).cast("double") *
@@ -111,9 +111,13 @@ object ImportanceResample {
     val rawFeats = graft.core.CacheBin.track(
       features(raw, idCol, textCol, buckets)
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // left join from the raw counts: every bucket the scoring join can
+    // ever see appears in rawFeats by construction, so target-only
+    // buckets are dead weight — identical output, cheaper plan (and
+    // the DuckDB oracle mirrors the same LEFT JOIN)
     val weights = weightTable(
       bucketCounts(features(target, idCol, textCol, buckets), "__tn"),
-      bucketCounts(rawFeats, "__rn"), buckets)
+      bucketCounts(rawFeats, "__rn"), buckets, joinType = "left_outer")
     val scored = rawFeats
       .join(broadcast(weights), "bucket")
       .groupBy(col(idCol))

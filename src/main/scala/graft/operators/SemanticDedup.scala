@@ -118,9 +118,15 @@ object SemanticDedup {
       .select(col("cell"), col(idCol), col(vecCol), col("__n"))
 
     // -- maxCellRows refinement ---------------------------------------
+    // Generation lifetimes are bounded inside this loop, so older
+    // generations are released LOCALLY: each iteration's counts collect
+    // fully materializes the current generation, after which the one it
+    // was derived from is unpersisted. Only the final surviving
+    // generation (consumed by the returned lazy plan) goes to CacheBin.
     var cur = pairInput.withColumn("__rcell", col("cell"))
     if (maxCellRows < Long.MaxValue) {
-      cur = graft.core.CacheBin.track(cur.persist(StorageLevel.MEMORY_AND_DISK))
+      cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      var prev: org.apache.spark.sql.DataFrame = null
       var nextId = nlist.toLong // sub-cell ids allocated past the top level
       var depth = 0
       var done = false
@@ -128,6 +134,9 @@ object SemanticDedup {
         val big = cur.groupBy(col("__rcell")).agg(count(lit(1)).as("__c"))
           .filter(col("__c") > maxCellRows)
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        // the collect above scanned every partition of cur — the
+        // generation cur was derived from can go now
+        if (prev != null) { prev.unpersist(); prev = null }
         if (big.isEmpty) done = true
         else {
           val relabeled = big.toSeq.map { case (cellId, cnt) =>
@@ -143,12 +152,16 @@ object SemanticDedup {
           }
           val untouched =
             cur.filter(!col("__rcell").isin(big.map(_._1).toIndexedSeq: _*))
-          cur = graft.core.CacheBin.track(
-            (untouched +: relabeled).reduce(_ unionByName _)
-              .persist(StorageLevel.MEMORY_AND_DISK))
+          prev = cur
+          cur = (untouched +: relabeled).reduce(_ unionByName _)
+            .persist(StorageLevel.MEMORY_AND_DISK)
           depth += 1
         }
       }
+      // depth-limit exit: the last generation never went through a
+      // counts collect — materialize it before dropping its input
+      if (prev != null) { cur.count(); prev.unpersist() }
+      cur = graft.core.CacheBin.track(cur)
     }
     Stages(assigned, exactDrops, cur)
   }

@@ -60,7 +60,8 @@ object RowOpsQueries extends QueryPack {
              |  SELECT lang, COUNT(*) AS n_docs, 'base' AS origin
              |  FROM documents GROUP BY lang),
              |other AS (
-             |  SELECT lang, SUM(n_chars) AS total_chars, 'override' AS origin
+             |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |         'override' AS origin
              |  FROM documents WHERE lang IN ('en','fr') GROUP BY lang)
              |SELECT COALESCE(self.lang, other.lang) AS lang,
              |       n_docs,

@@ -319,26 +319,34 @@ object TextQueries extends QueryPack {
           "doc_id", "text", buckets = 512, k = 50)
           .orderBy(col("doc_id"))
       },
+      // Oracle note: target (src0) is a subset of raw (all documents),
+      // so every target bucket also appears in the raw bucket counts —
+      // a LEFT JOIN from rc is exactly the FULL JOIN here, using only
+      // constructs every other green oracle already exercises (the
+      // UNION ALL n-gram stack likewise replaces list_concat).
       Some(s"""WITH tk AS (
               |  SELECT doc_id, source, $oToks AS t FROM documents),
               |ng AS (
+              |  SELECT doc_id, source, unnest(t) AS g FROM tk
+              |  UNION ALL
               |  SELECT doc_id, source,
-              |         unnest(list_concat(t,
-              |           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+              |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
               |  FROM tk),
               |f AS (SELECT doc_id, source, ${DedupOracles.polyHash("g")} % 512 AS bucket FROM ng),
               |tc AS (SELECT bucket, COUNT(*) AS tn FROM f WHERE source = 'src0' GROUP BY bucket),
               |rc AS (SELECT bucket, COUNT(*) AS rn FROM f GROUP BY bucket),
-              |tt AS (SELECT COALESCE(SUM(tn), 0) AS t_total FROM tc),
-              |rt AS (SELECT COALESCE(SUM(rn), 0) AS r_total FROM rc),
+              |tt AS (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) AS t_total FROM tc),
+              |rt AS (SELECT CAST(COALESCE(SUM(rn), 0) AS BIGINT) AS r_total FROM rc),
               |w AS (
-              |  SELECT bucket,
+              |  SELECT rc.bucket,
               |         CAST(floor(1000000.0 * ln(
               |           (CAST(COALESCE(tn, 0) + 1 AS DOUBLE) * CAST(r_total + 512 AS DOUBLE)) /
               |           (CAST(COALESCE(rn, 0) + 1 AS DOUBLE) * CAST(t_total + 512 AS DOUBLE))
               |         )) AS BIGINT) AS wm
-              |  FROM rc FULL JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt),
-              |sc AS (SELECT f.doc_id, SUM(wm) AS s FROM f JOIN w USING (bucket) GROUP BY f.doc_id),
+              |  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+              |  CROSS JOIN tt CROSS JOIN rt),
+              |sc AS (SELECT f.doc_id, CAST(SUM(wm) AS BIGINT) AS s
+              |       FROM f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id),
               |keyed AS (
               |  SELECT d.doc_id, COALESCE(sc.s, 0) AS s,
               |         CAST(COALESCE(sc.s, 0) AS DOUBLE) / 1000000.0
@@ -346,6 +354,7 @@ object TextQueries extends QueryPack {
               |                    / 1000000008.0)) AS k
               |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
               |sel AS (SELECT doc_id, s FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
-              |SELECT doc_id, s AS dsir_score_micro FROM sel ORDER BY doc_id""".stripMargin))
+              |SELECT doc_id, CAST(s AS BIGINT) AS dsir_score_micro
+              |FROM sel ORDER BY doc_id""".stripMargin))
   )
 }

@@ -125,7 +125,12 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
 
   private def handle(ex: HttpExchange,
       route: JsonNode => (Int, ObjectNode)): Unit = apiLock.synchronized {
-    val (status, body) =
+    // Each request runs in its own CacheBin scope: the per-request
+    // worker thread inherits it, its results are materialized before
+    // the route returns, and the scope's exit drain releases ONLY this
+    // request's operator-persisted frames — never those of a batch
+    // pipeline mid-flight on another thread in the same session.
+    val (status, body) = graft.core.CacheBin.withScope {
       try {
         if (ex.getRequestMethod != "POST")
           (405, err("POST required"))
@@ -138,12 +143,8 @@ final class ServingServer(spark: SparkSession, pipeline: Actor,
       } catch {
         case scala.util.control.NonFatal(e) =>
           (500, err(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
-      } finally {
-        // release operator-persisted frames: requests materialize their
-        // results before responding, and a long-lived serving session
-        // must not accumulate cache blocks across requests
-        graft.core.CacheBin.drain()
       }
+    }
     val bytes = mapper.writeValueAsBytes(body)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)

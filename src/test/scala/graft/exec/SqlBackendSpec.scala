@@ -55,6 +55,37 @@ class SqlBackendSpec extends SparkSpec {
     assert(Tables.all.toSet.subsetOf(tnames))
   }
 
+  test("INFO_SCHEMA.COLUMNS projection honors aliases, qualifiers and DISTINCT") {
+    // aliased: positional reader must get column_name under the alias
+    val aliased = backend.runDialect(
+      "SELECT column_name AS c FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'region'")
+    assert(aliased.isSuccess)
+    val adf = aliased.asInstanceOf[ExecOk].df
+    assert(adf.columns.toSeq == Seq("c"))
+    assert(adf.collect().map(_.getString(0)).contains("r_name"))
+
+    // qualified: `c.column_name` resolves to column_name
+    val qualified = backend.runDialect(
+      "SELECT c.column_name, c.data_type FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'region'")
+    assert(qualified.isSuccess)
+    val qdf = qualified.asInstanceOf[ExecOk].df
+    assert(qdf.columns.toSeq == Seq("column_name", "data_type"))
+
+    // DISTINCT select list still projects (not the 5-column fallback)
+    val distinct = backend.runDialect(
+      "SELECT DISTINCT table_name FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'region'")
+    assert(distinct.isSuccess)
+    val ddf = distinct.asInstanceOf[ExecOk].df
+    assert(ddf.columns.toSeq == Seq("table_name"))
+    assert(ddf.count() == 1)
+
+    // unresolvable item: full layout fallback, never an error
+    val fallback = backend.runDialect(
+      "SELECT no_such_col FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'region'")
+    assert(fallback.isSuccess)
+    assert(fallback.asInstanceOf[ExecOk].df.columns.length == 5)
+  }
+
   test("runToString renders results and the empty-result convention") {
     val s = backend.runToString("SELECT r_name FROM region ORDER BY r_name")
     assert(s.startsWith("r_name"))
