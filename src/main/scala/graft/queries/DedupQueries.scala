@@ -261,6 +261,28 @@ object DedupQueries extends QueryPack {
            |LEFT JOIN nrem n USING (doc_id)
            |LEFT JOIN ct USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
-      })
+      }),
+
+    GQuery(
+      "q_window_dedup",
+      "Exact n-token-window dedup (Lee et al. 2022 at document " +
+        "granularity): drop every document sharing an exact 8-token " +
+        "window with a lower-id document — per-window min id, then an " +
+        "anti-join; no document pair is ever joined.",
+      (s, dir) =>
+        graft.operators.WindowDedup.dropWindowDuplicates(
+          Tables.load(s, dir, "documents"), "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH ${DedupOracles.baseN("documents", 8, "")},
+              |mn AS (SELECT h, MIN(doc_id) AS first_id FROM s GROUP BY h),
+              |dup AS (
+              |  SELECT DISTINCT s.doc_id
+              |  FROM s JOIN mn ON s.h = mn.h
+              |  WHERE mn.first_id < s.doc_id)
+              |SELECT d.doc_id, d.source
+              |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+              |WHERE dup.doc_id IS NULL
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -355,6 +355,78 @@ object TextQueries extends QueryPack {
               |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
               |sel AS (SELECT doc_id, s FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
               |SELECT doc_id, CAST(s AS BIGINT) AS dsir_score_micro
-              |FROM sel ORDER BY doc_id""".stripMargin))
+              |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_quality_classifier",
+      "Trainable quality classifier (CCNet/fastText-family): logistic " +
+        "regression over hashed unigram+bigram counts, trained by TWO " +
+        "full-batch GD steps as Spark aggregations (integer fixed-point " +
+        "— exact at any partitioning), label = source=='src0', then " +
+        "every document scored via a broadcast of the 513-int model. " +
+        "The oracle replays both GD steps and the final forward pass " +
+        "in SQL.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("__lab", (col("source") === "src0").cast("int"))
+        graft.operators.QualityClassifier.trainAndScore(
+          s, docs, "doc_id", "text", "__lab", buckets = 512, iters = 2)
+          .orderBy(col("doc_id"))
+      },
+      // fld(a,b) inlined as (a - (((a % b) + b) % b)) / b — floor
+      // division, portable for negative gradients (matching the
+      // operator's BigInt fld). Step 1 starts from zero weights, so
+      // p0 = 500000 exactly on both engines.
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, $oToks AS t FROM documents),
+              |ng AS (
+              |  SELECT doc_id, unnest(t) AS g FROM tk
+              |  UNION ALL
+              |  SELECT doc_id,
+              |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+              |  FROM tk),
+              |fx AS (
+              |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+              |    SELECT doc_id, ${DedupOracles.polyHash("g")} % 512 AS bucket FROM ng)
+              |  GROUP BY doc_id, bucket
+              |  UNION ALL
+              |  SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
+              |  FROM documents),
+              |lab AS (
+              |  SELECT doc_id,
+              |         CASE WHEN source = 'src0' THEN CAST(1000000 AS BIGINT)
+              |              ELSE CAST(0 AS BIGINT) END AS ymicro
+              |  FROM documents),
+              |nn AS (SELECT CAST(10 * COUNT(*) AS BIGINT) AS d FROM documents),
+              |r0 AS (SELECT doc_id, 500000 - ymicro AS r FROM lab),
+              |g0 AS (
+              |  SELECT bucket, SUM(r * cnt) AS g
+              |  FROM fx JOIN r0 USING (doc_id) GROUP BY bucket),
+              |w1 AS (
+              |  SELECT bucket,
+              |         CAST(0 - (g - (((g % d) + d) % d)) / d AS BIGINT) AS w
+              |  FROM g0 CROSS JOIN nn),
+              |m1 AS (
+              |  SELECT fx.doc_id, CAST(SUM(fx.cnt * w1.w) AS BIGINT) AS m
+              |  FROM fx JOIN w1 USING (bucket) GROUP BY fx.doc_id),
+              |r1 AS (
+              |  SELECT lab.doc_id,
+              |         CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT)
+              |           - ymicro AS r
+              |  FROM lab JOIN m1 USING (doc_id)),
+              |g1 AS (
+              |  SELECT bucket, SUM(r * cnt) AS g
+              |  FROM fx JOIN r1 USING (doc_id) GROUP BY bucket),
+              |w2 AS (
+              |  SELECT w1.bucket,
+              |         CAST(w1.w - (g - (((g % d) + d) % d)) / d AS BIGINT) AS w
+              |  FROM w1 JOIN g1 USING (bucket) CROSS JOIN nn),
+              |m2 AS (
+              |  SELECT fx.doc_id, CAST(SUM(fx.cnt * w2.w) AS BIGINT) AS m
+              |  FROM fx JOIN w2 USING (bucket) GROUP BY fx.doc_id)
+              |SELECT doc_id,
+              |       CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT)
+              |         AS quality_micro
+              |FROM m2 ORDER BY doc_id""".stripMargin))
   )
 }
