@@ -60,7 +60,11 @@ object RowOps {
   def updateDataset(self: DataFrame, other: DataFrame, key: String): DataFrame = {
     val l = self.as("l")
     val r = other.as("r")
-    val joined = l.join(r, self(key) === other(key), "full_outer")
+    // join on the ALIAS-qualified keys: self(key)/other(key) resolve to
+    // the same attribute when both sides share lineage (e.g. two
+    // aggregations of one table), which Spark joins correctly but
+    // flags with a "trivially true equals predicate" warning per run
+    val joined = l.join(r, col(s"l.$key") === col(s"r.$key"), "full_outer")
     val shared = self.columns.toSet.intersect(other.columns.toSet) - key
     val leftOnly = self.columns.filterNot(shared.contains).filterNot(_ == key)
     val rightOnly = other.columns.filterNot(self.columns.toSet.contains)
