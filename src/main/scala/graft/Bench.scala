@@ -82,7 +82,7 @@ object Bench {
           exactTop(qid).size)
         .sum / qs.size)
     }
-    val recalls = Seq("q_ivf_ann", "q_ivf_indexed")
+    val recalls = Seq("q_ivf_ann", "q_ivf_indexed", "q_ivf_kmeans_ann")
       .flatMap(n => recallOf(n).map(n -> _))
 
     // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
