@@ -10,11 +10,15 @@ import graft.functions.TextAnalysis
   * stage the engine's own oracle-verified operator:
   *
   *  1. language allowlist + length floor + exact/near dedup
-  *     (`CorpusClean.clean` — banded MinHash, no all-pairs stage);
+  *     (`CorpusClean.clean` — banded MinHash, no all-pairs stage),
+  *     optionally followed by exact-window dedup (`WindowDedup` —
+  *     Lee-et-al-style shared-window removal, off by default);
   *  2. cross-document boilerplate removal (`Boilerplate.strip`);
   *  3. quality gates on the CLEANED text: heuristic quality score
   *     floor and bigram-LM floor (`TextAnalysis.qualityScore`,
-  *     `TextScore.bigramLogProb`);
+  *     `TextScore.bigramLogProb`), optionally followed by a LEARNED
+  *     gate — a `QualityClassifier` trained on a label column of the
+  *     surviving docs, filtering on its micro score;
   *  4. benchmark decontamination (`Decontaminate`, 13-gram overlap);
   *  5. leakage-safe split assignment (`LeakSafeSplit` — near-dup
   *     clusters never straddle train/eval);
@@ -39,8 +43,18 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5,
       boilerWindow: Int = 5,
       boilerMinDocFreq: Int = 3,
+      // 0 disables exact-window dedup; Lee et al. use ~50-token
+      // windows at web scale, pass a smaller n for short documents
+      windowDedupN: Int = 0,
       minQuality: Double = 0.0,
       minAvgLogProb: Double = Double.NegativeInfinity,
+      // a label column on `docs` turns on the learned quality gate:
+      // the classifier trains on the post-heuristic survivors and
+      // drops docs scoring below minQualityMicro (micro units, [0,1e6])
+      classifierLabel: Option[String] = None,
+      minQualityMicro: Long = 0L,
+      classifierBuckets: Int = 512,
+      classifierIters: Int = 2,
       decontaminationNgram: Int = 13,
       // leak clustering runs BELOW the dedup threshold: docs similar
       // enough to correlate but distinct enough to survive dedup must
@@ -59,8 +73,12 @@ object CorpusPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
-    val cleaned = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
+    val neardeduped = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
       cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
+    val cleaned =
+      if (cfg.windowDedupN <= 0) neardeduped
+      else WindowDedup.dropWindowDuplicates(neardeduped, idCol, textCol,
+        cfg.windowDedupN)
 
     // 2. boilerplate scrub — downstream stages score the CLEAN text
     val stripped = cleaned
@@ -80,10 +98,31 @@ object CorpusPipeline {
           .filter(col("avg_logprob") >= cfg.minAvgLogProb)
           .select(col(idCol)), idCol)
 
+    // 3b. learned quality gate: train on the heuristic survivors'
+    // label column, keep docs at or above the micro-score floor
+    val q3 = cfg.classifierLabel match {
+      case None => q2
+      case Some(lab) =>
+        val spark = q2.sparkSession
+        // iterative training on a frame whose lineage already stacks
+        // dedup/boilerplate/filter stages would re-nest the whole
+        // pipeline plan once per GD pass (and once more per downstream
+        // stage) — plan size, not data, becomes the bottleneck.
+        // Materialize the survivors ONCE; training and every later
+        // stage then plan against a flat scan.
+        val gateIn = q2.localCheckpoint(true)
+        val model = QualityClassifier.train(spark, gateIn, idCol, textCol,
+          lab, cfg.classifierBuckets, cfg.classifierIters)
+        gateIn.join(
+          QualityClassifier.score(spark, gateIn, idCol, textCol, model)
+            .filter(col("quality_micro") >= cfg.minQualityMicro)
+            .select(col(idCol)), idCol)
+    }
+
     // 4. decontamination against the held-out benchmark
     val decon =
-      if (evalSet.isEmpty) q2
-      else Decontaminate.decontaminate(q2, evalSet, idCol, textCol,
+      if (evalSet.isEmpty) q3
+      else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
         cfg.decontaminationNgram)
 
     // 5. leakage-safe split

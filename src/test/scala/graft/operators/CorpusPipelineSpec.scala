@@ -50,6 +50,29 @@ class CorpusPipelineSpec extends SparkSpec {
       "eval-set documents must not survive")
   }
 
+  test("optional stages: window dedup tightens, learned gate filters") {
+    val base = CorpusPipeline.prepare(docs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L),
+      "doc_id", "text", "source")
+    val strict = CorpusPipeline.prepare(
+      docs.withColumn("__lab", (col("source") === "src0").cast("int")),
+      evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L,
+        windowDedupN = 8,
+        classifierLabel = Some("__lab"),
+        minQualityMicro = 1L),
+      "doc_id", "text", "source")
+    val nBase = base.count()
+    val nStrict = strict.count()
+    // both optional stages only ever REMOVE rows
+    assert(nStrict <= nBase, s"strict $nStrict must be <= base $nBase")
+    // the strict output keeps the full schema contract
+    assert(strict.columns.toSeq ==
+      Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
