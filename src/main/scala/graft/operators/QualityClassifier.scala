@@ -145,6 +145,30 @@ object QualityClassifier {
       .select(col(idCol), pMicro(col("__m")).as("quality_micro"))
   }
 
+  /** Row-wise scoring COLUMN: the margin computed inside one codegen'd
+    * expression — the model rides along as a (B+1)-element array
+    * literal and each n-gram hash looks its weight up with
+    * `element_at`, so there is no join, no explode and no per-doc
+    * aggregation. Bit-identical to [[score]] (same hash, same integer
+    * sum, same sigmoid floor) but usable ANYWHERE a Column is: in
+    * Structured Streaming filters (no streaming aggregation state), in
+    * scan-time projections, inside other operators' expressions.
+    */
+  def scoreExpr(textCol: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
+    val toks = graft.functions.TextAnalysis.tokens(textCol)
+    val hashes = concat(
+      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 1),
+      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 2))
+    val wArr = array(model.weights.map(lit): _*)
+    val margin = aggregate(
+      // tokens(NULL) is NULL → treat as no n-grams (bias-only score),
+      // matching features()'s bias row for empty documents
+      coalesce(hashes, array().cast("array<long>")),
+      lit(model.bias),
+      (acc, h) => acc + element_at(wArr, (pmod(h, lit(model.buckets.toLong)) + 1).cast("int")))
+    pMicro(margin)
+  }
+
   /** Train-and-score in one call (the q_quality_classifier shape):
     * fit on `docs` with `labelCol`, then score every document.
     */

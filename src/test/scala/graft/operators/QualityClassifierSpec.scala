@@ -54,6 +54,42 @@ class QualityClassifierSpec extends SparkSpec {
     assert(empty == expected)
   }
 
+  test("scoreExpr is bit-identical to the aggregating score path") {
+    val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
+      .withColumn("lab", (col("source") === "src0").cast("int"))
+    val model = QualityClassifier.train(
+      spark, docs, "doc_id", "text", "lab", buckets = 512, iters = 2)
+    val agg = QualityClassifier.score(spark, docs, "doc_id", "text", model)
+    val rowwise = docs.select(col("doc_id"),
+      QualityClassifier.scoreExpr(col("text"), model).as("q2"))
+    val diff = agg.join(rowwise, "doc_id")
+      .filter(col("quality_micro") =!= col("q2")).count()
+    assert(diff == 0)
+  }
+
+  test("scoreExpr filters a live stream (no streaming aggregation state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val model = QualityClassifier.train(
+      spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 3)
+    val q = src.toDF().toDF("doc_id", "text")
+      .withColumn("quality_micro",
+        QualityClassifier.scoreExpr(col("text"), model))
+      .filter(col("quality_micro") >= 500000L)
+      .writeStream.format("memory").queryName("qc_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, "filler common words excellent wonderful insightful prose number 1"),
+        (2L, "filler common words spam junk garbage clickbait number 2"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM qc_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"stream must keep only the quality doc, got $kept")
+    } finally q.stop()
+  }
+
   test("scoring broadcasts the model — no shuffle of the weight side") {
     val model = QualityClassifier.train(
       spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 1)
