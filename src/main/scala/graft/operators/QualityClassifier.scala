@@ -89,14 +89,39 @@ object QualityClassifier {
     if (a % b != 0 && (a.signum != b.signum)) q - 1 else q
   }
 
+  /** Persist a model as a tiny parquet weight table (`bucket`, `w`;
+    * bias at bucket −1) — the classifier analog of the materialized
+    * IVF index: train once, score many later sessions/streams.
+    */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    ((-1L, model.bias) +:
+      model.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[saveModel]]. */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = rows.keys.max.toInt + 1
+    require(buckets > 0 && rows.contains(-1L),
+      s"not a classifier model at $path")
+    Model(rows(-1L), Array.tabulate(buckets)(b => rows.getOrElse(b.toLong, 0L)))
+  }
+
   /** Train `iters` full-batch GD steps with learning rate
     * etaNum/etaDen on label column `labelCol` (0/1 int). Weights start
-    * at zero, so step 1's forward pass is exactly p=500000 — a useful
-    * cross-engine anchor.
+    * at zero — step 1's forward pass is exactly p=500000, a useful
+    * cross-engine anchor — unless `init` warm-starts from an earlier
+    * model (continual curation: refresh the gate on fresh labels
+    * without retraining from scratch).
     */
   def train(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, labelCol: String, buckets: Int, iters: Int,
-      etaNum: Long = 1L, etaDen: Long = 10L): Model = {
+      etaNum: Long = 1L, etaDen: Long = 10L,
+      init: Option[Model] = None): Model = {
     val feats = features(docs, idCol, textCol, buckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = docs.select(col(idCol),
@@ -105,7 +130,9 @@ object QualityClassifier {
     try {
       val n = BigInt(labels.count())
       require(n > 0, "cannot train on an empty corpus")
-      var model = Model(0L, Array.fill(buckets)(0L))
+      init.foreach(m => require(m.buckets == buckets,
+        s"warm-start bucket mismatch: model ${m.buckets} vs requested $buckets"))
+      var model = init.getOrElse(Model(0L, Array.fill(buckets)(0L)))
       val den = BigInt(etaDen) * n
       for (_ <- 1 to iters) {
         // residuals (integer) from the current model's forward pass

@@ -90,6 +90,24 @@ class QualityClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("save/load round-trips the model; warm start continues training") {
+    val m1 = QualityClassifier.train(
+      spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 2)
+    val path = "target/tmp/qc_model"
+    QualityClassifier.saveModel(spark, m1, path)
+    val loaded = QualityClassifier.loadModel(spark, path)
+    assert(loaded.bias == m1.bias)
+    assert(loaded.weights.sameElements(m1.weights))
+    // warm start: 2 iters then 1 more == 3 straight iters (same data)
+    val warm = QualityClassifier.train(
+      spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 1,
+      init = Some(loaded))
+    val cold3 = QualityClassifier.train(
+      spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 3)
+    assert(warm.bias == cold3.bias)
+    assert(warm.weights.sameElements(cold3.weights))
+  }
+
   test("scoring broadcasts the model — no shuffle of the weight side") {
     val model = QualityClassifier.train(
       spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 1)
