@@ -63,6 +63,16 @@ object CacheBin {
     */
   def track(df: DataFrame): DataFrame = { current.add(df); df }
 
+  /** [[track]], but materialize the cache first. For persisted frames
+    * consumed on BOTH sides of a self-join (or by several joins inside
+    * one action): without this, the consumers race to compute every
+    * cached partition concurrently in the first job — each partition
+    * is computed twice and the loser's store is rejected (the
+    * BlockManager "block already exists" churn). One cheap count pins
+    * the cache so every consumer reads it.
+    */
+  def trackEager(df: DataFrame): DataFrame = { df.count(); track(df) }
+
   /** Number of tracked, not-yet-released frames in the current scope
     * (for specs).
     */

@@ -34,6 +34,11 @@ object GraftSession {
       // reader rejects — read nanos as long session-wide (Tables.load
       // still sets it defensively for externally-built sessions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide generated plans (64-bit simhash vote matrix, the 513-term
+      // classifier scoring expression) overflow the default 25-field
+      // plan-string cap and emit a WARN per run; raise the cap so log
+      // tails stay clean (the strings are only built when logged)
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

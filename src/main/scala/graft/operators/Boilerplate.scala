@@ -34,7 +34,7 @@ object Boilerplate {
     val L = windowTokens
     // tokenized + window-hashed once; consumed by the window rows and
     // the final reconstruction (CacheBin contract — runner drains)
-    val base = graft.core.CacheBin.track(
+    val base = graft.core.CacheBin.trackEager(
       docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
         .withColumn("__sh", TextHashExpr.shingleHashes(col("__tk"), L))
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -128,6 +128,10 @@ object QualityClassifier {
       col(labelCol).cast("long").as("__y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // pin both caches before the loop: each gradient job reads feats
+      // through TWO joins (margins + the residual join) — unmaterialized,
+      // those consumers race to compute every cached partition twice
+      feats.count()
       val n = BigInt(labels.count())
       require(n > 0, "cannot train on an empty corpus")
       init.foreach(m => require(m.buckets == buckets,
@@ -186,7 +190,7 @@ object QualityClassifier {
     val hashes = concat(
       org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 1),
       org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 2))
-    val wArr = array(model.weights.map(lit): _*)
+    val wArr = array(model.weights.toIndexedSeq.map(lit): _*)
     val margin = aggregate(
       // tokens(NULL) is NULL → treat as no n-grams (bias-only score),
       // matching features()'s bias row for empty documents

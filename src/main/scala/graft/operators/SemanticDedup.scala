@@ -105,7 +105,7 @@ object SemanticDedup {
     val reps = comparable.groupBy(col("cell"), col(vecCol))
       .agg(min(col(idCol)).as("__repId"))
     // two consumers of the tag join (exact drops + pair input)
-    val tagged = graft.core.CacheBin.track(
+    val tagged = graft.core.CacheBin.trackEager(
       comparable.join(reps, Seq("cell", vecCol))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val exactDrops = tagged

@@ -123,7 +123,7 @@ object TextDedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val sh = graft.core.CacheBin.track(
+    val sh = graft.core.CacheBin.trackEager(
       withShingleHashes(df, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val cands = candidatePairsFromBase(sh, idCol, h, bands, seed)
@@ -154,10 +154,10 @@ object TextDedup {
   def minhashDedupAgainst(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3, h: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val inSh = graft.core.CacheBin.track(
+    val inSh = graft.core.CacheBin.trackEager(
       withShingleHashes(incoming, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val coSh = graft.core.CacheBin.track(
+    val coSh = graft.core.CacheBin.trackEager(
       withShingleHashes(corpus, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
     def bandsOf(base: DataFrame, as: String) = {
@@ -222,7 +222,7 @@ object TextDedup {
           .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
           .select(col("__id"), col("__n"), col("__h"))
     })
-    graft.core.CacheBin.track(s.persist(StorageLevel.MEMORY_AND_DISK))
+    graft.core.CacheBin.trackEager(s.persist(StorageLevel.MEMORY_AND_DISK))
     s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -264,7 +264,7 @@ object TextDedup {
       maxHamming: Int = 3, n: Int = 3): DataFrame = {
     // one row per doc and two banded-join consumers: persist so the
     // explode+vote aggregation runs once
-    val sh = graft.core.CacheBin.track(
+    val sh = graft.core.CacheBin.trackEager(
       simhash(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK))
     val bands = maxHamming + 1
     val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt

@@ -76,7 +76,7 @@ object TextScore {
     // distinct-bigram table with the context carried
     val cb = rows.groupBy(col("__b"), col("__c")).agg(count(lit(1)).as("__cb"))
     val cu = rows.groupBy(col("__c").as("__c2")).agg(count(lit(1)).as("__cu"))
-    val weights = graft.core.CacheBin.track(
+    val weights = graft.core.CacheBin.trackEager(
       cb.join(cu, col("__c") === col("__c2"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val v = cu.count() // context-vocabulary size (distinct contexts)
