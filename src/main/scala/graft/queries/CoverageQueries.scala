@@ -698,6 +698,33 @@ object CoverageQueries extends QueryPack {
       },
       Some(KmeansAnnOracle)),
 
+    GQuery(
+      "q_cluster_sample",
+      "Cluster-balanced subsampling (SemDeDup-family diversity " +
+        "selection): assign every embedding to its spherical-k-means " +
+        "cell, keep 10 rows per cell by the deterministic " +
+        "multiplicative-hash draw — the long tail of the embedding " +
+        "space stays represented where uniform sampling would mirror " +
+        "corpus imbalance.",
+      (s, dir) =>
+        graft.operators.ClusterSample.balanced(
+          t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", nlist = 8, iters = 2, perCell = 10)
+          .orderBy(col("cell"), col("vec_id")),
+      Some(s"""WITH $KmeansCtes,
+              |asg AS (SELECT vec_id, cell FROM fin WHERE rn = 1),
+              |dr AS (
+              |  SELECT vec_id, cell,
+              |         ((vec_id % 1000003) * 2654435761) % 1000000 AS draw
+              |  FROM asg),
+              |rk AS (
+              |  SELECT vec_id, cell, draw,
+              |         ROW_NUMBER() OVER (PARTITION BY cell
+              |           ORDER BY draw, vec_id) AS rn2
+              |  FROM dr)
+              |SELECT vec_id, cell, CAST(draw AS BIGINT) AS draw
+              |FROM rk WHERE rn2 <= 10 ORDER BY cell, vec_id""".stripMargin)),
+
     // -- composed corpus-curation pipeline -----------------------------------
     GQuery(
       "q_corpus_clean",

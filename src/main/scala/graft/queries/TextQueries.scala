@@ -427,6 +427,43 @@ object TextQueries extends QueryPack {
               |SELECT doc_id,
               |       CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT)
               |         AS quality_micro
-              |FROM m2 ORDER BY doc_id""".stripMargin))
+              |FROM m2 ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_tfidf_keywords",
+      "TF-IDF keyword extraction: top-5 terms per document by " +
+        "tf*floor(1e6*ln((N+1)/(df+1))), corpus df computed " +
+        "distributed with the zipf head broadcast (hot/cold split), " +
+        "deterministic (score desc, term) ranking.",
+      (s, dir) =>
+        graft.operators.TfIdf.topTerms(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+          .orderBy(col("doc_id"), col("rnk")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, $oToks AS t FROM documents),
+              |tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+              |tf AS (
+              |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY doc_id, term),
+              |dfreq AS (
+              |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              |  FROM tf GROUP BY term),
+              |nn AS (SELECT COUNT(*) AS n FROM documents),
+              |w AS (
+              |  SELECT term,
+              |         CAST(floor(1000000.0 * ln(
+              |           (CAST(n AS DOUBLE) + 1.0) / CAST(df + 1 AS DOUBLE)
+              |         )) AS BIGINT) AS idf
+              |  FROM dfreq CROSS JOIN nn),
+              |sc AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * w.idf AS score_micro
+              |  FROM tf JOIN w USING (term)),
+              |rk AS (
+              |  SELECT doc_id, term, tf, score_micro,
+              |         ROW_NUMBER() OVER (PARTITION BY doc_id
+              |           ORDER BY score_micro DESC, term) AS rnk
+              |  FROM sc)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score_micro
+              |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin))
   )
 }
