@@ -179,6 +179,111 @@ object TextDedup {
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Materialize the dedup index for screen-once/ingest-many reuse
+    * (the [[minhashDedupAgainst]] corpus side, made durable — the
+    * dedup analog of [[IvfIndex.buildIndex]]):
+    *
+    *  - `path/bands`: one `(id, band, val)` row per signature band,
+    *    written `partitionBy(band)` so a band's bucket files co-locate;
+    *  - `path/shingles`: `(id, __shh)` — the distinct-shingle hash
+    *    arrays the exact-Jaccard verify needs;
+    *  - `path/meta`: one row of `(n, h, bands, seed)` — screening and
+    *    appends read their hash parameters from here, so an index can
+    *    never be probed with a mismatched signature scheme.
+    *
+    * At 100 TB the accepted-corpus band table is maintained across
+    * ingests by [[appendToDedupIndex]]; each batch screens against the
+    * files instead of re-hashing the whole history.
+    */
+  def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, h: Int = 16, bands: Int = 4,
+      seed: Long = 42L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    writeIndexRows(docs, idCol, textCol, path, n, h, bands, seed,
+      mode = "overwrite")
+    Seq((n, h, bands, seed)).toDF("n", "h", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Long) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3))
+  }
+
+  private def writeIndexRows(docs: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, h: Int, bands: Int,
+      seed: Long, mode: String): Unit = {
+    val sh = withShingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.count() // pin before the two writes below both consume it
+      val sig = sh.withColumn("__sig",
+        TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+      explodeBands(sig, Seq(idCol), h, bands)
+        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+      sh.write.mode(mode).parquet(s"$path/shingles")
+    } finally sh.unpersist()
+  }
+
+  /** Append newly-accepted documents to an existing index (run after
+    * [[dedupAgainstIndex]] admits a batch): hash parameters come from
+    * the stored meta; band rows land as new files inside the existing
+    * `band=` directories and shingle rows append alongside.
+    */
+  def appendToDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, accepted: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val (n, h, bands, seed) = readIndexMeta(spark, path)
+    writeIndexRows(accepted, idCol, textCol, path, n, h, bands, seed,
+      mode = "append")
+  }
+
+  /** [[minhashDedupAgainst]] with the corpus side read from a
+    * materialized index: drop incoming documents near-duplicating an
+    * INDEXED document, return the survivors unchanged. Same one-sided
+    * banded join + exact-Jaccard verify — the corpus contributes its
+    * stored band rows and shingle arrays, never a re-hash.
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val (n, h, bands, seed) = readIndexMeta(spark, path)
+    val inSh = graft.core.CacheBin.trackEager(
+      withShingleHashes(incoming, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val inSig = inSh.select(col(idCol).as("__in"), col("__shh"))
+      .withColumn("__sig",
+        TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+    val inBands = explodeBands(inSig, Seq("__in"), h, bands)
+    val idxSh = spark.read.parquet(s"$path/shingles")
+      .select(col(idCol).as("__co"), col("__shh").as("__s2"))
+    // schema-explicit read: an index seeded from an empty corpus has a
+    // bands directory with no files yet (a partitionBy write emits none
+    // on zero rows) — with the schema given it reads as zero rows
+    // instead of failing inference
+    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        idxSh.schema("__co").dataType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+    val idxBands = spark.read.schema(bandsSchema).parquet(s"$path/bands")
+      .select(col(idCol).as("__co"), col("band"), col("val"))
+    val cands = inBands.join(idxBands, Seq("band", "val"))
+      .select(col("__in"), col("__co")).distinct()
+    val drops = cands
+      .join(inSh.select(col(idCol).as("__in"), col("__shh").as("__s1")), "__in")
+      .join(idxSh, "__co")
+      .withColumn("__i", size(array_intersect(col("__s1"), col("__s2"))))
+      .filter(col("__i").cast("double") /
+        (size(col("__s1")) + size(col("__s2")) - col("__i")).cast("double") >= threshold)
+      .select(col("__in").as(idCol)).distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Relational exact n-gram Jaccard pairs: explode distinct shingle
     * hashes, equi-join on hash (only co-shingled pairs are ever formed),
     * count intersections. The exact baseline at any scale.

@@ -22,6 +22,33 @@ object DedupQueries extends QueryPack {
   private val oBase = DedupOracles.base("documents")
   private val oInterJac = DedupOracles.interJac
 
+  /** One-sided incremental dedup mirror (incoming doc_id >= 400 vs
+    * corpus doc_id < 400): shared by the in-plan variant and the
+    * materialized-index variant — identical output contract.
+    */
+  private lazy val IncrementalOracle: String = {
+    val bandCond = (0 until 4).map(j => s"i.band$j = c.band$j").mkString(" OR ")
+    s"""WITH $oBase,
+       |${DedupOracles.minhashBandCtes()},
+       |pr AS (
+       |  SELECT DISTINCT i.doc_id AS inc, c.doc_id AS co
+       |  FROM bnd i JOIN bnd c
+       |    ON i.doc_id >= 400 AND c.doc_id < 400 AND ($bandCond)),
+       |ver AS (
+       |  SELECT p.inc
+       |  FROM pr p
+       |  JOIN s a ON a.doc_id = p.inc
+       |  JOIN s b ON b.doc_id = p.co AND b.h = a.h
+       |  JOIN sizes na ON na.doc_id = p.inc
+       |  JOIN sizes nb ON nb.doc_id = p.co
+       |  GROUP BY p.inc, p.co, na.n, nb.n
+       |  HAVING CAST(count(*) AS DOUBLE) /
+       |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT inc FROM ver)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -62,28 +89,28 @@ object DedupQueries extends QueryPack {
           .select(col("doc_id"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val bandCond = (0 until 4).map(j => s"i.band$j = c.band$j").mkString(" OR ")
-        s"""WITH $oBase,
-           |${DedupOracles.minhashBandCtes()},
-           |pr AS (
-           |  SELECT DISTINCT i.doc_id AS inc, c.doc_id AS co
-           |  FROM bnd i JOIN bnd c
-           |    ON i.doc_id >= 400 AND c.doc_id < 400 AND ($bandCond)),
-           |ver AS (
-           |  SELECT p.inc
-           |  FROM pr p
-           |  JOIN s a ON a.doc_id = p.inc
-           |  JOIN s b ON b.doc_id = p.co AND b.h = a.h
-           |  JOIN sizes na ON na.doc_id = p.inc
-           |  JOIN sizes nb ON nb.doc_id = p.co
-           |  GROUP BY p.inc, p.co, na.n, nb.n
-           |  HAVING CAST(count(*) AS DOUBLE) /
-           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5)
-           |SELECT d.doc_id FROM documents d
-           |WHERE d.doc_id >= 400 AND d.doc_id NOT IN (SELECT inc FROM ver)
-           |ORDER BY d.doc_id""".stripMargin
-      }),
+      Some(IncrementalOracle)),
+
+    GQuery(
+      "q_dedup_indexed",
+      "The materialized dedup index (screen-once/ingest-many): corpus " +
+        "band rows + shingle arrays written to parquet (bands " +
+        "partitionBy(band), hash params in a meta table), incoming " +
+        "batch screened against the FILES — no corpus re-hash. Same " +
+        "output contract — and oracle — as the in-plan variant.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val path = "/root/repo/target/tmp/dedup_index"
+        TextDedup.writeDedupIndex(
+          docs.filter(col("doc_id") < 400), "doc_id", "text", path,
+          n = 3, h = 16, bands = 4)
+        TextDedup.dedupAgainstIndex(
+          s, path, docs.filter(col("doc_id") >= 400), "doc_id", "text",
+          threshold = 0.5)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(IncrementalOracle)),
 
     GQuery(
       "q_jaccard_neardup",
@@ -239,6 +266,63 @@ object DedupQueries extends QueryPack {
            |cov AS (
            |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
            |  FROM w JOIN flagged USING (h)),
+           |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+           |tpu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, len(tk)),
+           |           i -> struct_pack(p := i - 1, tok := tk[i]))) AS u
+           |  FROM toks),
+           |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tpu),
+           |keep AS (
+           |  SELECT tp.doc_id, tp.p, tp.tok
+           |  FROM tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p
+           |  WHERE c.p IS NULL),
+           |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+           |       FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           |       CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed,
+           |       COALESCE(ct.clean_text, '') AS clean_text
+           |FROM documents d
+           |JOIN toks t USING (doc_id)
+           |LEFT JOIN nrem n USING (doc_id)
+           |LEFT JOIN ct USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    GQuery(
+      "q_keepfirst_dedup",
+      "Keep-first exact-span dedup (the other half of Lee et al. 2022): " +
+        "a 5-token window seen >= 2 times corpus-wide (including " +
+        "within-document repeats) keeps its globally first occurrence " +
+        "in (doc, pos) order; all later occurrences are stripped and " +
+        "the text reassembled. Same O(total tokens) shape as the " +
+        "boilerplate strip — min(ord) rides the same map-side count.",
+      (s, dir) =>
+        graft.operators.Boilerplate.dedupSpans(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 5, minCount = 2)
+          .orderBy(col("doc_id")),
+      Some {
+        val win = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
+        val ord = s"doc_id * ${graft.operators.Boilerplate.OrdBase} + pos"
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                             t -> length(t) > 0) AS tk
+           |  FROM documents),
+           |wu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+           |           i -> struct_pack(pos := i - 1,
+           |                            g := concat_ws(' ', $win)))) AS u
+           |  FROM toks),
+           |w AS (SELECT doc_id, u.pos AS pos, ${DedupOracles.polyHash("u.g")} AS h FROM wu),
+           |g AS (SELECT h, COUNT(*) AS cnt, MIN($ord) AS keep_ord
+           |      FROM w GROUP BY h HAVING COUNT(*) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+           |  FROM w JOIN g USING (h)
+           |  WHERE $ord <> g.keep_ord),
            |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
            |tpu AS (
            |  SELECT doc_id,

@@ -62,4 +62,37 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L, "one two")))
     assert(out(4L) == ((0L, 0L, "")))
   }
+
+  test("dedupSpans keeps the globally first occurrence and strips later ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon tail one"),
+      (2L, "prefix alpha beta gamma delta epsilon"),
+      (3L, "entirely unrelated words live here fine")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupSpans(docs, "doc_id", "text",
+      windowTokens = 5, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // the shared 5-gram's first occurrence is doc 1 pos 0 — doc 1 intact
+    assert(out(1L) == ((0L, "alpha beta gamma delta epsilon tail one")))
+    // doc 2's occurrence (pos 1..5) is stripped; its unique prefix survives
+    assert(out(2L) == ((5L, "prefix")))
+    assert(out(3L)._1 == 0L)
+  }
+
+  test("dedupSpans strips within-document repeats too") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z w v x y z w v")).toDF("doc_id", "text")
+    val out = Boilerplate.dedupSpans(docs, "doc_id", "text", 5, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    // the window repeats at pos 0 and pos 5: pos 0 is kept, pos 5..9 stripped
+    assert(out == ((10L, 5L, "x y z w v")))
+  }
+
+  test("dedupSpans decisions are invariant under repartitioning") {
+    def run(parts: Int) = Boilerplate.dedupSpans(corpus.repartition(parts),
+      "doc_id", "text", windowTokens = 5, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(run(1) == run(5))
+  }
 }

