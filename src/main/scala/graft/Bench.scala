@@ -85,6 +85,23 @@ object Bench {
     val recalls = Seq("q_ivf_ann", "q_ivf_indexed", "q_ivf_kmeans_ann")
       .flatMap(n => recallOf(n).map(n -> _))
 
+    // Dedup banding guard, same idea as the ANN one: recall of the
+    // banded MinHash pair set against the exact-Jaccard truth (a
+    // bands/hashes change that loses near-dup pairs must show up here,
+    // not in a silently-smaller dedup). Untimed.
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.allQueries.find(_.name == name).map { q =>
+        try q.build(spark, sfDir).select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        catch { case _: Throwable => Set.empty[(Long, Long)] }
+        finally graft.core.CacheBin.drain()
+      }.getOrElse(Set.empty)
+    val exactPairs = pairSet("q_jaccard_neardup")
+    val dedupRecall =
+      if (exactPairs.isEmpty) Seq.empty
+      else Seq("q_minhash_dedup" ->
+        (exactPairs & pairSet("q_minhash_dedup")).size.toDouble / exactPairs.size)
+
     // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
     // and sbt appends its own [success] banner after us: with 87+ queries the
     // full per-query map overflowed that tail two rounds running. So stdout
@@ -99,8 +116,10 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val recallJson = recalls
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
+    val dedupRecallJson = dedupRecall
+      .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))

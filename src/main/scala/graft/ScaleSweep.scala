@@ -25,7 +25,8 @@ object ScaleSweep {
     "q_minhash_dedup", "q_semantic_dedup", "q_ivf_kmeans",
     "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score",
     "q_dsir_select", "q_boilerplate_strip", "q_leak_safe_split",
-    "q_quality_classifier", "q_window_dedup")
+    "q_quality_classifier", "q_window_dedup", "q_keepfirst_dedup",
+    "q_dedup_indexed")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

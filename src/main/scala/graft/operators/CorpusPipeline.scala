@@ -43,6 +43,11 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5,
       boilerWindow: Int = 5,
       boilerMinDocFreq: Int = 3,
+      // 0 disables keep-first span dedup (Boilerplate.dedupSpans —
+      // later occurrences of any >= spanDedupMinCount-repeated window
+      // are stripped, the globally first kept)
+      spanDedupWindow: Int = 0,
+      spanDedupMinCount: Int = 2,
       // 0 disables exact-window dedup; Lee et al. use ~50-token
       // windows at web scale, pass a smaller n for short documents
       windowDedupN: Int = 0,
@@ -81,12 +86,23 @@ object CorpusPipeline {
         cfg.windowDedupN)
 
     // 2. boilerplate scrub — downstream stages score the CLEAN text
-    val stripped = cleaned
+    val boiled = cleaned
       .join(Boilerplate.strip(cleaned, idCol, textCol,
         cfg.boilerWindow, cfg.boilerMinDocFreq)
         .select(col(idCol), col("clean_text")), idCol)
       .drop(textCol)
       .withColumnRenamed("clean_text", textCol)
+
+    // 2b. keep-first span dedup on the boiled text (optional): repeated
+    // spans that survived doc-level dedup lose every later occurrence
+    val stripped =
+      if (cfg.spanDedupWindow <= 0) boiled
+      else boiled
+        .join(Boilerplate.dedupSpans(boiled, idCol, textCol,
+          cfg.spanDedupWindow, cfg.spanDedupMinCount)
+          .select(col(idCol), col("clean_text")), idCol)
+        .drop(textCol)
+        .withColumnRenamed("clean_text", textCol)
 
     // 3. quality gates
     val q1 = stripped.filter(

@@ -240,6 +240,38 @@ object TextDedup {
       mode = "append")
   }
 
+  /** Small-file hygiene for an appended index: every
+    * [[appendToDedupIndex]] lands one more file generation per band
+    * directory, and screening then pays a parquet footer read per file.
+    * Rewrites both tables size-targeted — band rows range-partitioned
+    * on (band, val) so each rewritten file covers a contiguous value
+    * range (min/max footer pruning for the screen's band join) — then
+    * swaps the directories. Not safe concurrently with readers or
+    * appends; run it between ingest batches like any table maintenance.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    import graft.catalog.Compaction
+    val conf = spark.sessionState.newHadoopConf()
+    def swap(dst: String, tmp: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dst))
+      ()
+    }
+    val bands = spark.read.parquet(s"$path/bands")
+    val nb = Compaction.targetFileCount(bands, targetBytesPerFile)
+    bands.repartitionByRange(nb, col("band"), col("val"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands__compact")
+    swap(s"$path/bands", s"$path/bands__compact")
+    val sh = spark.read.parquet(s"$path/shingles")
+    val ns = Compaction.targetFileCount(sh, targetBytesPerFile)
+    sh.repartition(ns)
+      .write.mode("overwrite").parquet(s"$path/shingles__compact")
+    swap(s"$path/shingles", s"$path/shingles__compact")
+  }
+
   /** [[minhashDedupAgainst]] with the corpus side read from a
     * materialized index: drop incoming documents near-duplicating an
     * INDEXED document, return the survivors unchanged. Same one-sided

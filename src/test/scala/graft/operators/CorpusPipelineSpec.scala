@@ -73,6 +73,28 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
   }
 
+  test("optional span dedup strips repeated spans but keeps the documents") {
+    val base = CorpusPipeline.prepare(docs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L),
+      "doc_id", "text", "source")
+    val spanned = CorpusPipeline.prepare(docs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L,
+        spanDedupWindow = 5),
+      "doc_id", "text", "source")
+    // span dedup rewrites text, it does not drop documents — survivor
+    // sets can only shrink via the (text-dependent) quality gates
+    val nBase = base.count()
+    val nSpan = spanned.count()
+    assert(nSpan <= nBase, s"span $nSpan must be <= base $nSpan")
+    // and it genuinely removes repeated-span tokens somewhere
+    val totBase = base.agg(sum(col("n_tokens"))).head().getLong(0)
+    val totSpan = spanned.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(totSpan < totBase,
+      s"span dedup should shorten the corpus ($totSpan vs $totBase)")
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,

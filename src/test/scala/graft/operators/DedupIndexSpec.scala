@@ -48,6 +48,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(s2.select($"doc_id").collect().map(_.getLong(0)).toSet === Set(21L))
   }
 
+  test("compaction shrinks file count, preserves content, and screening is unchanged") {
+    import spark.implicits._
+    val path = tmpPath("compact")
+    TextDedup.writeDedupIndex(docs.filter($"doc_id" < 200), "doc_id", "text", path)
+    // fragment: five appended generations of small files
+    (0 until 5).foreach { i =>
+      TextDedup.appendToDedupIndex(spark,
+        path, docs.filter($"doc_id" >= 200 + i * 20 && $"doc_id" < 220 + i * 20),
+        "doc_id", "text")
+    }
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val incoming = docs.filter($"doc_id" >= 300)
+    val before = TextDedup.dedupAgainstIndex(
+      spark, path, incoming, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val bandRowsBefore = spark.read.parquet(s"$path/bands")
+      .select($"doc_id", $"band", $"val").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val filesBefore = parquetFiles(s"$path/bands")
+    TextDedup.compactDedupIndex(spark, path)
+    assert(parquetFiles(s"$path/bands") < filesBefore)
+    val bandRowsAfter = spark.read.parquet(s"$path/bands")
+      .select($"doc_id", $"band", $"val").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandRowsAfter === bandRowsBefore)
+    val after = TextDedup.dedupAgainstIndex(
+      spark, path, incoming, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === before)
+  }
+
   test("band scan prunes on the partitioned band column") {
     val path = tmpPath("prune")
     TextDedup.writeDedupIndex(docs.filter($"doc_id" < 100), "doc_id", "text", path)
