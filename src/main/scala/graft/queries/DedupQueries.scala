@@ -238,6 +238,57 @@ object DedupQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_keepbest_dedup",
+      "Best-in-cluster near-dup dedup: MinHash pairs -> connected " +
+        "components -> per-cluster argmax on a quality score (here " +
+        "n_chars: keep the longest member, ties to the smaller id); " +
+        "the k-1 worse near-copies drop. The keep policy curation " +
+        "pipelines actually want, vs keep-lowest-id.",
+      (s, dir) =>
+        graft.operators.BestDedup.dedupKeepBest(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          scoreCol = "n_chars", threshold = 0.5, n = 3, h = 16, bands = 4)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some {
+        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        s"""WITH RECURSIVE $oBase,
+           |${DedupOracles.minhashBandCtes()},
+           |$oInterJac,
+           |pairs AS (
+           |  SELECT j.id1, j.id2 FROM j
+           |  JOIN bnd x ON x.doc_id = j.id1
+           |  JOIN bnd y ON y.doc_id = j.id2
+           |  WHERE j.jaccard >= 0.5 AND ($bandCond)),
+           |edges AS (
+           |  SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION
+           |  SELECT id2, id1 FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+           |comp AS (
+           |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+           |  FROM reach GROUP BY a),
+           |members AS (
+           |  SELECT d.doc_id, c.component, d.n_chars
+           |  FROM documents d JOIN comp c USING (doc_id)),
+           |winners AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, ROW_NUMBER() OVER (
+           |      PARTITION BY component
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |    FROM members) WHERE rn = 1),
+           |drops AS (
+           |  SELECT doc_id FROM members
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+           |SELECT d.doc_id, d.n_chars FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_boilerplate_strip",
       "Cross-document repeated-substring removal (exact-substring-dedup " +
         "family): 5-token windows appearing in >= 3 distinct documents " +
