@@ -217,6 +217,43 @@ object TextQueries extends QueryPack {
               |FROM r ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "q_corpus_report",
+      "Corpus composition report (datasheets-for-datasets): per " +
+        "(source, lang) segment — doc count, exact-unique text count " +
+        "(distinct fingerprints: the exact-dup rate per segment), " +
+        "token and char totals, length extrema. ONE scan, every " +
+        "aggregate map-side-combinable, all-integer output (no float " +
+        "drift across engines).",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(fingerprint(col("text"))).as("n_unique_texts"),
+            sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("source"), col("lang")),
+      Some(s"""WITH t AS (
+              |  SELECT source, lang, n_chars,
+              |    list_reduce(
+              |      list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+              |      (a, c) -> (a * 31 + c) % 1000000007) AS fp,
+              |    CAST(len($oToks) AS BIGINT) AS ntok
+              |  FROM documents)
+              |SELECT source, lang,
+              |  COUNT(*) AS n_docs,
+              |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+              |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              |  MIN(n_chars) AS min_chars,
+              |  MAX(n_chars) AS max_chars
+              |FROM t GROUP BY source, lang
+              |ORDER BY source, lang""".stripMargin)),
+
+    GQuery(
       "q_fingerprint",
       "Document fingerprinting: polynomial rolling hash over characters " +
         "(mod 1e9+7), grouped to expose exact-duplicate clusters.",
