@@ -371,6 +371,38 @@ object TextDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Containment dedup — the sub-document duplicate case symmetric
+    * Jaccard misses: a short document fully quoted inside a long one
+    * scores jac = |A|/|B| (tiny when sizes differ) but containment
+    * |A∩B|/|A| = 1. Drops every document whose distinct-shingle set is
+    * >= `threshold` contained in some OTHER document's, keeping the
+    * larger side (shingle-count tie → smaller id survives, so exact
+    * twins cannot annihilate each other). Returns survivors unchanged.
+    *
+    * Same relational shape as [[jaccardPairsExact]]: explode distinct
+    * shingle hashes, equi-join on the hash (co-shingled pairs only,
+    * never a cross product), count intersections per directed pair.
+    * Hot-shingle skew is bounded the same way — pre-cap document
+    * frequency upstream if the corpus has degenerate shingles.
+    */
+  def containmentDropContained(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val s = withShingleHashes(df, idCol, textCol, n)
+      .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
+        explode(col("__shh")).as("__h"))
+    graft.core.CacheBin.trackEager(s.persist(StorageLevel.MEMORY_AND_DISK))
+    val drops = s.as("a")
+      .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+      .agg(count(lit(1)).as("__i"),
+        max(col("a.__n")).as("__na"), max(col("b.__n")).as("__nb"))
+      .filter(col("__i").cast("double") / col("__na").cast("double") >= threshold)
+      .filter(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("__idb") < col("__ida")))
+      .select(col("__ida").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   val SimhashBits = 30 // polyHash < 1e9+7 < 2^30
 
   /** Per-document SimHash over distinct n-gram shingles: bit j is set

@@ -238,6 +238,36 @@ object DedupQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_containment_dedup",
+      "Containment dedup (the sub-document case symmetric Jaccard " +
+        "misses): a doc whose distinct-shingle set is >= 0.9 contained " +
+        "in another's drops; the larger side survives (size tie -> " +
+        "smaller id). Same no-cross-product shingle equi-join as the " +
+        "exact-Jaccard baseline, directed pairs.",
+      (s, dir) =>
+        TextDedup.containmentDropContained(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, n = 3)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH $oBase,
+           |inter2 AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2),
+           |drops AS (
+           |  SELECT DISTINCT i1.id1 AS doc_id
+           |  FROM inter2 i1
+           |  JOIN sizes na ON na.doc_id = i1.id1
+           |  JOIN sizes nb ON nb.doc_id = i1.id2
+           |  WHERE CAST(i1.i AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.9
+           |    AND (nb.n > na.n OR (nb.n = na.n AND i1.id2 < i1.id1)))
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
       "q_keepbest_dedup",
       "Best-in-cluster near-dup dedup: MinHash pairs -> connected " +
         "components -> per-cluster argmax on a quality score (here " +

@@ -79,4 +79,41 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(minhash(1) == minhash(8))
   }
+
+  test("containment dedup drops the quoted sub-document, keeps the host; twins keep the smaller id") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      // doc 1 quotes doc 2's full text inside a longer document: the
+      // symmetric Jaccard is low (5 shared of 12+3 shingles) but doc 2
+      // is 100% contained in doc 1 — exactly the case this op exists for
+      (1L, s"intro words before the quote $quote and plenty of trailing content here"),
+      (2L, quote),
+      // exact twins: same shingle count, so the smaller id survives
+      (5L, "one two three four five six seven"),
+      (6L, "one two three four five six seven"),
+      (9L, "completely unrelated text lives here peacefully")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.containmentDropContained(
+      corpus, "doc_id", "text", threshold = 0.9)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 5L, 9L))
+    // sanity: symmetric Jaccard at the same threshold would NOT drop doc 2
+    val jac = TextDedup.jaccardPairsExact(corpus, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containment decisions are invariant under repartitioning") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "intro alpha beta gamma delta epsilon outro trailing content"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (9L, "completely unrelated text lives here peacefully")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) = TextDedup.containmentDropContained(
+      corpus.repartition(parts), "doc_id", "text", threshold = 0.9)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(1) === run(6))
+  }
 }
