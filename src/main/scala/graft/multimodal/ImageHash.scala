@@ -92,35 +92,45 @@ object ImageHash {
       .toDF(idCol, "phash")
   }
 
-  /** Near-dup image pairs (id1 < id2, hamming <= maxHamming): band the
-    * 64-bit hash into maxHamming+1 slices, bucket-join on (band, slice
-    * value), verify with `bit_count(xor)`. Everything after the decode
-    * is codegen'd relational work.
+  /** Pigeonhole-banded Hamming pairs over ANY 64-bit perceptual hash
+    * frame `(idCol, hashCol)` — shared by the image and audio paths:
+    * split 64 bits into maxHamming+1 bands, bucket-join on (band,
+    * slice value), verify with codegen'd `bit_count(xor)`. Returns
+    * `(id1, id2, hamming)` with id1 < id2.
     */
-  def nearDupImagePairs(media: DataFrame, idCol: String, bytesCol: String,
-      maxHamming: Int = 4): DataFrame = {
-    val hashes = graft.core.CacheBin.trackEager(
-      imageHashes(media, idCol, bytesCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val pinned = graft.core.CacheBin.trackEager(
+      hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val k = maxHamming + 1
-    val banded = hashes.select(col(idCol).as("__id"), col("phash"),
+    // rename first, explode second: referencing an alias from the same
+    // select inside a Generate trips the lateral-column-alias analyzer
+    val renamed = pinned.select(col(idCol).as("__id"), col(hashCol).as("__ph"))
+    val banded = renamed.select(col("__id"), col("__ph"),
       explode(array((0 until k).map { j =>
         val lo = j * 64 / k
         val hi = (j + 1) * 64 / k // band j covers bits [lo, hi)
         val width = hi - lo
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(j).as("band"),
-          shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("val"))
+          shiftrightunsigned(col("__ph"), lo).bitwiseAND(lit(mask)).as("val"))
       }: _*)).as("__b"))
-      .select(col("__id"), col("phash"),
+      .select(col("__id"), col("__ph"),
         col("__b.band").as("band"), col("__b.val").as("val"))
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.val") === col("r.val") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
-        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).as("hamming"))
+        bit_count(col("l.__ph").bitwiseXOR(col("r.__ph"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup image pairs (id1 < id2, hamming <= maxHamming): aHash
+    * every decodable image, then [[hammingPairs64]].
+    */
+  def nearDupImagePairs(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 4): DataFrame =
+    hammingPairs64(imageHashes(media, idCol, bytesCol), idCol, "phash", maxHamming)
 }
