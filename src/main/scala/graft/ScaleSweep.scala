@@ -26,7 +26,7 @@ object ScaleSweep {
     "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score",
     "q_dsir_select", "q_boilerplate_strip", "q_leak_safe_split",
     "q_quality_classifier", "q_window_dedup", "q_keepfirst_dedup",
-    "q_dedup_indexed")
+    "q_dedup_indexed", "q_keepbest_dedup", "q_containment_dedup")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

@@ -382,14 +382,32 @@ object TextDedup {
     * Same relational shape as [[jaccardPairsExact]]: explode distinct
     * shingle hashes, equi-join on the hash (co-shingled pairs only,
     * never a cross product), count intersections per directed pair.
-    * Hot-shingle skew is bounded the same way — pre-cap document
-    * frequency upstream if the corpus has degenerate shingles.
+    * `maxDocFreq` bounds hot-shingle skew exactly like the Jaccard
+    * df-cap: a shingle in more than that many documents is dropped
+    * from pairing (a boilerplate shingle says nothing about
+    * containment), which caps the per-hash pair fan-out at df².
     */
   def containmentDropContained(df: DataFrame, idCol: String,
-      textCol: String, threshold: Double, n: Int = 3): DataFrame = {
-    val s = withShingleHashes(df, idCol, textCol, n)
-      .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
-        explode(col("__shh")).as("__h"))
+      textCol: String, threshold: Double, n: Int = 3,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val s = (maxDocFreq match {
+      case None =>
+        withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
+            explode(col("__shh")).as("__h"))
+      case Some(cap) =>
+        // same one-scan window construction as jaccardPairsExact: rows
+        // are (doc, hash)-distinct, so the per-hash count IS document
+        // frequency; sizes are re-counted AFTER the cap so containment
+        // denominators reflect the surviving shingles on both sides
+        import org.apache.spark.sql.expressions.Window
+        withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
+          .filter(col("__df") <= cap)
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+          .select(col("__id"), col("__n"), col("__h"))
+    })
     graft.core.CacheBin.trackEager(s.persist(StorageLevel.MEMORY_AND_DISK))
     val drops = s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") =!= col("b.__id"))

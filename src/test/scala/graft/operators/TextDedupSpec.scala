@@ -104,6 +104,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("containment df-cap drops boilerplate shingles from pairing") {
+    import spark.implicits._
+    val chrome = "all rights reserved by this site" // in EVERY doc
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta epsilon $chrome"),
+      (2L, s"unique content one lives here $chrome"),
+      (3L, s"unique content two sits there $chrome"),
+      (4L, s"unique content three rests yonder $chrome")
+    ).toDF("doc_id", "text")
+    // uncapped: chrome shingles alone put every doc ~50% contained in
+    // every other — at 0.4 everything but one doc drops
+    val uncapped = TextDedup.containmentDropContained(
+      corpus, "doc_id", "text", threshold = 0.4)
+      .count()
+    // capped at df<=2 the chrome (df=4) is ignored: no containment left
+    val capped = TextDedup.containmentDropContained(
+      corpus, "doc_id", "text", threshold = 0.4, maxDocFreq = Some(2L))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 2L, 3L, 4L))
+    assert(uncapped < 4L)
+  }
+
   test("containment decisions are invariant under repartitioning") {
     import spark.implicits._
     val corpus = Seq(
