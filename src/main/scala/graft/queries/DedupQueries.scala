@@ -268,6 +268,39 @@ object DedupQueries extends QueryPack {
            |ORDER BY d.doc_id""".stripMargin)),
 
     GQuery(
+      "q_containment_dfcap",
+      "Containment dedup with the hot-shingle guard: shingles in more " +
+        "than 3 documents are dropped before the directed pair join " +
+        "(boilerplate says nothing about containment) and per-doc " +
+        "sizes recount over the surviving shingle space — the bounded " +
+        "form that holds at corpus scale.",
+      (s, dir) =>
+        TextDedup.containmentDropContained(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, n = 3, maxDocFreq = Some(3L))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH $oBase,
+           |keep AS (SELECT h FROM s GROUP BY h HAVING count(*) <= 3),
+           |sfil AS (SELECT s.doc_id, s.h FROM s JOIN keep USING (h)),
+           |sizesf AS (SELECT doc_id, count(*) AS n FROM sfil GROUP BY doc_id),
+           |interc AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           |  FROM sfil a JOIN sfil b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2),
+           |drops AS (
+           |  SELECT DISTINCT i1.id1 AS doc_id
+           |  FROM interc i1
+           |  JOIN sizesf na ON na.doc_id = i1.id1
+           |  JOIN sizesf nb ON nb.doc_id = i1.id2
+           |  WHERE CAST(i1.i AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.9
+           |    AND (nb.n > na.n OR (nb.n = na.n AND i1.id2 < i1.id1)))
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
       "q_keepbest_dedup",
       "Best-in-cluster near-dup dedup: MinHash pairs -> connected " +
         "components -> per-cluster argmax on a quality score (here " +
