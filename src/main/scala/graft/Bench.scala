@@ -89,18 +89,25 @@ object Bench {
     // banded MinHash pair set against the exact-Jaccard truth (a
     // bands/hashes change that loses near-dup pairs must show up here,
     // not in a silently-smaller dedup). Untimed.
-    def pairSet(name: String): Set[(Long, Long)] =
-      SparkEntry.allQueries.find(_.name == name).map { q =>
-        try q.build(spark, sfDir).select("id1", "id2").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        catch { case _: Throwable => Set.empty[(Long, Long)] }
+    // a failed build must NOT collapse to an empty set — recall 0.0 and
+    // "the query crashed" are different facts; a failure omits the
+    // metric (absent key) and says so on stderr instead
+    def pairSet(name: String): Option[Set[(Long, Long)]] =
+      SparkEntry.allQueries.find(_.name == name).flatMap { q =>
+        try Some(q.build(spark, sfDir).select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed for dedup recall: $e")
+            None
+        }
         finally graft.core.CacheBin.drain()
-      }.getOrElse(Set.empty)
-    val exactPairs = pairSet("q_jaccard_neardup")
-    val dedupRecall =
-      if (exactPairs.isEmpty) Seq.empty
-      else Seq("q_minhash_dedup" ->
-        (exactPairs & pairSet("q_minhash_dedup")).size.toDouble / exactPairs.size)
+      }
+    val dedupRecall = (for {
+      exactPairs <- pairSet("q_jaccard_neardup") if exactPairs.nonEmpty
+      banded <- pairSet("q_minhash_dedup")
+    } yield "q_minhash_dedup" ->
+      (exactPairs & banded).size.toDouble / exactPairs.size).toSeq
 
     // The consuming driver captures only a bounded (~2.6 KB) TAIL of stdout,
     // and sbt appends its own [success] banner after us: with 87+ queries the

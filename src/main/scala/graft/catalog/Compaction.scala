@@ -37,7 +37,17 @@ object Compaction {
       outPath: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Int = {
     val df = spark.read.parquet(inPath)
-    val n = targetFileCount(df, targetBytesPerFile)
+    compactFrame(df, targetFileCount(df, targetBytesPerFile), outPath, clusterBy)
+  }
+
+  /** The write half of [[compact]], for callers that fold or filter the
+    * frame first (e.g. dedup-index maintenance dropping replay
+    * duplicates): shape into `n` files and overwrite `outPath`. The
+    * file-count target should come from the RAW scan (an upper bound —
+    * folding only shrinks bytes).
+    */
+  def compactFrame(df: DataFrame, n: Int, outPath: String,
+      clusterBy: Seq[String] = Nil): Int = {
     val shaped =
       if (clusterBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, clusterBy.map(col): _*)

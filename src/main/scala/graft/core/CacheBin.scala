@@ -71,7 +71,11 @@ object CacheBin {
     * BlockManager "block already exists" churn). One cheap count pins
     * the cache so every consumer reads it.
     */
-  def trackEager(df: DataFrame): DataFrame = { df.count(); track(df) }
+  // track BEFORE the pinning count: if the count is cancelled (serving
+  // timeout, job-group kill) the persisted frame must already be in the
+  // bin, or the scope drain misses it and the blocks leak for the
+  // session's lifetime
+  def trackEager(df: DataFrame): DataFrame = { track(df); df.count(); df }
 
   /** Number of tracked, not-yet-released frames in the current scope
     * (for specs).

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object AudioHash {
 
-  /** 64-bit energy-envelope hash of 16-bit little-endian PCM frames. */
-  def envelopeHash64(pcm: Array[Byte], channels: Int): Long = {
+  /** 64-bit energy-envelope hash of 16-bit little-endian PCM frames.
+    * Callers must normalize first — [[pcm16le]] converts any
+    * JDK-decodable stream (8/24-bit, big-endian, unsigned) to this
+    * layout, so the same audio hashes the same regardless of its
+    * container encoding.
+    */
+  def envelopeHash64(pcm: Array[Byte]): Long = {
     val nSamples = pcm.length / 2
     if (nSamples == 0) return 0L
     val windows = new Array[Double](64)
@@ -51,6 +56,25 @@ object AudioHash {
     bits
   }
 
+  /** Decode a wav payload and normalize to 16-bit signed little-endian
+    * PCM (the JDK converts 8/24-bit, unsigned, and big-endian streams)
+    * so the envelope hash is encoding-invariant.
+    */
+  private[multimodal] def pcm16le(bytes: Array[Byte]): Array[Byte] = {
+    val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = src.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        f.getSampleRate, 16, f.getChannels, true, false)
+      val conv =
+        if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) src
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+      try conv.readAllBytes() finally conv.close()
+    } finally src.close()
+  }
+
   /** (idCol, ahash) for every decodable wav row; everything else is
     * dropped. Same mapPartitions decode shape as the image path.
     */
@@ -64,14 +88,8 @@ object AudioHash {
       .mapPartitions { rows =>
         rows.flatMap { case (id, format, bytes) =>
           if (format != "wav") None
-          else try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val pcm = in.readAllBytes()
-              Some((id, envelopeHash64(pcm, in.getFormat.getChannels)))
-            } finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
+          else try Some((id, envelopeHash64(pcm16le(bytes))))
+          catch { case scala.util.control.NonFatal(_) => None }
         }
       }
       .toDF(idCol, "ahash")

@@ -88,7 +88,14 @@ object Boilerplate {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val wins = base.select(col(idCol),
       posexplode(col("__sh")).as(Seq("__pos", "__h")))
-      .withColumn("__ord", col(idCol) * OrdBase + col("__pos"))
+      // the linearized key is only injective while pos < OrdBase: a
+      // longer document would silently collide into its neighbor's key
+      // space and corrupt keep-first decisions — fail loudly instead
+      .withColumn("__ord",
+        when(col("__pos") >= OrdBase, raise_error(concat(
+          lit(s"dedupSpans: document exceeds $OrdBase tokens (id="),
+          col(idCol).cast("string"), lit(")"))))
+          .otherwise(col(idCol) * OrdBase + col("__pos")))
     val firsts = wins.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cnt"), min(col("__ord")).as("__keep"))
       .filter(col("__cnt") >= minCount)

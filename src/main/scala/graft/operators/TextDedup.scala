@@ -248,6 +248,14 @@ object TextDedup {
     * range (min/max footer pruning for the screen's band join) — then
     * swaps the directories. Not safe concurrently with readers or
     * appends; run it between ingest batches like any table maintenance.
+    *
+    * Also folds replay duplicates: a crash-replayed ingest batch
+    * re-appends its band and shingle rows verbatim (see
+    * [[graft.streaming.IngestDedup.admitBatch]]), which screening
+    * tolerates but each probe then pays for twice. Band rows are
+    * exact-row distinct'd; shingle rows keep one row per document id
+    * (the id is the table's key — two appends of the same id under the
+    * same meta carry identical arrays).
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
@@ -260,15 +268,18 @@ object TextDedup {
         new org.apache.hadoop.fs.Path(dst))
       ()
     }
+    // bands need the custom partitionBy(band) layout; shingles go
+    // through the shared compactor's write half
     val bands = spark.read.parquet(s"$path/bands")
     val nb = Compaction.targetFileCount(bands, targetBytesPerFile)
-    bands.repartitionByRange(nb, col("band"), col("val"))
+    bands.dropDuplicates()
+      .repartitionByRange(nb, col("band"), col("val"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands__compact")
     swap(s"$path/bands", s"$path/bands__compact")
     val sh = spark.read.parquet(s"$path/shingles")
-    val ns = Compaction.targetFileCount(sh, targetBytesPerFile)
-    sh.repartition(ns)
-      .write.mode("overwrite").parquet(s"$path/shingles__compact")
+    Compaction.compactFrame(sh.dropDuplicates(sh.columns.head),
+      Compaction.targetFileCount(sh, targetBytesPerFile),
+      s"$path/shingles__compact")
     swap(s"$path/shingles", s"$path/shingles__compact")
   }
 
@@ -277,10 +288,17 @@ object TextDedup {
     * INDEXED document, return the survivors unchanged. Same one-sided
     * banded join + exact-Jaccard verify — the corpus contributes its
     * stored band rows and shingle arrays, never a re-hash.
+    *
+    * `excludeSelf` ignores index rows carrying the SAME id as the
+    * incoming document — the replay guard for [[graft.streaming.IngestDedup]]:
+    * a batch re-screened after its own rows were already admitted must
+    * not be annihilated by its own index entries. (It also means a
+    * re-ingest of an existing id is not dropped by its previous
+    * version — id-identity dedup is a different, upstream concern.)
     */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, excludeSelf: Boolean = false): DataFrame = {
     val (n, h, bands, seed) = readIndexMeta(spark, path)
     val inSh = graft.core.CacheBin.trackEager(
       withShingleHashes(incoming, idCol, textCol, n)
@@ -304,8 +322,10 @@ object TextDedup {
         org.apache.spark.sql.types.IntegerType)))
     val idxBands = spark.read.schema(bandsSchema).parquet(s"$path/bands")
       .select(col(idCol).as("__co"), col("band"), col("val"))
-    val cands = inBands.join(idxBands, Seq("band", "val"))
-      .select(col("__in"), col("__co")).distinct()
+    val candsAll = inBands.join(idxBands, Seq("band", "val"))
+      .select(col("__in"), col("__co"))
+    val cands = (if (excludeSelf) candsAll.filter(col("__in") =!= col("__co"))
+      else candsAll).distinct()
     val drops = cands
       .join(inSh.select(col(idCol).as("__in"), col("__shh").as("__s1")), "__in")
       .join(idxSh, "__co")

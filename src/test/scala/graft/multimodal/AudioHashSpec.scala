@@ -13,19 +13,30 @@ import graft.SparkSpec
   */
 class AudioHashSpec extends SparkSpec {
 
-  /** Mono 16-bit wav: amplitude-modulated tone, deterministic. */
-  private def wavBytes(freq: Double, gain: Double, beatHz: Double): Array[Byte] = {
+  /** Mono wav at the given bit depth: amplitude-modulated tone. */
+  private def wavBytes(freq: Double, gain: Double, beatHz: Double,
+      bits: Int = 16): Array[Byte] = {
     val rate = 8000
     val n = rate // 1 second
-    val pcm = new Array[Byte](n * 2)
+    val bytesPer = bits / 8
+    val pcm = new Array[Byte](n * bytesPer)
     for (i <- 0 until n) {
       val t = i.toDouble / rate
       val env = 0.5 + 0.5 * math.sin(2 * math.Pi * beatHz * t)
-      val s = (gain * env * 12000 * math.sin(2 * math.Pi * freq * t)).toInt
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      val amp = gain * env * math.sin(2 * math.Pi * freq * t)
+      if (bits == 16) {
+        val s = (amp * 12000).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      } else {
+        // 8-bit wav is UNSIGNED PCM centered on 128
+        pcm(i) = (128 + (amp * 100).toInt).toByte
+      }
     }
-    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val fmt =
+      if (bits == 16) new AudioFormat(rate.toFloat, 16, 1, true, false)
+      else new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        rate.toFloat, 8, 1, 1, rate.toFloat, false)
     val in = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new ByteArrayOutputStream()
@@ -33,13 +44,10 @@ class AudioHashSpec extends SparkSpec {
     out.toByteArray
   }
 
+  private def hashOf(bytes: Array[Byte]): Long =
+    AudioHash.envelopeHash64(AudioHash.pcm16le(bytes))
+
   test("envelope hash is stable under gain change, far for different material") {
-    def hashOf(bytes: Array[Byte]): Long = {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try AudioHash.envelopeHash64(in.readAllBytes(), in.getFormat.getChannels)
-      finally in.close()
-    }
     val a = hashOf(wavBytes(440, 1.0, 3))
     val b = hashOf(wavBytes(440, 0.8, 3)) // same envelope shape, lower gain
     val c = hashOf(wavBytes(440, 1.0, 11)) // different amplitude envelope
@@ -47,6 +55,13 @@ class AudioHashSpec extends SparkSpec {
       s"gain-tweaked copy drifted ${java.lang.Long.bitCount(a ^ b)} bits")
     assert(java.lang.Long.bitCount(a ^ c) > 8,
       s"different envelope is only ${java.lang.Long.bitCount(a ^ c)} bits away")
+  }
+
+  test("an 8-bit re-encode hashes near its 16-bit original") {
+    val a = hashOf(wavBytes(440, 1.0, 3, bits = 16))
+    val b = hashOf(wavBytes(440, 1.0, 3, bits = 8)) // same audio, 8-bit container
+    assert(java.lang.Long.bitCount(a ^ b) <= 4,
+      s"8-bit re-encode drifted ${java.lang.Long.bitCount(a ^ b)} bits")
   }
 
   test("banded pair join finds exactly the near-dup audio pair") {

@@ -83,6 +83,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compaction folds replay-duplicate index rows") {
+    val path = tmpPath("fold")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    TextDedup.writeDedupIndex(corpus, "doc_id", "text", path)
+    // a crash-replayed batch re-appends the same rows verbatim
+    TextDedup.appendToDedupIndex(spark, path, corpus, "doc_id", "text")
+    assert(spark.read.parquet(s"$path/bands").count() === 16L) // 2 docs x 4 bands, twice
+    assert(spark.read.parquet(s"$path/shingles").count() === 4L)
+    TextDedup.compactDedupIndex(spark, path)
+    assert(spark.read.parquet(s"$path/bands").count() === 8L)
+    assert(spark.read.parquet(s"$path/shingles").count() === 2L)
+    // screening still rejects copies of both docs after the fold
+    val survivors = TextDedup.dedupAgainstIndex(spark, path,
+      Seq((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "totally unrelated words occupy this row")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    assert(survivors.select($"doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
+
   test("band scan prunes on the partitioned band column") {
     val path = tmpPath("prune")
     TextDedup.writeDedupIndex(docs.filter($"doc_id" < 100), "doc_id", "text", path)

@@ -62,13 +62,34 @@ class IngestDedupSpec extends SparkSpec {
     val n1 = IngestDedup.admitBatch(
       Seq(IngestDoc(2L, "alpha beta gamma delta epsilon zeta"),
         IngestDoc(3L, "one two three four five six seven")).toDF(),
-      "doc_id", "text", idx, out, threshold = 0.5)
+      "doc_id", "text", idx, out, threshold = 0.5, batchId = 1L)
     assert(n1 === 1L)
     // the admitted doc 3 now lives in the index: its copy is rejected
     val n2 = IngestDedup.admitBatch(
       Seq(IngestDoc(4L, "one two three four five six seven")).toDF(),
-      "doc_id", "text", idx, out, threshold = 0.5)
+      "doc_id", "text", idx, out, threshold = 0.5, batchId = 2L)
     assert(n2 === 0L)
     assert(spark.read.parquet(out).count() === 1L)
+  }
+
+  test("replaying a committed batch is idempotent (crash-recovery contract)") {
+    import spark.implicits._
+    val idx = freshDir("idx3") + "/index"
+    val out = freshDir("out3") + "/corpus"
+    val batch = Seq(
+      IngestDoc(1L, "alpha beta gamma delta epsilon zeta"),
+      IngestDoc(2L, "one two three four five six seven")).toDF()
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val n1 = IngestDedup.admitBatch(batch, "doc_id", "text", idx, out,
+      threshold = 0.5, batchId = 7L)
+    // simulate the checkpoint not committing: the SAME batch replays —
+    // its rows are already in the index (self-excluded from screening)
+    // and the per-batch output directory is overwritten, not appended
+    val n2 = IngestDedup.admitBatch(batch, "doc_id", "text", idx, out,
+      threshold = 0.5, batchId = 7L)
+    assert(n1 === 2L && n2 === 2L)
+    assert(spark.read.parquet(out).select($"doc_id").distinct().count() === 2L)
+    assert(spark.read.parquet(out).count() === 2L) // no duplicate rows
   }
 }
