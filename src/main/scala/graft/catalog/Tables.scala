@@ -33,13 +33,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     loadCache.getOrElseUpdate((spark, dir, name), {
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects. Read nanos as long and truncate to micros —
-        // the same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
+        // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        // Spark's vectorized reader rejects without nanosAsLong, and then
+        // surfaces as a long) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        // (which surfaces as TIMESTAMP_NTZ). Normalize either to
+        // TimestampType micros — the truncation DuckDB applies casting
+        // TIMESTAMP_NS→TIMESTAMP, and a value-preserving cast under the
+        // session's UTC timezone for the NTZ case.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(path(dir, name))
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+        import org.apache.spark.sql.types.{LongType, TimestampType}
+        raw.schema("ts").dataType match {
+          case LongType => // nanos read as long
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case TimestampType => raw
+          case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
       } else spark.read.parquet(path(dir, name))
     })
 
