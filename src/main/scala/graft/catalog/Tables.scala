@@ -43,13 +43,17 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(path(dir, name))
         import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-        import org.apache.spark.sql.types.{LongType, TimestampType}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
         raw.schema("ts").dataType match {
           case LongType => // nanos read as long
             raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           case TimestampType => raw
-          case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant
+          case TimestampNTZType => // reinterpret as UTC instant
             raw.withColumn("ts", col("ts").cast(TimestampType))
+          case other => // a silent cast here would coerce garbage — fail loudly
+            throw new IllegalStateException(
+              s"events.ts has unsupported type $other (expected " +
+                "TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-long)")
         }
       } else spark.read.parquet(path(dir, name))
     })

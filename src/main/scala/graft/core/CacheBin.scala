@@ -63,13 +63,30 @@ object CacheBin {
     */
   def track(df: DataFrame): DataFrame = { current.add(df); df }
 
-  /** [[track]], but materialize the cache first. For persisted frames
-    * consumed on BOTH sides of a self-join (or by several joins inside
-    * one action): without this, the consumers race to compute every
-    * cached partition concurrently in the first job — each partition
-    * is computed twice and the loser's store is rejected (the
-    * BlockManager "block already exists" churn). One cheap count pins
-    * the cache so every consumer reads it.
+  /** [[track]], but materialize the cache first: without the pin, the
+    * consumers race to compute every cached partition concurrently in
+    * the first job — each partition is computed twice and the loser's
+    * store is rejected (the BlockManager "block already exists" churn).
+    *
+    * The pin is a FULL serial materialization pass, so it is policy,
+    * not default (the round-9 bench paid 2.5× on `q_jaccard_neardup`
+    * for an indiscriminate pin). Eager-pin ONLY frames that are:
+    *  - consumed by MORE THAN TWO join consumers across different key
+    *    spaces (e.g. the MinHash shingle table: banded join + two
+    *    verify joins), where recompute-per-consumer beats nothing and
+    *    a racy lazy cache beats nobody; or
+    *  - unsafe to recompute (range-partitioned bases whose re-sampled
+    *    bounds would silently pair rows with stale offsets).
+    * And pin the COMPACT form (one row per doc, pre-explode) — never
+    * an exploded table whose pin pass serializes the large shape.
+    *
+    * A frame feeding exactly the two sides of a SELF-JOIN should not
+    * be persisted at all: end its construction in a shuffle on the
+    * join key (`repartition(key)` if the plan doesn't already) and
+    * Spark's ReuseExchange/AQE stage reuse evaluates the subtree once
+    * with zero cache traffic — measured at sf0.1 this matches the lazy
+    * persist's wall time without the race (see TextDedup
+    * `explodedShingleTable` and the PlanAuditSpec reuse assertions).
     */
   // track BEFORE the pinning count: if the count is cancelled (serving
   // timeout, job-group kill) the persisted frame must already be in the

@@ -30,13 +30,15 @@ object GopherRules {
       maxWords: Int = 100000,
       minMeanWordLen: Int = 3,
       maxMeanWordLen: Int = 10,
-      // symbols / words < 1/10
+      // EACH symbol's occurrences / words <= 1/10 (hash and ellipsis
+      // ratios are thresholded separately, as published — a combined
+      // sum would reject 0.08 + 0.08, which the published rule passes)
       symbolRatioNum: Int = 1, symbolRatioDen: Int = 10,
-      // bullet lines / lines < 9/10
+      // bullet lines / lines <= 9/10
       bulletFracNum: Int = 9, bulletFracDen: Int = 10,
-      // ellipsis-ending lines / lines < 3/10
+      // ellipsis-ending lines / lines <= 3/10
       ellipsisFracNum: Int = 3, ellipsisFracDen: Int = 10,
-      // words with an alphabetic char / words > 4/5
+      // words with an alphabetic char / words >= 4/5
       alphaFracNum: Int = 4, alphaFracDen: Int = 5,
       minStopwordHits: Int = 2)
 
@@ -61,8 +63,9 @@ object GopherRules {
   def nonSpaceChars(text: Column): Column =
     length(regexp_replace(text, "\\s", "")).cast("long")
 
-  def symbolCount(text: Column): Column =
-    (occurrences(text, "#") + occurrences(text, "...")).cast("long")
+  def hashCount(text: Column): Column = occurrences(text, "#").cast("long")
+
+  def ellipsisCount(text: Column): Column = occurrences(text, "...").cast("long")
 
   private def lines(text: Column): Column = split(text, "\n")
 
@@ -92,22 +95,31 @@ object GopherRules {
   /** All rule flags from the pre-computed counts — integer arithmetic
     * only. Callers that materialize the counts once (the report query)
     * reuse them here instead of rescanning the text.
+    *
+    * Boundary semantics match the published rules: a document is
+    * dropped only when a ratio EXCEEDS its threshold (pass at
+    * equality), and kept only when the alpha fraction REACHES its —
+    * hence `<=` on the max-ratio rules and `>=` on the min-fraction
+    * rule. Hash and ellipsis symbol ratios are thresholded per symbol,
+    * not summed.
     */
-  def flagsFromCounts(words: Column, chars: Column, symbols: Column,
-      nLines: Column, bullets: Column, ellipses: Column, alphaWords: Column,
-      stopHits: Column, t: GopherThresholds): Seq[(String, Column)] = Seq(
+  def flagsFromCounts(words: Column, chars: Column, hashes: Column,
+      ellipsisSyms: Column, nLines: Column, bullets: Column,
+      ellipsisLines: Column, alphaWords: Column, stopHits: Column,
+      t: GopherThresholds): Seq[(String, Column)] = Seq(
     "ok_word_count" ->
       (words >= t.minWords && words <= t.maxWords),
     "ok_mean_word_len" ->
       (chars >= lit(t.minMeanWordLen) * words && chars <= lit(t.maxMeanWordLen) * words),
     "ok_symbol_ratio" ->
-      (symbols * t.symbolRatioDen < words * t.symbolRatioNum),
+      (hashes * t.symbolRatioDen <= words * t.symbolRatioNum &&
+        ellipsisSyms * t.symbolRatioDen <= words * t.symbolRatioNum),
     "ok_bullet_lines" ->
-      (bullets * t.bulletFracDen < nLines * t.bulletFracNum),
+      (bullets * t.bulletFracDen <= nLines * t.bulletFracNum),
     "ok_ellipsis_lines" ->
-      (ellipses * t.ellipsisFracDen < nLines * t.ellipsisFracNum),
+      (ellipsisLines * t.ellipsisFracDen <= nLines * t.ellipsisFracNum),
     "ok_alpha_words" ->
-      (alphaWords * t.alphaFracDen > words * t.alphaFracNum),
+      (alphaWords * t.alphaFracDen >= words * t.alphaFracNum),
     "ok_stopwords" ->
       (stopHits >= t.minStopwordHits))
 
@@ -118,7 +130,8 @@ object GopherRules {
     val counts = Seq(
       "n_words" -> wordCount(text),
       "n_nonspace_chars" -> nonSpaceChars(text),
-      "n_symbols" -> symbolCount(text),
+      "n_hash_symbols" -> hashCount(text),
+      "n_ellipsis_symbols" -> ellipsisCount(text),
       "n_lines" -> lineCount(text),
       "n_bullet_lines" -> bulletLineCount(text),
       "n_ellipsis_lines" -> ellipsisLineCount(text),
@@ -126,9 +139,10 @@ object GopherRules {
       "n_stopword_hits" -> stopwordHits(text))
     val byName = counts.toMap
     val flags = flagsFromCounts(
-      byName("n_words"), byName("n_nonspace_chars"), byName("n_symbols"),
-      byName("n_lines"), byName("n_bullet_lines"), byName("n_ellipsis_lines"),
-      byName("n_alpha_words"), byName("n_stopword_hits"), t)
+      byName("n_words"), byName("n_nonspace_chars"), byName("n_hash_symbols"),
+      byName("n_ellipsis_symbols"), byName("n_lines"), byName("n_bullet_lines"),
+      byName("n_ellipsis_lines"), byName("n_alpha_words"),
+      byName("n_stopword_hits"), t)
     counts ++ flags :+ ("gopher_pass" -> flags.map(_._2).reduce(_ && _))
   }
 }

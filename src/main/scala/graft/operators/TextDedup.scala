@@ -336,6 +336,51 @@ object TextDedup {
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** The shared (`__id`, `__n`, `__h`) exploded-shingle table feeding
+    * the Jaccard and containment self-joins, built so its expensive
+    * subtree (scan → tokenize → hash) executes exactly ONCE with NO
+    * cache: the trailing `repartition(__h)` inserts a shuffle exchange
+    * that Spark's ReuseExchange/AQE stage reuse shares across both
+    * self-join consumers (Catalyst shares exchange subtrees, not
+    * arbitrary ones — measured at sf0.1 this matches a lazy persist's
+    * wall time with zero BlockManager traffic and none of the
+    * cache-population races a lazy persist suffers under concurrent
+    * consumers). The join keys on `__h` anyway, so the exchange is the
+    * join's own shuffle, not an extra pass.
+    *
+    * With `maxDocFreq` (the corpus-scale hot-key guard: a 3-gram of
+    * "of the and"-class co-shingles millions of documents and makes
+    * its hash group quadratic), document frequency comes from a
+    * map-side-combining `groupBy(__h).count()` — NOT a window over the
+    * zipf-skewed hash key, which would funnel every row of the hottest
+    * hash onto one reducer with no partial aggregation, one stage
+    * before the cap could drop them. The over-cap hash list is tiny by
+    * construction (≤ distinct-shingles/cap entries), so it broadcasts
+    * into a hash anti-join; per-doc sizes are then re-counted over the
+    * surviving shingles with a window on `__id` (bounded per-doc group
+    * — skew-safe) so both Jaccard/containment denominators reflect the
+    * capped shingle space, which the oracles mirror bit-for-bit.
+    */
+  private def explodedShingleTable(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Option[Long]): DataFrame =
+    maxDocFreq match {
+      case None =>
+        withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
+            explode(col("__shh")).as("__h"))
+          .repartition(col("__h"))
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        val ex = withShingleHashes(df, idCol, textCol, n)
+          .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
+          .repartition(col("__h"))
+        val hot = ex.groupBy(col("__h")).count()
+          .filter(col("count") > cap).select(col("__h"))
+        ex.join(broadcast(hot), Seq("__h"), "left_anti")
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+          .select(col("__id"), col("__n"), col("__h"))
+    }
+
   /** Relational exact n-gram Jaccard pairs: explode distinct shingle
     * hashes, equi-join on hash (only co-shingled pairs are ever formed),
     * count intersections. The exact baseline at any scale.
@@ -343,43 +388,13 @@ object TextDedup {
     * Plan shape: per-doc shingle counts ride the exploded rows (a
     * `size()` before the explode), so there is NO separate sizes
     * aggregation and no post-join size lookups — one self-join, one
-    * groupBy. The exploded table is persisted because its two join
-    * consumers would otherwise each re-run scan+tokenize+hash.
-    *
-    * `maxDocFreq`: the hot-key guard for corpus scale. The self-join
-    * shuffles on shingle hash — a power-law key where one frequent
-    * 3-gram ("of the and"-class) co-shingles millions of documents and
-    * makes its hash group quadratic. With a cap, shingles appearing in
-    * more than `maxDocFreq` documents ("stop-shingles") are dropped
-    * BEFORE the join, and Jaccard is computed exactly over the
-    * remaining (discriminative) shingle space — sizes and intersections
-    * both from the filtered sets, so it stays a well-defined metric the
-    * oracle mirrors bit-for-bit. Hot shingles carry almost no pair
-    * signal (sharing "of the and" is not evidence of duplication), so
-    * this is the standard bound when the exact path must run wide.
+    * groupBy, and the scan+tokenize+hash subtree shared across both
+    * join sides via exchange reuse (see [[explodedShingleTable]] for
+    * the construction and the `maxDocFreq` hot-shingle cap).
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDocFreq: Option[Long] = None): DataFrame = {
-    val s = (maxDocFreq match {
-      case None =>
-        withShingleHashes(df, idCol, textCol, n)
-          .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
-            explode(col("__shh")).as("__h"))
-      case Some(cap) =>
-        // rows are (doc, hash)-distinct, so a count over the hash
-        // partition IS document frequency. Both counts are window
-        // functions (not groupBy+join-back) so the scan+tokenize+hash
-        // subtree is evaluated ONCE — Catalyst does not share
-        // non-exchange subtrees across join consumers.
-        import org.apache.spark.sql.expressions.Window
-        withShingleHashes(df, idCol, textCol, n)
-          .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
-          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
-          .filter(col("__df") <= cap)
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
-          .select(col("__id"), col("__n"), col("__h"))
-    })
-    graft.core.CacheBin.trackEager(s.persist(StorageLevel.MEMORY_AND_DISK))
+    val s = explodedShingleTable(df, idCol, textCol, n, maxDocFreq)
     s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -401,43 +416,35 @@ object TextDedup {
     *
     * Same relational shape as [[jaccardPairsExact]]: explode distinct
     * shingle hashes, equi-join on the hash (co-shingled pairs only,
-    * never a cross product), count intersections per directed pair.
-    * `maxDocFreq` bounds hot-shingle skew exactly like the Jaccard
-    * df-cap: a shingle in more than that many documents is dropped
-    * from pairing (a boilerplate shingle says nothing about
-    * containment), which caps the per-hash pair fan-out at df².
+    * never a cross product — see [[explodedShingleTable]] for the
+    * shared construction and the `maxDocFreq` hot-shingle cap). The
+    * pair join is UNDIRECTED (`a.__id < b.__id`): one aggregate row
+    * `(i, na, nb)` per unordered pair carries both directions'
+    * containment — half the join output and half the aggregation
+    * state of the directed `=!=` form — and the two drop verdicts are
+    * unfolded from it:
+    *   drop a ⇔ i/na ≥ t ∧ nb > na           (b strictly larger)
+    *   drop b ⇔ i/nb ≥ t ∧ na ≥ nb           (tie keeps smaller id a)
+    * which is exactly the directed rule with `ida < idb` substituted.
     */
   def containmentDropContained(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val s = (maxDocFreq match {
-      case None =>
-        withShingleHashes(df, idCol, textCol, n)
-          .select(col(idCol).as("__id"), size(col("__shh")).as("__n"),
-            explode(col("__shh")).as("__h"))
-      case Some(cap) =>
-        // same one-scan window construction as jaccardPairsExact: rows
-        // are (doc, hash)-distinct, so the per-hash count IS document
-        // frequency; sizes are re-counted AFTER the cap so containment
-        // denominators reflect the surviving shingles on both sides
-        import org.apache.spark.sql.expressions.Window
-        withShingleHashes(df, idCol, textCol, n)
-          .select(col(idCol).as("__id"), explode(col("__shh")).as("__h"))
-          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__h"))))
-          .filter(col("__df") <= cap)
-          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
-          .select(col("__id"), col("__n"), col("__h"))
-    })
-    graft.core.CacheBin.trackEager(s.persist(StorageLevel.MEMORY_AND_DISK))
-    val drops = s.as("a")
-      .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") =!= col("b.__id"))
+    val s = explodedShingleTable(df, idCol, textCol, n, maxDocFreq)
+    val pairAgg = s.as("a")
+      .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
       .agg(count(lit(1)).as("__i"),
         max(col("a.__n")).as("__na"), max(col("b.__n")).as("__nb"))
-      .filter(col("__i").cast("double") / col("__na").cast("double") >= threshold)
-      .filter(col("__nb") > col("__na") ||
-        (col("__nb") === col("__na") && col("__idb") < col("__ida")))
-      .select(col("__ida").as(idCol)).distinct()
+    val dropA = (col("__i").cast("double") / col("__na").cast("double") >= threshold) &&
+      (col("__nb") > col("__na"))
+    val dropB = (col("__i").cast("double") / col("__nb").cast("double") >= threshold) &&
+      (col("__na") >= col("__nb"))
+    val drops = pairAgg
+      .select(explode(array(when(dropA, col("__ida")), when(dropB, col("__idb"))))
+        .as(idCol))
+      .filter(col(idCol).isNotNull)
+      .distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -469,10 +476,12 @@ object TextDedup {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    // one row per doc and two banded-join consumers: persist so the
-    // explode+vote aggregation runs once
-    val sh = graft.core.CacheBin.trackEager(
-      simhash(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK))
+    // no persist: simhash ends in a groupBy whose shuffle exchange
+    // (carrying the 30 partial vote sums — the expensive explode+vote
+    // subtree) is shared across both banded-join consumers by
+    // ReuseExchange; only the cheap one-row-per-doc final agg + band
+    // explode is evaluated per side. Plan-asserted in PlanAuditSpec.
+    val sh = simhash(df, idCol, textCol, n)
     val bands = maxHamming + 1
     val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt
     val banded = sh.select(col(idCol).as("__id"), col("simhash"),

@@ -501,6 +501,58 @@ object TextQueries extends QueryPack {
               |           ORDER BY score_micro DESC, term) AS rnk
               |  FROM sc)
               |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score_micro
-              |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin))
+              |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)),
+
+    GQuery(
+      "q_gopher_rules",
+      "Gopher quality-rule report (Rae et al. 2021 appendix A): word/" +
+        "line/symbol counts and per-rule pass flags, all integer " +
+        "cross-multiplication (no double ratio crosses the engine " +
+        "boundary); symbol ratios per symbol, pass-at-threshold " +
+        "boundaries. Pure scan-time scalars, zero shuffles.",
+      (s, dir) => {
+        import graft.functions.GopherRules
+        val cols = GopherRules.report(col("text"))
+          .map { case (n, c) => c.as(n) }
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id") +: cols: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, $oToks AS toks,
+              |         string_split(text, chr(10)) AS ls
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id,
+              |    CAST(len(toks) AS BIGINT) AS n_words,
+              |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+              |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash_symbols,
+              |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis_symbols,
+              |    CAST(len(ls) AS BIGINT) AS n_lines,
+              |    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*\u2022]'))) AS BIGINT) AS n_bullet_lines,
+              |    CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|\u2026)$$'))) AS BIGINT) AS n_ellipsis_lines,
+              |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+              |    CAST(CAST(list_contains(toks, 'the') AS BIGINT) + CAST(list_contains(toks, 'be') AS BIGINT) + CAST(list_contains(toks, 'to') AS BIGINT) + CAST(list_contains(toks, 'of') AS BIGINT) + CAST(list_contains(toks, 'and') AS BIGINT) + CAST(list_contains(toks, 'that') AS BIGINT) + CAST(list_contains(toks, 'have') AS BIGINT) + CAST(list_contains(toks, 'with') AS BIGINT) AS BIGINT) AS n_stopword_hits
+              |  FROM t),
+              |f AS (
+              |  SELECT *,
+              |    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+              |    (n_nonspace_chars >= 3 * n_words AND n_nonspace_chars <= 10 * n_words) AS ok_mean_word_len,
+              |    (n_hash_symbols * 10 <= n_words AND n_ellipsis_symbols * 10 <= n_words) AS ok_symbol_ratio,
+              |    (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullet_lines,
+              |    (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+              |    (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
+              |    (n_stopword_hits >= 2) AS ok_stopwords
+              |  FROM c)
+              |SELECT doc_id, n_words, n_nonspace_chars, n_hash_symbols,
+              |       n_ellipsis_symbols, n_lines, n_bullet_lines,
+              |       n_ellipsis_lines, n_alpha_words, n_stopword_hits,
+              |       ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+              |       ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
+              |       ok_stopwords,
+              |       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+              |        AND ok_bullet_lines AND ok_ellipsis_lines
+              |        AND ok_alpha_words AND ok_stopwords) AS gopher_pass
+              |FROM f ORDER BY doc_id""".stripMargin))
   )
 }

@@ -141,6 +141,48 @@ class PlanAuditSpec extends SparkSpec {
       "token-budget mix plan contains a Window node — per-source funnel is back")
   }
 
+  test("df-cap guard paths never window-partition on the shingle hash") {
+    // document frequency must come from a partial-aggregating
+    // groupBy(__h).count(), NOT count().over(Window.partitionBy(__h)):
+    // the hash key is zipf-skewed (that is WHY the cap exists), and a
+    // window on it funnels every row of the hottest hash onto one
+    // reducer with no map-side combine — the exact straggler the cap
+    // guards against, one stage earlier.
+    Seq("q_jaccard_dfcap", "q_containment_dfcap").foreach { name =>
+      val p = planOf(name)
+      p.linesIterator.filter(_.contains("Window [")).foreach { line =>
+        assert(!line.matches(".*Window \\[.*\\], \\[__h#.*"),
+          s"$name: window partitioned on the skewed shingle hash: ${line.take(160)}")
+      }
+      // the over-cap hash list is tiny by construction: it must reach
+      // the anti-join as a broadcast, not a shuffle
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$name: over-cap hash list is not broadcast into the anti-join")
+    }
+  }
+
+  test("jaccard/simhash self-joins share their expensive subtree via exchange reuse") {
+    // these frames are deliberately NOT persisted: the self-join's two
+    // consumers read one shuffle exchange (ReusedExchange) instead of
+    // racing to populate a cache — same single evaluation, zero
+    // BlockManager traffic. A refactor that drops the reuse silently
+    // doubles the scan+tokenize+hash work.
+    // clean cache first: a shingle-hash frame left persisted by an
+    // earlier build (minhash paths trackEager it) gets substituted into
+    // this subtree by the CacheManager, and AQE then broadcasts the
+    // (now tiny) build side without the inner exchange — legitimate
+    // there, but it would mask a lost reuse in the drained-cache state
+    // the bench and verify runners actually execute in.
+    graft.core.CacheBin.drain()
+    spark.catalog.clearCache()
+    Seq("q_jaccard_neardup", "q_jaccard_dfcap", "q_simhash_neardup",
+      "q_containment_dedup", "q_containment_dfcap").foreach { name =>
+      val p = planOf(name, execute = true)
+      assert(p.contains("ReusedExchange"),
+        s"$name: self-join no longer reuses the exchange — subtree computed twice")
+    }
+  }
+
   test("whole-stage codegen covers the dedup hash pipeline") {
     val p = planOf("q_minhash_dedup", execute = true)
     // codegen'd operators print with the `*(n)` stage marker
