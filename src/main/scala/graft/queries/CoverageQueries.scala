@@ -142,17 +142,19 @@ object CoverageQueries extends QueryPack {
   /** SemDeDup mirror: within-cell pairs over the refined assignment,
     * drop any id with a smaller-id cosine neighbor >= threshold.
     */
-  /** IVF ANN over the k-means-refined quantizer at q_ivf_ann's exact
-    * probe fraction (4 of 16 cells), so the bench's recall_at_k
-    * isolates pure quantizer quality. Measured on the synthetic
-    * near-uniform embeddings: refinement does NOT beat systematic
-    * cells (0.68 vs 0.76 @5 at sf0.1) — recall there is governed by
-    * probe fraction, which is exactly why the bench reports recall
-    * next to wall time instead of assuming the fancier quantizer wins.
-    * Probe ranks and cell membership are the only centroid-dependent
-    * steps, and the centroid arithmetic (decimal sums → driver
-    * unit-normalize) is bit-equal on both engines; final scores are
-    * raw corpus×query cosines, centroid-independent.
+  /** IVF ANN over the k-means-refined quantizer. Measured on the
+    * synthetic near-uniform embeddings, refinement does NOT beat
+    * systematic cells at the shared 4-of-16 probe fraction (0.68 vs
+    * 0.76 recall@5 — with no real cluster structure, recall is
+    * governed by probe fraction alone), so the k-means variant
+    * defaults to probing 5 cells: measured recall@5 = 0.84 at both
+    * sf0.01 and sf0.1, clearing the 0.75 floor IvfRecallFloorSpec
+    * pins (the bench reports recall_at_k next to wall time, so the
+    * extra probed cell's cost stays visible rather than silently
+    * trading quality). Probe ranks and cell membership are the only
+    * centroid-dependent steps, and the centroid arithmetic (decimal
+    * sums → driver unit-normalize) is bit-equal on both engines;
+    * final scores are raw corpus×query cosines, centroid-independent.
     */
   private val KmeansAnnOracle: String =
     s"""WITH ${kmeansCtesN(16)},
@@ -165,7 +167,7 @@ object CoverageQueries extends QueryPack {
        |         ROW_NUMBER() OVER (PARTITION BY q.qid
        |           ORDER BY ${oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
        |  FROM q CROSS JOIN centu2 c),
-       |probed AS (SELECT qid, cell FROM pr WHERE prn <= 4),
+       |probed AS (SELECT qid, cell FROM pr WHERE prn <= 5),
        |sr AS (
        |  SELECT p.qid, a.vec_id AS nid, ${oCos("a.embedding", "q2.qv")} AS score
        |  FROM probed p
@@ -677,10 +679,11 @@ object CoverageQueries extends QueryPack {
     GQuery(
       "q_ivf_kmeans_ann",
       "IVF ANN over the spherical-k-means quantizer (16 cells, 2 Lloyd " +
-        "iterations, 4-cell probe): the same 1/4 probe fraction as " +
-        "q_ivf_ann's systematic quantizer, so any recall difference is " +
-        "pure quantizer quality. Full mirror: seeds, both Lloyd " +
-        "iterations, assignment, probe ranking, exact in-cell cosine.",
+        "iterations, 5-cell probe — one more cell than the systematic " +
+        "variant, clearing the specced 0.75 recall floor on the " +
+        "near-uniform synthetic embeddings where refinement alone " +
+        "cannot). Full mirror: seeds, both Lloyd iterations, " +
+        "assignment, probe ranking, exact in-cell cosine.",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val cents = IvfIndex.kmeansCentroids(
@@ -690,7 +693,7 @@ object CoverageQueries extends QueryPack {
           emb.select(col("vec_id"), col("embedding")),
           emb.filter(col("vec_id") < 8)
             .select(col("vec_id").as("qid"), col("embedding")),
-          "vec_id", "qid", "embedding", k = 5, nlist = 16, nprobe = 4,
+          "vec_id", "qid", "embedding", k = 5, nlist = 16, nprobe = 5,
           centroidsOpt = Some(cents))
           .select(col("query_id"), col("rank").cast("long").as("rnk"),
             col("neighbor_id"), col("score"))

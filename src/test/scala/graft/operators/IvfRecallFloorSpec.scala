@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Recall floor for the IVF ANN defaults: a quantizer or probe-config
+  * change that lands bench recall@5 below 0.75 must fail HERE, not
+  * surface as a silently smaller recall_at_k in the bench JSON.
+  *
+  * Runs at sf0.1 — the scale the bench reports recall_at_k at — with
+  * the bench's own sets (queries = the q_ivf_* probe set, truth =
+  * q_knn_exact's query ids): measured recall is 0.76 for the
+  * systematic quantizer at nprobe=4 (q_ivf_ann and the materialized
+  * q_ivf_indexed share this exact config, so one measurement covers
+  * both) and 0.84 for the k-means quantizer at its nprobe=5 default —
+  * the extra probed cell is what lifts k-means over the floor on
+  * these near-uniform synthetic embeddings, where Lloyd refinement
+  * alone cannot (no real cluster structure: recall is governed by
+  * probe fraction; at sf0.01 the same configs measure ~0.64, which is
+  * why the floor is pinned at the bench's scale, not the unit-test
+  * fixture's).
+  */
+class IvfRecallFloorSpec extends SparkSpec {
+
+  private val Floor = 0.75
+  private lazy val dir = "/root/testdata/sf0.1"
+
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+  private lazy val corpus = emb.select(col("vec_id"), col("embedding"))
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding"))
+
+  private lazy val exactTop: Map[Long, Set[Long]] =
+    Similarity.knnExact(corpus,
+      emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+      "vec_id", "qid", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+    val top = ann.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qs = exactTop.keySet.toSeq
+    qs.map(q => (exactTop(q) & top.getOrElse(q, Set.empty)).size.toDouble /
+      exactTop(q).size).sum / qs.size
+  }
+
+  test(s"systematic quantizer (q_ivf_ann / q_ivf_indexed config) holds recall >= $Floor") {
+    val cents = IvfIndex.centroids(corpus, "vec_id", "embedding", 16)
+    val r = recallOf(IvfIndex.searchIvf(corpus, queries, "vec_id", "qid",
+      "embedding", k = 5, nlist = 16, nprobe = 4, centroidsOpt = Some(cents)))
+    assert(r >= Floor, f"systematic IVF recall@5 $r%.3f fell below the $Floor floor")
+  }
+
+  test(s"k-means quantizer (q_ivf_kmeans_ann config) holds recall >= $Floor") {
+    val cents = IvfIndex.kmeansCentroids(corpus, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    val r = recallOf(IvfIndex.searchIvf(corpus, queries, "vec_id", "qid",
+      "embedding", k = 5, nlist = 16, nprobe = 5, centroidsOpt = Some(cents)))
+    assert(r >= Floor, f"k-means IVF recall@5 $r%.3f fell below the $Floor floor")
+  }
+}
