@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.TextDedup
+import graft.operators.{QualityClassifier, TextDedup}
 
 /** Durable streaming ingest dedup — the production loop the
   * materialized dedup index ([[TextDedup.writeDedupIndex]]) exists for:
@@ -82,6 +82,47 @@ object IngestDedup {
     nAdmitted
   }
 
+  /** Parquet data files under `dir`, recursively (the footer-read cost
+    * a screen pays per probe — the quantity the compaction trigger
+    * bounds).
+    */
+  private[streaming] def parquetFileCount(spark: SparkSession,
+      dir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+  }
+
+  /** Index maintenance trigger: every [[admitBatch]] append lands one
+    * more file generation per band directory, and each later screen
+    * then pays a parquet footer read per file — unbounded appends turn
+    * the screen scan-bound. When either index table exceeds
+    * `maxFiles`, rewrite both via [[TextDedup.compactDedupIndex]]
+    * (size-targeted files, band rows range-partitioned for footer
+    * pruning, replay-duplicate folding). Compaction is documented
+    * not-concurrent-safe; the between-batches call site inside
+    * `foreachBatch` is exactly its safe window (the loop is the only
+    * reader and writer, and no screening plan is in flight). Returns
+    * whether it compacted.
+    */
+  def maybeCompactIndex(spark: SparkSession, indexPath: String,
+      maxFiles: Int, targetBytesPerFile: Long = 128L * 1024 * 1024): Boolean = {
+    if (maxFiles <= 0) return false
+    val n = math.max(parquetFileCount(spark, s"$indexPath/bands"),
+      parquetFileCount(spark, s"$indexPath/shingles"))
+    if (n <= maxFiles) return false
+    TextDedup.compactDedupIndex(spark, indexPath, targetBytesPerFile)
+    true
+  }
+
   /** Attach the admit loop to a streaming frame of documents. The
     * index at `indexPath` must already exist (seed it with
     * [[TextDedup.writeDedupIndex]], possibly on an empty corpus).
@@ -89,18 +130,50 @@ object IngestDedup {
     * with [[admitBatch]]'s idempotent commits (self-excluding screen,
     * per-batch overwrite output, duplicate-tolerant index append) a
     * crash anywhere in the batch cannot duplicate or lose output rows.
+    *
+    * `compactAtFiles` bounds index fragmentation: after each admitted
+    * batch, when either index table exceeds that many parquet files
+    * the loop compacts the index in place ([[maybeCompactIndex]] —
+    * 0 disables). A crash between the admit and the compaction loses
+    * nothing: compaction is pure layout maintenance and the next
+    * trigger redoes it.
+    *
+    * `qualityModelPath` + `minQualityMicro` install the LEARNED
+    * quality gate at scan time: the saved [[QualityClassifier]] model
+    * scores every incoming document through the join-free, codegen'd
+    * [[QualityClassifier.scoreExpr]] row expression — a plain
+    * streaming `filter`, so the gate adds NO streaming aggregation
+    * state (no state store, no watermark) and below-floor documents
+    * never reach the dedup screen. This is the streaming shape of the
+    * batch pipeline's classifier gate: train offline, save, gate every
+    * ingested byte at scan time.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
-      threshold: Double = 0.5): StreamingQuery =
-    docs.writeStream
+      threshold: Double = 0.5,
+      compactAtFiles: Int = 64,
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      qualityModelPath: Option[String] = None,
+      minQualityMicro: Long = 0L): StreamingQuery = {
+    val spark = docs.sparkSession
+    val gated = qualityModelPath match {
+      case None => docs
+      case Some(p) =>
+        val model = QualityClassifier.loadModel(spark, p)
+        docs.filter(
+          QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
+    }
+    gated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           admitBatch(batch.toDF(), idCol, textCol, indexPath, outPath,
             threshold, batchId)
+          maybeCompactIndex(spark, indexPath, compactAtFiles, compactTargetBytes)
+        }
         ()
       }
       .start()
+  }
 }

@@ -92,4 +92,85 @@ class IngestDedupSpec extends SparkSpec {
     assert(spark.read.parquet(out).select($"doc_id").distinct().count() === 2L)
     assert(spark.read.parquet(out).count() === 2L) // no duplicate rows
   }
+
+  test("auto-compaction bounds index file count across batches; screening unchanged") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx4") + "/index"
+    val out = freshDir("out4") + "/corpus"
+    val ckp = freshDir("ckp4")
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    // trigger at 6 files: each admitted batch appends one generation
+    // per table, so without compaction 6 distinct-doc batches overrun it
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, compactAtFiles = 6)
+    try {
+      val texts = Seq(
+        "alpha beta gamma delta epsilon zeta", "one two three four five six",
+        "red green blue yellow purple orange", "north south east west up down",
+        "cat dog bird fish horse mouse", "spring summer autumn winter rain snow",
+        "iron copper silver gold tin lead", "earth mars venus saturn pluto moon")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        src.addData(IngestDoc(i.toLong + 1, t))
+        q.processAllAvailable()
+      }
+      val bandFiles = IngestDedup.parquetFileCount(spark, s"$idx/bands")
+      val shingleFiles = IngestDedup.parquetFileCount(spark, s"$idx/shingles")
+      // without the trigger: 8 generations per table (one per batch);
+      // with it: compaction rewrites size-targeted whenever a table
+      // crosses 6 files, so the count stays bounded near the trigger
+      assert(bandFiles <= 8 && shingleFiles <= 8,
+        s"index fragmentation unbounded: bands=$bandFiles shingles=$shingleFiles")
+      // screening over the compacted index is unchanged: copies of
+      // early AND late admissions are still rejected
+      src.addData(
+        IngestDoc(100L, texts.head), IngestDoc(101L, texts.last),
+        IngestDoc(102L, "a genuinely novel document closes the loop"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === (1L to 8L).toSet + 102L)
+    } finally q.stop()
+  }
+
+  test("saved-model quality gate filters at scan time with no streaming state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx5") + "/index"
+    val out = freshDir("out5") + "/corpus"
+    val ckp = freshDir("ckp5")
+    val modelDir = freshDir("mdl") + "/model"
+    // train offline on labeled fixtures: "good" docs share vocabulary,
+    // "bad" docs share another; save, then gate the stream on the floor
+    val labeled = Seq(
+      (1L, "clean well formed prose sentence example", 1),
+      (2L, "clean well formed prose paragraph sample", 1),
+      (3L, "spam spam junk junk garbage garbage noise", 0),
+      (4L, "junk garbage spam noise spam junk words", 0))
+      .toDF("doc_id", "text", "lab")
+    val model = graft.operators.QualityClassifier.train(
+      spark, labeled, "doc_id", "text", "lab", buckets = 64, iters = 8)
+    graft.operators.QualityClassifier.saveModel(spark, model, modelDir)
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, qualityModelPath = Some(modelDir),
+      minQualityMicro = 500000L)
+    try {
+      src.addData(
+        IngestDoc(1L, "clean well formed prose sentence text"),
+        IngestDoc(2L, "garbage junk spam noise junk garbage"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), s"gate admitted $ids")
+      // the gate is a scan-time filter: the streaming query carries NO
+      // state operators (no aggregation state store, no watermark)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "quality gate introduced streaming state")
+    } finally q.stop()
+  }
 }
