@@ -195,6 +195,196 @@ object CoverageQueries extends QueryPack {
        |WHERE s.vec_id NOT IN (SELECT id2 FROM drops)
        |ORDER BY s.vec_id""".stripMargin
 
+  /** Full-pipeline mirror (q_corpus_pipeline_full): every stage of
+    * CorpusPipeline.prepare with its round-9 additions enabled,
+    * replayed as one CTE chain. Stage order and arithmetic follow the
+    * per-stage oracles verbatim (corpus clean, window dedup,
+    * boilerplate strip, keep-first span dedup, quality score,
+    * classifier GD replay, leak split closure, packing cumsum) — the
+    * point of this row is that the COMPOSITION is deterministic, each
+    * stage consuming the previous stage's relation instead of
+    * `documents`.
+    */
+  private val CorpusPipelineFullOracle: String = {
+    val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+    val bandCond16 = (0 until 16).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+    val win5 = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
+    val ordBase = graft.operators.Boilerplate.OrdBase
+    val oStop = "['the','a','an','and','or','of','to','in','is','it']"
+    s"""WITH RECURSIVE filt AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
+       |fp AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM filt),
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |d1 AS MATERIALIZED (SELECT f.doc_id, f.text, f.source FROM filt f JOIN k1 USING (doc_id)),
+       |${DedupOracles.base("d1")},
+       |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
+       |${DedupOracles.interJac},
+       |drp AS (SELECT DISTINCT j.id2 FROM j
+       |        JOIN bnd x ON x.doc_id = j.id1
+       |        JOIN bnd y ON y.doc_id = j.id2
+       |        WHERE j.jaccard >= 0.5 AND ($bandCond8)),
+       |d2 AS MATERIALIZED (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM drp)),
+       |${DedupOracles.baseN("d2", 8, "_w")},
+       |mn_w AS (SELECT h, MIN(doc_id) AS first_id FROM s_w GROUP BY h),
+       |dup_w AS (SELECT DISTINCT s_w.doc_id FROM s_w JOIN mn_w ON s_w.h = mn_w.h
+       |          WHERE mn_w.first_id < s_w.doc_id),
+       |d3 AS MATERIALIZED (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dup_w)),
+       |tb AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS tk
+       |  FROM d3),
+       |bwu AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+       |           i -> struct_pack(pos := i - 1, g := concat_ws(' ', $win5)))) AS u
+       |  FROM tb),
+       |bw AS (SELECT doc_id, u.pos AS pos, ${DedupOracles.polyHash("u.g")} AS h FROM bwu),
+       |bflag AS (SELECT h FROM bw GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+       |bcov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+       |         FROM bw JOIN bflag USING (h)),
+       |btpu AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |           i -> struct_pack(p := i - 1, tok := tk[i]))) AS u
+       |  FROM tb),
+       |btp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM btpu),
+       |bkeep AS (SELECT btp.doc_id, btp.p, btp.tok
+       |          FROM btp LEFT JOIN bcov c ON btp.doc_id = c.doc_id AND btp.p = c.p
+       |          WHERE c.p IS NULL),
+       |bct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+       |        FROM bkeep GROUP BY doc_id),
+       |d4 AS MATERIALIZED (SELECT d3.doc_id, COALESCE(bct.ct, '') AS text, d3.source
+       |       FROM d3 LEFT JOIN bct USING (doc_id)),
+       |st AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS tk
+       |  FROM d4),
+       |swu AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+       |           i -> struct_pack(pos := i - 1, g := concat_ws(' ', $win5)))) AS u
+       |  FROM st),
+       |sw AS (SELECT doc_id, u.pos AS pos, ${DedupOracles.polyHash("u.g")} AS h FROM swu),
+       |sg2 AS (SELECT h, MIN(doc_id * $ordBase + pos) AS keep_ord
+       |        FROM sw GROUP BY h HAVING COUNT(*) >= 2),
+       |scov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+       |         FROM sw JOIN sg2 USING (h)
+       |         WHERE doc_id * $ordBase + pos <> sg2.keep_ord),
+       |stpu AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |           i -> struct_pack(p := i - 1, tok := tk[i]))) AS u
+       |  FROM st),
+       |stp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM stpu),
+       |skeep AS (SELECT stp.doc_id, stp.p, stp.tok
+       |          FROM stp LEFT JOIN scov c ON stp.doc_id = c.doc_id AND stp.p = c.p
+       |          WHERE c.p IS NULL),
+       |sct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+       |        FROM skeep GROUP BY doc_id),
+       |d5 AS MATERIALIZED (SELECT d4.doc_id, COALESCE(sct.ct, '') AS text, d4.source
+       |       FROM d4 LEFT JOIN sct USING (doc_id)),
+       |qm AS (
+       |  SELECT doc_id, text, source,
+       |         CAST(length(text) AS DOUBLE) AS nc,
+       |         list_filter(string_split_regex(lower(text), '\\s+'),
+       |                     t -> length(t) > 0) AS toksq
+       |  FROM d5),
+       |qs AS (
+       |  SELECT doc_id, text, source,
+       |    round(least(nc / 400.0, 1.0) * 0.4
+       |      + least(CAST(len(list_filter(toksq, t2 -> list_contains($oStop, t2))) AS DOUBLE)
+       |          / greatest(CAST(len(toksq) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+       |      + (1.0 - least((nc - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')))
+       |          / greatest(nc, 1.0) * 4.0, 1.0)) * 0.2, 6) AS q
+       |  FROM qm),
+       |d6 AS MATERIALIZED (SELECT doc_id, text, source FROM qs WHERE q >= 0.3),
+       |ctk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                   t -> length(t) > 0) AS t
+       |        FROM d6),
+       |cng AS (SELECT doc_id, unnest(t) AS g FROM ctk
+       |        UNION ALL
+       |        SELECT doc_id,
+       |               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+       |        FROM ctk),
+       |cfx AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |          SELECT doc_id, ${DedupOracles.polyHash("g")} % 512 AS bucket FROM cng)
+       |        GROUP BY doc_id, bucket
+       |        UNION ALL
+       |        SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
+       |        FROM d6),
+       |clab AS (SELECT doc_id,
+       |                CASE WHEN source = 'src0' THEN CAST(1000000 AS BIGINT)
+       |                     ELSE CAST(0 AS BIGINT) END AS ymicro
+       |         FROM d6),
+       |cnn AS (SELECT CAST(10 * COUNT(*) AS BIGINT) AS d FROM d6),
+       |cr0 AS (SELECT doc_id, 500000 - ymicro AS r FROM clab),
+       |cg0 AS (SELECT bucket, SUM(r * cnt) AS g
+       |        FROM cfx JOIN cr0 USING (doc_id) GROUP BY bucket),
+       |cw1 AS (SELECT bucket,
+       |               CAST(0 - (g - (((g % d) + d) % d)) / d AS BIGINT) AS w
+       |        FROM cg0 CROSS JOIN cnn),
+       |cm1 AS (SELECT cfx.doc_id, CAST(SUM(cfx.cnt * cw1.w) AS BIGINT) AS m
+       |        FROM cfx JOIN cw1 USING (bucket) GROUP BY cfx.doc_id),
+       |cr1 AS (SELECT clab.doc_id,
+       |               CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT)
+       |                 - ymicro AS r
+       |        FROM clab JOIN cm1 USING (doc_id)),
+       |cg1 AS (SELECT bucket, SUM(r * cnt) AS g
+       |        FROM cfx JOIN cr1 USING (doc_id) GROUP BY bucket),
+       |cw2 AS (SELECT cw1.bucket,
+       |               CAST(cw1.w - (g - (((g % d) + d) % d)) / d AS BIGINT) AS w
+       |        FROM cw1 JOIN cg1 USING (bucket) CROSS JOIN cnn),
+       |cm2 AS (SELECT cfx.doc_id, CAST(SUM(cfx.cnt * cw2.w) AS BIGINT) AS m
+       |        FROM cfx JOIN cw2 USING (bucket) GROUP BY cfx.doc_id),
+       |cq AS (SELECT doc_id,
+       |              CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT) AS qmic
+       |       FROM cm2),
+       |d7 AS MATERIALIZED (SELECT d6.doc_id, d6.text, d6.source
+       |       FROM d6 JOIN cq USING (doc_id) WHERE cq.qmic >= 20000),
+       |${DedupOracles.baseSfx("d7", "_l")},
+       |${DedupOracles.minhashBandCtesSfx(16, 16, 42L, "_l")},
+       |${DedupOracles.interJacSfx("_l")},
+       |pairs AS (SELECT j_l.id1, j_l.id2 FROM j_l
+       |          JOIN bnd_l x ON x.doc_id = j_l.id1
+       |          JOIN bnd_l y ON y.doc_id = j_l.id2
+       |          WHERE j_l.jaccard >= 0.3 AND ($bandCond16)),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |         FROM reach GROUP BY a),
+       |keyed AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+       |          FROM d7 d LEFT JOIN comp c USING (doc_id)),
+       |draw AS (SELECT doc_id,
+       |                ((split_key % 1000003) * 2654435761) % 1000000 AS dr
+       |         FROM keyed),
+       |sp AS (SELECT doc_id,
+       |              CASE WHEN dr < 900000 THEN 'train'
+       |                   WHEN dr < 950000 THEN 'valid'
+       |                   ELSE 'test' END AS split
+       |       FROM draw),
+       |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks_l),
+       |tr AS (SELECT sp.doc_id, nt.n_tokens
+       |       FROM sp JOIN nt USING (doc_id) WHERE sp.split = 'train'),
+       |cum AS (SELECT doc_id, n_tokens,
+       |               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tbef
+       |        FROM tr),
+       |packed AS (SELECT doc_id, 'train' AS split, n_tokens,
+       |                  CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+       |                  tbef - CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) * 2048 AS bin_offset
+       |           FROM cum),
+       |held AS (SELECT sp.doc_id, sp.split, nt.n_tokens,
+       |                CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_offset
+       |         FROM sp JOIN nt USING (doc_id) WHERE sp.split <> 'train'),
+       |unioned AS (SELECT * FROM packed UNION ALL SELECT * FROM held)
+       |SELECT u.doc_id, u.split, u.n_tokens, u.bin_id, u.bin_offset,
+       |       d7.text AS clean_text
+       |FROM unioned u JOIN d7 USING (doc_id)
+       |ORDER BY u.doc_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -766,6 +956,38 @@ object CoverageQueries extends QueryPack {
            |WHERE d.doc_id NOT IN (SELECT id2 FROM drp)
            |ORDER BY d.doc_id""".stripMargin
       }),
+
+    GQuery(
+      "q_corpus_pipeline_full",
+      "The corpus pipeline with EVERY stage enabled end-to-end: lang " +
+        "allowlist -> length floor -> exact dedup -> banded MinHash " +
+        "near-dup -> exact 8-token-window dedup -> boilerplate strip " +
+        "-> keep-first span dedup -> heuristic quality floor -> " +
+        "learned classifier gate (2 GD steps, trained in-pipeline) -> " +
+        "leak-safe split (threshold 0.3, 16 bands) -> 2048-token " +
+        "sequence packing of the train split. One DuckDB oracle " +
+        "replays all eleven stages, proving they compose " +
+        "deterministically.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__lab", (col("source") === "src0").cast("int"))
+        graft.operators.CorpusPipeline.prepare(
+          docs, docs.limit(0),
+          graft.operators.CorpusPipeline.Config(
+            langs = Seq("en", "de", "fr"), minChars = 100,
+            jaccardThreshold = 0.5,
+            boilerWindow = 5, boilerMinDocFreq = 3,
+            spanDedupWindow = 5, spanDedupMinCount = 2,
+            windowDedupN = 8,
+            minQuality = 0.3,
+            classifierLabel = Some("__lab"), minQualityMicro = 20000L,
+            classifierBuckets = 512, classifierIters = 2,
+            splitLeakThreshold = 0.3,
+            splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+            packTokens = 2048L))
+          .orderBy(col("doc_id"))
+      },
+      Some(CorpusPipelineFullOracle)),
 
     // -- deterministic stratified sampling -----------------------------------
     GQuery(
