@@ -120,13 +120,30 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
+    // per-stage prefixes of the composed queries (untimed in the total;
+    // one run each — diagnostics for regression attribution, see
+    // BenchStages)
+    val stageTimings = BenchStages.stages.map { case (qname, sts) =>
+      val timed = sts.map { case (sname, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => }
+        finally graft.core.CacheBin.drain()
+        sname -> (System.nanoTime() - t0) / 1e9
+      }
+      qname -> timed
+    }
+    val stagesJson = stageTimings.map { case (qname, sts) =>
+      s""""$qname":${sts.map { case (n, v) => s""""$n":${num(v, 3)}""" }
+        .mkString("{", ",", "}")}"""
+    }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val recallJson = recalls
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val dedupRecallJson = dedupRecall
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+import graft.operators.{ConnectedComponents, CorpusClean, TextDedup}
+
+/** Per-stage timing prefixes for the bench's composed queries — the
+  * attribution layer the flat per-query map lacks: when a composed
+  * entry regresses, the stage timings in `bench_full.json` localize it
+  * to a stage in minutes instead of a bisection session.
+  *
+  * Each entry is a PREFIX of the real query's pipeline (stage k runs
+  * stages 1..k): absolute prefix times are reported, so the cost of
+  * stage k alone is the delta from the previous prefix. Prefixes are
+  * built from the same operator calls as the registered query (same
+  * parameters), timed once each (they are diagnostics, not the
+  * headline — the headline stays min-of-2 in the main loop) and
+  * excluded from the bench total.
+  */
+object BenchStages {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** query name → ordered (stage name, prefix builder). */
+  val stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
+
+    "q_jaccard_neardup" -> Seq(
+      "shingle_table" -> ((s, dir) =>
+        TextDedup.explodedShingleTable(docs(s, dir), "doc_id", "text", 3, None)),
+      "pair_join_filter" -> ((s, dir) =>
+        TextDedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.5, 3))),
+
+    "q_containment_dedup" -> Seq(
+      "shingle_table" -> ((s, dir) =>
+        TextDedup.explodedShingleTable(docs(s, dir), "doc_id", "text", 3, None)),
+      "pair_agg_drops" -> ((s, dir) =>
+        TextDedup.containmentDropContained(docs(s, dir), "doc_id", "text", 0.9, 3))),
+
+    "q_keepbest_dedup" -> Seq(
+      "neardup_pairs" -> ((s, dir) =>
+        TextDedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.5, n = 3, h = 16, bands = 4)),
+      "components" -> ((s, dir) =>
+        ConnectedComponents.components(
+          TextDedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+            threshold = 0.5, n = 3, h = 16, bands = 4)
+            .select(col("id1").as("src"), col("id2").as("dst")))),
+      "argmax_antijoin" -> ((s, dir) =>
+        graft.operators.BestDedup.dedupKeepBest(docs(s, dir), "doc_id", "text",
+          scoreCol = "n_chars", threshold = 0.5, n = 3, h = 16, bands = 4))),
+
+    "q_leak_safe_split" -> Seq(
+      "neardup_pairs" -> ((s, dir) =>
+        TextDedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.5, n = 3, h = 16, bands = 4)),
+      "split_assign" -> ((s, dir) =>
+        graft.operators.LeakSafeSplit.split(docs(s, dir), "doc_id", "text",
+          splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          threshold = 0.5, n = 3, h = 16, bands = 4))),
+
+    "q_corpus_pipeline_full" -> Seq(
+      "clean" -> ((s, dir) =>
+        CorpusClean.clean(docs(s, dir), Seq("en", "de", "fr"), 100, 0.5)),
+      "window_dedup" -> ((s, dir) =>
+        graft.operators.WindowDedup.dropWindowDuplicates(
+          CorpusClean.clean(docs(s, dir), Seq("en", "de", "fr"), 100, 0.5),
+          "doc_id", "text", 8)),
+      "full_pipeline" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_corpus_pipeline_full").get
+          .build(s, dir)))
+  )
+}

@@ -77,32 +77,45 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
+    // Stage boundaries are MATERIALIZED (eager localCheckpoint): every
+    // stage k joins its input with an operator output DERIVED FROM
+    // that same input, so each boundary frame has >= 2 consumers
+    // across different keys — left unmaterialized, stage k-1's whole
+    // subtree re-evaluates per consumer and the cost compounds
+    // multiplicatively down the 11-stage chain (measured 2x+ on the
+    // full-pipeline bench entry). One flat one-row-per-doc frame per
+    // boundary is also the production shape at 100 TB: a curation run
+    // writes its stage outputs (the checkpoint is the in-session
+    // stand-in), and every stage plans against a flat scan instead of
+    // a re-nested lineage.
+    def stage(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
     val neardeduped = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
       cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
-    val cleaned =
+    val cleaned = stage(
       if (cfg.windowDedupN <= 0) neardeduped
       else WindowDedup.dropWindowDuplicates(neardeduped, idCol, textCol,
-        cfg.windowDedupN)
+        cfg.windowDedupN))
 
     // 2. boilerplate scrub — downstream stages score the CLEAN text
-    val boiled = cleaned
+    val boiled = stage(cleaned
       .join(Boilerplate.strip(cleaned, idCol, textCol,
         cfg.boilerWindow, cfg.boilerMinDocFreq)
         .select(col(idCol), col("clean_text")), idCol)
       .drop(textCol)
-      .withColumnRenamed("clean_text", textCol)
+      .withColumnRenamed("clean_text", textCol))
 
     // 2b. keep-first span dedup on the boiled text (optional): repeated
     // spans that survived doc-level dedup lose every later occurrence
     val stripped =
       if (cfg.spanDedupWindow <= 0) boiled
-      else boiled
+      else stage(boiled
         .join(Boilerplate.dedupSpans(boiled, idCol, textCol,
           cfg.spanDedupWindow, cfg.spanDedupMinCount)
           .select(col(idCol), col("clean_text")), idCol)
         .drop(textCol)
-        .withColumnRenamed("clean_text", textCol)
+        .withColumnRenamed("clean_text", textCol))
 
     // 3. quality gates
     val q1 = stripped.filter(
@@ -136,17 +149,17 @@ object CorpusPipeline {
     }
 
     // 4. decontamination against the held-out benchmark
-    val decon =
+    val decon = stage(
       if (evalSet.isEmpty) q3
       else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
-        cfg.decontaminationNgram)
+        cfg.decontaminationNgram))
 
     // 5. leakage-safe split
-    val split = decon.join(
+    val split = stage(decon.join(
       LeakSafeSplit.split(decon, idCol, textCol, cfg.splits,
         cfg.splitLeakThreshold).select(col(idCol), col("split")), idCol)
       .withColumn("n_tokens",
-        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+        size(TextAnalysis.tokens(col(textCol))).cast("long")))
 
     // 6+7. budget-mix and pack the TRAIN split only
     val train = split.filter(col("split") === "train")

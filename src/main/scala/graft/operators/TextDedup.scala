@@ -361,7 +361,7 @@ object TextDedup {
     * — skew-safe) so both Jaccard/containment denominators reflect the
     * capped shingle space, which the oracles mirror bit-for-bit.
     */
-  private def explodedShingleTable(df: DataFrame, idCol: String,
+  private[graft] def explodedShingleTable(df: DataFrame, idCol: String,
       textCol: String, n: Int, maxDocFreq: Option[Long]): DataFrame =
     maxDocFreq match {
       case None =>
