@@ -1232,6 +1232,47 @@ object CoverageQueries extends QueryPack {
              |       CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) AS bin_id,
              |       tokens_before - CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) * 512
              |         AS bin_offset
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // -- training shard assignment -------------------------------------------
+    GQuery(
+      "q_train_shards",
+      "Training-shard distribution of the packed corpus: every 512-token " +
+        "bin hashes to one of 8 shards by the standard multiplicative " +
+        "draw (a bin is one training sequence, so it never straddles " +
+        "shards; adjacent bins decorrelate across shards - the one-time " +
+        "write-side shuffle sequential shard readers rely on).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+        graft.operators.TrainShards.withShard(
+          SeqPack.packByBudget(docs, "doc_id", "n_tokens", budget = 512L),
+          nShards = 8)
+          .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+            col("bin_offset"), col("shard").cast("long").as("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |           AS tokens_before
+             |  FROM t),
+             |b AS (
+             |  SELECT doc_id, n_tokens,
+             |         CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) AS bin_id,
+             |         tokens_before - CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) * 512
+             |           AS bin_offset
+             |  FROM c)
+             |SELECT doc_id, n_tokens, bin_id, bin_offset,
+             |       CAST(((bin_id % 1000003) * 2654435761) % 1000000 % 8 AS BIGINT) AS shard
+             |FROM b ORDER BY doc_id""".stripMargin))
   )
 }
