@@ -42,14 +42,18 @@ object Bench {
     val results = SparkEntry.allQueries.map { q =>
       def once() = {
         val t0 = System.nanoTime()
-        val stats =
-          try Some(ScanMetrics.execAndMeasure(q.build(spark, sfDir))._2)
-          catch { case _: Throwable => None }
+        val result =
+          try {
+            val (_, stats, elapsed) =
+              ScanMetrics.buildExecAndMeasure(spark)(q.build(spark, sfDir))
+            (elapsed, Some(stats))
+          }
+          catch { case _: Throwable => ((System.nanoTime() - t0) / 1e9, None) }
           // release operator-persisted intermediates: keeps repeat runs
           // honest (no silent cross-run cache reuse) and the log free of
           // "already cached" warnings that mask real cache regressions
           finally graft.core.CacheBin.drain()
-        ((System.nanoTime() - t0) / 1e9, stats)
+        result
       }
       val (t1, _) = once()
       val (t2, s2) = once()
@@ -123,13 +127,22 @@ object Bench {
     // per-stage prefixes of the composed queries (untimed in the total;
     // one run each — diagnostics for regression attribution, see
     // BenchStages)
+    // a failed stage must NOT publish its time-to-failure as a timing
+    // (a near-zero "fast" entry would send the regression hunt the
+    // wrong way): failures drop the entry and say so on stderr. Only
+    // NonFatal is caught — an OOM or interrupt propagates.
     val stageTimings = BenchStages.stages.map { case (qname, sts) =>
-      val timed = sts.map { case (sname, build) =>
+      val timed = sts.flatMap { case (sname, build) =>
         val t0 = System.nanoTime()
-        try build(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => }
-        finally graft.core.CacheBin.drain()
-        sname -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { build(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] stage $qname/$sname failed: $e")
+              false
+          }
+          finally graft.core.CacheBin.drain()
+        if (ok) Some(sname -> (System.nanoTime() - t0) / 1e9) else None
       }
       qname -> timed
     }

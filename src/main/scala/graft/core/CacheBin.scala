@@ -47,13 +47,22 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheBin {
 
-  private val global = new ConcurrentLinkedQueue[DataFrame]()
+  private sealed trait Tracked
+  private final case class Persisted(df: DataFrame) extends Tracked
+  // an eager localCheckpoint pins its backing RDD in the BlockManager;
+  // DataFrame.unpersist does not free it — only unpersisting the RDD
+  // does (otherwise release waits on driver GC + ContextCleaner, i.e.
+  // effectively never under a long-lived session)
+  private final case class Checkpointed(
+      rdds: Seq[org.apache.spark.rdd.RDD[_]]) extends Tracked
+
+  private val global = new ConcurrentLinkedQueue[Tracked]()
   // InheritableThreadLocal: a worker thread spawned inside a scope
   // (serving's dedicated per-request thread) tracks into that scope.
   private val scoped =
-    new InheritableThreadLocal[ConcurrentLinkedQueue[DataFrame]]()
+    new InheritableThreadLocal[ConcurrentLinkedQueue[Tracked]]()
 
-  private def current: ConcurrentLinkedQueue[DataFrame] = {
+  private def current: ConcurrentLinkedQueue[Tracked] = {
     val s = scoped.get()
     if (s != null) s else global
   }
@@ -61,7 +70,22 @@ object CacheBin {
   /** Register an already-persisted frame for deferred release in the
     * innermost active scope (global when none).
     */
-  def track(df: DataFrame): DataFrame = { current.add(df); df }
+  def track(df: DataFrame): DataFrame = { current.add(Persisted(df)); df }
+
+  /** Register an eagerly-checkpointed frame (`localCheckpoint(true)`)
+    * for deferred release: its backing RDD blocks are freed on
+    * [[drain]] alongside the plain tracked frames. Safe to drain under
+    * the same contract as any tracked frame — after the consuming
+    * plans are terminally materialized (a drained checkpoint is NOT
+    * recomputable; consumers planned against it must have run).
+    */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    current.add(Checkpointed(rdds))
+    df
+  }
 
   /** [[track]], but materialize the cache first: without the pin, the
     * consumers race to compute every cached partition concurrently in
@@ -112,7 +136,7 @@ object CacheBin {
     */
   def withScope[A](body: => A): A = {
     val outer = scoped.get()
-    val mine = new ConcurrentLinkedQueue[DataFrame]()
+    val mine = new ConcurrentLinkedQueue[Tracked]()
     scoped.set(mine)
     try body
     finally {
@@ -121,12 +145,15 @@ object CacheBin {
     }
   }
 
-  private def drainQueue(q: ConcurrentLinkedQueue[DataFrame],
+  private def drainQueue(q: ConcurrentLinkedQueue[Tracked],
       blocking: Boolean): Unit = {
-    var df = q.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = q.poll()
+    var t = q.poll()
+    while (t != null) {
+      t match {
+        case Persisted(df)      => df.unpersist(blocking)
+        case Checkpointed(rdds) => rdds.foreach(_.unpersist(blocking))
+      }
+      t = q.poll()
     }
   }
 }

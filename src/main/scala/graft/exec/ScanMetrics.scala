@@ -44,6 +44,56 @@ object ScanMetrics {
     (n, fromExecuted(df.queryExecution))
   }
 
+  /** Build AND execute under a task-metrics listener, returning
+    * (rowCount, stats) whose `bytesRead` is
+    * `max(plan filesSize, actual task input bytes)`.
+    *
+    * The plan-walk alone undercounts queries whose BUILD runs eager
+    * jobs (pipeline stage checkpoints, index writes, in-build
+    * training): those scans never appear in the measured plan, so a
+    * composed query could report ~0 bytes while reading the corpus
+    * several times. Task input metrics see every job between build
+    * start and action end; the max keeps the established filesSize
+    * semantics for ordinary queries (actual parquet bytes run BELOW
+    * filesSize under column pruning) while restoring honest accounting
+    * for eager-build ones.
+    */
+  /** Returns (rowCount, stats, elapsedSec) where elapsed covers build
+    * start → action end ONLY (the stabilization wait and plan walk are
+    * measurement overhead and excluded, so callers can use it as the
+    * query's timing).
+    */
+  def buildExecAndMeasure(spark: org.apache.spark.sql.SparkSession)(
+      build: => org.apache.spark.sql.DataFrame): (Long, ScanStats, Double) = {
+    val taskBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) { taskBytes.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val df = build
+      val n = df.queryExecution.toRdd.count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // listener events post asynchronously: poll until the byte count
+      // stabilizes (bounded) rather than reaching into the private bus
+      var prev = -1L
+      var tries = 0
+      while (taskBytes.get() != prev && tries < 20) {
+        prev = taskBytes.get()
+        Thread.sleep(25)
+        tries += 1
+      }
+      val planStats = fromExecuted(df.queryExecution)
+      (n, planStats.copy(
+        bytesRead = math.max(planStats.bytesRead, taskBytes.get())), elapsed)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** QueryExecutionListener flavor — register once, read the latest
     * per-action stats (the reference logs per query the same way).
     */

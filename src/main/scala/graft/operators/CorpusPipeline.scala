@@ -87,8 +87,14 @@ object CorpusPipeline {
     // boundary is also the production shape at 100 TB: a curation run
     // writes its stage outputs (the checkpoint is the in-session
     // stand-in), and every stage plans against a flat scan instead of
-    // a re-nested lineage.
-    def stage(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // a re-nested lineage. Checkpoints register with CacheBin
+    // (trackCheckpoint — DataFrame.unpersist cannot free a
+    // checkpoint's RDD blocks) so the caller's drain releases them;
+    // left untracked, repeated prepare() calls in a long-lived session
+    // would accumulate executor storage until GC happened to collect
+    // the frames.
+    def stage(df: DataFrame): DataFrame =
+      graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
 
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
     val neardeduped = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
@@ -139,7 +145,7 @@ object CorpusPipeline {
         // stage) — plan size, not data, becomes the bottleneck.
         // Materialize the survivors ONCE; training and every later
         // stage then plan against a flat scan.
-        val gateIn = q2.localCheckpoint(true)
+        val gateIn = stage(q2)
         val model = QualityClassifier.train(spark, gateIn, idCol, textCol,
           lab, cfg.classifierBuckets, cfg.classifierIters)
         gateIn.join(

@@ -109,11 +109,19 @@ object RowOps {
     val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit((v * 1000000L).toLong)).otherwise(acc)
     }
-    val draw = pmod(
-      pmod(col(keyCol).cast("long"), lit(1000003L)) * lit(2654435761L),
-      lit(1000000L))
-    df.filter(draw < threshold)
+    df.filter(multiplicativeDraw(col(keyCol)) < threshold)
   }
+
+  /** The engine-wide deterministic draw in [0, 1e6): Knuth multiply of
+    * the key reduced mod a prime (overflow-safe under ANSI mode — see
+    * [[stratifiedSample]]). ONE definition shared by every sampler,
+    * splitter, and shard assigner so the constants cannot drift
+    * between sites — its DuckDB mirror is
+    * `((key % 1000003) * 2654435761) % 1000000`.
+    */
+  def multiplicativeDraw(key: Column): Column = pmod(
+    pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L),
+    lit(1000000L))
 
   /** Per-source token-budget corpus mixing — the pretraining mixture
     * step: each source contributes documents, in a deterministic
@@ -251,9 +259,7 @@ object RowOps {
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $splits")
-    val draw = pmod(
-      pmod(col(keyCol).cast("long"), lit(1000003L)) * lit(2654435761L),
-      lit(1000000L))
+    val draw = multiplicativeDraw(col(keyCol))
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => (f * 1000000L).toLong)
     val labeled = splits.map(_._1).zip(thresholds).init

@@ -257,15 +257,58 @@ object TextDedup {
     * (the id is the table's key — two appends of the same id under the
     * same meta carry identical arrays).
     */
+  /** Repair an index left mid-[[compactDedupIndex]] by a crash. Each
+    * table is in one of the recoverable states the crash-safe swap can
+    * produce; roll forward when the compacted table already replaced
+    * nothing (live missing, `__compact` complete — swap only runs
+    * after a fully-successful write), roll back when the swap never
+    * started, and clear leftovers otherwise. Idempotent and cheap (a
+    * handful of existence checks) — callers on the read path invoke it
+    * before planning against the files.
+    */
+  def recoverDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$path/bands", s"$path/shingles").foreach { dst =>
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      val oldP = new org.apache.hadoop.fs.Path(dst + "__old")
+      val tmpP = new org.apache.hadoop.fs.Path(dst + "__compact")
+      if (!fs.exists(dstP)) {
+        if (fs.exists(tmpP)) { // crashed between the two renames
+          fs.rename(tmpP, dstP)
+          fs.delete(oldP, true)
+        } else if (fs.exists(oldP)) { // crashed before the forward rename
+          fs.rename(oldP, dstP)
+        }
+      } else {
+        // completed swap that missed its cleanup, or a partial
+        // compacted write abandoned before the swap
+        fs.delete(oldP, true)
+        fs.delete(tmpP, true)
+      }
+      ()
+    }
+  }
+
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
     import graft.catalog.Compaction
+    recoverDedupIndex(spark, path)
     val conf = spark.sessionState.newHadoopConf()
+    // crash-safe swap: the live directory is renamed aside BEFORE the
+    // compacted one takes its place (never delete-then-rename — a
+    // crash in that window loses the index). Every intermediate state
+    // is recoverable by [[recoverDedupIndex]]: __old present ⇒ either
+    // roll forward (live missing, __compact gone because the rename
+    // completed) or roll back (rename never ran).
     def swap(dst: String, tmp: String): Unit = {
       val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
-      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dst))
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      val oldP = new org.apache.hadoop.fs.Path(dst + "__old")
+      fs.rename(dstP, oldP)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dstP)
+      fs.delete(oldP, true)
       ()
     }
     // bands need the custom partitionBy(band) layout; shingles go
@@ -299,6 +342,7 @@ object TextDedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, excludeSelf: Boolean = false): DataFrame = {
+    recoverDedupIndex(spark, path) // heal a crashed compaction swap first
     val (n, h, bands, seed) = readIndexMeta(spark, path)
     val inSh = graft.core.CacheBin.trackEager(
       withShingleHashes(incoming, idCol, textCol, n)

@@ -28,16 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object TrainShards {
 
-  /** Deterministic shard column from the bin id (same draw as
-    * `RowOps.hashSplit`, reduced mod nShards).
+  /** Deterministic shard column from the bin id:
+    * [[RowOps.multiplicativeDraw]] (the one shared definition — no
+    * constant drift between samplers, splitters, and this assigner)
+    * reduced mod nShards.
     */
   def withShard(packed: DataFrame, nShards: Int,
       binCol: String = "bin_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     packed.withColumn("shard",
-      pmod(pmod(
-        pmod(col(binCol).cast("long"), lit(1000003L)) * lit(2654435761L),
-        lit(1000000L)), lit(nShards.toLong)).cast("int"))
+      pmod(RowOps.multiplicativeDraw(col(binCol)), lit(nShards.toLong)).cast("int"))
   }
 
   /** Per-shard manifest: sequence (bin) count, document count, token

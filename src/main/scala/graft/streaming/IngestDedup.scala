@@ -104,22 +104,44 @@ object IngestDedup {
   /** Index maintenance trigger: every [[admitBatch]] append lands one
     * more file generation per band directory, and each later screen
     * then pays a parquet footer read per file — unbounded appends turn
-    * the screen scan-bound. When either index table exceeds
-    * `maxFiles`, rewrite both via [[TextDedup.compactDedupIndex]]
-    * (size-targeted files, band rows range-partitioned for footer
-    * pruning, replay-duplicate folding). Compaction is documented
-    * not-concurrent-safe; the between-batches call site inside
-    * `foreachBatch` is exactly its safe window (the loop is the only
-    * reader and writer, and no screening plan is in flight). Returns
-    * whether it compacted.
+    * the screen scan-bound. When either index table has GROWN by more
+    * than `maxNewFiles` files since the last compaction, rewrite both
+    * via [[TextDedup.compactDedupIndex]] (size-targeted files, band
+    * rows range-partitioned for footer pruning, replay-duplicate
+    * folding) and record the compacted file count as the new baseline.
+    *
+    * The trigger is growth-relative, not an absolute count: a large
+    * index legitimately compacts to MORE than `maxNewFiles`
+    * size-targeted files, and an absolute threshold would then fire a
+    * full two-table rewrite after every batch — O(index) work per
+    * micro-batch. Against the baseline, steady state compacts once per
+    * `maxNewFiles` appended generations regardless of index size.
+    *
+    * Compaction is documented not-concurrent-safe; the between-batches
+    * call site inside `foreachBatch` is exactly its safe window (the
+    * loop is the only reader and writer, and no screening plan is in
+    * flight). Returns whether it compacted.
     */
   def maybeCompactIndex(spark: SparkSession, indexPath: String,
-      maxFiles: Int, targetBytesPerFile: Long = 128L * 1024 * 1024): Boolean = {
-    if (maxFiles <= 0) return false
-    val n = math.max(parquetFileCount(spark, s"$indexPath/bands"),
+      maxNewFiles: Int, targetBytesPerFile: Long = 128L * 1024 * 1024): Boolean = {
+    if (maxNewFiles <= 0) return false
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/compact_baseline")
+    val fs = marker.getFileSystem(conf)
+    def count() = math.max(parquetFileCount(spark, s"$indexPath/bands"),
       parquetFileCount(spark, s"$indexPath/shingles"))
-    if (n <= maxFiles) return false
+    val baseline =
+      if (!fs.exists(marker)) 0
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      }
+    val n = count()
+    if (n - baseline <= maxNewFiles) return false
     TextDedup.compactDedupIndex(spark, indexPath, targetBytesPerFile)
+    val out = fs.create(marker, true)
+    try out.write(count().toString.getBytes("UTF-8")) finally out.close()
     true
   }
 
@@ -132,11 +154,14 @@ object IngestDedup {
     * crash anywhere in the batch cannot duplicate or lose output rows.
     *
     * `compactAtFiles` bounds index fragmentation: after each admitted
-    * batch, when either index table exceeds that many parquet files
-    * the loop compacts the index in place ([[maybeCompactIndex]] —
-    * 0 disables). A crash between the admit and the compaction loses
-    * nothing: compaction is pure layout maintenance and the next
-    * trigger redoes it.
+    * batch, when either index table has grown by more than that many
+    * parquet files since the last compaction the loop compacts the
+    * index in place ([[maybeCompactIndex]] — 0 disables). A crash
+    * around the compaction loses nothing: the swap renames the live
+    * table aside before promoting the compacted one, and the read
+    * path heals any intermediate state
+    * ([[TextDedup.recoverDedupIndex]]) before planning against the
+    * files.
     *
     * `qualityModelPath` + `minQualityMicro` install the LEARNED
     * quality gate at scan time: the saved [[QualityClassifier]] model

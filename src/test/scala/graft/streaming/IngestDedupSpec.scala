@@ -93,7 +93,7 @@ class IngestDedupSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2L) // no duplicate rows
   }
 
-  test("auto-compaction bounds index file count across batches; screening unchanged") {
+  test("auto-compaction fires on growth, bounds index files; screening unchanged") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val idx = freshDir("idx4") + "/index"
@@ -102,10 +102,10 @@ class IngestDedupSpec extends SparkSpec {
     TextDedup.writeDedupIndex(
       spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
     val src = MemoryStream[IngestDoc]
-    // trigger at 6 files: each admitted batch appends one generation
-    // per table, so without compaction 6 distinct-doc batches overrun it
+    // growth trigger of 3 new files: 8 single-doc batches (one band
+    // generation each) must trip it at least once
     val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
-      threshold = 0.5, compactAtFiles = 6)
+      threshold = 0.5, compactAtFiles = 3)
     try {
       val texts = Seq(
         "alpha beta gamma delta epsilon zeta", "one two three four five six",
@@ -116,13 +116,17 @@ class IngestDedupSpec extends SparkSpec {
         src.addData(IngestDoc(i.toLong + 1, t))
         q.processAllAvailable()
       }
+      // compaction actually FIRED (the baseline marker is only written
+      // by a compaction run) — without this a broken trigger condition
+      // could pass any loose file-count bound
+      val conf = spark.sessionState.newHadoopConf()
+      val marker = new org.apache.hadoop.fs.Path(s"$idx/compact_baseline")
+      assert(marker.getFileSystem(conf).exists(marker),
+        "auto-compaction never fired across 8 appended generations")
+      // and the layout stayed bounded: strictly fewer band files than
+      // the 8 per-batch generations an uncompacted index accumulates
       val bandFiles = IngestDedup.parquetFileCount(spark, s"$idx/bands")
-      val shingleFiles = IngestDedup.parquetFileCount(spark, s"$idx/shingles")
-      // without the trigger: 8 generations per table (one per batch);
-      // with it: compaction rewrites size-targeted whenever a table
-      // crosses 6 files, so the count stays bounded near the trigger
-      assert(bandFiles <= 8 && shingleFiles <= 8,
-        s"index fragmentation unbounded: bands=$bandFiles shingles=$shingleFiles")
+      assert(bandFiles < 8, s"bands never compacted: $bandFiles files")
       // screening over the compacted index is unchanged: copies of
       // early AND late admissions are still rejected
       src.addData(
@@ -133,6 +137,60 @@ class IngestDedupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(ids === (1L to 8L).toSet + 102L)
     } finally q.stop()
+  }
+
+  test("growth trigger is baseline-relative: a large compacted index does not re-compact every batch") {
+    import spark.implicits._
+    val idx = freshDir("idx6") + "/index"
+    val out = freshDir("out6") + "/corpus"
+    TextDedup.writeDedupIndex(
+      Seq(IngestDoc(1L, "alpha beta gamma delta epsilon zeta")).toDF(),
+      "doc_id", "text", idx)
+    def admit(id: Long, text: String): Unit = {
+      IngestDedup.admitBatch(Seq(IngestDoc(id, text)).toDF(),
+        "doc_id", "text", idx, out, threshold = 0.5, batchId = id)
+      ()
+    }
+    admit(2L, "one two three four five six seven")
+    admit(3L, "red green blue yellow purple orange pink")
+    // growth since the (never-run) baseline exceeds 1 → compacts
+    assert(IngestDedup.maybeCompactIndex(spark, idx, maxNewFiles = 1))
+    // immediately after, growth is zero — must NOT compact again even
+    // though the absolute file count may exceed the threshold
+    assert(!IngestDedup.maybeCompactIndex(spark, idx, maxNewFiles = 1))
+    // one more append: growth 1 <= 1, still quiet
+    admit(4L, "north south east west up down sideways")
+    val before = IngestDedup.parquetFileCount(spark, s"$idx/bands")
+    assert(!IngestDedup.maybeCompactIndex(spark, idx, maxNewFiles = before + 100))
+  }
+
+  test("a crash mid-compaction-swap is healed before the next screen") {
+    import spark.implicits._
+    val idx = freshDir("idx7") + "/index"
+    TextDedup.writeDedupIndex(
+      Seq(IngestDoc(1L, "alpha beta gamma delta epsilon zeta"),
+        IngestDoc(2L, "one two three four five six seven")).toDF(),
+      "doc_id", "text", idx)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def screenSurvivors(): Set[Long] =
+      TextDedup.dedupAgainstIndex(spark, idx,
+        Seq(IngestDoc(10L, "alpha beta gamma delta epsilon zeta"),
+          IngestDoc(11L, "a wholly new document about nothing else")).toDF(),
+        "doc_id", "text", threshold = 0.5)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // state A — crashed between the two renames: live table missing,
+    // completed compacted table waiting (roll FORWARD)
+    fs.rename(p(s"$idx/bands"), p(s"$idx/bands__compact"))
+    fs.mkdirs(p(s"$idx/bands__old"))
+    assert(screenSurvivors() === Set(11L), "roll-forward recovery failed")
+    // state B — crashed before the forward rename: live renamed aside,
+    // no compacted table (roll BACK)
+    fs.rename(p(s"$idx/bands"), p(s"$idx/bands__old"))
+    assert(screenSurvivors() === Set(11L), "roll-back recovery failed")
+    // healed: no leftovers
+    assert(!fs.exists(p(s"$idx/bands__old")) && !fs.exists(p(s"$idx/bands__compact")))
   }
 
   test("saved-model quality gate filters at scan time with no streaming state") {
