@@ -32,7 +32,7 @@ object BestDedup {
     */
   def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String, threshold: Double, n: Int = 3, h: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 0): DataFrame = {
     val pairs = TextDedup.minhashNearDupPairs(docs, idCol, textCol,
       threshold, n, h, bands)
     val comp = ConnectedComponents.components(

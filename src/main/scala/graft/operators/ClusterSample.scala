@@ -33,7 +33,10 @@ object ClusterSample {
     val cents = IvfIndex.kmeansCentroids(vectors, idCol, vecCol, nlist, iters)
     val assigned = IvfIndex.assignCells(vectors, idCol, vecCol, cents)
       .select(col(idCol), col("__cell").cast("long").as("cell"))
-    val draw = ((col(idCol) % lit(1000003L)) * lit(2654435761L)) % lit(1000000L)
+    // the ONE shared draw definition (pmod-based — sign-safe where the
+    // inline `%` form went negative for negative ids), same constants
+    // as every other sampler/splitter and their DuckDB mirrors
+    val draw = RowOps.multiplicativeDraw(col(idCol))
     val w = Window.partitionBy(col("cell")).orderBy(col("draw"), col(idCol))
     assigned.withColumn("draw", draw)
       .withColumn("__rn", row_number().over(w))

@@ -98,6 +98,14 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
 
+    // DataFrame.unpersist is a NO-OP for localCheckpoint blocks (see
+    // CacheBin's class doc): the superseded round's backing RDDs must
+    // be unpersisted directly, or every star round leaks a full edge
+    // set into BlockManager storage for the session's lifetime.
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     var cur = symmetrize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
       .localCheckpoint(true)
@@ -112,13 +120,18 @@ object ConnectedComponents {
       // over hash-partitioned sets, no collect.
       converged = next.count() == cur.count() &&
         next.except(cur).isEmpty
-      cur.unpersist()
+      checkpointRdds(cur).foreach(_.unpersist(false))
       cur = next
       it += 1
     }
     if (!converged && it >= maxIterations)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIterations star rounds")
+
+    // the final round's checkpoint outlives this call (the returned
+    // plan reads it): register for the caller's drain like any other
+    // operator-persisted frame
+    graft.core.CacheBin.trackCheckpoint(cur)
 
     // At the fixpoint the graph is a union of stars centered on the
     // component minima: each non-center node's min neighbor IS the

@@ -40,11 +40,7 @@ object LeakSafeSplit {
   def split(docs: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], threshold: Double = 0.5,
       n: Int = 3, h: Int = 16, bands: Int = 0): DataFrame = {
-    val b =
-      if (bands > 0) bands
-      else if (threshold >= 0.65) 4
-      else if (threshold >= 0.35) 8
-      else 16
+    val b = if (bands > 0) bands else TextDedup.bandsFor(threshold)
     val pairs = TextDedup.minhashNearDupPairs(docs, idCol, textCol,
       threshold, n, h, b)
     val comp = ConnectedComponents.components(

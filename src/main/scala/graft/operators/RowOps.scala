@@ -29,6 +29,9 @@ object RowOps {
       "l" -> (_ < _), "e" -> (_ === _), "m" -> (_ > _),
       "le" -> (_ <= _), "me" -> (_ >= _))
     val preds = conditions.toSeq.map { cond =>
+      // unbounded split, >3 parts rejected — faithful to the reference
+      // grammar (core/data_manage.py:1505-1513), which cannot express
+      // hyphenated values or negative literals either
       cond.split("-") match {
         case Array(field) =>
           col(field).isNotNull && col(field).cast("string") =!= ""

@@ -35,8 +35,14 @@ object SeqPack {
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // a null weight would NPE the totals collect (or worse, silently
+    // null the affected rows' running totals and bin ids downstream):
+    // fail fast inside the same job, no extra validation pass
+    val checkedWeight = when(col(weightCol).isNull,
+      raise_error(concat(lit(s"null $weightCol in running-total input at "),
+        col(orderCol).cast("string")))).otherwise(col(weightCol))
     val totals = ranged
-      .groupBy(col("__pid")).agg(sum(col(weightCol).cast("long")).as("__t"))
+      .groupBy(col("__pid")).agg(sum(checkedWeight.cast("long")).as("__t"))
       .orderBy(col("__pid"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))

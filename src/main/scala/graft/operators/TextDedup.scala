@@ -33,6 +33,20 @@ object TextDedup {
 
   val P: Long = TextAnalysis.FingerprintMod
 
+  /** Threshold-tuned LSH band count for an h-hash signature — the ONE
+    * home for the policy LeakSafeSplit introduced: the band S-curve
+    * threshold sits near (1/b)^(1/r) with r = h/bands, so low Jaccard
+    * thresholds need narrow bands or candidate recall collapses (at
+    * h=16, 4 bands centers ~0.71 — screening at threshold 0.5 with it
+    * silently misses most true pairs). With h=16: threshold ≥ 0.65 →
+    * 4 bands (r=4), ≥ 0.35 → 8 (r=2), else 16 (r=1 — every shared
+    * minhash is a candidate).
+    */
+  def bandsFor(threshold: Double): Int =
+    if (threshold >= 0.65) 4
+    else if (threshold >= 0.35) 8
+    else 16
+
   /** Deterministic affine MinHash coefficients (a odd, in [1,P); b in [0,P)). */
   def minhashCoeffs(h: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -121,12 +135,16 @@ object TextDedup {
     * callers should checkpoint the table instead.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 4,
+      threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 0,
       seed: Long = 42L): DataFrame = {
+    // bands = 0 → threshold-tuned (see bandsFor): a fixed default of 4
+    // centered the candidate S-curve at ~0.71, silently missing most
+    // true pairs for the common threshold 0.5
+    val b = if (bands > 0) bands else bandsFor(threshold)
     val sh = graft.core.CacheBin.trackEager(
       withShingleHashes(df, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val cands = candidatePairsFromBase(sh, idCol, h, bands, seed)
+    val cands = candidatePairsFromBase(sh, idCol, h, b, seed)
     cands
       .join(sh.select(col(idCol).as("id1"), col("__shh").as("__sh1")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("__shh").as("__sh2")), "id2")
@@ -153,7 +171,8 @@ object TextDedup {
     */
   def minhashDedupAgainst(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      n: Int = 3, h: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      n: Int = 3, h: Int = 16, bands: Int = 0, seed: Long = 42L): DataFrame = {
+    val bandsN = if (bands > 0) bands else bandsFor(threshold)
     val inSh = graft.core.CacheBin.trackEager(
       withShingleHashes(incoming, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -164,7 +183,7 @@ object TextDedup {
       val sig = base.select(col(idCol).as(as), col("__shh"))
         .withColumn("__sig",
           TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
-      explodeBands(sig, Seq(as), h, bands)
+      explodeBands(sig, Seq(as), h, bandsN)
     }
     val cands = bandsOf(inSh, "__in")
       .join(bandsOf(coSh, "__co"), Seq("band", "val"))
@@ -195,6 +214,12 @@ object TextDedup {
     * ingests by [[appendToDedupIndex]]; each batch screens against the
     * files instead of re-hashing the whole history.
     */
+  // bands cannot auto-tune here: the screening threshold is chosen at
+  // dedupAgainstIndex time, after the index is built. Pass
+  // bands = bandsFor(intended screening threshold) — the stored meta
+  // then pins it for every screen and append. The default 4 suits
+  // thresholds >= 0.65; screening a 4-band index at 0.5 loses most
+  // candidate recall (see bandsFor).
   def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, h: Int = 16, bands: Int = 4,
       seed: Long = 42L): Unit = {
@@ -252,10 +277,10 @@ object TextDedup {
     * Also folds replay duplicates: a crash-replayed ingest batch
     * re-appends its band and shingle rows verbatim (see
     * [[graft.streaming.IngestDedup.admitBatch]]), which screening
-    * tolerates but each probe then pays for twice. Band rows are
-    * exact-row distinct'd; shingle rows keep one row per document id
-    * (the id is the table's key — two appends of the same id under the
-    * same meta carry identical arrays).
+    * tolerates but each probe then pays for twice. Both tables are
+    * exact-ROW distinct'd — an id re-ingested with new text owns two
+    * legitimate shingle arrays the screen verifies against, so
+    * compaction must never collapse per id.
     */
   /** Repair an index left mid-[[compactDedupIndex]] by a crash. Each
     * table is in one of the recoverable states the crash-safe swap can
@@ -319,8 +344,14 @@ object TextDedup {
       .repartitionByRange(nb, col("band"), col("val"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands__compact")
     swap(s"$path/bands", s"$path/bands__compact")
+    // exact-ROW distinct, like the band rows: an id re-ingested with
+    // NEW text legitimately owns two shingle arrays in the index (the
+    // screen verifies against both — see dedupAgainstIndex's re-ingest
+    // note), so deduping on id alone would arbitrarily drop one
+    // version and change admit decisions post-compaction. Only replay
+    // duplicates (identical rows) fold.
     val sh = spark.read.parquet(s"$path/shingles")
-    Compaction.compactFrame(sh.dropDuplicates(sh.columns.head),
+    Compaction.compactFrame(sh.dropDuplicates(),
       Compaction.targetFileCount(sh, targetBytesPerFile),
       s"$path/shingles__compact")
     swap(s"$path/shingles", s"$path/shingles__compact")
@@ -517,22 +548,35 @@ object TextDedup {
   /** SimHash near-dup with EXACT recall: maxHamming+1 bands (pigeonhole —
     * ≤ maxHamming differing bits cannot touch every band), candidates
     * verified by true Hamming distance.
+    *
+    * Bits are split BALANCED (floor width, the remainder spread one
+    * bit each over the leading bands), so every band covers real
+    * signature bits at any maxHamming ≤ SimhashBits-1. The earlier
+    * uniform-ceil split left whole bands past bit 29 for several
+    * maxHamming values (6, 8, 10, ...) — a constant-zero band value
+    * that put EVERY document in one bucket and degenerated the banded
+    * join into an all-pairs product.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands <= SimhashBits,
+      s"maxHamming $maxHamming needs $bands bands but only $SimhashBits bits exist")
     // no persist: simhash ends in a groupBy whose shuffle exchange
     // (carrying the 30 partial vote sums — the expensive explode+vote
     // subtree) is shared across both banded-join consumers by
     // ReuseExchange; only the cheap one-row-per-doc final agg + band
     // explode is evaluated per side. Plan-asserted in PlanAuditSpec.
     val sh = simhash(df, idCol, textCol, n)
-    val bands = maxHamming + 1
-    val bitsPerBand = math.ceil(SimhashBits.toDouble / bands).toInt
+    val baseW = SimhashBits / bands
+    val extra = SimhashBits % bands // leading `extra` bands take one more bit
+    def offset(j: Int): Int = j * baseW + math.min(j, extra)
+    def width(j: Int): Int = baseW + (if (j < extra) 1 else 0)
     val banded = sh.select(col(idCol).as("__id"), col("simhash"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), j * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("val"))
+          shiftright(col("simhash"), offset(j))
+            .bitwiseAND(lit((1L << width(j)) - 1)).as("val"))
       }: _*)).as("b"))
       .select(col("__id"), col("simhash"), col("b.band").as("band"), col("b.val").as("val"))
     banded.as("l")

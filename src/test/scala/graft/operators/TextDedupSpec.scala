@@ -138,4 +138,50 @@ class TextDedupSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(run(1) === run(6))
   }
+
+  test("simhash banding keeps exact recall at maxHamming values the ceil split degenerated") {
+    import spark.implicits._
+    // maxHamming = 6 → 7 bands: the old uniform-ceil split put band 6
+    // entirely past bit 29 (constant value 0 for every doc — an
+    // all-pairs bucket). The balanced split must cover real bits in
+    // every band AND keep pigeonhole-exact recall: banded pairs ==
+    // brute-force Hamming pairs.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappas"),
+      (3L, "one two three four five six seven eight nine ten eleven"),
+      (4L, "one two three four five six seven eight nine ten twelve"),
+      (5L, "completely different content about weather patterns today")
+    ).toDF("doc_id", "text")
+    val maxH = 6
+    val banded = TextDedup.simhashNearDupPairs(docs, "doc_id", "text", maxH)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = TextDedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+    } yield (a, b)).toSet
+    assert(banded === brute, "banded pair set diverged from brute-force Hamming")
+  }
+
+  test("bandsFor widens banding as the threshold drops; minhash default uses it") {
+    import spark.implicits._
+    assert(TextDedup.bandsFor(0.7) === 4)
+    assert(TextDedup.bandsFor(0.5) === 8)
+    assert(TextDedup.bandsFor(0.2) === 16)
+    // moderately-similar planted pair (jaccard ~0.5): the threshold-
+    // tuned default banding must surface it; the old fixed bands=4
+    // (S-curve center ~0.71) is exactly the config that missed pairs
+    // like this
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog far from any water source"),
+      (3L, "unrelated document about compiler construction and register allocation")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      threshold = 0.4)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"threshold-tuned banding missed the pair: $pairs")
+  }
 }
