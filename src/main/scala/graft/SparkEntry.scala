@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoverageQueries, DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{CoverageQueries, DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
     DedupQueries,
     EvalQueries,
     StreamQueries,
+    TemporalQueries,
     CoverageQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def build = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 12:00:00"), 200.0),
+    (2L, ts("2024-01-01 11:00:00"), 300.0))
+    .toDF("user_id", "ts", "v")
+
+  private def probe = Seq(
+    (10L, 1L, ts("2024-01-01 09:00:00")), // before any build row
+    (11L, 1L, ts("2024-01-01 10:00:00")), // exactly at a build row
+    (12L, 1L, ts("2024-01-01 11:59:00")), // between the two
+    (13L, 1L, ts("2024-01-01 23:00:00")), // after the last
+    (14L, 2L, ts("2024-01-01 11:30:00")), // other key
+    (15L, 3L, ts("2024-01-01 12:00:00"))) // key with no build rows
+    .toDF("event_id", "user_id", "ts")
+
+  private def run(strict: Boolean = false,
+      tolerance: Option[org.apache.spark.sql.Column] = None) =
+    AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts", "ts", Seq("v"),
+        strict = strict, tolerance = tolerance)
+      .select($"event_id", $"v")
+      .as[(Long, Option[Double])].collect().toMap
+
+  test("non-strict picks the latest at-or-before build row per key") {
+    assert(run() === Map(
+      10L -> None, 11L -> Some(100.0), 12L -> Some(100.0),
+      13L -> Some(200.0), 14L -> Some(300.0), 15L -> None))
+  }
+
+  test("strict excludes the equal-time build row") {
+    assert(run(strict = true)(11L) === None)
+    assert(run(strict = true)(12L) === Some(100.0))
+  }
+
+  test("tolerance nulls matches older than the window, keeps the row") {
+    val r = run(tolerance = Some(expr("INTERVAL 2 HOURS")))
+    assert(r(12L) === Some(100.0)) // 1h59m old, inside
+    assert(r(13L) === None)        // 11h old, outside
+    assert(r.size === 6)           // every probe row survives
+  }
+
+  test("null payload values do not reach back to older matches") {
+    val b = Seq((1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 12:00:00"), Option.empty[Double]))
+      .toDF("user_id", "ts", "v")
+    val p = Seq((1L, 1L, ts("2024-01-01 13:00:00"))).toDF("event_id", "user_id", "ts")
+    val out = AsofJoin.asofJoin(p, b, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select($"v", $"matched_ts").collect()(0)
+    // matched row IS the 12:00 one (null v), not the 10:00 one
+    assert(out.isNullAt(0) && out.getTimestamp(1) === ts("2024-01-01 12:00:00"))
+  }
+
+  test("plan shuffles once on the key — no join node at all") {
+    val plan = AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
