@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoverageQueries, DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, StreamQueries, TemporalQueries, TextQueries}
+import graft.queries.{CoverageQueries, DedupQueries, EvalQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     EvalQueries,
     StreamQueries,
     TemporalQueries,
+    SketchQueries,
     CoverageQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.functions.KmvSketch
+import graft.operators.{BloomDecontaminate, QuantileGate}
+
+/** Sketch / approximate operators whose approximation is DETERMINISTIC
+  * — engine-portable hashes make the sketch contents, the estimates,
+  * and even the Bloom false positives bit-identical in Spark and the
+  * DuckDB oracle, so "approximate" still hash-verifies exactly.
+  */
+object SketchQueries extends QueryPack {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_kmv_distinct",
+      "KMV distinct-count sketch: per ship-year, the k=64 smallest " +
+        "distinct part-key draws (bounded typed-Aggregator buffer, " +
+        "map-side partials ship <= 64 longs per group vs COUNT(DISTINCT)'s " +
+        "full value shuffle) and the (k-1)*M/h_k estimate next to the " +
+        "exact count. Oracle replays the draw, the threshold, and the " +
+        "integer estimate in SQL.",
+      (s, dir) => {
+        import s.implicits._
+        val k = 64
+        val sk = t(s, dir, "lineitem")
+          .select(year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"),
+            KmvSketch.draw(col("l_partkey")).as("d"))
+          .as[(Long, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(KmvSketch(k).toColumn.name("sketch"))
+          .toDF("ship_year", "sketch")
+        val exact = t(s, dir, "lineitem")
+          .groupBy(year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"))
+          .agg(countDistinct(col("l_partkey")).as("n_exact"))
+        sk.join(exact, "ship_year")
+          .select(col("ship_year"), col("n_exact"),
+            KmvSketch.estimate(col("sketch"), k).as("kmv_est"),
+            KmvSketch.threshold(col("sketch"), k).as("h_k"))
+          .orderBy(col("ship_year"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT year(CAST(l_shipdate AS TIMESTAMP)) AS ship_year,
+              |                  ((l_partkey % 999999937) * 2654435761) % ${KmvSketch.M} AS d
+              |           FROM lineitem),
+              |r AS (SELECT ship_year, d,
+              |             ROW_NUMBER() OVER (PARTITION BY ship_year ORDER BY d) AS rn,
+              |             COUNT(*) OVER (PARTITION BY ship_year) AS nd
+              |      FROM h),
+              |s AS (SELECT ship_year,
+              |             MAX(CASE WHEN rn = 64 THEN d END) AS h_k,
+              |             MAX(nd) AS nd
+              |      FROM r GROUP BY 1),
+              |e AS (SELECT year(CAST(l_shipdate AS TIMESTAMP)) AS ship_year,
+              |             COUNT(DISTINCT l_partkey) AS n_exact
+              |      FROM lineitem GROUP BY 1)
+              |SELECT s.ship_year, e.n_exact,
+              |       CAST(CASE WHEN s.nd >= 64 THEN (63 * ${KmvSketch.M}) // s.h_k
+              |                 ELSE s.nd END AS BIGINT) AS kmv_est,
+              |       s.h_k
+              |FROM s JOIN e USING (ship_year)
+              |ORDER BY ship_year""".stripMargin)),
+
+    GQuery(
+      "q_bloom_decontaminate",
+      "Bloom-filter decontamination: eval 8-grams fold into a fixed " +
+        "8 KB broadcast bitset; the training side is filtered by a " +
+        "codegen'd scan predicate — zero shuffles on the corpus, the " +
+        "100 TB form of q_decontaminate. The false positives are " +
+        "deterministic (portable double-hashed probe positions), so " +
+        "the oracle's logical replay drops the identical doc set.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        BloomDecontaminate.decontaminate(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id >= 50) src_c", 8, "_c")},
+              |${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id < 50) src_e", 8, "_e")},
+              |ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+              |bloom AS (
+              |  SELECT DISTINCT
+              |    (((h * 2654435761) % 1000000007
+              |      + ks.i * ((h * 2246822519) % 1000000007)) % 1000000007) % 65536 AS pos
+              |  FROM s_e, ks),
+              |probe AS (
+              |  SELECT s_c.doc_id, s_c.h, ks.i,
+              |    (((h * 2654435761) % 1000000007
+              |      + ks.i * ((h * 2246822519) % 1000000007)) % 1000000007) % 65536 AS pos
+              |  FROM s_c, ks),
+              |hit AS (
+              |  SELECT probe.doc_id, probe.h, COUNT(*) AS k_in
+              |  FROM probe JOIN bloom USING (pos)
+              |  GROUP BY 1, 2),
+              |bad AS (SELECT DISTINCT doc_id FROM hit WHERE k_in = 3)
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id >= 50
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_quantile_gate",
+      "Distribution-aware outlier trim: per-source p05/p95 discrete " +
+        "quantiles of document length (percentile_disc — real group " +
+        "elements, no interpolated doubles) gate the corpus; summary " +
+        "per source proves the kept range.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        QuantileGate.gate(docs, Seq("source"), "n_chars", 0.05, 0.95)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("n_chars")).as("min_kept"),
+            max(col("n_chars")).as("max_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (
+             |  SELECT source,
+             |         quantile_disc(n_chars, 0.05) AS lo,
+             |         quantile_disc(n_chars, 0.95) AS hi
+             |  FROM documents GROUP BY source)
+             |SELECT d.source, COUNT(*) AS n_kept,
+             |       MIN(d.n_chars) AS min_kept, MAX(d.n_chars) AS max_kept
+             |FROM documents d JOIN b ON d.source = b.source
+             |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)))
+}
