@@ -139,6 +139,32 @@ object StreamQueries extends QueryPack {
               |SELECT DISTINCT u.doc_id, f.first_id AS earlier_id
               |FROM u JOIN f ON u.band = f.band AND u.val = f.val
               |WHERE u.doc_id > f.first_id
-              |ORDER BY doc_id, earlier_id""".stripMargin))
+              |ORDER BY doc_id, earlier_id""".stripMargin)),
+
+    GQuery(
+      "q_click_attribution",
+      "Stream-stream interval join run in batch: each click pairs with " +
+        "every same-user purchase in the preceding day. Behind " +
+        "readStream the same code is a watermarked symmetric hash join " +
+        "with time-bounded state eviction (StreamJoinSpec drives it); " +
+        "the batch plan keeps the user_id equality key so it " +
+        "sort-merge-joins, never a nested loop.",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.streaming.EventStreams.purchaseAttribution(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"))
+          .orderBy(col("click_id"), col("purchase_ts"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+             |       p.ts AS purchase_ts, p.value AS purchase_value
+             |FROM c JOIN p
+             |  ON c.user_id = p.user_id
+             | AND p.ts >= c.ts - INTERVAL 1 DAY AND p.ts <= c.ts
+             |ORDER BY click_id, purchase_ts""".stripMargin))
   )
 }

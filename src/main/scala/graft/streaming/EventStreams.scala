@@ -62,6 +62,32 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream interval join (purchase attribution): each click
+    * pairs with every same-user purchase in the `horizon` before it.
+    * Both sides carry watermarks and the join condition time-bounds
+    * the match window, which is exactly what Spark's streaming
+    * symmetric hash join needs to EVICT state: a purchase older than
+    * watermark+horizon can never match a future click and is dropped
+    * from the state store, so state is bounded regardless of stream
+    * length. Batch input runs the identical code as a plain
+    * equi+range sort-merge join (the equality key keeps it off the
+    * nested-loop path) — oracle-checked by `q_click_attribution`.
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 day", watermark: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("user_id").as("__pu"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("__pu") &&
+          col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+          col("purchase_ts") <= col("click_ts"))
+      .drop("__pu")
+  }
+
   /** Idempotent parquet sink for `foreachBatch`: each micro-batch
     * writes to its own `batch_id=<id>` partition directory with
     * overwrite — a replayed batch (failure/retry re-delivery) rewrites
