@@ -95,4 +95,35 @@ object KmvSketch {
   /** The sketch threshold h_k (null while the sketch is not full). */
   def threshold(sketch: Column, k: Int): Column =
     when(size(sketch) >= k, element_at(sketch, k))
+
+  // ---- sketch algebra (Beyer et al. 2007: synopses under multiset
+  // ops). Sketches compose WITHOUT touching the data again: the union
+  // sketch of A and B is the k smallest of their merged sketches, and
+  // the intersection estimate needs only set operations on the two
+  // k-long arrays — pure codegen'd builtins, no shuffle, no rescan.
+  // This is what makes persisted per-shard/per-day sketches a queryable
+  // overlap index at 100 TB.
+
+  /** K(A∪B): k smallest distinct draws across both sketches. */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Members of the union sketch drawn from BOTH inputs — the overlap
+    * count ρ the intersection estimator scales.
+    */
+  def overlapCount(a: Column, b: Column, k: Int): Column =
+    size(array_intersect(array_intersect(unionSketch(a, b, k), a), b))
+
+  /** |A∩B| estimate: `ρ/k · D̂(A∪B)` when the union sketch is full
+    * (integer floor, matching the oracle's replay); when it is not,
+    * the sketches hold EVERY draw and ρ is the exact distinct-draw
+    * intersection.
+    */
+  def intersectionEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = unionSketch(a, b, k)
+    val rho = overlapCount(a, b, k).cast("long")
+    when(size(u) >= k,
+      ((rho * estimate(u, k)).cast("decimal(38,0)") / lit(k.toLong)).cast("long"))
+      .otherwise(rho)
+  }
 }

@@ -133,5 +133,96 @@ object SketchQueries extends QueryPack {
              |       MIN(d.n_chars) AS min_kept, MAX(d.n_chars) AS max_kept
              |FROM documents d JOIN b ON d.source = b.source
              |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
-             |GROUP BY d.source ORDER BY d.source""".stripMargin)))
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    GQuery(
+      "q_kmv_set_ops",
+      "KMV sketch algebra (Beyer et al. 2007): per-source 5-gram " +
+        "sketches compose into union and intersection estimates for " +
+        "adjacent source pairs WITHOUT rescanning the corpus — the " +
+        "persisted-sketch overlap index. rho (union-sketch members " +
+        "drawn from both sides) and the integer estimates replay " +
+        "exactly in SQL; exact intersections sit alongside.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftvec.TextHashExpr
+        import graft.functions.TextAnalysis
+        val k = 64
+        val sh = t(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextHashExpr.shingleHashes(
+              TextAnalysis.tokens(col("text")), 5))).as("h"))
+          .distinct()
+        val sk = sh
+          .select(col("source"), KmvSketch.draw(col("h")).as("d"))
+          .distinct()
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(KmvSketch(k).toColumn.name("sketch"))
+          .toDF("source", "sketch")
+          .withColumn("sid", expr("CAST(substring(source, 4) AS BIGINT)"))
+        val a = sk.select(col("sid").as("sid_a"), col("sketch").as("sa"))
+        val b = sk.select((col("sid") - 1).as("sid_a"), col("sketch").as("sb"))
+        val shIdx = sh.select(
+          expr("CAST(substring(source, 4) AS BIGINT)").as("sid_a"), col("h"))
+        val ex = shIdx.join(
+            shIdx.select((col("sid_a") - 1).as("sid_a"), col("h")),
+            Seq("sid_a", "h"))
+          .groupBy(col("sid_a")).agg(count(lit(1)).as("__nx"))
+        a.join(b, "sid_a")
+          .join(ex, Seq("sid_a"), "left")
+          .select(col("sid_a"),
+            coalesce(col("__nx"), lit(0L)).as("n_exact_inter"),
+            KmvSketch.overlapCount(col("sa"), col("sb"), k).cast("long").as("rho"),
+            KmvSketch.estimate(KmvSketch.unionSketch(col("sa"), col("sb"), k), k)
+              .as("union_est"),
+            KmvSketch.intersectionEstimate(col("sa"), col("sb"), k).as("inter_est"))
+          .orderBy(col("sid_a"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT source AS doc_id, text FROM documents) srcd", 5, "_s")},
+              |sh AS (SELECT doc_id AS source, h FROM s_s),
+              |dd AS (SELECT DISTINCT source,
+              |              ((h % 999999937) * 2654435761) % ${KmvSketch.M} AS d
+              |       FROM sh),
+              |r AS (SELECT source, d,
+              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY d) AS rn
+              |      FROM dd),
+              |sk AS (SELECT CAST(substr(source, 4) AS BIGINT) AS sid, d, rn
+              |       FROM r WHERE rn <= 64),
+              |sids AS (SELECT DISTINCT sid FROM sk),
+              |pairs AS (SELECT a.sid FROM sids a JOIN sids b ON b.sid = a.sid + 1),
+              |pd AS (SELECT DISTINCT p.sid, s.d
+              |       FROM pairs p JOIN sk s ON s.sid = p.sid OR s.sid = p.sid + 1),
+              |pu AS (SELECT sid, d,
+              |              ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d) AS rn
+              |       FROM pd),
+              |uk AS (SELECT sid, d, rn FROM pu WHERE rn <= 64),
+              |un AS (SELECT sid, COUNT(*) AS nu,
+              |              MAX(CASE WHEN rn = 64 THEN d END) AS hk
+              |       FROM uk GROUP BY 1),
+              |rho AS (SELECT uk.sid, COUNT(*) AS rho
+              |        FROM uk
+              |        JOIN sk a ON a.sid = uk.sid AND a.d = uk.d
+              |        JOIN sk b ON b.sid = uk.sid + 1 AND b.d = uk.d
+              |        GROUP BY uk.sid),
+              |ex AS (SELECT CAST(substr(a.source, 4) AS BIGINT) AS sid,
+              |              COUNT(*) AS n_exact_inter
+              |       FROM sh a JOIN sh b ON b.h = a.h
+              |       WHERE CAST(substr(b.source, 4) AS BIGINT)
+              |             = CAST(substr(a.source, 4) AS BIGINT) + 1
+              |       GROUP BY 1)
+              |SELECT un.sid AS sid_a,
+              |       COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+              |       COALESCE(rho.rho, 0) AS rho,
+              |       CAST(CASE WHEN un.nu >= 64 THEN (63 * ${KmvSketch.M}) // un.hk
+              |                 ELSE un.nu END AS BIGINT) AS union_est,
+              |       CAST(CASE WHEN un.nu >= 64
+              |                 THEN (COALESCE(rho.rho, 0)
+              |                       * ((63 * ${KmvSketch.M}) // un.hk)) // 64
+              |                 ELSE COALESCE(rho.rho, 0) END AS BIGINT) AS inter_est
+              |FROM un
+              |LEFT JOIN rho ON rho.sid = un.sid
+              |LEFT JOIN ex ON ex.sid = un.sid
+              |ORDER BY sid_a""".stripMargin)))
 }
