@@ -26,7 +26,9 @@ object ScaleSweep {
     "q_corpus_clean", "q_token_budget_mix", "q_word_freq_score",
     "q_dsir_select", "q_boilerplate_strip", "q_leak_safe_split",
     "q_quality_classifier", "q_window_dedup", "q_keepfirst_dedup",
-    "q_dedup_indexed", "q_keepbest_dedup", "q_containment_dedup")
+    "q_dedup_indexed", "q_keepbest_dedup", "q_containment_dedup",
+    "q_asof_join", "q_click_attribution", "q_bloom_decontaminate",
+    "q_kmv_set_ops")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids
@@ -44,6 +46,7 @@ object ScaleSweep {
     val marker = Paths.get(s"$outDir/copies.txt")
     if (Files.exists(Paths.get(s"$outDir/documents.parquet")) &&
         Files.exists(Paths.get(s"$outDir/embeddings.parquet")) &&
+        Files.exists(Paths.get(s"$outDir/events.parquet")) &&
         Files.exists(marker) &&
         Files.readString(marker).trim == s"$baseDir x$copies") return
     val docs = Tables.load(spark, baseDir, "documents")
@@ -74,6 +77,19 @@ object ScaleSweep {
       }
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: new ids AND new users per copy — the temporal operators
+    // scale in KEY COUNT (more timelines of the same length), which is
+    // how a growing event stream actually scales
+    val ev = Tables.load(spark, baseDir, "events")
+    val evShift = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val userShift = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    (0 until copies).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i * evShift))
+        .withColumn("user_id", col("user_id") + lit(i * userShift))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     Files.writeString(marker, s"$baseDir x$copies")
   }
 
@@ -99,7 +115,14 @@ object ScaleSweep {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = sweep.flatMap { name =>
+    // optional comma-separated filter for fast incremental sweeps
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => sweep.filter(names)
+      case None        => sweep
+    }
+    val rows = selected.flatMap { name =>
       SparkEntry.allQueries.find(_.name == name).map { q =>
         val t1 = time(spark, q, baseDir)
         val tN = time(spark, q, outDir)

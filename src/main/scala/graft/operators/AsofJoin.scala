@@ -5,32 +5,37 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Point-in-time (as-of) join: every probe row is matched to the single
-  * most recent build row sharing its key whose time is at-or-before
-  * (`strict = false`) or strictly-before (`strict = true`) the probe
-  * time, optionally only when the match lies within a tolerance window.
-  * This is the feature-attribution join every event pipeline needs
-  * ("the last purchase before this click", "the model version live
-  * when this request arrived") that a plain equi-join cannot express
-  * and a naive range join turns into a top-1-per-pair blowup.
+  * nearest build row sharing its key — the most recent at-or-before
+  * (`backward`, the default), the earliest at-or-after (`forward`), or
+  * whichever of the two is closer (`nearest`) — optionally strict
+  * (exact-time matches excluded) and optionally only within a
+  * tolerance window. This is pandas `merge_asof` re-expressed for a
+  * cluster, the feature-attribution join every event pipeline needs
+  * ("the last purchase before this click", "the next error after this
+  * deploy") that a plain equi-join cannot express and a naive range
+  * join turns into a top-1-per-pair blowup.
   *
   * Implementation is the union-and-ordered-window form rather than a
   * join: build and probe rows are tagged and unioned, shuffled ONCE on
-  * the key, and sorted by (time, tag) so a running `last(match-struct,
-  * ignoreNulls)` carries the latest build row forward onto each probe
-  * row. The whole build row travels as ONE struct, so every carried
-  * field comes from the same matched row even when individual payload
-  * values are null. No build-probe pair is ever materialized — cost is
-  * one shuffle plus a linear merge per key timeline, the shape a
-  * 1000-executor cluster wants, with no equality-key fallback to a
-  * broadcast-nested-loop. Probe rows matched to nothing (no earlier
-  * build row, or outside tolerance) survive with null payload —
+  * the key, and sorted so a running `last(match-struct, ignoreNulls)`
+  * carries the nearest build row onto each probe row (ascending time
+  * for backward, descending for forward; `nearest` evaluates both
+  * orderings over the SAME exchange and picks the closer). The whole
+  * build row travels as ONE struct, so every carried field comes from
+  * the same matched row even when individual payload values are null.
+  * No build-probe pair is ever materialized — cost is one shuffle plus
+  * a linear merge per key timeline, the shape a 1000-executor cluster
+  * wants, with no equality-key fallback to a broadcast-nested-loop.
+  * Probe rows matched to nothing survive with null payload —
   * left-outer semantics, output row count always equals the probe side.
   *
   * Contract: the build side must be unique per (key, time) — ties at
-  * identical (key, time) have no deterministic "latest" on any engine
+  * identical (key, time) have no deterministic "nearest" on any engine
   * (DuckDB's ASOF JOIN documents the same caveat); pre-aggregate the
-  * build side when the source can collide. Null build keys/times never
-  * match anything and are dropped from the build side up front.
+  * build side when the source can collide. `nearest` ties at equal
+  * distance resolve backward (the earlier build row), and requires
+  * timestamp-typed time columns. Null build keys/times never match
+  * anything and are dropped from the build side up front.
   */
 object AsofJoin {
 
@@ -43,10 +48,11 @@ object AsofJoin {
     *                     not collide with probe column names)
     * @param matchedTsCol output column holding the matched build time
     *                     (null when unmatched)
-    * @param strict       require build time strictly before probe time
+    * @param strict       exclude equal-time build rows
     * @param tolerance    when set, a match further than this interval
-    *                     before the probe time is discarded (nulls out,
+    *                     from the probe time is discarded (nulls out,
     *                     probe row kept) — e.g. `expr("INTERVAL 1 HOUR")`
+    * @param direction    "backward" (default), "forward", or "nearest"
     */
   def asofJoin(
       probe: DataFrame,
@@ -57,14 +63,18 @@ object AsofJoin {
       payloadCols: Seq[String],
       matchedTsCol: String = "matched_ts",
       strict: Boolean = false,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction '$direction'")
     val probeCols = probe.columns.toSeq
     require(!(payloadCols :+ matchedTsCol).exists(probeCols.contains),
       "build payload / matched-time names must not collide with probe columns")
 
-    // At equal times the sort tag decides visibility: non-strict puts the
-    // build row first (probe sees it), strict puts it after every probe.
+    // At equal times the sort tag decides visibility: non-strict sorts
+    // the build row toward the probe (probe sees it), strict sorts it
+    // away. The same tag works for both time orderings.
     val buildTag = if (strict) 1 else 0
     val probeTag = 1 - buildTag
     // probe columns other than the key and the time, carried untouched
@@ -88,24 +98,53 @@ object AsofJoin {
           lit(null).cast(buildSide.schema("__b").dataType).as("__b")) ++
           passCols.map(col): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = buildSide.unionByName(probeSide)
-      .withColumn("__b", last(col("__b"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === probeTag)
-
-    // Tolerance: the carried match may be too old — null the whole match
-    // struct but keep the probe row (left-outer semantics preserved).
-    val bounded = tolerance match {
-      case None => carried
-      case Some(tol) => carried.withColumn("__b",
-        when(col("__b")(matchedTsCol) >= col("__t") - tol, col("__b")))
+    def carryWindow(asc: Boolean) = {
+      val order =
+        if (asc) Seq(col("__t").asc, col("__tag").asc)
+        else Seq(col("__t").desc, col("__tag").asc)
+      Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def within(m: Column, tol: Column): Column = direction match {
+      // nearest checks both sides; backward/forward each one
+      case _ => (m(matchedTsCol) >= col("__t") - tol) &&
+        (m(matchedTsCol) <= col("__t") + tol)
+    }
+    def bound(m: Column): Column = tolerance match {
+      case None      => m
+      case Some(tol) => when(within(m, tol), m)
     }
 
-    bounded.select(
-      (probeCols.map(c =>
-        if (c == probeTsCol) col("__t").as(probeTsCol) else col(c)) ++
-        (matchedTsCol +: payloadCols).map(c => col("__b")(c).as(c))): _*)
+    val unioned = buildSide.unionByName(probeSide)
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("__b",
+          bound(last(col("__b"), ignoreNulls = true).over(carryWindow(asc = true))))
+      case "forward" =>
+        unioned.withColumn("__b",
+          bound(last(col("__b"), ignoreNulls = true).over(carryWindow(asc = false))))
+      case "nearest" =>
+        // both carries share the partitioning: ONE exchange, two sorts
+        val bb = bound(last(col("__b"), ignoreNulls = true).over(carryWindow(asc = true)))
+        val fb = bound(last(col("__b"), ignoreNulls = true).over(carryWindow(asc = false)))
+        val dist = (m: Column) =>
+          abs(unix_micros(m(matchedTsCol)) - unix_micros(col("__t")))
+        unioned
+          .withColumn("__bb", bb).withColumn("__fb", fb)
+          .withColumn("__b",
+            when(col("__bb").isNull, col("__fb"))
+              .when(col("__fb").isNull, col("__bb"))
+              // ties at equal distance resolve backward
+              .when(dist(col("__bb")) <= dist(col("__fb")), col("__bb"))
+              .otherwise(col("__fb")))
+          .drop("__bb", "__fb")
+    }
+
+    carried.filter(col("__tag") === probeTag)
+      .select(
+        (probeCols.map(c =>
+          if (c == probeTsCol) col("__t").as(probeTsCol) else col(c)) ++
+          (matchedTsCol +: payloadCols).map(c => col("__b")(c).as(c))): _*)
   }
 }

@@ -83,6 +83,77 @@ object TemporalQueries extends QueryPack {
              |ORDER BY event_id""".stripMargin)),
 
     GQuery(
+      "q_asof_forward",
+      "Forward as-of join: each click picks up the EARLIEST purchase " +
+        "at-or-after it (pandas merge_asof direction='forward'; same " +
+        "one-shuffle ordered-window carry, descending time). Oracle is " +
+        "DuckDB's ASOF LEFT JOIN with the <= comparator.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        AsofJoin.asofJoin(clicks, purchases,
+            keyCols = Seq("user_id"), probeTsCol = "ts", buildTsCol = "ts",
+            payloadCols = Seq("purchase_value"), direction = "forward")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |             MAX(value) AS purchase_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT c.event_id, c.user_id, c.ts,
+             |       p.ts AS matched_ts, p.purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts <= p.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "q_asof_nearest",
+      "Nearest as-of join: whichever same-user purchase is closer in " +
+        "time, before or after (merge_asof direction='nearest', ties " +
+        "backward); both carries run over ONE exchange. Oracle composes " +
+        "DuckDB's two ASOF directions and picks the closer.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        AsofJoin.asofJoin(clicks, purchases,
+            keyCols = Seq("user_id"), probeTsCol = "ts", buildTsCol = "ts",
+            payloadCols = Seq("purchase_value"), direction = "nearest")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |             MAX(value) AS purchase_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |bwd AS (SELECT c.event_id, c.user_id, c.ts,
+             |               p.ts AS bts, p.purchase_value AS bv
+             |        FROM c ASOF LEFT JOIN p
+             |          ON c.user_id = p.user_id AND c.ts >= p.ts),
+             |fwd AS (SELECT c.event_id, p.ts AS fts, p.purchase_value AS fv
+             |        FROM c ASOF LEFT JOIN p
+             |          ON c.user_id = p.user_id AND c.ts <= p.ts)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |       CASE WHEN f.fts IS NULL THEN b.bts
+             |            WHEN b.bts IS NULL THEN f.fts
+             |            WHEN (b.ts - b.bts) <= (f.fts - b.ts) THEN b.bts
+             |            ELSE f.fts END AS matched_ts,
+             |       CASE WHEN f.fts IS NULL THEN b.bv
+             |            WHEN b.bts IS NULL THEN f.fv
+             |            WHEN (b.ts - b.bts) <= (f.fts - b.ts) THEN b.bv
+             |            ELSE f.fv END AS purchase_value
+             |FROM bwd b JOIN fwd f USING (event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
       "q_range_join",
       "Point-in-interval range join as a bucket equi-join: shipments " +
         "falling inside per-order date windows (1-3 days wide), binned " +

@@ -51,6 +51,44 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.size === 6)           // every probe row survives
   }
 
+  test("forward picks the earliest at-or-after build row") {
+    val r = AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts", "ts", Seq("v"),
+        direction = "forward")
+      .select($"event_id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(r === Map(
+      10L -> Some(100.0), 11L -> Some(100.0), 12L -> Some(200.0),
+      13L -> None, 14L -> None, 15L -> None))
+  }
+
+  test("nearest picks the closer side; exact-distance ties resolve backward") {
+    // probe 11:00 for user 1: backward 10:00 (1h), forward 12:00 (1h) — tie
+    val p = Seq((20L, 1L, ts("2024-01-01 11:00:00")),
+      (21L, 1L, ts("2024-01-01 11:30:00")),  // forward closer (30m vs 90m)
+      (22L, 1L, ts("2024-01-01 09:00:00")))  // only forward exists
+      .toDF("event_id", "user_id", "ts")
+    val r = AsofJoin.asofJoin(p, build, Seq("user_id"), "ts", "ts", Seq("v"),
+        direction = "nearest")
+      .select($"event_id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(r === Map(20L -> Some(100.0), 21L -> Some(200.0), 22L -> Some(100.0)))
+  }
+
+  test("nearest honors tolerance on both sides") {
+    val p = Seq((30L, 1L, ts("2024-01-01 20:00:00"))) // 8h past the last build
+      .toDF("event_id", "user_id", "ts")
+    val r = AsofJoin.asofJoin(p, build, Seq("user_id"), "ts", "ts", Seq("v"),
+        direction = "nearest", tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select($"v").as[Option[Double]].collect()
+    assert(r.toSeq === Seq(None))
+  }
+
+  test("nearest shuffles once: a single exchange feeds both sort orders") {
+    val plan = AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts", "ts", Seq("v"),
+        direction = "nearest")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected one exchange:\n$plan")
+  }
+
   test("null payload values do not reach back to older matches") {
     val b = Seq((1L, ts("2024-01-01 10:00:00"), Some(5.0)),
       (1L, ts("2024-01-01 12:00:00"), Option.empty[Double]))

@@ -109,6 +109,25 @@ class PlanAuditSpec extends SparkSpec {
       "flagship plan lost the MinHash signature expression")
   }
 
+  test("q_asof_join is joinless: one key shuffle, a sorted window, no pair blowup") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("Join"), "as-of join materialized a join node")
+    assert(p.contains("Window ["), "missing the ordered-carry window")
+  }
+
+  test("range joins plan as hash equi-joins on the bucket, never nested loops") {
+    Seq("q_range_join", "q_interval_overlap").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: inequality join fell off the bucket equi-join path")
+    }
+  }
+
+  test("q_bloom_decontaminate probe side has no exchange and no join") {
+    val p = planOf("q_bloom_decontaminate")
+    assert(!p.contains("Join"), "bloom probe joined instead of scanning")
+  }
+
   test("NO query plan contains a cartesian product (documented O(n^2) baselines excepted)") {
     // exact all-pairs baselines are deliberately quadratic (SCALE.md):
     // they broadcast one side (BroadcastNestedLoopJoin), never a
