@@ -147,4 +147,117 @@ object AsofJoin {
           if (c == probeTsCol) col("__t").as(probeTsCol) else col(c)) ++
           (matchedTsCol +: payloadCols).map(c => col("__b")(c).as(c))): _*)
   }
+
+  /** [[asofJoin]] for HOT keys: identical semantics, but each key's
+    * timeline is split into fixed time buckets so the sort-and-carry
+    * parallelizes WITHIN a key. The plain form puts one key's whole
+    * timeline on one task — correct, but a key with billions of events
+    * (a monitoring firehose, a bot user) becomes a straggler no
+    * cluster size fixes. Here the window partitions on (key, bucket);
+    * the cross-bucket carry-in is recovered from a per-(key, bucket)
+    * LAST-BUILD table — one row per bucket regardless of how many
+    * events the bucket holds, so the per-key serial work collapses
+    * from #events to #buckets and the carry-in window over that table
+    * is over a frame thousands of times smaller than the data.
+    *
+    * Choose `bucketMicros` ≈ the horizon you'd tolerate one task
+    * sorting: a day for a month-scale stream, an hour for a firehose.
+    * Directions: backward/forward (compose both for nearest).
+    */
+  def asofJoinBucketed(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      buildTsCol: String,
+      payloadCols: Seq[String],
+      bucketMicros: Long,
+      matchedTsCol: String = "matched_ts",
+      strict: Boolean = false,
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(Seq("backward", "forward").contains(direction),
+      s"bucketed as-of supports backward/forward, got '$direction'")
+    val probeCols = probe.columns.toSeq
+    require(!(payloadCols :+ matchedTsCol).exists(probeCols.contains),
+      "build payload / matched-time names must not collide with probe columns")
+
+    val backward = direction == "backward"
+    val buildTag = if (strict) 1 else 0
+    val probeTag = 1 - buildTag
+    val passCols = probeCols.filterNot(c => keyCols.contains(c) || c == probeTsCol)
+    def bucketOf(ts: Column): Column = {
+      val x = unix_micros(ts)
+      ((x - pmod(x, lit(bucketMicros))).cast("decimal(38,0)") / lit(bucketMicros))
+        .cast("long")
+    }
+
+    val buildSide = build
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(buildTsCol).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(buildTsCol).as("__t"),
+          bucketOf(col(buildTsCol)).as("__bkt"),
+          lit(buildTag).as("__tag"),
+          struct((col(buildTsCol).as(matchedTsCol) +:
+            payloadCols.map(col)): _*).as("__b")) ++
+          passCols.map(c => lit(null).as(c)): _*)
+    val probeSide = probe
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(probeTsCol).as("__t"),
+          bucketOf(col(probeTsCol)).as("__bkt"),
+          lit(probeTag).as("__tag"),
+          lit(null).cast(buildSide.schema("__b").dataType).as("__b")) ++
+          passCols.map(col): _*)
+
+    // one row per (key, bucket): the bucket's nearest-to-the-boundary
+    // build row — a map-side-combinable aggregate, never a sort
+    val perBucket = buildSide
+      .groupBy((keyCols :+ "__bkt").map(col): _*)
+      .agg((if (backward) max(struct(col("__t"), col("__b")))
+            else min(struct(col("__t"), col("__b")))).as("__edge"))
+    // cumulative carry across buckets per key, over the SPINE of every
+    // (key, bucket) either side touches — a probe-only bucket (quiet
+    // period) still needs the carry from earlier builds. The frame has
+    // ONE row per (key, touched bucket): the hot key that motivated
+    // the bucketing contributes #buckets rows here, not #events
+    val spine = buildSide.select((keyCols :+ "__bkt").map(col): _*)
+      .unionByName(probeSide.select((keyCols :+ "__bkt").map(col): _*))
+      .distinct()
+    val carryW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(if (backward) col("__bkt").asc else col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine
+      .join(perBucket, (keyCols :+ "__bkt").toSeq, "left")
+      .select(
+        (keyCols.map(col) :+ col("__bkt") :+
+          last(col("__edge")("__b"), ignoreNulls = true).over(carryW).as("__cin")): _*)
+
+    val w = Window.partitionBy((keyCols :+ "__bkt").map(col): _*)
+      .orderBy(
+        (if (backward) Seq(col("__t").asc, col("__tag").asc)
+         else Seq(col("__t").desc, col("__tag").asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = buildSide.unionByName(probeSide)
+      .withColumn("__local", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === probeTag)
+      .join(carryIn, (keyCols :+ "__bkt").toSeq, "left")
+      .withColumn("__b", coalesce(col("__local"), col("__cin")))
+
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) => carried.withColumn("__b",
+        when(col("__b")(matchedTsCol) >= col("__t") - tol &&
+          col("__b")(matchedTsCol) <= col("__t") + tol, col("__b")))
+    }
+
+    bounded.select(
+      (probeCols.map(c =>
+        if (c == probeTsCol) col("__t").as(probeTsCol) else col(c)) ++
+        (matchedTsCol +: payloadCols).map(c => col("__b")(c).as(c))): _*)
+  }
 }

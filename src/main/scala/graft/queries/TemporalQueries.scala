@@ -83,6 +83,36 @@ object TemporalQueries extends QueryPack {
              |ORDER BY event_id""".stripMargin)),
 
     GQuery(
+      "q_asof_bucketed",
+      "Hot-key as-of join: same semantics as q_asof_join but the " +
+        "sort-and-carry parallelizes WITHIN a key via day buckets — " +
+        "per-key serial work collapses from #events to #buckets, the " +
+        "form that survives a firehose key. Same independent DuckDB " +
+        "ASOF oracle.",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        AsofJoin.asofJoinBucketed(clicks, purchases,
+            keyCols = Seq("user_id"), probeTsCol = "ts", buildTsCol = "ts",
+            payloadCols = Seq("purchase_value"), bucketMicros = DayMicros)
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |             MAX(value) AS purchase_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT c.event_id, c.user_id, c.ts,
+             |       p.ts AS matched_ts, p.purchase_value
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
       "q_asof_forward",
       "Forward as-of join: each click picks up the EARLIEST purchase " +
         "at-or-after it (pandas merge_asof direction='forward'; same " +

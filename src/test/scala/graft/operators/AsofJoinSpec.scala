@@ -89,6 +89,49 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one exchange:\n$plan")
   }
 
+  test("bucketed as-of equals the plain form across widths and options") {
+    // deterministic irregular timelines: builds sparse (cross-bucket
+    // carries and probe-only buckets guaranteed at small widths)
+    val b = (0 until 40).map { i =>
+      (i.toLong % 3, new Timestamp(1700000000000L + i * 7 * 60000L), i * 1.0)
+    }.toDF("user_id", "ts", "v")
+    val p = (0 until 200).map { i =>
+      (i.toLong % 5, new Timestamp(1700000000000L + i * 97 * 1000L), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"matched_ts", $"v")
+        .as[(Long, Option[Timestamp], Option[Double])].collect()
+        .sortBy(_._1).toSeq
+    for {
+      width <- Seq(60L * 1000000L, 3600L * 1000000L, 86400L * 1000000L)
+      dir <- Seq("backward", "forward")
+      strict <- Seq(false, true)
+    } {
+      val plain = canon(AsofJoin.asofJoin(p, b, Seq("user_id"), "ts", "ts",
+        Seq("v"), strict = strict, direction = dir))
+      val bucketed = canon(AsofJoin.asofJoinBucketed(p, b, Seq("user_id"),
+        "ts", "ts", Seq("v"), bucketMicros = width, strict = strict,
+        direction = dir))
+      assert(bucketed === plain, s"width=$width dir=$dir strict=$strict")
+    }
+    // tolerance path too
+    val tol = Some(expr("INTERVAL 10 MINUTES"))
+    assert(canon(AsofJoin.asofJoinBucketed(p, b, Seq("user_id"), "ts", "ts",
+        Seq("v"), bucketMicros = 3600L * 1000000L, tolerance = tol)) ===
+      canon(AsofJoin.asofJoin(p, b, Seq("user_id"), "ts", "ts",
+        Seq("v"), tolerance = tol)))
+  }
+
+  test("bucketed windows partition on (key, bucket) — no whole-key funnel") {
+    val plan = AsofJoin.asofJoinBucketed(probe, build, Seq("user_id"),
+        "ts", "ts", Seq("v"), bucketMicros = 3600L * 1000000L)
+      .queryExecution.executedPlan.toString
+    val mainWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [") && l.contains("__tag"))
+    mainWindows.foreach(l =>
+      assert(l.contains("__bkt"), s"carry window not bucket-partitioned: $l"))
+  }
+
   test("null payload values do not reach back to older matches") {
     val b = Seq((1L, ts("2024-01-01 10:00:00"), Some(5.0)),
       (1L, ts("2024-01-01 12:00:00"), Option.empty[Double]))
