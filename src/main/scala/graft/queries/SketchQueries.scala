@@ -224,5 +224,56 @@ object SketchQueries extends QueryPack {
               |FROM un
               |LEFT JOIN rho ON rho.sid = un.sid
               |LEFT JOIN ex ON ex.sid = un.sid
-              |ORDER BY sid_a""".stripMargin)))
+              |ORDER BY sid_a""".stripMargin)),
+
+    GQuery(
+      "q_cms_heavy",
+      "Count-min sketch as a relational grid: a 4x1024 counter table " +
+        "built by partial-aggregating groupBy (each task ships <= d*w " +
+        "cells regardless of scan size), persisted/joinable, with the " +
+        "top-20 tokens' min-over-rows estimates next to exact counts " +
+        "(CMS never underestimates). Grid and estimates replay " +
+        "bit-identically in SQL.",
+      (s, dir) => {
+        import graft.functions.{CmsSketch, TextAnalysis}
+        val depth = 4; val width = 1024
+        val occ = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .withColumn("__x", TextAnalysis.fingerprint(col("token")))
+        val cms = CmsSketch.build(occ, "__x", depth, width)
+        val top = occ.groupBy(col("token"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("token"))
+          .limit(20)
+          .withColumn("__x", TextAnalysis.fingerprint(col("token")))
+        CmsSketch.estimate(cms, top, "__x", depth, width)
+          .select(col("token"), col("n_exact"), col("cms_est"))
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+              |                            t -> length(t) > 0)) AS token
+              |  FROM documents),
+              |hx AS (SELECT token, ${DedupOracles.polyHash("token")} AS x FROM tk),
+              |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+              |cms AS (SELECT js.j,
+              |               (((x * 2654435761) % 1000000007
+              |                 + js.j * ((x * 2246822519) % 1000000007))
+              |                % 1000000007) % 1024 AS pos,
+              |               COUNT(*) AS cnt
+              |        FROM hx, js GROUP BY 1, 2),
+              |top AS (SELECT token, COUNT(*) AS n_exact FROM tk
+              |        GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+              |tx AS (SELECT t.token, t.n_exact,
+              |              ${DedupOracles.polyHash("t.token")} AS x
+              |       FROM top t),
+              |pe AS (SELECT tx.token, tx.n_exact, js.j,
+              |              (((x * 2654435761) % 1000000007
+              |                + js.j * ((x * 2246822519) % 1000000007))
+              |               % 1000000007) % 1024 AS pos
+              |       FROM tx, js)
+              |SELECT pe.token, pe.n_exact,
+              |       MIN(COALESCE(cms.cnt, 0)) AS cms_est
+              |FROM pe LEFT JOIN cms ON cms.j = pe.j AND cms.pos = pe.pos
+              |GROUP BY 1, 2 ORDER BY token""".stripMargin)))
 }
