@@ -61,6 +61,12 @@ object CorpusPipeline {
       classifierBuckets: Int = 512,
       classifierIters: Int = 2,
       decontaminationNgram: Int = 13,
+      // 0 = exact decontamination (shuffle join on shingle hashes);
+      // > 0 = Bloom-filter decontamination with that many bits — the
+      // zero-shuffle scan-predicate form for when the corpus side is
+      // the 100 TB side (deterministic false positives only ever drop
+      // MORE, never less — still benchmark-clean)
+      bloomDecontaminationBits: Int = 0,
       // leak clustering runs BELOW the dedup threshold: docs similar
       // enough to correlate but distinct enough to survive dedup must
       // still share a split
@@ -157,6 +163,9 @@ object CorpusPipeline {
     // 4. decontamination against the held-out benchmark
     val decon = stage(
       if (evalSet.isEmpty) q3
+      else if (cfg.bloomDecontaminationBits > 0)
+        BloomDecontaminate.decontaminate(q3, evalSet, idCol, textCol,
+          cfg.decontaminationNgram, mBits = cfg.bloomDecontaminationBits)
       else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
         cfg.decontaminationNgram))
 

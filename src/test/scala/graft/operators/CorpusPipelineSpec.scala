@@ -95,6 +95,20 @@ class CorpusPipelineSpec extends SparkSpec {
       s"span dedup should shorten the corpus ($totSpan vs $totBase)")
   }
 
+  test("bloom decontamination only ever drops MORE; huge filter equals exact") {
+    import spark.implicits._
+    val cfg = CorpusPipeline.Config(
+      langs = Seq("en", "de", "fr"), minChars = 100, packTokens = 256L)
+    def ids(c: CorpusPipeline.Config) =
+      CorpusPipeline.prepare(docs, evalSet, c, "doc_id", "text", "source")
+        .select($"doc_id").as[Long].collect().toSet
+    val exact = ids(cfg)
+    val bloomTight = ids(cfg.copy(bloomDecontaminationBits = 1 << 14))
+    val bloomAmple = ids(cfg.copy(bloomDecontaminationBits = 1 << 22))
+    assert(bloomTight.subsetOf(exact), "bloom kept a doc exact dropped")
+    assert(bloomAmple === exact, "ample bloom should equal exact")
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
