@@ -42,15 +42,35 @@ object RangeJoin {
     * @param lo,hi long interval bounds, `hi` exclusive; empty
     *              (`hi <= lo`) intervals match nothing
     */
+  /** Loud guard: an interval covering more than `maxBuckets` buckets
+    * (a mis-sized width against an outlier interval) would explode the
+    * sequence toward Spark's array ceiling and take the job down with
+    * an opaque error — fail with an actionable one instead. The guard
+    * column is consumed by a filter so the optimizer cannot prune the
+    * check away.
+    */
+  private def guarded(df: DataFrame, l: String, h: String, w: Long,
+      maxBuckets: Int): DataFrame =
+    df.withColumn("__nbkt", fdiv(col(h) - 1, w) - fdiv(col(l), w) + 1)
+      .withColumn("__guard", when(col("__nbkt") > maxBuckets,
+        raise_error(format_string(
+          s"range-join interval spans %s buckets (max $maxBuckets): " +
+            "raise bucketWidth or split the interval", col("__nbkt"))))
+        .otherwise(lit(0)))
+      .filter(col("__guard").isNull || col("__guard") === 0)
+      .drop("__nbkt", "__guard")
+
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       point: Column, lo: Column, hi: Column,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__p", point)
       .withColumn("__bkt", fdiv(col("__p"), bucketWidth))
-    val iv = intervals.withColumn("__lo", lo).withColumn("__hi", hi)
-      .filter(col("__hi") > col("__lo"))
+    val iv = guarded(
+        intervals.withColumn("__lo", lo).withColumn("__hi", hi)
+          .filter(col("__hi") > col("__lo")),
+        "__lo", "__hi", bucketWidth, maxBucketsPerInterval)
       .withColumn("__bkt", explode(sequence(
         fdiv(col("__lo"), bucketWidth), fdiv(col("__hi") - 1, bucketWidth))))
     p.join(iv, "__bkt")
@@ -68,11 +88,12 @@ object RangeJoin {
   def intervalOverlap(
       a: DataFrame, b: DataFrame,
       loA: Column, hiA: Column, loB: Column, hiB: Column,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def side(df: DataFrame, lo: Column, hi: Column, l: String, h: String) =
-      df.withColumn(l, lo).withColumn(h, hi)
-        .filter(col(h) > col(l))
+      guarded(
+        df.withColumn(l, lo).withColumn(h, hi).filter(col(h) > col(l)),
+        l, h, bucketWidth, maxBucketsPerInterval)
         .withColumn("__bkt", explode(sequence(
           fdiv(col(l), bucketWidth), fdiv(col(h) - 1, bucketWidth))))
     val ea = side(a, loA, hiA, "__loa", "__hia")

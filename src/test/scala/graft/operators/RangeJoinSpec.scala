@@ -64,6 +64,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (2L, 2L))) // only self-overlaps; 3 is empty
   }
 
+  test("a mis-sized width fails loudly with an actionable message") {
+    val giant = Seq((1L, 0L, 100000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, giant, $"x", $"lo", $"hi",
+        bucketWidth = 1L, maxBucketsPerInterval = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("raise bucketWidth")), msgs(e).mkString("|"))
+  }
+
   test("plan is a hash equi-join on the bucket, never a nested loop") {
     val plan = RangeJoin.pointInInterval(points, intervals,
         $"x", $"lo", $"hi", 8L)
