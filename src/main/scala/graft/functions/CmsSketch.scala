@@ -49,6 +49,8 @@ object CmsSketch {
   /** Point estimates for `candidates` (any frame carrying `valueCol`):
     * every candidate row gains `cms_est` = min over its depth cells.
     * The grid side is at most depth·width rows — always broadcastable.
+    * Candidates are grouped by their full column set, so duplicate
+    * candidate rows collapse to one output row.
     */
   def estimate(cms: DataFrame, candidates: DataFrame, valueCol: String,
       depth: Int, width: Int): DataFrame = {

@@ -79,7 +79,8 @@ object KmvSketch {
 
   /** Engine-portable uniform draw in [0, M) from a long column:
     * `((x mod P) * A) mod M` — exact long arithmetic both here and in
-    * the DuckDB oracle.
+    * the DuckDB oracle. Null inputs draw null — filter them before the
+    * typed aggregation (a null cannot be a distinct value of anything).
     */
   def draw(x: Column): Column = pmod(pmod(x, lit(P)) * lit(A), lit(M))
 

@@ -162,7 +162,9 @@ object AsofJoin {
     *
     * Choose `bucketMicros` ≈ the horizon you'd tolerate one task
     * sorting: a day for a month-scale stream, an hour for a firehose.
-    * Directions: backward/forward (compose both for nearest).
+    * Directions: backward/forward (compose both for nearest). Payload
+    * types must be orderable (the per-bucket edge rides a struct
+    * min/max) — no maps; the plain form has no such constraint.
     */
   def asofJoinBucketed(
       probe: DataFrame,
