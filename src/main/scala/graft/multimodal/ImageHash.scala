@@ -133,4 +133,35 @@ object ImageHash {
   def nearDupImagePairs(media: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 4): DataFrame =
     hammingPairs64(imageHashes(media, idCol, bytesCol), idCol, "phash", maxHamming)
+
+  /** (idCol, phash) of each MJPEG-AVI video's FIRST decodable frame —
+    * the cheap perceptual video fingerprint (re-encodes and container
+    * rewraps keep the opening frame; a different cut does not).
+    * Undecodable/non-avi payloads drop, same policy as images.
+    */
+  def videoFirstFrameHashes(media: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"),
+        Multimodal.sniffFormat(col(bytesCol)), col(bytesCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap {
+          case (id, "avi", bytes) =>
+            AviMjpeg.firstFrameImage(bytes).map(img => (id, aHash64(img)))
+          case _ => None
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-dup video pairs by first-frame aHash: decode via
+    * [[AviMjpeg]], then the shared banded Hamming join.
+    */
+  def nearDupVideoPairs(media: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 4): DataFrame =
+    hammingPairs64(videoFirstFrameHashes(media, idCol, bytesCol),
+      idCol, "phash", maxHamming)
 }

@@ -22,25 +22,44 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Magic-byte prefixes for format sniffing. */
+  /** Magic-byte prefixes for non-RIFF format sniffing. RIFF containers
+    * (wav, avi) share the same leading fourcc and are discriminated by
+    * the list type at byte offset 8 — see [[sniffFormat]].
+    */
   val Magic: Seq[(String, Array[Byte])] = Seq(
     "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
     "png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
     "gif" -> "GIF8".getBytes("US-ASCII"),
-    "wav" -> "RIFF".getBytes("US-ASCII"),
     "mp3" -> "ID3".getBytes("US-ASCII"))
+
+  /** Full 12-byte RIFF prefixes (size field zeroed) — fixture builders
+    * for synthetic payloads that must sniff as wav/avi.
+    */
+  val RiffWavePrefix: Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes("US-ASCII")
+  val RiffAviPrefix: Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII")
 
   private def hexOf(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 
   /** Container-format sniff from leading magic bytes — pure codegen'd
-    * expressions (hex + substring on binary), no UDF.
+    * expressions (hex + substring on binary), no UDF. RIFF containers
+    * discriminate on the list type at bytes 9-12: WAVE → wav,
+    * 'AVI ' → avi, anything else → the generic "riff".
     */
-  def sniffFormat(bytes: Column): Column =
-    Magic.foldRight(lit("unknown"): Column) { case ((name, magic), acc) =>
-      when(hex(substring(bytes, 1, magic.length)) === hexOf(magic), lit(name))
-        .otherwise(acc)
-    }
+  def sniffFormat(bytes: Column): Column = {
+    val riffKind =
+      when(hex(substring(bytes, 9, 4)) === hexOf("WAVE".getBytes("US-ASCII")), lit("wav"))
+        .when(hex(substring(bytes, 9, 4)) === hexOf("AVI ".getBytes("US-ASCII")), lit("avi"))
+        .otherwise(lit("riff"))
+    when(hex(substring(bytes, 1, 4)) === hexOf("RIFF".getBytes("US-ASCII")), riffKind)
+      .otherwise(
+        Magic.foldRight(lit("unknown"): Column) { case ((name, magic), acc) =>
+          when(hex(substring(bytes, 1, magic.length)) === hexOf(magic), lit(name))
+            .otherwise(acc)
+        })
+  }
 
   /** Structural byte features: size + head/tail fingerprints. */
   def byteFeatures(bytes: Column): Seq[Column] = Seq(
@@ -137,6 +156,23 @@ object Multimodal {
               width = in.getFrameLength.toInt, height = fmt.getSampleRate.toInt,
               channels = fmt.getChannels, contentHash = contentHash(bytes))
           } finally in.close()
+        case "avi" =>
+          // MJPEG-in-AVI: header dims + frame count from 'avih', color
+          // components from the first JPEG frame the JDK decodes
+          AviMjpeg.parse(bytes, maxFrames = 1) match {
+            case Some(info) =>
+              val firstFrame = AviMjpeg.firstFrameImage(bytes)
+              val w = if (info.width > 0) info.width
+                      else firstFrame.map(_.getWidth).getOrElse(0)
+              val h = if (info.height > 0) info.height
+                      else firstFrame.map(_.getHeight).getOrElse(0)
+              if (w <= 0 || h <= 0) StubCodec.decode(id, format, bytes)
+              else MediaFeatures(id, "avi", bytes.length.toLong,
+                width = w, height = h,
+                channels = firstFrame.map(_.getColorModel.getNumComponents).getOrElse(3),
+                contentHash = contentHash(bytes))
+            case None => StubCodec.decode(id, format, bytes)
+          }
         case _ => StubCodec.decode(id, format, bytes)
       } catch {
         case scala.util.control.NonFatal(_) => StubCodec.decode(id, format, bytes)

@@ -198,9 +198,12 @@ object EvalQueries extends QueryPack {
         val magic = Multimodal.Magic.toMap
         val docs = Tables.load(s, dir, "documents")
         val body = col("text").cast("binary")
-        val bytes = when(pmod(col("doc_id"), lit(4)) === 0, concat(lit(magic("jpeg")), body))
-          .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit(magic("png")), body))
-          .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit(magic("wav")), body))
+        val bytes = when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(magic("jpeg")), body))
+          .when(pmod(col("doc_id"), lit(5)) === 1, concat(lit(magic("png")), body))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(Multimodal.RiffWavePrefix), body))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit(Multimodal.RiffAviPrefix), body))
           .otherwise(body)
         docs.select(col("doc_id"), bytes.as("bytes"))
           .select(col("doc_id"),
@@ -214,19 +217,26 @@ object EvalQueries extends QueryPack {
       },
       Some("""WITH m AS (
              |  SELECT doc_id,
-             |    CASE CAST(doc_id % 4 AS INT)
+             |    CASE CAST(doc_id % 5 AS INT)
              |      WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || CAST(text AS BLOB)
              |      WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB || CAST(text AS BLOB)
-             |      WHEN 2 THEN 'RIFF'::BLOB || CAST(text AS BLOB)
+             |      WHEN 2 THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB
+             |                  || 'WAVE'::BLOB || CAST(text AS BLOB)
+             |      WHEN 3 THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB
+             |                  || 'AVI '::BLOB || CAST(text AS BLOB)
              |      ELSE CAST(text AS BLOB) END AS bytes
              |  FROM documents),
              |f AS (
              |  SELECT doc_id, CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
              |    CASE
+             |      WHEN substring(hex(bytes), 1, 8) = '52494646'
+             |           AND substring(hex(bytes), 17, 8) = '57415645' THEN 'wav'
+             |      WHEN substring(hex(bytes), 1, 8) = '52494646'
+             |           AND substring(hex(bytes), 17, 8) = '41564920' THEN 'avi'
+             |      WHEN substring(hex(bytes), 1, 8) = '52494646' THEN 'riff'
              |      WHEN substring(hex(bytes), 1, 6) = 'FFD8FF' THEN 'jpeg'
              |      WHEN substring(hex(bytes), 1, 8) = '89504E47' THEN 'png'
              |      WHEN substring(hex(bytes), 1, 8) = '47494638' THEN 'gif'
-             |      WHEN substring(hex(bytes), 1, 8) = '52494646' THEN 'wav'
              |      WHEN substring(hex(bytes), 1, 6) = '494433' THEN 'mp3'
              |      ELSE 'unknown' END AS format
              |  FROM m)

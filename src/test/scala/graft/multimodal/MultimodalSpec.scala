@@ -16,15 +16,17 @@ class MultimodalSpec extends SparkSpec {
     Seq(
       (1L, payload(Array(0xFF, 0xD8, 0xFF).map(_.toByte), "fake-jpeg-body-0123456789")),
       (2L, payload(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte), "fake-png")),
-      (3L, payload("RIFF".getBytes("US-ASCII"), "fake-wav-payload")),
-      (4L, "no magic here, just text".getBytes("UTF-8")))
+      (3L, payload(Multimodal.RiffWavePrefix, "fake-wav-payload")),
+      (4L, "no magic here, just text".getBytes("UTF-8")),
+      (5L, payload(Multimodal.RiffAviPrefix, "fake-avi-payload")))
       .toDF("media_id", "bytes")
   }
 
   test("sniffFormat reads magic bytes via pure expressions") {
     val kinds = media.select(col("media_id"), Multimodal.sniffFormat(col("bytes")).as("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(kinds == Map(1L -> "jpeg", 2L -> "png", 3L -> "wav", 4L -> "unknown"))
+    assert(kinds == Map(1L -> "jpeg", 2L -> "png", 3L -> "wav", 4L -> "unknown",
+      5L -> "avi"))
   }
 
   test("byteFeatures yields size + head hex + format") {
