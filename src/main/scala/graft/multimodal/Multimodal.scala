@@ -86,6 +86,32 @@ object Multimodal {
         col("f.frame_idx").as("frame_idx"), col("f.frame_bytes").as("frame_bytes"))
   }
 
+  /** REAL frame extraction from MJPEG-in-AVI payloads: one row per
+    * retained frame `(idCol, frame_idx, frame_bytes)`, each a complete
+    * JPEG — the vision-pipeline feed ([[ImageHash.imageHashes]] and
+    * the JvmCodec image branch consume them directly, since a JPEG
+    * frame sniffs as jpeg). Non-avi and unparseable payloads yield no
+    * rows; `maxFrames` bounds the fan-out per video the way
+    * [[sampleFrames]]'s `everyN` bounds the synthetic path.
+    */
+  def videoFrames(media: DataFrame, idCol: String, bytesCol: String,
+      maxFrames: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"), sniffFormat(col(bytesCol)), col(bytesCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap {
+          case (id, "avi", bytes) =>
+            AviMjpeg.parse(bytes, maxFrames).toSeq.flatMap(
+              _.frames.zipWithIndex.map { case (f, i) => (id, i, f) })
+          case _ => Nil
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame_bytes")
+  }
+
   // ---------------------------------------------------------------------
   // Decode boundary
   // ---------------------------------------------------------------------

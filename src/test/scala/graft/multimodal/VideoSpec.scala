@@ -97,6 +97,23 @@ class VideoSpec extends SparkSpec {
     assert(kinds === Map(1L -> "avi", 2L -> "wav", 3L -> "riff"))
   }
 
+  test("videoFrames feeds the image pipeline: frames sniff as jpeg and hash") {
+    import spark.implicits._
+    val media = Seq((1L, avi(seed = 5, nFrames = 4)),
+      (2L, "not a video".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val frames = Multimodal.videoFrames(media, "media_id", "bytes", maxFrames = 2)
+    val rows = frames.collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet === Set((1L, 0), (1L, 1)))
+    // extracted frames ARE images to the rest of the stack
+    val kinds = frames.select(Multimodal.sniffFormat(col("frame_bytes")).as("k"))
+      .as[String].collect().toSet
+    assert(kinds === Set("jpeg"))
+    val hashed = ImageHash.imageHashes(
+      frames.select(col("frame_idx").cast("long").as("fid"), col("frame_bytes")),
+      "fid", "frame_bytes")
+    assert(hashed.count() === 2)
+  }
+
   test("perceptual video dedup: noisy re-encode pairs, different content does not") {
     import spark.implicits._
     val media = Seq(

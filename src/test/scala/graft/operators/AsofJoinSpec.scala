@@ -143,6 +143,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.getTimestamp(1) === ts("2024-01-01 12:00:00"))
   }
 
+  test("empty build side: every probe row survives unmatched; empty probe: empty out") {
+    val noBuild = build.filter($"user_id" < 0)
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsofJoin.asofJoin(probe, noBuild, Seq("user_id"), "ts", "ts",
+        Seq("v"), direction = dir)
+      assert(out.count() === 6 && out.filter($"v".isNotNull).count() === 0, dir)
+    }
+    val noProbe = AsofJoin.asofJoin(probe.filter($"event_id" < 0), build,
+      Seq("user_id"), "ts", "ts", Seq("v"))
+    assert(noProbe.count() === 0)
+    val noBuildBucketed = AsofJoin.asofJoinBucketed(probe, noBuild,
+      Seq("user_id"), "ts", "ts", Seq("v"), bucketMicros = 3600L * 1000000L)
+    assert(noBuildBucketed.count() === 6 &&
+      noBuildBucketed.filter($"v".isNotNull).count() === 0)
+  }
+
   test("plan shuffles once on the key — no join node at all") {
     val plan = AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts", "ts", Seq("v"))
       .queryExecution.executedPlan.toString
