@@ -553,6 +553,42 @@ object TextQueries extends QueryPack {
               |       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
               |        AND ok_bullet_lines AND ok_ellipsis_lines
               |        AND ok_alpha_words AND ok_stopwords) AS gopher_pass
-              |FROM f ORDER BY doc_id""".stripMargin))
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_chunk_split",
+      "Fixed-token chunking with overlap (32-token windows advancing " +
+        "by 24): the retrieval/embedding-corpus preprocessing step " +
+        "before packing — one scan, pure array expressions, chunk " +
+        "fan-out bounded per doc; chunk text fingerprinted so the " +
+        "oracle verifies content, not just counts.",
+      (s, dir) => {
+        import graft.functions.TextAnalysis
+        graft.operators.ChunkSplit.chunkByTokens(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            chunkTokens = 32, overlap = 8)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_chunk_tokens"),
+            TextAnalysis.fingerprint(col("chunk_text")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |                             t -> length(t) > 0) AS tk
+              |  FROM documents),
+              |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+              |ix AS (SELECT doc_id, tk, n,
+              |              unnest(generate_series(0,
+              |                CAST(ceil(n / 24.0) AS INT) - 1)) AS chunk_idx
+              |       FROM nz),
+              |ch AS (SELECT doc_id, chunk_idx,
+              |              list_slice(tk, chunk_idx * 24 + 1,
+              |                         chunk_idx * 24 + 32) AS c
+              |       FROM ix WHERE chunk_idx * 24 < n)
+              |SELECT doc_id, chunk_idx,
+              |       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+              |       ${DedupOracles.polyHash("array_to_string(c, ' ')")} AS chunk_fp
+              |FROM ch
+              |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }
