@@ -43,7 +43,12 @@ object AviMjpeg {
     var frameCount = 0
     val frames = Seq.newBuilder[Array[Byte]]
 
-    def walk(start: Int, end: Int): Unit = {
+    // depth-capped: a hostile payload nesting thousands of LISTs would
+    // otherwise overflow the stack — an error NonFatal does NOT catch,
+    // so it would kill the task instead of falling back to the stub.
+    // Real AVIs nest 3-4 levels.
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var pos = start
       while (pos + 8 <= end) {
         val id = fourcc(bytes, pos)
@@ -53,7 +58,7 @@ object AviMjpeg {
         val dataEnd = dataStart + size.toInt
         id match {
           case "LIST" if size >= 4 =>
-            walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+            walk(dataStart + 4, dataEnd, depth + 1) // skip the list-type fourcc
           case "avih" if size >= 40 =>
             headerFrames = u32(bytes, dataStart + 16).toInt
             width = u32(bytes, dataStart + 32).toInt
@@ -67,7 +72,7 @@ object AviMjpeg {
         pos = dataEnd + (size.toInt & 1) // chunks pad to even offsets
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     if (width <= 0 && frameCount == 0) None
     else Some(AviInfo(width, height,
       math.max(headerFrames, frameCount), frames.result()))

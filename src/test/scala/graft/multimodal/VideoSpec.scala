@@ -72,6 +72,11 @@ class VideoSpec extends SparkSpec {
     val evil = good.clone()
     le32(Int.MaxValue).copyToArray(evil, 16)
     AviMjpeg.parse(evil) // must not over-read or throw
+    // thousands of nested LISTs: must not blow the stack
+    val deep = (1 to 20000).foldLeft("x".getBytes("US-ASCII")) {
+      (inner, _) => chunk("LIST", "junk".getBytes("US-ASCII") ++ inner)
+    }
+    AviMjpeg.parse(chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ deep))
   }
 
   test("JvmCodec decodes avi: real dims, frame channels, no stub fallback") {
