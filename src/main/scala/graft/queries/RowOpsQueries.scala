@@ -160,6 +160,51 @@ object RowOpsQueries extends QueryPack {
              |  COUNT(DISTINCT c_nationkey) AS distinct_c_nationkey,
              |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_acctbal,
              |  COUNT(DISTINCT c_acctbal) AS distinct_c_acctbal
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    GQuery(
+      "q_temperature_mix",
+      "Temperature-flattened source mixture (sample ~ n^0.5, the " +
+        "standard pretraining rebalance): per-(source,lang)-segment " +
+        "quotas by largest-remainder rounding over integer weights " +
+        "floor(1e6*sqrt(n)) — sqrt is IEEE-correctly-rounded on every " +
+        "engine, so quotas and the kept rows replay exactly; selection " +
+        "is each segment's smallest hash-draws.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("seg", concat_ws("/", col("source"), col("lang")))
+        graft.operators.TemperatureMix.sampleSqrtTemperature(
+            docs, "seg", "doc_id", totalDocs = 200L)
+          .select(col("seg"), col("doc_id"))
+          .orderBy(col("seg"), col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT source || '/' || lang AS seg,
+             |                  CAST(COUNT(*) AS BIGINT) AS n
+             |           FROM documents GROUP BY 1),
+             |w AS (SELECT seg, n,
+             |             CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+             |      FROM c),
+             |t AS (SELECT SUM(wt) AS tw FROM w),
+             |q AS (SELECT seg, n, (200 * wt) // t.tw AS q0,
+             |             (200 * wt) % t.tw AS rem
+             |      FROM w, t),
+             |l AS (SELECT seg, n, q0, rem,
+             |             ROW_NUMBER() OVER (ORDER BY rem DESC, seg) AS rr
+             |      FROM q),
+             |lo AS (SELECT 200 - SUM(q0) AS leftover FROM q),
+             |quota AS (SELECT seg,
+             |                 LEAST(q0 + CASE WHEN rr <= lo.leftover
+             |                            THEN 1 ELSE 0 END, n) AS quota
+             |          FROM l, lo),
+             |r AS (SELECT source || '/' || lang AS seg, doc_id,
+             |             ROW_NUMBER() OVER (
+             |               PARTITION BY source || '/' || lang
+             |               ORDER BY ((doc_id % 1000000007) * 2654435761)
+             |                        % 1000000007, doc_id) AS rk
+             |      FROM documents)
+             |SELECT r.seg, r.doc_id
+             |FROM r JOIN quota USING (seg)
+             |WHERE r.rk <= quota.quota
+             |ORDER BY seg, doc_id""".stripMargin))
   )
 }
