@@ -205,6 +205,42 @@ object RowOpsQueries extends QueryPack {
              |SELECT r.seg, r.doc_id
              |FROM r JOIN quota USING (seg)
              |WHERE r.rk <= quota.quota
-             |ORDER BY seg, doc_id""".stripMargin))
+             |ORDER BY seg, doc_id""".stripMargin)),
+
+    GQuery(
+      "q_corpus_diff",
+      "Corpus snapshot diff: added/removed/changed/unchanged by id " +
+        "presence + content fingerprint — a full-outer equi-join " +
+        "moving only 8-byte hashes, never text; the audit between two " +
+        "pipeline generations.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val after = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.operators.CorpusDiff.diffSummary(docs, after, "doc_id", "text")
+          .orderBy(col("status"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, text FROM documents),
+             |a AS (SELECT doc_id,
+             |             CASE WHEN doc_id % 7 = 0 THEN text || ' rev'
+             |                  ELSE text END AS text
+             |      FROM documents WHERE doc_id % 10 <> 0
+             |      UNION ALL
+             |      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+             |fb AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM b),
+             |fa AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM a),
+             |j AS (SELECT COALESCE(fb.doc_id, fa.doc_id) AS doc_id,
+             |             CASE WHEN fb.f IS NULL THEN 'added'
+             |                  WHEN fa.f IS NULL THEN 'removed'
+             |                  WHEN fb.f = fa.f THEN 'unchanged'
+             |                  ELSE 'changed' END AS status
+             |      FROM fb FULL OUTER JOIN fa ON fb.doc_id = fa.doc_id)
+             |SELECT status, COUNT(*) AS n_docs,
+             |       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+             |FROM j GROUP BY status ORDER BY status""".stripMargin))
   )
 }
