@@ -187,7 +187,13 @@ object Multimodal {
           // components from the first JPEG frame the JDK decodes
           AviMjpeg.parse(bytes, maxFrames = 1) match {
             case Some(info) =>
-              val firstFrame = AviMjpeg.firstFrameImage(bytes)
+              // decode the already-extracted frame: re-parsing the
+              // container here would walk the RIFF tree twice per row
+              val firstFrame = info.frames.headOption.flatMap { f =>
+                try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(f)))
+                catch { case scala.util.control.NonFatal(_) => None }
+              }
               val w = if (info.width > 0) info.width
                       else firstFrame.map(_.getWidth).getOrElse(0)
               val h = if (info.height > 0) info.height

@@ -190,11 +190,8 @@ object AsofJoin {
     val buildTag = if (strict) 1 else 0
     val probeTag = 1 - buildTag
     val passCols = probeCols.filterNot(c => keyCols.contains(c) || c == probeTsCol)
-    def bucketOf(ts: Column): Column = {
-      val x = unix_micros(ts)
-      ((x - pmod(x, lit(bucketMicros))).cast("decimal(38,0)") / lit(bucketMicros))
-        .cast("long")
-    }
+    def bucketOf(ts: Column): Column =
+      RangeJoin.fdiv(unix_micros(ts), bucketMicros)
 
     val buildSide = build
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&

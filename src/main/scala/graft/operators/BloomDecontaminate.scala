@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graftvec.TextHashExpr
 
-import graft.functions.TextAnalysis
-import graft.operators.TextDedup.P
+import graft.functions.{CmsSketch, TextAnalysis}
 
 /** Bloom-filter decontamination: the shuffle-free form of
   * [[Decontaminate]]. The eval suite's n-gram hashes are folded into a
@@ -28,16 +27,12 @@ import graft.operators.TextDedup.P
   */
 object BloomDecontaminate {
 
-  private val A = 2654435761L // Knuth multiplicative
-  private val B = 2246822519L // xxhash PRIME32_2
-
-  /** Probe position i of shingle hash `h` (double hashing:
-    * `(h·A mod P + i·(h·B mod P)) mod P mod m`); all intermediates
-    * stay below 2^63.
+  /** Probe position i of shingle hash `h` — THE portable double hash,
+    * shared with [[CmsSketch.position]] so the Spark expression and
+    * every oracle mirror have one definition to stay in sync with.
     */
   def position(h: Column, i: Int, mBits: Int): Column =
-    pmod(pmod(h * lit(A), lit(P)) + lit(i.toLong) * pmod(h * lit(B), lit(P)),
-      lit(P)) % lit(mBits.toLong)
+    CmsSketch.position(h, lit(i.toLong), mBits)
 
   /** Driver-built bit words (m/64 longs) holding every probe position
     * of the eval corpus's distinct word n-gram hashes. Driver traffic

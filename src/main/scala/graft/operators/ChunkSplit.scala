@@ -23,17 +23,21 @@ import graft.functions.TextAnalysis
 object ChunkSplit {
 
   /** One row per chunk: `(idCol, chunk_idx, chunk_text,
-    * n_chunk_tokens)`. Token-less documents yield no rows. The final
-    * chunk may be shorter than `chunkTokens`; a chunk is emitted only
-    * if it starts before the token count (no empty trailing chunk).
+    * n_chunk_tokens)` — exactly `max(1, ceil((n-overlap)/step))`
+    * chunks per document with n tokens. Token-less documents yield no
+    * rows. The final chunk may be shorter than `chunkTokens`; a chunk
+    * whose tokens are all inside its predecessor's overlap (zero NEW
+    * tokens) is never emitted.
     */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlap: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need chunkTokens > overlap >= 0")
     val step = chunkTokens - overlap
-    // chunks start at 0, step, 2*step, ... while start < n
-    val nChunks = ceil(col("__n").cast("double") / step).cast("int")
+    // chunks start at 0, step, 2*step, ...; the last chunk must bring
+    // at least one token past the previous chunk's overlap
+    val nChunks = greatest(
+      ceil((col("__n") - overlap).cast("double") / step).cast("int"), lit(1))
     docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .withColumn("__n", size(col("__tk")))

@@ -15,16 +15,23 @@ import graft.functions.TextAnalysis
   */
 object CorpusDiff {
 
-  /** Per-document status: `(idCol, status)` over the union of ids. */
+  /** Per-document status: `(idCol, status)` over the union of ids.
+    * Presence is tracked with explicit per-side flags — a null-text
+    * document has a null fingerprint, and inferring presence from
+    * fingerprint nullness would misclassify it; null fingerprints
+    * compare null-safely, so two null-text snapshots are `unchanged`.
+    */
   def diff(before: DataFrame, after: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame, out: String) = df.select(
-      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(out))
-    fp(before, "__fa").join(fp(after, "__fb"), Seq(idCol), "full_outer")
+    def fp(df: DataFrame, out: String, here: String) = df.select(
+      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(out),
+      lit(true).as(here))
+    fp(before, "__fa", "__inA")
+      .join(fp(after, "__fb", "__inB"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fa").isNull, lit("added"))
-          .when(col("__fb").isNull, lit("removed"))
-          .when(col("__fa") === col("__fb"), lit("unchanged"))
+        when(col("__inA").isNull, lit("added"))
+          .when(col("__inB").isNull, lit("removed"))
+          .when(col("__fa") <=> col("__fb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

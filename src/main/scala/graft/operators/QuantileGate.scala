@@ -23,7 +23,10 @@ object QuantileGate {
 
   /** Rows of `df` whose `valueCol` lies within the group's
     * [pLo, pHi] discrete quantiles (bounds inclusive — they are real
-    * group elements).
+    * group elements). The bounds join back null-safely: rows whose
+    * group key is null form their own group and are gated like any
+    * other — a plain equi-join would silently DROP them, which a
+    * filter operator must never do.
     */
   def gate(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
@@ -32,8 +35,11 @@ object QuantileGate {
       .agg(
         expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)").as("__lo"),
         expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)").as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__lo"), col("__hi")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(bounds), cond)
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 }

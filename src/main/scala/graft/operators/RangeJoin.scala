@@ -30,7 +30,7 @@ object RangeJoin {
     * bucket edge (Spark's `/` on longs returns double). Correct for
     * negative axis values, unlike truncating division.
     */
-  private def fdiv(x: Column, w: Long): Column =
+  private[operators] def fdiv(x: Column, w: Long): Column =
     ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** Inner point-in-interval join: rows of `points` × rows of
@@ -60,11 +60,21 @@ object RangeJoin {
       .filter(col("__guard").isNull || col("__guard") === 0)
       .drop("__nbkt", "__guard")
 
+  private val Reserved = Set("__p", "__lo", "__hi", "__bkt", "__nbkt",
+    "__guard", "__loa", "__hia", "__lob", "__hib")
+
+  private def requireNoReserved(frames: DataFrame*): Unit = {
+    val clash = frames.flatMap(_.columns).filter(Reserved)
+    require(clash.isEmpty,
+      s"input columns collide with range-join working names: ${clash.mkString(", ")}")
+  }
+
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       point: Column, lo: Column, hi: Column,
       bucketWidth: Long, maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireNoReserved(points, intervals)
     val p = points.withColumn("__p", point)
       .withColumn("__bkt", fdiv(col("__p"), bucketWidth))
     val iv = guarded(
@@ -90,6 +100,7 @@ object RangeJoin {
       loA: Column, hiA: Column, loB: Column, hiB: Column,
       bucketWidth: Long, maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireNoReserved(a, b)
     def side(df: DataFrame, lo: Column, hi: Column, l: String, h: String) =
       guarded(
         df.withColumn(l, lo).withColumn(h, hi).filter(col(h) > col(l)),

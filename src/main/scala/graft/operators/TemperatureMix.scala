@@ -30,21 +30,28 @@ object TemperatureMix {
   private val P = 1000000007L
   private val A = 2654435761L
 
-  /** α = 0.5 temperature sample of `totalDocs` rows across segments. */
+  /** α = 0.5 temperature sample of `totalDocs` rows across segments.
+    * Rows with a null segment are excluded (a null segment is not a
+    * mixture source); quota arithmetic runs in BigInt — at the target
+    * scale `totalDocs * weight` overflows a long (1e9 docs against a
+    * 2.5e10-doc segment is past 2^63) and a silent wraparound would
+    * drop whole segments.
+    */
   def sampleSqrtTemperature(df: DataFrame, segCol: String, idCol: String,
       totalDocs: Long): DataFrame = {
     require(totalDocs > 0, "totalDocs must be positive")
-    val counts = df.groupBy(col(segCol).cast("string").as("__seg"))
+    val nonNull = df.filter(col(segCol).isNotNull)
+    val counts = nonNull.groupBy(col(segCol).cast("string").as("__seg"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
     // integer weights after the one exactly-rounded float op
     val weighted = counts.map { case (seg, n) =>
-      (seg, n, (1e6 * math.sqrt(n.toDouble)).toLong)
+      (seg, n, BigInt((1e6 * math.sqrt(n.toDouble)).toLong))
     }
     val w = weighted.map(_._3).sum
     val base = weighted.map { case (seg, n, wt) =>
-      (seg, n, totalDocs * wt / w, totalDocs * wt % w)
+      (seg, n, (BigInt(totalDocs) * wt / w).toLong, BigInt(totalDocs) * wt % w)
     }
     val leftover = totalDocs - base.map(_._3).sum
     // largest remainder first, ties to the lexicographically first seg
@@ -59,7 +66,7 @@ object TemperatureMix {
     val draw = pmod(pmod(col(idCol).cast("long"), lit(P)) * lit(A), lit(P))
     val rk = row_number().over(
       Window.partitionBy(col("__seg")).orderBy(draw, col(idCol)))
-    df.withColumn("__seg", col(segCol).cast("string"))
+    nonNull.withColumn("__seg", col(segCol).cast("string"))
       .withColumn("__rk", rk)
       .join(broadcast(quotaDf), "__seg")
       .filter(col("__rk") <= col("__quota"))

@@ -579,7 +579,8 @@ object TextQueries extends QueryPack {
               |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
               |ix AS (SELECT doc_id, tk, n,
               |              unnest(generate_series(0,
-              |                CAST(ceil(n / 24.0) AS INT) - 1)) AS chunk_idx
+              |                GREATEST(CAST(ceil((n - 8) / 24.0) AS INT), 1) - 1))
+              |                AS chunk_idx
               |       FROM nz),
               |ch AS (SELECT doc_id, chunk_idx,
               |              list_slice(tk, chunk_idx * 24 + 1,
