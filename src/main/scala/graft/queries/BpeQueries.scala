@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.functions.TextAnalysis
+import graft.operators.BpeLearn
+
+/** BPE tokenizer training over the documents corpus, oracle-checked:
+  * the DuckDB mirror replays the full learner — word-frequency table,
+  * per-round pair counts, argmax merge selection, and merge application
+  * via the shared wrapped-token `replace()` semantics — with three
+  * unrolled MATERIALIZED rounds (plain CTEs re-expand exponentially down
+  * the chain, the same lesson as the full-pipeline oracle). The merge
+  * choices feed the oracle DYNAMICALLY (each round's argmax row is
+  * cross-joined into the next round's replace), so nothing about the
+  * learned tokenizer is hard-coded on either side.
+  */
+object BpeQueries extends QueryPack {
+
+  private val Rounds = 3
+
+  private val oToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
+
+  /** w0 (word-frequency) + `Rounds` unrolled (pair-count, argmax, apply)
+    * round CTEs: w0 → p0 → m0 → w1 → … → w`Rounds`.
+    */
+  private def oLearnCtes: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS toks, count(*) AS freq
+         |  FROM (SELECT unnest($oToks) AS w FROM documents) u
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (0 until Rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS pc
+         |  FROM (SELECT string_split(trim(toks), '  ') AS t, freq FROM w$i) x,
+         |       UNNEST(range(1, len(t))) AS ix(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT replace(toks, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS toks, freq
+         |  FROM w$i, m$i m)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_bpe_learn",
+      "Distributed BPE tokenizer training (Sennrich et al. 2016): one " +
+        "corpus scan builds the compact word-frequency table, then each " +
+        "merge round is a pair-count groupBy + TakeOrdered argmax on it " +
+        "— corpus-size-independent iteration. Oracle replays all rounds.",
+      (s, dir) => {
+        val res = BpeLearn.learn(Tables.load(s, dir, "documents"), "text", Rounds)
+        BpeLearn.mergesDf(s, res.merges).orderBy(col("rank"))
+      },
+      Some(s"""WITH $oLearnCtes
+              |SELECT 0 AS rank, l AS "left", r AS "right", CAST(pc AS BIGINT) AS pair_count FROM m0
+              |UNION ALL SELECT 1, l, r, CAST(pc AS BIGINT) FROM m1
+              |UNION ALL SELECT 2, l, r, CAST(pc AS BIGINT) FROM m2
+              |ORDER BY rank""".stripMargin)),
+
+    GQuery(
+      "q_bpe_vocab",
+      "Post-merge subword vocabulary with corpus frequencies, read off " +
+        "the learner's final word-frequency state — the corpus is never " +
+        "rescanned after the single word-count pass.",
+      (s, dir) => {
+        val res = BpeLearn.learn(Tables.load(s, dir, "documents"), "text", Rounds)
+        BpeLearn.vocabulary(res.wordFreq).orderBy(col("token"))
+      },
+      Some(s"""WITH $oLearnCtes
+              |SELECT token, CAST(SUM(freq) AS BIGINT) AS token_count
+              |FROM (SELECT unnest(string_split(trim(toks), '  ')) AS token, freq
+              |      FROM w$Rounds) u
+              |GROUP BY token ORDER BY token""".stripMargin)),
+
+    GQuery(
+      "q_bpe_encode",
+      "Corpus encoded with the learned merges: per-word wrapped-token " +
+        "replace chain, pure scan-time codegen (the merge table rides as " +
+        "literals — no join). Verified by token count + a rolling-hash " +
+        "fingerprint of the full token stream per document.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val res = BpeLearn.learn(docs, "text", Rounds)
+        docs
+          .select(col("doc_id"),
+            BpeLearn.encodeExpr(col("text"), res.merges).as("__t"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            TextAnalysis.fingerprint(concat_ws(" ", col("__t"))).as("tok_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $oLearnCtes,
+              |enc AS (
+              |  SELECT d.doc_id,
+              |    flatten(list_transform($oToks,
+              |      w -> string_split(trim(
+              |        replace(replace(replace(regexp_replace(w, '(.)', ' \\1 ', 'g'),
+              |          ' '||m0.l||'  '||m0.r||' ', ' '||m0.l||m0.r||' '),
+              |          ' '||m1.l||'  '||m1.r||' ', ' '||m1.l||m1.r||' '),
+              |          ' '||m2.l||'  '||m2.r||' ', ' '||m2.l||m2.r||' ')), '  '))) AS tks
+              |  FROM documents d, m0, m1, m2)
+              |SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+              |  ${DedupOracles.polyHash("array_to_string(tks, ' ')")} AS tok_fp
+              |FROM enc ORDER BY doc_id""".stripMargin))
+  )
+}
