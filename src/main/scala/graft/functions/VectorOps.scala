@@ -59,6 +59,14 @@ object VectorOps {
 
   def oNorm(a: String): String = s"sqrt(${oDot(a, a)})"
 
+  /** DuckDB mirror of [[distSq]]: identical left-fold of (a-b)². */
+  def oDistSq(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
   def oCosine(a: String, b: String): String =
     s"(${oDot(a, b)} / (${oNorm(a)} * ${oNorm(b)}))"
 
