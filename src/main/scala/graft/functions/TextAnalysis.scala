@@ -121,6 +121,40 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % FingerprintMod)
 
+  /** Character-entropy gate for training corpora — the classic trap it
+    * catches: low-entropy junk (aaaa…, base64-ish runs, template spam)
+    * that length/stopword ratios miss. Everything is a per-row scan
+    * expression with ZERO shuffles (no explode+groupBy histogram): the
+    * per-character counts come from filter() over the char array, the
+    * weighted log-sum is an exact integer fold in 1e-6 fixed point —
+    * `entropySum = Σ cnt(c)·floor(1e6·ln cnt(c))` over distinct chars
+    * — so cross-engine equality needs only ln on SMALL INTEGER
+    * arguments (the TF-IDF determinism contract, one notch safer).
+    *
+    * Shannon entropy in nats is `ln L − entropySum/(1e6·L)`; the gate
+    * below compares it to a threshold entirely in integers.
+    */
+  def charEntropySum(text: Column): Column = {
+    val chars = split(text, "")
+    val iln: Column => Column = c => floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(array_distinct(chars),
+          c => size(filter(chars, x => x === c)).cast("long")),
+        lit(0L),
+        (acc, cnt) => acc + cnt * iln(cnt)))
+  }
+
+  /** True when char entropy ≥ `milliNats/1000` nats, decided in exact
+    * integer arithmetic: H ≥ τ ⟺ L·(iln(L) − 1000·milliNats) ≥ entropySum.
+    */
+  def charEntropyGate(text: Column, milliNats: Int): Column = {
+    val L = length(text).cast("long")
+    val ilnL = floor(lit(1e6) * log(L.cast("double"))).cast("long")
+    when(L === 0, lit(false)).otherwise(
+      L * (ilnL - lit(1000L * milliNats)) >= charEntropySum(text))
+  }
+
   /** PII-style redaction for training corpora: emails and long digit
     * runs replaced by typed tags. Patterns use explicit character
     * classes only (no \d/\w shorthands), so the Java-regex and

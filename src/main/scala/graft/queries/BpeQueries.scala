@@ -109,6 +109,47 @@ object BpeQueries extends QueryPack {
               |  FROM documents d, m0, m1, m2)
               |SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
               |  ${DedupOracles.polyHash("array_to_string(tks, ' ')")} AS tok_fp
-              |FROM enc ORDER BY doc_id""".stripMargin))
+              |FROM enc ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_bpe_fertility",
+      "Tokenizer fertility report per language — subword tokens per " +
+        "word under the learned merges, the standard tokenizer-quality " +
+        "metric (high fertility = the vocabulary serves that language " +
+        "badly). Fixed-point micro ratio keeps the report " +
+        "engine-portable.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val res = BpeLearn.learn(docs, "text", Rounds)
+        docs
+          .select(col("lang"),
+            size(graft.functions.TextAnalysis.tokens(col("text")))
+              .cast("long").as("__w"),
+            size(BpeLearn.encodeExpr(col("text"), res.merges))
+              .cast("long").as("__t"))
+          .groupBy(col("lang"))
+          .agg(sum(col("__w")).as("n_words"), sum(col("__t")).as("n_tokens"))
+          .withColumn("fertility_micro",
+            floor(lit(1e6) * col("n_tokens").cast("double")
+              / col("n_words").cast("double")).cast("long"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $oLearnCtes,
+              |enc AS (
+              |  SELECT d.lang,
+              |    CAST(len($oToks) AS BIGINT) AS w,
+              |    CAST(len(flatten(list_transform($oToks,
+              |      w2 -> string_split(trim(
+              |        replace(replace(replace(regexp_replace(w2, '(.)', ' \\1 ', 'g'),
+              |          ' '||m0.l||'  '||m0.r||' ', ' '||m0.l||m0.r||' '),
+              |          ' '||m1.l||'  '||m1.r||' ', ' '||m1.l||m1.r||' '),
+              |          ' '||m2.l||'  '||m2.r||' ', ' '||m2.l||m2.r||' ')), '  '))))
+              |      AS BIGINT) AS t
+              |  FROM documents d, m0, m1, m2)
+              |SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,
+              |       CAST(SUM(t) AS BIGINT) AS n_tokens,
+              |       CAST(FLOOR(1e6 * CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS BIGINT)
+              |         AS fertility_micro
+              |FROM enc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -590,6 +590,38 @@ object TextQueries extends QueryPack {
               |       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
               |       ${DedupOracles.polyHash("array_to_string(c, ' ')")} AS chunk_fp
               |FROM ch
-              |ORDER BY doc_id, chunk_idx""".stripMargin))
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    GQuery(
+      "q_char_entropy",
+      "Character-entropy quality gate (catches aaaa.../base64/template " +
+        "spam that length and stopword ratios miss): per-row scan " +
+        "expression with ZERO shuffles, weighted log-sum as an exact " +
+        "integer fold in 1e-6 fixed point so only ln on small integers " +
+        "must agree across engines. Gate at 2.8 nats decided fully in " +
+        "integers.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            charEntropySum(col("text")).as("ent_sum"),
+            charEntropyGate(col("text"), milliNats = 2800).as("ok_entropy"))
+          .orderBy(col("doc_id")),
+      Some("""WITH e AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+             |    CASE WHEN length(text) = 0 THEN 0 ELSE
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(list_distinct(string_split(text, '')),
+             |          c -> CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS BIGINT)
+             |             * CAST(FLOOR(1e6 * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE))) AS BIGINT))),
+             |        (acc, x) -> acc + x)
+             |    END AS ent_sum
+             |  FROM documents)
+             |SELECT doc_id, ent_sum,
+             |       CASE WHEN L = 0 THEN FALSE ELSE
+             |         L * (CAST(FLOOR(1e6 * ln(CAST(L AS DOUBLE))) AS BIGINT) - 2800000)
+             |           >= ent_sum
+             |       END AS ok_entropy
+             |FROM e ORDER BY doc_id""".stripMargin))
   )
 }
