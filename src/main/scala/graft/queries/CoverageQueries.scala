@@ -463,6 +463,38 @@ object CoverageQueries extends QueryPack {
       },
       Some(SemanticDedupOracle)),
 
+    GQuery(
+      "q_embed_outliers",
+      "Prototypicality pruning (Sorscher et al. 2022): score every " +
+        "vector by cosine to its refined k-means cell centroid " +
+        "(centroids ride as plan literals — scoring is one scan, zero " +
+        "joins), keep the per-cell top 4/5 by exact integer " +
+        "cross-multiplication. Oracle replays quantizer, scores, and " +
+        "the keep rule.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.EmbedOutliers.pruneOutliers(
+          emb, "vec_id", "embedding", nlist = 8, keepNum = 4, keepDen = 5)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $KmeansCtes,
+              |sc AS (
+              |  SELECT e.vec_id, f.cell,
+              |         ${oDot("e.embedding", "c.cv")} / ${VectorOps.oNorm("e.embedding")}
+              |           AS proto_score
+              |  FROM fin f
+              |  JOIN centu2 c ON c.cell = f.cell
+              |  JOIN eb e ON e.vec_id = f.vec_id
+              |  WHERE f.rn = 1),
+              |rk AS (
+              |  SELECT vec_id, cell, proto_score,
+              |         ROW_NUMBER() OVER (PARTITION BY cell
+              |           ORDER BY proto_score DESC, vec_id) AS rn,
+              |         COUNT(*) OVER (PARTITION BY cell) AS n
+              |  FROM sc)
+              |SELECT vec_id, CAST(cell AS BIGINT) AS cell, proto_score
+              |FROM rk WHERE rn * 5 <= n * 4 ORDER BY vec_id""".stripMargin)),
+
     // -- schema-linking metrics (reference core/evaluate.py:305-396) --------
     GQuery(
       "q_schema_metrics",
