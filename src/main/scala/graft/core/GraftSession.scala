@@ -42,6 +42,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CacheBin.drain intentionally unpersists eagerly-localCheckpointed
+    // frames once their query has fully consumed them (the block-leak
+    // fix); Spark logs a WARN per released RDD ("was locally
+    // checkpointed ... cannot be recomputed after unpersisting") purely
+    // to flag that the RDD must not be reused — which drain guarantees.
+    // Silence that single benign logger so real warnings stay visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

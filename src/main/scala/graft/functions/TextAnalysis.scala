@@ -135,14 +135,34 @@ object TextAnalysis {
     * below compares it to a threshold entirely in integers.
     */
   def charEntropySum(text: Column): Column = {
-    val chars = split(text, "")
+    // histogram via ONE sorted traversal: sort the chars (O(L log L)),
+    // then a single aggregate() fold walks the runs with a
+    // (sum, prev, runLen) struct accumulator, closing each run into
+    // cnt·iln(cnt). The count-weighted sum is order-free integer
+    // arithmetic, so engine collation cannot matter — any total order
+    // groups equal chars adjacently, which is all the fold needs.
+    //
+    // The sorted array is referenced EXACTLY ONCE: HOFs are interpreted
+    // (not whole-stage codegen), and a subexpression referenced inside
+    // a lambda re-evaluates per ELEMENT — a first cut that did
+    // element_at(sorted, i) in a filter lambda re-sorted the array L
+    // times per row (O(L²·log L), a runaway bench entry); the same trap
+    // as the original per-distinct-char rescan, one power worse.
     val iln: Column => Column = c => floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    def close(sum: Column, run: Column): Column =
+      sum + when(run === 0L, lit(0L)).otherwise(run * iln(run))
     when(length(text) === 0, lit(0L)).otherwise(
       aggregate(
-        transform(array_distinct(chars),
-          c => size(filter(chars, x => x === c)).cast("long")),
-        lit(0L),
-        (acc, cnt) => acc + cnt * iln(cnt)))
+        array_sort(split(text, "")),
+        struct(lit(0L).as("sum"), lit("").as("prev"), lit(0L).as("run")),
+        (acc, c) => when(c === acc.getField("prev"),
+            struct(acc.getField("sum").as("sum"),
+              acc.getField("prev").as("prev"),
+              (acc.getField("run") + 1).as("run")))
+          .otherwise(struct(
+            close(acc.getField("sum"), acc.getField("run")).as("sum"),
+            c.as("prev"), lit(1L).as("run"))),
+        acc => close(acc.getField("sum"), acc.getField("run"))))
   }
 
   /** True when char entropy ≥ `milliNats/1000` nats, decided in exact

@@ -85,7 +85,10 @@ object BpeLearn {
     */
   def learn(df: DataFrame, textCol: String, numMerges: Int,
       checkpointEvery: Int = 16): LearnResult = {
-    var wf = wordFreqTable(df, textCol).localCheckpoint()
+    // checkpoints route through CacheBin so their blocks are released
+    // at the pipeline boundary, not held for the session's lifetime
+    var wf = graft.core.CacheBin.trackCheckpoint(
+      wordFreqTable(df, textCol).localCheckpoint(true))
     val merges = ArrayBuffer.empty[Merge]
     var rank = 0
     var exhausted = false
@@ -102,7 +105,8 @@ object BpeLearn {
         // bound plan depth: the replace chain is narrow codegen, but an
         // unbounded nest would eventually blow past the codegen/analyzer
         // budget — cut lineage periodically, releasing nothing external
-        if (rank % checkpointEvery == 0) wf = wf.localCheckpoint()
+        if (rank % checkpointEvery == 0)
+          wf = graft.core.CacheBin.trackCheckpoint(wf.localCheckpoint(true))
       }
     }
     LearnResult(merges.toSeq, wf)

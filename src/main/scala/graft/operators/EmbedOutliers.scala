@@ -30,9 +30,7 @@ object EmbedOutliers {
   def prototypicality(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): DataFrame = {
     val cents = IvfIndex.kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
-    val centArr = map_from_arrays(
-      array(cents.map(c => lit(c._1)): _*),
-      array(cents.map(c => array(c._2.map(lit): _*)): _*))
+    val centArr = typedlit(cents.map { case (cid, c) => cid -> c.toSeq }.toMap)
     IvfIndex.assignCells(corpus, idCol, vecCol, cents)
       .withColumn("__nrm", VectorOps.norm(col(vecCol)))
       .filter(col("__nrm") > 0)

@@ -49,9 +49,12 @@ object IvfIndex {
       .toSeq
   }
 
+  // each centroid is ONE typedlit array literal — a per-element lit()
+  // tree (nlist·dim CreateArray nodes) bloats the generated code until
+  // Janino compile time shows up in every assignment pass
   private def cellScores(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
     array(cents.map { case (cid, c) =>
-      struct(VectorOps.dot(vec, array(c.map(lit): _*)).as("score"),
+      struct(VectorOps.dot(vec, typedlit(c)).as("score"),
         lit(cid).as("cell"))
     }: _*)
 

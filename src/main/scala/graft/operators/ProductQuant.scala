@@ -53,9 +53,13 @@ object ProductQuant {
   /** Argmin-cell assignment against one codebook: smallest L2 distance,
     * ties to the smaller cell id (struct-min over (dist, cell)).
     */
+  // centroid constants enter as ONE array literal each (typedlit), not
+  // per-element lit() trees: ksub·dsub CreateArray nodes per subspace
+  // made the generated code large enough that Janino compile time
+  // dominated the bench entries
   private def assignExpr(sv: Column, book: Seq[(Int, Seq[Double])]): Column =
     array_min(array(book.map { case (cid, c) =>
-      struct(VectorOps.distSq(sv, array(c.map(lit): _*)).as("dist"),
+      struct(VectorOps.distSq(sv, typedlit(c)).as("dist"),
         lit(cid).as("cell"))
     }: _*)).getField("cell")
 
@@ -140,7 +144,7 @@ object ProductQuant {
     books.indices.map { mi =>
       val sv = subVec(qvec, mi, dsub)
       val lut = array(books(mi).map { case (_, c) =>
-        VectorOps.distSq(sv, array(c.map(lit): _*))
+        VectorOps.distSq(sv, typedlit(c))
       }: _*)
       // cell ids are 0-based and dense by construction (seeds number
       // them 0..ksub-1), so code directly indexes the lookup array

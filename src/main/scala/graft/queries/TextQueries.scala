@@ -607,16 +607,25 @@ object TextQueries extends QueryPack {
             charEntropySum(col("text")).as("ent_sum"),
             charEntropyGate(col("text"), milliNats = 2800).as("ok_entropy"))
           .orderBy(col("doc_id")),
-      Some("""WITH e AS (
+      Some("""WITH srt AS (
              |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
-             |    CASE WHEN length(text) = 0 THEN 0 ELSE
+             |         list_sort(string_split(text, '')) AS s
+             |  FROM documents),
+             |runs AS (
+             |  SELECT doc_id, L,
+             |         list_filter(generate_series(1, CAST(L AS INTEGER)),
+             |           i -> i = L OR s[i] <> s[i+1]) AS ends
+             |  FROM srt),
+             |e AS (
+             |  SELECT doc_id, L,
+             |    CASE WHEN L = 0 THEN 0 ELSE
              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(list_distinct(string_split(text, '')),
-             |          c -> CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS BIGINT)
-             |             * CAST(FLOOR(1e6 * ln(CAST(len(list_filter(string_split(text, ''), x -> x = c)) AS DOUBLE))) AS BIGINT))),
+             |        list_transform(generate_series(1, len(ends)),
+             |          j -> CAST(ends[j] - COALESCE(ends[j-1], 0) AS BIGINT)
+             |             * CAST(FLOOR(1e6 * ln(CAST(ends[j] - COALESCE(ends[j-1], 0) AS DOUBLE))) AS BIGINT))),
              |        (acc, x) -> acc + x)
              |    END AS ent_sum
-             |  FROM documents)
+             |  FROM runs)
              |SELECT doc_id, ent_sum,
              |       CASE WHEN L = 0 THEN FALSE ELSE
              |         L * (CAST(FLOOR(1e6 * ln(CAST(L AS DOUBLE))) AS BIGINT) - 2800000)
