@@ -123,6 +123,17 @@ object IvfIndex {
     cents
   }
 
+  /** Probe rows (`__qid`, `__qvec`, `__cells` = the nprobe best cells
+    * by centroid dot) — the query-side primitive shared by the IVF
+    * searches and the IVF-PQ composition.
+    */
+  def probeCells(queries: DataFrame, queryIdCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame =
+    queries.select(col(queryIdCol).as("__qid"), col(vecCol).as("__qvec"),
+      transform(
+        slice(reverse(array_sort(cellScores(col(vecCol), cents))), 1, nprobe),
+        s => s.getField("cell")).as("__cells"))
+
   /** Corpus with its assigned cell (argmax centroid dot). */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])]): DataFrame =

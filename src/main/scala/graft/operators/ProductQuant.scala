@@ -206,4 +206,48 @@ object ProductQuant {
       .select(col("query_id"), col("rank"),
         col("neighbor_id"), col("dist"))
   }
+
+  /** IVF-PQ — the full 100 TB ANN shape: a coarse quantizer
+    * ([[IvfIndex]] cells) bounds WHICH rows are touched, PQ codes bound
+    * WHAT each touched row costs. The corpus side of the probe join
+    * carries only (id, cell, codes) — the vectors themselves are
+    * fetched solely for the shortlist re-rank (equi-join on id). Per
+    * query: nprobe/nlist of the code table is ADC-scanned, then
+    * k·shortlistFactor exact distances.
+    */
+  def searchIvfAdcRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, queryIdCol: String, vecCol: String, k: Int,
+      books: Codebooks, nlist: Int = 16, nprobe: Int = 4,
+      shortlistFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    val cents = IvfIndex.centroids(corpus, idCol, vecCol, nlist)
+    val codeTable = IvfIndex.assignCells(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col("__cell"),
+        pqCodes(col(vecCol), books).as("__codes"))
+    val probeRows = IvfIndex
+      .probeCells(queries, queryIdCol, vecCol, cents, nprobe)
+      .select(col("__qid"), col("__qvec"), explode(col("__cells")).as("__pcell"))
+    val wAdc = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").asc, col(idCol))
+    val short = codeTable
+      .join(broadcast(probeRows),
+        col("__cell") === col("__pcell") &&
+          (if (excludeSelf) col(idCol) =!= col("__qid") else lit(true)))
+      .withColumn("__adc", adcDist(col("__qvec"), col("__codes"), books))
+      .withColumn("__srn", row_number().over(wAdc))
+      .filter(col("__srn") <= k * shortlistFactor)
+      .select(col("__qid").as("query_id"), col(idCol).as("neighbor_id"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__nvec")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dist", VectorOps.distSq(col("__nvec"), col("__qvec")))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), col("dist"))
+  }
 }

@@ -204,6 +204,88 @@ object PqQueries extends QueryPack {
               |           ORDER BY dist ASC, nid) AS rk
               |  FROM ex)
               |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, dist
-              |FROM r2 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
+              |FROM r2 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    GQuery(
+      "q_ivf_pq",
+      "IVF-PQ — the full 100 TB ANN shape: 16 coarse cells bound WHICH " +
+        "rows each query touches (4 probed), PQ codes bound WHAT a " +
+        "touched row costs (8 table lookups); vectors are fetched only " +
+        "for the 8x-shortlist exact re-rank. Oracle replays coarse " +
+        "quantizer, codebooks, ADC, and re-rank end to end.",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val books = ProductQuant.trainCodebooks(
+          emb, "vec_id", "embedding", M, Ksub, Iters)
+        ProductQuant.searchIvfAdcRerank(
+          emb, emb.filter(col("vec_id") < 8), "vec_id", "vec_id",
+          "embedding", k = 5, books, nlist = 16, nprobe = 4,
+          shortlistFactor = 8)
+          .select(col("query_id"), col("rank").as("rnk"),
+            col("neighbor_id"), col("dist"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH $PqCtes,
+              |ccent AS (
+              |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+              |         embedding AS cv
+              |  FROM embeddings
+              |  WHERE vec_id % GREATEST((SELECT COUNT(*) // 16 FROM embeddings), 1) = 0
+              |  ORDER BY vec_id LIMIT 16),
+              |casg AS (
+              |  SELECT e.vec_id, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${VectorOps.oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS arn
+              |  FROM embeddings e CROSS JOIN ccent c),
+              |qs AS (SELECT vec_id AS qid, embedding AS qv
+              |       FROM embeddings WHERE vec_id < 8),
+              |cpr AS (
+              |  SELECT q.qid, c.cell,
+              |         ROW_NUMBER() OVER (PARTITION BY q.qid
+              |           ORDER BY ${VectorOps.oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
+              |  FROM qs q CROSS JOIN ccent c),
+              |cprobed AS (SELECT qid, cell FROM cpr WHERE prn <= 4),
+              |dpm2 AS (
+              |  SELECT q.qid, f.vec_id AS nid, f.m,
+              |         ${oDist(s"q.qv[f.m*$Dsub+1 : f.m*$Dsub+$Dsub]", "c.cv")} AS d
+              |  FROM fin f
+              |  JOIN cb2 c ON c.m = f.m AND c.cell = f.cell
+              |  JOIN casg ca ON ca.vec_id = f.vec_id AND ca.arn = 1
+              |  JOIN cprobed p ON p.cell = ca.cell
+              |  JOIN qs q ON q.qid = p.qid
+              |  WHERE f.rn = 1 AND f.vec_id <> q.qid),
+              |piv2 AS (
+              |  SELECT qid, nid,
+              |         MAX(CASE WHEN m=0 THEN d END) AS d0,
+              |         MAX(CASE WHEN m=1 THEN d END) AS d1,
+              |         MAX(CASE WHEN m=2 THEN d END) AS d2,
+              |         MAX(CASE WHEN m=3 THEN d END) AS d3,
+              |         MAX(CASE WHEN m=4 THEN d END) AS d4,
+              |         MAX(CASE WHEN m=5 THEN d END) AS d5,
+              |         MAX(CASE WHEN m=6 THEN d END) AS d6,
+              |         MAX(CASE WHEN m=7 THEN d END) AS d7
+              |  FROM dpm2 GROUP BY qid, nid),
+              |adc2 AS (SELECT qid, nid,
+              |         ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc_dist
+              |         FROM piv2),
+              |rr2 AS (
+              |  SELECT qid, nid,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |           ORDER BY adc_dist ASC, nid) AS rk
+              |  FROM adc2),
+              |short2 AS (SELECT qid, nid FROM rr2 WHERE rk <= 40),
+              |ex2 AS (
+              |  SELECT s2.qid, s2.nid, ${oDist("e.embedding", "q.qv")} AS dist
+              |  FROM short2 s2
+              |  JOIN embeddings e ON e.vec_id = s2.nid
+              |  JOIN qs q ON q.qid = s2.qid),
+              |r3 AS (
+              |  SELECT qid, nid, dist,
+              |         ROW_NUMBER() OVER (PARTITION BY qid
+              |           ORDER BY dist ASC, nid) AS rk
+              |  FROM ex2)
+              |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, dist
+              |FROM r3 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
   )
 }

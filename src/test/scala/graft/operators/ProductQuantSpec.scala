@@ -109,6 +109,24 @@ class ProductQuantSpec extends SparkSpec {
     assert(mean >= 0.15, s"mean ADC recall@10 $mean")
   }
 
+  test("IVF-PQ probes a cell subset and stays deterministic") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def run(c: org.apache.spark.sql.DataFrame) = ProductQuant.searchIvfAdcRerank(
+      c, queries, "vec_id", "vec_id", "embedding", k = 10, books,
+      nlist = 16, nprobe = 4, shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(emb)
+    assert(a.nonEmpty)
+    assert(a === run(emb.repartition(9)))
+    // the composed path cannot beat its probe fraction, but with 4/16
+    // cells probed it must still land a usable share of exact top-10
+    val got = a.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val exact = exactTop10(queries)
+    val recalls = got.keys.toSeq.map(k => got(k).intersect(exact(k)).size / 10.0)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.2, s"mean IVF-PQ recall@10 $mean")
+  }
+
   test("shortlist + exact re-rank recovers most of exact top-10") {
     val queries = emb.filter(col("vec_id") < 20)
     val rr = ProductQuant.searchAdcRerank(
