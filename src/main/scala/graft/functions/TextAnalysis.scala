@@ -134,7 +134,14 @@ object TextAnalysis {
     * Shannon entropy in nats is `ln L − entropySum/(1e6·L)`; the gate
     * below compares it to a threshold entirely in integers.
     */
-  def charEntropySum(text: Column): Column = {
+  def charEntropySum(text: Column): Column =
+    org.apache.spark.sql.graftvec.TextHashExpr.charEntropySum(text)
+
+  /** The composable HOF definition of [[charEntropySum]] — the
+    * semantic reference the codegen'd expression is pinned against
+    * (HashEquivalenceSpec) and the shape the DuckDB oracle mirrors.
+    */
+  def charEntropySumHof(text: Column): Column = {
     // histogram via ONE sorted traversal: sort the chars (O(L log L)),
     // then a single aggregate() fold walks the runs with a
     // (sum, prev, runLen) struct accumulator, closing each run into

@@ -155,6 +155,59 @@ case class MinHashSignature(child: Expression, coeffsA: Seq[Long], coeffsB: Seq[
     copy(child = newChild)
 }
 
+/** Codegen'd char-entropy weighted log-sum: sort the chars, scan the
+  * runs, emit `Σ cnt·floor(1e6·ln cnt)` — one primitive char[] sort +
+  * one pass, zero allocation beyond the copy. Value-identical (pinned
+  * by HashEquivalenceSpec) to the HOF definition
+  * `TextAnalysis.charEntropySumHof` (an aggregate() struct fold whose
+  * per-element InternalRow allocation made it GC-bound at the 100×
+  * sweep), and to the DuckDB oracle's runs CTE: counts are a multiset,
+  * so ANY total char order produces the same sum — UTF-16 unit sort
+  * here, byte-order string sort there, same integers out.
+  */
+case class CharEntropySum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy_sum"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    CharEntropySum.sumOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftvec.CharEntropySum.sumOf($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropySum {
+  /** Shared by eval and generated code (one tight loop, two callers). */
+  def sumOf(s: String): Long = {
+    if (s.isEmpty) return 0L
+    val a = s.toCharArray
+    java.util.Arrays.sort(a)
+    var sum = 0L
+    var run = 1L
+    var i = 1
+    while (i <= a.length) {
+      if (i < a.length && a(i) == a(i - 1)) run += 1
+      else {
+        sum += run * math.floor(1e6 * math.log(run.toDouble)).toLong
+        run = 1
+      }
+      i += 1
+    }
+    sum
+  }
+}
+
 object TextHashExpr {
   def shingleHashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
@@ -162,4 +215,7 @@ object TextHashExpr {
   def minhashSignature(hashes: Column, coeffs: Seq[(Long, Long)]): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(hashes), coeffs.map(_._1), coeffs.map(_._2)))
+
+  def charEntropySum(text: Column): Column =
+    ExpressionUtils.column(CharEntropySum(ExpressionUtils.expression(text)))
 }

@@ -34,6 +34,16 @@ class HashEquivalenceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("CharEntropySum == the aggregate struct-fold HOF definition") {
+    val a = docs.select(col("id"),
+      TextAnalysis.charEntropySum(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = docs.select(col("id"),
+      TextAnalysis.charEntropySumHof(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("MinHashSignature == array_min over affine transforms") {
     val coeffs = graft.operators.TextDedup.minhashCoeffs(8)
     val hashes = docs.select(col("id"),
