@@ -92,11 +92,15 @@ object ProductQuant {
           floor(element_at(col("__sv"), i + 1).cast("double") * lit(1e10)
             + lit(0.5)).cast("decimal(38,0)")).as(s"__s$i"))
       for (_ <- 0 until iters) {
-        val exploded = base.select(explode(array((0 until m).map { mi =>
-          val sv = subVec(col("__vec"), mi, dsub)
-          struct(lit(mi).as("m"), assignExpr(sv, books(mi)).as("cell"),
-            sv.as("sv"))
-        }: _*)).as("e"))
+        // assignment via the codegen'd kernel (all m cells in one eval),
+        // computed once per row before the subspace explode
+        val exploded = base
+          .select(col("__vec"), pqCodes(col("__vec"), books).as("__codes"))
+          .select(explode(array((0 until m).map { mi =>
+            struct(lit(mi).as("m"),
+              element_at(col("__codes"), mi + 1).as("cell"),
+              subVec(col("__vec"), mi, dsub).as("sv"))
+          }: _*)).as("e"))
           .select(col("e.m").as("__m"), col("e.cell").as("__cell"),
             col("e.sv").as("__sv"))
         val rows = exploded.groupBy(col("__m"), col("__cell"))
@@ -119,8 +123,34 @@ object ProductQuant {
     books
   }
 
-  /** PQ code array (one small int per subspace) — pure scan expression. */
+  /** Codebooks flattened for the codegen'd kernels: cid-ordered, one
+    * double[] — (mi·ksub + cid)·dsub + p indexing.
+    */
+  private def flatten(books: Codebooks): (Seq[Double], Int, Int, Int) = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head._2.length
+    val flat = books.flatMap { b =>
+      val sorted = b.sortBy(_._1)
+      require(sorted.map(_._1) == (0 until ksub), "cids must be dense 0..ksub-1")
+      sorted.flatMap(_._2)
+    }
+    (flat, m, ksub, dsub)
+  }
+
+  /** PQ code array (one small int per subspace) — a single codegen'd
+    * kernel ([[org.apache.spark.sql.graftvec.PqCells]]); the HOF
+    * definition below stays as the pinned semantic reference.
+    */
   def pqCodes(vec: Column, books: Codebooks): Column = {
+    val (flat, m, ksub, dsub) = flatten(books)
+    org.apache.spark.sql.graftvec.PqExpr.cells(vec, flat, m, ksub, dsub)
+  }
+
+  /** The composable HOF definition of [[pqCodes]] (PqEquivalenceSpec
+    * pins the kernel to it; the DuckDB oracle mirrors this shape).
+    */
+  def pqCodesHof(vec: Column, books: Codebooks): Column = {
     val dsub = books.head.head._2.length
     array(books.indices.map { mi =>
       assignExpr(subVec(vec, mi, dsub), books(mi))
@@ -135,11 +165,20 @@ object ProductQuant {
       element_at(codes, mi + 1).cast("long") * lit(math.pow(ksub, mi).toLong)
     }.reduce(_ + _)
 
-  /** ADC distance: Σ_m L2²(query subvector, centroid the code names).
-    * The per-subspace lookup table is an `element_at` into a literal
-    * array of distances — no join, no decode of the corpus vector.
+  /** ADC distance: Σ_m L2²(query subvector, centroid the code names) —
+    * a single codegen'd kernel; no join, no decode of the corpus
+    * vector.
     */
   def adcDist(qvec: Column, codes: Column, books: Codebooks): Column = {
+    val (flat, m, ksub, dsub) = flatten(books)
+    org.apache.spark.sql.graftvec.PqExpr.adcDist(qvec, codes, flat, m, ksub, dsub)
+  }
+
+  /** The composable HOF definition of [[adcDist]] (the pinned semantic
+    * reference): per-subspace lookup tables as `element_at` into
+    * literal distance arrays.
+    */
+  def adcDistHof(qvec: Column, codes: Column, books: Codebooks): Column = {
     val dsub = books.head.head._2.length
     books.indices.map { mi =>
       val sv = subVec(qvec, mi, dsub)
