@@ -144,6 +144,17 @@ object BpeLearn {
     flatten(perWord)
   }
 
+  /** [[encodeExpr]] with the merge table as ONE reference object
+    * (codegen'd [[org.apache.spark.sql.graftvec.BpeEncode]]): plan size
+    * is independent of the merge count — the production path for real
+    * vocabularies (tens of thousands of merges), where the literal
+    * replace chain would blow the analyzer/codegen budget. Pinned
+    * value-identical to [[encodeExpr]] by BpeEquivalenceSpec.
+    */
+  def encodeExprFast(text: Column, merges: Seq[Merge]): Column =
+    org.apache.spark.sql.graftvec.BpeEncodeExpr.encodeCol(
+      text, merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
   /** Post-merge subword vocabulary with corpus frequencies, from the
     * learner's final word-frequency state: explode tokens weighted by
     * word freq — corpus never rescanned.
