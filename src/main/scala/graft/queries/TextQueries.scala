@@ -631,6 +631,84 @@ object TextQueries extends QueryPack {
              |         L * (CAST(FLOOR(1e6 * ln(CAST(L AS DOUBLE))) AS BIGINT) - 2800000)
              |           >= ent_sum
              |       END AS ok_entropy
-             |FROM e ORDER BY doc_id""".stripMargin))
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_span_corrupt",
+      "T5-style span corruption for denoising-objective dataset prep " +
+        "(Raffel et al. 2020): hash-selected token spans become " +
+        "<extra_id_k> sentinels in the input and follow their sentinel " +
+        "in the target — no RNG, so corruption is identical on every " +
+        "engine, partitioning, and retry. One codegen'd kernel per row; " +
+        "oracle replays the skip-counter fold token by token.",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            org.apache.spark.sql.graftvec.SpanCorruptExpr
+              .corruptCol(col("text"), col("doc_id")).as("__c"))
+          .select(col("doc_id"),
+            size(col("__c.input")).cast("long").as("n_input"),
+            size(col("__c.target")).cast("long").as("n_target"),
+            fingerprint(concat_ws(" ", col("__c.input"))).as("input_fp"),
+            fingerprint(concat_ws(" ", col("__c.target"))).as("target_fp"))
+          .orderBy(col("doc_id")),
+      Some {
+        val drawM = "(((doc_id * 131 + i) % 1000000007) * 2654435761 % 1000000007)"
+        val draw = s"(xor($drawM, $drawM >> 15) * 2654435761 % 1000000007)"
+        // The mirror replays the skip-counter walk as a RECURSIVE CTE
+        // (all documents advance one token per iteration, joined on
+        // (doc_id, i)). A list_reduce fold was the natural shape but
+        // DuckDB v1.0.0 mis-executes it here two distinct ways, both
+        // deterministic-but-wrong and batch-context-dependent:
+        // list-valued struct fields do not thread through the
+        // accumulator, and even a scalar-struct fold over
+        // correctly-built elements returned another row's fold for
+        // some documents. The recursive form is engine-solid; the
+        // per-token draws are computed relationally and joined in.
+        def app(f: String, tok: String) =
+          s"CASE WHEN $f = '' THEN $tok ELSE $f || ' ' || $tok END"
+        s"""WITH RECURSIVE
+           |tk2 AS (
+           |  SELECT doc_id, $oToks AS tk FROM documents),
+           |ex AS (
+           |  SELECT doc_id, unnest(list_transform(tk, (x, j) ->
+           |    {'t': x, 'i': CAST(j-1 AS BIGINT)})) AS u
+           |  FROM tk2),
+           |dr AS (
+           |  SELECT doc_id, u.t AS t, u.i AS i,
+           |         $draw % 13 = 0 AS st,
+           |         ($draw // 13) % 3 AS ln
+           |  FROM ex),
+           |rec AS (
+           |  SELECT doc_id, 0::BIGINT AS i, 0::BIGINT AS skip,
+           |         0::BIGINT AS k, '' AS inp, '' AS tgt
+           |  FROM tk2
+           |  UNION ALL
+           |  SELECT r.doc_id, r.i + 1,
+           |    CASE WHEN r.skip > 0 THEN r.skip - 1
+           |         WHEN r.k < 100 AND d.st THEN d.ln ELSE 0::BIGINT END,
+           |    CASE WHEN r.skip > 0 THEN r.k
+           |         WHEN r.k < 100 AND d.st THEN r.k + 1 ELSE r.k END,
+           |    CASE WHEN r.skip > 0 THEN r.inp
+           |         WHEN r.k < 100 AND d.st THEN ${app("r.inp", "'<extra_id_' || r.k || '>'")}
+           |         ELSE ${app("r.inp", "d.t")} END,
+           |    CASE WHEN r.skip > 0 THEN ${app("r.tgt", "d.t")}
+           |         WHEN r.k < 100 AND d.st THEN ${app("r.tgt", "'<extra_id_' || r.k || '>' || ' ' || d.t")}
+           |         ELSE r.tgt END
+           |  FROM rec r JOIN dr d ON d.doc_id = r.doc_id AND d.i = r.i),
+           |fin2 AS (
+           |  SELECT doc_id, inp, tgt,
+           |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+           |  FROM rec)
+           |SELECT d.doc_id,
+           |       CAST(CASE WHEN COALESCE(f.inp, '') = '' THEN 0
+           |            ELSE len(string_split(f.inp, ' ')) END AS BIGINT) AS n_input,
+           |       CAST(CASE WHEN COALESCE(f.tgt, '') = '' THEN 0
+           |            ELSE len(string_split(f.tgt, ' ')) END AS BIGINT) AS n_target,
+           |       ${DedupOracles.polyHash("COALESCE(f.inp, '')")} AS input_fp,
+           |       ${DedupOracles.polyHash("COALESCE(f.tgt, '')")} AS target_fp
+           |FROM documents d LEFT JOIN fin2 f ON f.doc_id = d.doc_id AND f.rn = 1
+           |ORDER BY d.doc_id""".stripMargin
+      })
   )
 }
