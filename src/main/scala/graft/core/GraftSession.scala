@@ -47,10 +47,29 @@ object GraftSession {
     // fix); Spark logs a WARN per released RDD ("was locally
     // checkpointed ... cannot be recomputed after unpersisting") purely
     // to flag that the RDD must not be reused — which drain guarantees.
-    // Silence that single benign logger so real warnings stay visible.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // Suppress exactly that MESSAGE (any RDD class), never a whole
+    // logger: a class-level mute would also hide real warnings those
+    // classes can emit.
+    suppressBenignCheckpointReleaseWarn()
     spark
+  }
+
+  private lazy val suppressBenignCheckpointReleaseWarn: () => Unit = {
+    import org.apache.logging.log4j.core.{Filter, LogEvent}
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val filter = new org.apache.logging.log4j.core.filter.AbstractFilter(
+      Filter.Result.DENY, Filter.Result.NEUTRAL) {
+      override def filter(event: LogEvent): Filter.Result = {
+        val msg = event.getMessage.getFormattedMessage
+        if (msg.contains("was locally checkpointed") &&
+          msg.contains("cannot be recomputed after unpersisting"))
+          Filter.Result.DENY
+        else Filter.Result.NEUTRAL
+      }
+    }
+    ctx.getConfiguration.addFilter(filter)
+    ctx.updateLoggers()
+    () => ()
   }
 }

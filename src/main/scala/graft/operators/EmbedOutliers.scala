@@ -30,13 +30,14 @@ object EmbedOutliers {
   def prototypicality(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): DataFrame = {
     val cents = IvfIndex.kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
-    val centArr = typedlit(cents.map { case (cid, c) => cid -> c.toSeq }.toMap)
-    IvfIndex.assignCells(corpus, idCol, vecCol, cents)
+    // the assignment's argmax already computed dot(vec, winning
+    // centroid) — read it off the struct instead of recomputing against
+    // a second copy of the centroid constants
+    IvfIndex.assignCellsWithScore(corpus, idCol, vecCol, cents)
       .withColumn("__nrm", VectorOps.norm(col(vecCol)))
       .filter(col("__nrm") > 0)
       .select(col(idCol), col("__cell").cast("long").as("cell"),
-        (VectorOps.dot(col(vecCol), element_at(centArr, col("__cell")))
-          / col("__nrm")).as("proto_score"))
+        (col("__cellDot") / col("__nrm")).as("proto_score"))
   }
 
   /** Keep the per-cell top `keepNum/keepDen` fraction by prototype

@@ -140,6 +140,19 @@ object IvfIndex {
     corpus.withColumn("__cell",
       array_max(cellScores(col(vecCol), cents)).getField("cell"))
 
+  /** [[assignCells]] plus the winning centroid DOT (`__cellDot`, the
+    * argmax struct's score field) — callers needing the prototype
+    * score read it off the assignment instead of recomputing the dot
+    * against a second copy of the centroids.
+    */
+  def assignCellsWithScore(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus
+      .withColumn("__assign", array_max(cellScores(col(vecCol), cents)))
+      .withColumn("__cell", col("__assign.cell"))
+      .withColumn("__cellDot", col("__assign.score"))
+      .drop("__assign")
+
   /** Materialize the index for build-once/search-many reuse: cell
     * assignments written `partitionBy(cell)` — a probe then resolves to
     * reading only its nprobe partition DIRECTORIES (static partition

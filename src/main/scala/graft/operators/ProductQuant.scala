@@ -227,10 +227,20 @@ object ProductQuant {
     */
   def searchAdcRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, vecCol: String, k: Int, books: Codebooks,
-      shortlistFactor: Int = 8, excludeSelf: Boolean = true): DataFrame = {
-    val short = searchAdc(corpus, queries, idCol, queryIdCol, vecCol,
-      k * shortlistFactor, books, excludeSelf)
-      .select(col("query_id"), col("neighbor_id"))
+      shortlistFactor: Int = 8, excludeSelf: Boolean = true): DataFrame =
+    rerankExact(
+      searchAdc(corpus, queries, idCol, queryIdCol, vecCol,
+        k * shortlistFactor, books, excludeSelf)
+        .select(col("query_id"), col("neighbor_id")),
+      corpus, queries, idCol, queryIdCol, vecCol, k)
+
+  /** The shared exact-re-rank tail: fetch ONLY the shortlisted ids'
+    * vectors (hash equi-join), re-rank by exact L2, ties to the
+    * smaller neighbor id.
+    */
+  private def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, queryIdCol: String,
+      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("__qvec"))
     val w = Window.partitionBy(col("query_id"))
@@ -275,18 +285,6 @@ object ProductQuant {
       .withColumn("__srn", row_number().over(wAdc))
       .filter(col("__srn") <= k * shortlistFactor)
       .select(col("__qid").as("query_id"), col(idCol).as("neighbor_id"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      col(vecCol).as("__qvec"))
-    val wEx = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id"))
-    short
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__nvec")), "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("dist", VectorOps.distSq(col("__nvec"), col("__qvec")))
-      .withColumn("rank", row_number().over(wEx))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("neighbor_id"), col("dist"))
+    rerankExact(short, corpus, queries, idCol, queryIdCol, vecCol, k)
   }
 }

@@ -33,6 +33,12 @@ object BpeQueries extends QueryPack {
          |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS toks, count(*) AS freq
          |  FROM (SELECT unnest($oToks) AS w FROM documents) u
          |  GROUP BY 1)""".stripMargin
+    // merge application LEFT JOINs the (single-row) argmax so an
+    // EXHAUSTED round (no adjacent pair left — the learner's early-stop
+    // case) is a no-op pass instead of emptying every downstream CTE:
+    // replace() with a NULL needle is NULL, COALESCE falls back to the
+    // unmerged state, and the learn oracle's UNION arms contribute zero
+    // rows for empty rounds, exactly like the early-stopped learner
     val rounds = (0 until Rounds).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS pc
@@ -41,11 +47,27 @@ object BpeQueries extends QueryPack {
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
          |w${i + 1} AS MATERIALIZED (
-         |  SELECT replace(toks, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ') AS toks, freq
-         |  FROM w$i, m$i m)""".stripMargin
+         |  SELECT COALESCE(
+         |           replace(toks, ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' '),
+         |           toks) AS toks, freq
+         |  FROM w$i LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     (w0 +: rounds).mkString(",\n")
   }
+
+  /** Encode-side replace chain over a wrapped word expression, each
+    * round early-stop-safe via the same COALESCE no-op as the learn
+    * CTEs (the chain nests `expr` twice per round — fine at oracle
+    * Rounds; the engine's large-m path is the BpeEncode kernel).
+    */
+  private def oEncodeChain(wrapped: String): String =
+    (0 until Rounds).foldLeft(wrapped) { (acc, i) =>
+      s"COALESCE(replace($acc, ' '||m$i.l||'  '||m$i.r||' ', ' '||m$i.l||m$i.r||' '), $acc)"
+    }
+
+  /** LEFT JOIN every argmax row so empty (exhausted) rounds no-op. */
+  private val oMergeJoins: String =
+    (0 until Rounds).map(i => s"LEFT JOIN m$i ON TRUE").mkString(" ")
 
   val queries: Seq[GQuery] = Seq(
 
@@ -102,11 +124,8 @@ object BpeQueries extends QueryPack {
               |  SELECT d.doc_id,
               |    flatten(list_transform($oToks,
               |      w -> string_split(trim(
-              |        replace(replace(replace(regexp_replace(w, '(.)', ' \\1 ', 'g'),
-              |          ' '||m0.l||'  '||m0.r||' ', ' '||m0.l||m0.r||' '),
-              |          ' '||m1.l||'  '||m1.r||' ', ' '||m1.l||m1.r||' '),
-              |          ' '||m2.l||'  '||m2.r||' ', ' '||m2.l||m2.r||' ')), '  '))) AS tks
-              |  FROM documents d, m0, m1, m2)
+              |        ${oEncodeChain("regexp_replace(w, '(.)', ' \\1 ', 'g')")}), '  '))) AS tks
+              |  FROM documents d $oMergeJoins)
               |SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
               |  ${DedupOracles.polyHash("array_to_string(tks, ' ')")} AS tok_fp
               |FROM enc ORDER BY doc_id""".stripMargin)),
@@ -140,12 +159,9 @@ object BpeQueries extends QueryPack {
               |    CAST(len($oToks) AS BIGINT) AS w,
               |    CAST(len(flatten(list_transform($oToks,
               |      w2 -> string_split(trim(
-              |        replace(replace(replace(regexp_replace(w2, '(.)', ' \\1 ', 'g'),
-              |          ' '||m0.l||'  '||m0.r||' ', ' '||m0.l||m0.r||' '),
-              |          ' '||m1.l||'  '||m1.r||' ', ' '||m1.l||m1.r||' '),
-              |          ' '||m2.l||'  '||m2.r||' ', ' '||m2.l||m2.r||' ')), '  '))))
+              |        ${oEncodeChain("regexp_replace(w2, '(.)', ' \\1 ', 'g')")}), '  '))))
               |      AS BIGINT) AS t
-              |  FROM documents d, m0, m1, m2)
+              |  FROM documents d $oMergeJoins)
               |SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,
               |       CAST(SUM(t) AS BIGINT) AS n_tokens,
               |       CAST(FLOOR(1e6 * CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS BIGINT)

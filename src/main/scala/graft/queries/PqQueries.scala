@@ -72,6 +72,56 @@ object PqQueries extends QueryPack {
        |           ORDER BY ${oDist("s.sv", "c.cv")} ASC, c.cell ASC) AS rn
        |  FROM sub s JOIN cb2 c ON c.m = s.m)""".stripMargin
 
+  /** Query set shared by every search oracle. */
+  private val oQs: String =
+    """qs AS (SELECT vec_id AS qid, embedding AS qv
+      |       FROM embeddings WHERE vec_id < 8)""".stripMargin
+
+  /** ADC scoring chain over `fin` + `cb2`: per-(query, candidate,
+    * subspace) distances, the 8-column pivot, the left-associated sum,
+    * and the ascending-distance rank. `candJoins` restricts WHICH
+    * (query, candidate) pairs form — a CROSS JOIN for brute-force ADC,
+    * the coarse-cell probe joins for IVF-PQ. ONE definition so the
+    * fold association and tie rule cannot drift between the three
+    * search oracles.
+    */
+  private def oAdcChain(candJoins: String): String = {
+    val piv = (0 until M).map(i =>
+      s"         MAX(CASE WHEN m=$i THEN d END) AS d$i").mkString(",\n|")
+    val sum = (1 until M).foldLeft("d0")((acc, i) => s"($acc + d$i)")
+    s"""dpm AS (
+       |  SELECT q.qid, f.vec_id AS nid, f.m,
+       |         ${oDist(s"q.qv[f.m*$Dsub+1 : f.m*$Dsub+$Dsub]", "c.cv")} AS d
+       |  FROM fin f
+       |  JOIN cb2 c ON c.m = f.m AND c.cell = f.cell
+       |  $candJoins
+       |  WHERE f.rn = 1 AND f.vec_id <> q.qid),
+       |piv AS (
+       |  SELECT qid, nid,
+       |$piv
+       |  FROM dpm GROUP BY qid, nid),
+       |adc AS (SELECT qid, nid, $sum AS adc_dist FROM piv),
+       |rr AS (
+       |  SELECT qid, nid, adc_dist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY adc_dist ASC, nid) AS rk
+       |  FROM adc)""".stripMargin
+  }
+
+  /** Shortlist + exact re-rank tail shared by the two rerank oracles. */
+  private val oRerankTail: String =
+    s"""short AS (SELECT qid, nid FROM rr WHERE rk <= 40),
+       |ex AS (
+       |  SELECT s2.qid, s2.nid, ${oDist("e.embedding", "q.qv")} AS dist
+       |  FROM short s2
+       |  JOIN embeddings e ON e.vec_id = s2.nid
+       |  JOIN qs q ON q.qid = s2.qid),
+       |r2 AS (
+       |  SELECT qid, nid, dist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY dist ASC, nid) AS rk
+       |  FROM ex)""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -118,32 +168,8 @@ object PqQueries extends QueryPack {
           .orderBy(col("query_id"), col("rnk"))
       },
       Some(s"""WITH $PqCtes,
-              |qs AS (SELECT vec_id AS qid, embedding AS qv
-              |       FROM embeddings WHERE vec_id < 8),
-              |dpm AS (
-              |  SELECT q.qid, f.vec_id AS nid, f.m,
-              |         ${oDist(s"q.qv[f.m*$Dsub+1 : f.m*$Dsub+$Dsub]", "c.cv")} AS d
-              |  FROM fin f
-              |  JOIN cb2 c ON c.m = f.m AND c.cell = f.cell
-              |  CROSS JOIN qs q
-              |  WHERE f.rn = 1 AND f.vec_id <> q.qid),
-              |piv AS (
-              |  SELECT qid, nid,
-              |         MAX(CASE WHEN m=0 THEN d END) AS d0,
-              |         MAX(CASE WHEN m=1 THEN d END) AS d1,
-              |         MAX(CASE WHEN m=2 THEN d END) AS d2,
-              |         MAX(CASE WHEN m=3 THEN d END) AS d3,
-              |         MAX(CASE WHEN m=4 THEN d END) AS d4,
-              |         MAX(CASE WHEN m=5 THEN d END) AS d5,
-              |         MAX(CASE WHEN m=6 THEN d END) AS d6,
-              |         MAX(CASE WHEN m=7 THEN d END) AS d7
-              |  FROM dpm GROUP BY qid, nid),
-              |adc AS (SELECT qid, nid, ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc_dist FROM piv),
-              |rr AS (
-              |  SELECT qid, nid, adc_dist,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |           ORDER BY adc_dist ASC, nid) AS rk
-              |  FROM adc)
+              |$oQs,
+              |${oAdcChain("CROSS JOIN qs q")}
               |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, adc_dist
               |FROM rr WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
@@ -166,43 +192,9 @@ object PqQueries extends QueryPack {
           .orderBy(col("query_id"), col("rnk"))
       },
       Some(s"""WITH $PqCtes,
-              |qs AS (SELECT vec_id AS qid, embedding AS qv
-              |       FROM embeddings WHERE vec_id < 8),
-              |dpm AS (
-              |  SELECT q.qid, f.vec_id AS nid, f.m,
-              |         ${oDist(s"q.qv[f.m*$Dsub+1 : f.m*$Dsub+$Dsub]", "c.cv")} AS d
-              |  FROM fin f
-              |  JOIN cb2 c ON c.m = f.m AND c.cell = f.cell
-              |  CROSS JOIN qs q
-              |  WHERE f.rn = 1 AND f.vec_id <> q.qid),
-              |piv AS (
-              |  SELECT qid, nid,
-              |         MAX(CASE WHEN m=0 THEN d END) AS d0,
-              |         MAX(CASE WHEN m=1 THEN d END) AS d1,
-              |         MAX(CASE WHEN m=2 THEN d END) AS d2,
-              |         MAX(CASE WHEN m=3 THEN d END) AS d3,
-              |         MAX(CASE WHEN m=4 THEN d END) AS d4,
-              |         MAX(CASE WHEN m=5 THEN d END) AS d5,
-              |         MAX(CASE WHEN m=6 THEN d END) AS d6,
-              |         MAX(CASE WHEN m=7 THEN d END) AS d7
-              |  FROM dpm GROUP BY qid, nid),
-              |adc AS (SELECT qid, nid, ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc_dist FROM piv),
-              |rr AS (
-              |  SELECT qid, nid,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |           ORDER BY adc_dist ASC, nid) AS rk
-              |  FROM adc),
-              |short AS (SELECT qid, nid FROM rr WHERE rk <= 40),
-              |ex AS (
-              |  SELECT s.qid, s.nid, ${oDist("e.embedding", "q.qv")} AS dist
-              |  FROM short s
-              |  JOIN embeddings e ON e.vec_id = s.nid
-              |  JOIN qs q ON q.qid = s.qid),
-              |r2 AS (
-              |  SELECT qid, nid, dist,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |           ORDER BY dist ASC, nid) AS rk
-              |  FROM ex)
+              |$oQs,
+              |${oAdcChain("CROSS JOIN qs q")},
+              |$oRerankTail
               |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, dist
               |FROM r2 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
@@ -238,54 +230,18 @@ object PqQueries extends QueryPack {
               |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |           ORDER BY ${VectorOps.oDot("e.embedding", "c.cv")} DESC, c.cell DESC) AS arn
               |  FROM embeddings e CROSS JOIN ccent c),
-              |qs AS (SELECT vec_id AS qid, embedding AS qv
-              |       FROM embeddings WHERE vec_id < 8),
+              |$oQs,
               |cpr AS (
               |  SELECT q.qid, c.cell,
               |         ROW_NUMBER() OVER (PARTITION BY q.qid
               |           ORDER BY ${VectorOps.oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
               |  FROM qs q CROSS JOIN ccent c),
               |cprobed AS (SELECT qid, cell FROM cpr WHERE prn <= 4),
-              |dpm2 AS (
-              |  SELECT q.qid, f.vec_id AS nid, f.m,
-              |         ${oDist(s"q.qv[f.m*$Dsub+1 : f.m*$Dsub+$Dsub]", "c.cv")} AS d
-              |  FROM fin f
-              |  JOIN cb2 c ON c.m = f.m AND c.cell = f.cell
-              |  JOIN casg ca ON ca.vec_id = f.vec_id AND ca.arn = 1
+              |${oAdcChain("""JOIN casg ca ON ca.vec_id = f.vec_id AND ca.arn = 1
               |  JOIN cprobed p ON p.cell = ca.cell
-              |  JOIN qs q ON q.qid = p.qid
-              |  WHERE f.rn = 1 AND f.vec_id <> q.qid),
-              |piv2 AS (
-              |  SELECT qid, nid,
-              |         MAX(CASE WHEN m=0 THEN d END) AS d0,
-              |         MAX(CASE WHEN m=1 THEN d END) AS d1,
-              |         MAX(CASE WHEN m=2 THEN d END) AS d2,
-              |         MAX(CASE WHEN m=3 THEN d END) AS d3,
-              |         MAX(CASE WHEN m=4 THEN d END) AS d4,
-              |         MAX(CASE WHEN m=5 THEN d END) AS d5,
-              |         MAX(CASE WHEN m=6 THEN d END) AS d6,
-              |         MAX(CASE WHEN m=7 THEN d END) AS d7
-              |  FROM dpm2 GROUP BY qid, nid),
-              |adc2 AS (SELECT qid, nid,
-              |         ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc_dist
-              |         FROM piv2),
-              |rr2 AS (
-              |  SELECT qid, nid,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |           ORDER BY adc_dist ASC, nid) AS rk
-              |  FROM adc2),
-              |short2 AS (SELECT qid, nid FROM rr2 WHERE rk <= 40),
-              |ex2 AS (
-              |  SELECT s2.qid, s2.nid, ${oDist("e.embedding", "q.qv")} AS dist
-              |  FROM short2 s2
-              |  JOIN embeddings e ON e.vec_id = s2.nid
-              |  JOIN qs q ON q.qid = s2.qid),
-              |r3 AS (
-              |  SELECT qid, nid, dist,
-              |         ROW_NUMBER() OVER (PARTITION BY qid
-              |           ORDER BY dist ASC, nid) AS rk
-              |  FROM ex2)
+              |  JOIN qs q ON q.qid = p.qid""")},
+              |$oRerankTail
               |SELECT qid AS query_id, rk AS rnk, nid AS neighbor_id, dist
-              |FROM r3 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
+              |FROM r2 WHERE rk <= 5 ORDER BY query_id, rnk""".stripMargin))
   )
 }

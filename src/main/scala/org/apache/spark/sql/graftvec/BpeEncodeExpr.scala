@@ -60,40 +60,22 @@ object BpeEncodeExpr {
     out
   }
 
-  /** Exactly Java-regex \s — NOT Character.isWhitespace, whose Unicode
-    * extras would split differently from `split(text, "\\s+")`.
-    */
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   def encode(text: String, merges: Array[Array[String]]): GenericArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
-    // ROOT locale: String.toLowerCase(default locale) is
-    // environment-dependent (Turkish dotless i); lower() is not
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    var start = 0
-    val len = lower.length
-    while (start < len) {
-      // whitespace-split (the \s+ of TextAnalysis.tokens)
-      while (start < len && isWs(lower.charAt(start))) start += 1
-      var end = start
-      while (end < len && !isWs(lower.charAt(end))) end += 1
-      if (end > start) {
-        val word = lower.substring(start, end)
-        var toks = new java.util.ArrayList[String](word.length)
-        var k = 0
-        while (k < word.length) { toks.add(String.valueOf(word.charAt(k))); k += 1 }
-        var mi = 0
-        while (mi < merges.length) {
-          toks = applyMerge(toks, merges(mi)(0), merges(mi)(1))
-          mi += 1
-        }
-        var j = 0
-        while (j < toks.size()) {
-          out.add(UTF8String.fromString(toks.get(j))); j += 1
-        }
+    // tokenization + locale contract: see TextKernels
+    TextKernels.forEachToken(text) { word =>
+      var toks = new java.util.ArrayList[String](word.length)
+      var k = 0
+      while (k < word.length) { toks.add(String.valueOf(word.charAt(k))); k += 1 }
+      var mi = 0
+      while (mi < merges.length) {
+        toks = applyMerge(toks, merges(mi)(0), merges(mi)(1))
+        mi += 1
       }
-      start = end
+      var j = 0
+      while (j < toks.size()) {
+        out.add(UTF8String.fromString(toks.get(j))); j += 1
+      }
     }
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size())))
   }

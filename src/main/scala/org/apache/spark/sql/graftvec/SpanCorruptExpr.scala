@@ -59,40 +59,29 @@ object SpanCorruptExpr {
 
   val P = 1000000007L
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   def corrupt(text: String, docId: Long, startEvery: Int, maxSpan: Int,
       maxExtra: Int): InternalRow = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val inp = new java.util.ArrayList[UTF8String]()
     val tgt = new java.util.ArrayList[UTF8String]()
     var idx = 0L
     var skip = 0
     var k = 0
-    var start = 0
-    val len = lower.length
-    while (start < len) {
-      while (start < len && isWs(lower.charAt(start))) start += 1
-      var end = start
-      while (end < len && !isWs(lower.charAt(end))) end += 1
-      if (end > start) {
-        val tok = UTF8String.fromString(lower.substring(start, end))
-        if (skip > 0) { tgt.add(tok); skip -= 1 }
-        else {
-          val m = ((docId * 131 + idx) % P) * 2654435761L % P
-          val draw = (m ^ (m >> 15)) * 2654435761L % P
-          if (k < maxExtra && draw % startEvery == 0) {
-            val spanLen = 1 + ((draw / startEvery) % maxSpan).toInt
-            val sentinel = UTF8String.fromString(s"<extra_id_$k>")
-            inp.add(sentinel); tgt.add(sentinel); tgt.add(tok)
-            skip = spanLen - 1
-            k += 1
-          } else inp.add(tok)
-        }
-        idx += 1
+    // tokenization + locale contract: see TextKernels
+    TextKernels.forEachToken(text) { word =>
+      val tok = UTF8String.fromString(word)
+      if (skip > 0) { tgt.add(tok); skip -= 1 }
+      else {
+        val m = ((docId * 131 + idx) % P) * 2654435761L % P
+        val draw = (m ^ (m >> 15)) * 2654435761L % P
+        if (k < maxExtra && draw % startEvery == 0) {
+          val spanLen = 1 + ((draw / startEvery) % maxSpan).toInt
+          val sentinel = UTF8String.fromString(s"<extra_id_$k>")
+          inp.add(sentinel); tgt.add(sentinel); tgt.add(tok)
+          skip = spanLen - 1
+          k += 1
+        } else inp.add(tok)
       }
-      start = end
+      idx += 1
     }
     InternalRow(
       new GenericArrayData(inp.toArray[AnyRef](new Array[AnyRef](inp.size()))),

@@ -188,10 +188,16 @@ case class CharEntropySum(child: Expression)
 }
 
 object CharEntropySum {
-  /** Shared by eval and generated code (one tight loop, two callers). */
+  /** Shared by eval and generated code (one tight loop, two callers).
+    * Counts CODE POINTS, not UTF-16 units: Spark's split("")/length()
+    * (the HOF definition and the gate's L) and DuckDB's string_split
+    * are all code-point based, so a surrogate pair must be ONE
+    * character here too or the three definitions diverge on
+    * supplementary-plane text.
+    */
   def sumOf(s: String): Long = {
     if (s.isEmpty) return 0L
-    val a = s.toCharArray
+    val a = s.codePoints().toArray
     java.util.Arrays.sort(a)
     var sum = 0L
     var run = 1L

@@ -35,10 +35,17 @@ class HashEquivalenceSpec extends SparkSpec {
   }
 
   test("CharEntropySum == the aggregate struct-fold HOF definition") {
-    val a = docs.select(col("id"),
+    import spark.implicits._
+    // incl. supplementary-plane text: the kernel must count CODE POINTS
+    // (split("")/length() semantics), not UTF-16 units — two identical
+    // astral emoji are one run of 2, not two runs of surrogate halves
+    val withAstral = docs.unionByName(
+      Seq((6L, "😀😀 mixed 😀 text"))
+        .toDF("id", "text"))
+    val a = withAstral.select(col("id"),
       TextAnalysis.charEntropySum(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = docs.select(col("id"),
+    val b = withAstral.select(col("id"),
       TextAnalysis.charEntropySumHof(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
