@@ -68,7 +68,10 @@ object GraftSession {
         else Filter.Result.NEUTRAL
       }
     }
-    ctx.getConfiguration.addFilter(filter)
+    // attach to the ROOT LoggerConfig: un-configured loggers (every
+    // Spark RDD class) route through it, and ITS filter chain is the
+    // one consulted — a Configuration-level addFilter is not
+    ctx.getConfiguration.getRootLogger.addFilter(filter)
     ctx.updateLoggers()
     () => ()
   }
