@@ -429,6 +429,68 @@ object CoverageQueries extends QueryPack {
           |FROM kept GROUP BY source ORDER BY source""".stripMargin)),
 
     GQuery(
+      "q_epoch_budget",
+      "Data-constrained epoch budgeting (Muennighoff et al. 2023): when " +
+        "a source's token budget exceeds its corpus, repeat it — " +
+        "min(budget div corpus, 3) full epochs plus a hash-ordered " +
+        "partial epoch consuming the remainder. Summary per source over " +
+        "the emitted (doc, epoch) corpus; oracle replays plan, cap, and " +
+        "partial admission.",
+      (s, dir) => {
+        import graft.functions.TextAnalysis
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))))
+        val p = graft.operators.EpochBudget.plan(
+          docs, "source", "n_tok", defaultBudget = 10000L,
+          overrides = Map("src0" -> 4000L, "src1" -> 50000L), maxEpochs = 3)
+        val ep = graft.operators.EpochBudget.epochedCorpus(
+          docs, "source", "n_tok", defaultBudget = 10000L,
+          overrides = Map("src0" -> 4000L, "src1" -> 50000L), maxEpochs = 3)
+        ep.join(p, "source")
+          .groupBy(col("source"), col("corpus_tokens"), col("budget"),
+            col("full_epochs"))
+          .agg(
+            count(when(col("epoch") === col("full_epochs"), 1)).as("partial_docs"),
+            sum(col("n_tok")).cast("long").as("emitted_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |                              t -> length(t) > 0)) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS ct
+             |        FROM tk GROUP BY source),
+             |pl AS (
+             |  SELECT source, ct,
+             |         CAST(CASE source WHEN 'src0' THEN 4000
+             |                          WHEN 'src1' THEN 50000
+             |                          ELSE 10000 END AS BIGINT) AS budget
+             |  FROM tot),
+             |pe AS (SELECT *, LEAST(budget // ct, 3) AS fe FROM pl),
+             |pr AS (SELECT *,
+             |         CASE WHEN fe < 3 THEN budget - fe*ct ELSE 0 END AS rem
+             |       FROM pe),
+             |h AS (SELECT tk.*,
+             |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS ord
+             |      FROM tk),
+             |c AS (SELECT h.*,
+             |        SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+             |      FROM h),
+             |part AS (
+             |  SELECT c.source, c.n_tok FROM c
+             |  JOIN pr ON pr.source = c.source
+             |  WHERE c.cum <= pr.rem),
+             |ps AS (SELECT source, COUNT(*) AS pd, CAST(SUM(n_tok) AS BIGINT) AS pt
+             |       FROM part GROUP BY source)
+             |SELECT pr.source, pr.ct AS corpus_tokens, pr.budget,
+             |       pr.fe AS full_epochs,
+             |       CAST(COALESCE(ps.pd, 0) AS BIGINT) AS partial_docs,
+             |       CAST(pr.fe * pr.ct + COALESCE(ps.pt, 0) AS BIGINT) AS emitted_tokens
+             |FROM pr LEFT JOIN ps ON ps.source = pr.source
+             |ORDER BY pr.source""".stripMargin)),
+
+    GQuery(
       "q_ivf_kmeans",
       "Spherical k-means quantizer refinement with the FULL algorithm " +
         "mirrored in the oracle: systematic unit-normalized seeds, two " +
