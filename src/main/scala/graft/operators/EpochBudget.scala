@@ -37,8 +37,15 @@ object EpochBudget {
       .groupBy(col(srcCol))
       .agg(sum(coalesce(col(tokCol).cast("long"), lit(0L))).as("corpus_tokens"))
       .withColumn("budget", budget)
+      // Guard the division: an empty source (corpus_tokens = 0) must get
+      // 0 full epochs deterministically — unguarded `DIV` yields NULL in
+      // non-ANSI mode (and least() would skip it, silently promoting the
+      // source to maxEpochs) and throws under ANSI mode.
       .withColumn("full_epochs",
-        least(expr("budget DIV corpus_tokens"), lit(maxEpochs.toLong)))
+        least(
+          when(col("corpus_tokens") > 0, expr("budget DIV corpus_tokens"))
+            .otherwise(lit(0L)),
+          lit(maxEpochs.toLong)))
       .withColumn("remainder",
         when(col("full_epochs") < maxEpochs,
           col("budget") - col("full_epochs") * col("corpus_tokens"))

@@ -160,10 +160,18 @@ object ProductQuant {
   /** Codes packed radix-ksub into one BIGINT (engine-comparable and
     * 8 bytes on disk): Σ code_m · ksub^m.
     */
-  def packedCode(codes: Column, m: Int, ksub: Int): Column =
+  def packedCode(codes: Column, m: Int, ksub: Int): Column = {
+    // Exact integer radix weights: math.pow rounds above 2^53 for
+    // non-power-of-two ksub, silently corrupting the packed code. The
+    // whole pack must also fit a signed 64-bit long.
+    require(m * (math.log(ksub) / math.log(2)) <= 63.0,
+      s"packed code overflows long: m=$m ksub=$ksub")
+    val weights = Iterator.iterate(1L)(w => Math.multiplyExact(w, ksub.toLong))
+      .take(m).toSeq
     (0 until m).map { mi =>
-      element_at(codes, mi + 1).cast("long") * lit(math.pow(ksub, mi).toLong)
+      element_at(codes, mi + 1).cast("long") * lit(weights(mi))
     }.reduce(_ + _)
+  }
 
   /** ADC distance: Σ_m L2²(query subvector, centroid the code names) —
     * a single codegen'd kernel; no join, no decode of the corpus

@@ -653,7 +653,10 @@ object TextQueries extends QueryPack {
             fingerprint(concat_ws(" ", col("__c.target"))).as("target_fp"))
           .orderBy(col("doc_id")),
       Some {
-        val drawM = "(((doc_id * 131 + i) % 1000000007) * 2654435761 % 1000000007)"
+        // doc_id reduced mod P before the *131 — mirrors the kernel's
+        // overflow-free hash (a raw doc_id*131 errors in DuckDB and
+        // wraps on the JVM for |doc_id| > ~7e16).
+        val drawM = "((((doc_id % 1000000007) * 131 + i) % 1000000007) * 2654435761 % 1000000007)"
         val draw = s"(xor($drawM, $drawM >> 15) * 2654435761 % 1000000007)"
         // The mirror replays the skip-counter walk as a RECURSIVE CTE
         // (all documents advance one token per iteration, joined on

@@ -84,10 +84,9 @@ object PqExpr {
       mi: Int, cid: Int, ksub: Int, dsub: Int): Double = {
     val base = (mi * ksub + cid) * dsub
     val off = mi * dsub
-    val n = v.numElements()
     var acc = 0.0
     var p = 0
-    while (p < dsub && off + p < n) {
+    while (p < dsub) {
       val d = v.getFloat(off + p).toDouble - cents(base + p)
       acc += d * d
       p += 1
@@ -95,11 +94,23 @@ object PqExpr {
     acc
   }
 
+  /** A vector shorter than m·dsub would otherwise yield partial
+    * distances and plausible-looking-but-wrong codes; surface the
+    * malformed input instead of quantizing it.
+    */
+  private def checkShape(v: ArrayData, m: Int, dsub: Int): Unit = {
+    val n = v.numElements()
+    if (n != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq: vector length $n != m*dsub = ${m * dsub}")
+  }
+
   /** All-subspace argmin cells (strict < keeps the smaller cid on ties
     * — the struct-min rule).
     */
   def assign(v: ArrayData, cents: Array[Double],
       m: Int, ksub: Int, dsub: Int): ArrayData = {
+    checkShape(v, m, dsub)
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -122,6 +133,7 @@ object PqExpr {
     */
   def adc(q: ArrayData, codes: ArrayData, cents: Array[Double],
       m: Int, ksub: Int, dsub: Int): Double = {
+    checkShape(q, m, dsub)
     var total = 0.0
     var mi = 0
     while (mi < m) {

@@ -71,7 +71,11 @@ object SpanCorruptExpr {
       val tok = UTF8String.fromString(word)
       if (skip > 0) { tgt.add(tok); skip -= 1 }
       else {
-        val m = ((docId * 131 + idx) % P) * 2654435761L % P
+        // docId reduced mod P BEFORE the multiply: a raw docId*131
+        // wraps silently on the JVM but raises an overflow error in
+        // DuckDB for |doc_id| > ~7e16, so the kernel and oracle would
+        // diverge (wrong vs error). (docId%P)*131 + idx stays < 2^37.
+        val m = ((docId % P) * 131 + idx) % P * 2654435761L % P
         val draw = (m ^ (m >> 15)) * 2654435761L % P
         if (k < maxExtra && draw % startEvery == 0) {
           val spanLen = 1 + ((draw / startEvery) % maxSpan).toInt

@@ -20,7 +20,7 @@ class SpanCorruptSpec extends SparkSpec {
     toks.zipWithIndex.foreach { case (t, i) =>
       if (skip > 0) { tgt += t; skip -= 1 }
       else {
-        val m = ((docId * 131 + i) % P) * 2654435761L % P
+        val m = ((docId % P) * 131 + i) % P * 2654435761L % P
         val draw = (m ^ (m >> 15)) * 2654435761L % P
         if (k < maxExtra && draw % startEvery == 0) {
           inp += s"<extra_id_$k>"; tgt += s"<extra_id_$k>"; tgt += t
@@ -76,6 +76,15 @@ class SpanCorruptSpec extends SparkSpec {
     val restoredLen = inp.count(!_.startsWith("<extra_id_")) +
       tgt.count(!_.startsWith("<extra_id_"))
     assert(restoredLen === orig.length)
+  }
+
+  test("extreme doc ids stay overflow-free and match the reference") {
+    // |doc_id| > ~7e16 used to wrap docId*131 on the JVM (and would
+    // error in DuckDB); the mod-P reduction keeps both sides exact.
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, 9000000000000000L)
+    val text = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val got = run(ids.map(id => (id, text)))
+    ids.foreach(id => assert(got(id) === ref(text, id), s"doc $id"))
   }
 
   test("empty and whitespace-only text produce empty pairs") {
