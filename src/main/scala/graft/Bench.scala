@@ -86,7 +86,8 @@ object Bench {
           exactTop(qid).size)
         .sum / qs.size)
     }
-    val recalls = Seq("q_ivf_ann", "q_ivf_indexed", "q_ivf_kmeans_ann")
+    val recalls = Seq("q_ivf_ann", "q_ivf_indexed", "q_ivf_kmeans_ann",
+      "q_pq_rerank", "q_ivf_pq")
       .flatMap(n => recallOf(n).map(n -> _))
 
     // Dedup banding guard, same idea as the ANN one: recall of the

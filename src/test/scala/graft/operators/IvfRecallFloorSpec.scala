@@ -61,4 +61,26 @@ class IvfRecallFloorSpec extends SparkSpec {
       "embedding", k = 5, nlist = 16, nprobe = 5, centroidsOpt = Some(cents)))
     assert(r >= Floor, f"k-means IVF recall@5 $r%.3f fell below the $Floor floor")
   }
+
+  // PQ training config shared with PqQueries (m=8 subspaces over the
+  // 64-dim embeddings, ksub=16, 2 Lloyd iterations). The shortlist
+  // factors are the tuned query defaults: on these near-uniform
+  // synthetic embeddings ADC rank quality is bounded by the 32-bit
+  // code resolution, so 8x measured 0.48 (rerank) / 0.68 (ivf-pq);
+  // 32x / nprobe=5+48x measure 0.92 / 0.84.
+  private lazy val books =
+    ProductQuant.trainCodebooks(corpus, "vec_id", "embedding", 8, 16, 2)
+
+  test(s"PQ shortlist + re-rank (q_pq_rerank config) holds recall >= $Floor") {
+    val r = recallOf(ProductQuant.searchAdcRerank(corpus, queries,
+      "vec_id", "qid", "embedding", k = 5, books, shortlistFactor = 32))
+    assert(r >= Floor, f"PQ re-rank recall@5 $r%.3f fell below the $Floor floor")
+  }
+
+  test(s"IVF-PQ (q_ivf_pq config) holds recall >= $Floor") {
+    val r = recallOf(ProductQuant.searchIvfAdcRerank(corpus, queries,
+      "vec_id", "qid", "embedding", k = 5, books, nlist = 16, nprobe = 5,
+      shortlistFactor = 48))
+    assert(r >= Floor, f"IVF-PQ recall@5 $r%.3f fell below the $Floor floor")
+  }
 }
