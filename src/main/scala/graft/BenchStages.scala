@@ -61,6 +61,31 @@ object BenchStages {
           splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
           threshold = 0.5, n = 3, h = 16, bands = 4))),
 
+    "q_quality_classifier" -> Seq(
+      // the r10→r11 drift attribution target (3.26 s → 4.60 s with the
+      // operator unchanged): features isolates the tokenize+hash+agg
+      // build, train adds the 2 GD collect-jobs over the cached
+      // features, score_all is the registered query end to end
+      "features" -> ((s, dir) =>
+        graft.operators.QualityClassifier.features(
+          docs(s, dir), "doc_id", "text", 512)),
+      "train" -> { (s, dir) =>
+        val d = docs(s, dir)
+          .withColumn("__lab", (col("source") === "src0").cast("int"))
+        val m = graft.operators.QualityClassifier.train(
+          s, d, "doc_id", "text", "__lab", buckets = 512, iters = 2)
+        // the model is driver-side; emit it as one row so the stage
+        // has a DataFrame to execute like every other prefix
+        s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(m.bias)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bias",
+              org.apache.spark.sql.types.LongType))))
+      },
+      "score_all" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_quality_classifier").get
+          .build(s, dir))),
+
     "q_corpus_pipeline_full" -> Seq(
       "clean" -> ((s, dir) =>
         CorpusClean.clean(docs(s, dir), Seq("en", "de", "fr"), 100, 0.5)),
@@ -70,6 +95,40 @@ object BenchStages {
           "doc_id", "text", 8)),
       "full_pipeline" -> ((s, dir) =>
         SparkEntry.allQueries.find(_.name == "q_corpus_pipeline_full").get
-          .build(s, dir)))
+          .build(s, dir))),
+
+    "q_corpus_pipeline_modern" -> {
+      // the modern-tail stages share every cleaning stage with the
+      // registered query; the prefixes isolate what the tail adds
+      def cfg(tmix: Long, chunk: Int, epochs: Long, shards: Int) =
+        graft.operators.CorpusPipeline.Config(
+          langs = Seq("en", "de", "fr"), minChars = 100,
+          jaccardThreshold = 0.5, boilerWindow = 5, boilerMinDocFreq = 3,
+          spanDedupWindow = 5, spanDedupMinCount = 2, windowDedupN = 8,
+          minQuality = 0.3, classifierLabel = Some("__lab"),
+          minQualityMicro = 20000L, classifierBuckets = 512,
+          classifierIters = 2, splitLeakThreshold = 0.3,
+          splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+          packTokens = 512L, temperatureMixDocs = tmix,
+          chunkTokens = chunk, chunkOverlap = if (chunk > 0) 8 else 0,
+          epochBudgetPerSource = epochs, epochMaxEpochs = 3,
+          nShards = shards)
+      def run(s: SparkSession, dir: String,
+          c: graft.operators.CorpusPipeline.Config): DataFrame = {
+        val d = docs(s, dir)
+          .withColumn("__lab", (col("source") === "src0").cast("int"))
+        graft.operators.CorpusPipeline.prepare(d, d.limit(0), c)
+      }
+      Seq(
+        "base_pack512" -> ((s: SparkSession, dir: String) =>
+          run(s, dir, cfg(0L, 0, 0L, 0))),
+        "tmix" -> ((s: SparkSession, dir: String) =>
+          run(s, dir, cfg(200L, 0, 0L, 0))),
+        "tmix_chunk" -> ((s: SparkSession, dir: String) =>
+          run(s, dir, cfg(200L, 32, 0L, 0))),
+        "full_modern" -> ((s: SparkSession, dir: String) =>
+          SparkEntry.allQueries.find(_.name == "q_corpus_pipeline_modern").get
+            .build(s, dir)))
+    }
   )
 }
