@@ -23,13 +23,22 @@ import graft.functions.TextAnalysis
   *  5. leakage-safe split assignment (`LeakSafeSplit` — near-dup
   *     clusters never straddle train/eval);
   *  6. per-source token-budget mixing of the TRAIN split
-  *     (`RowOps.tokenBudgetSample`);
-  *  7. sequence packing into fixed-token bins (`SeqPack.packByBudget`).
+  *     (`RowOps.tokenBudgetSample`), optionally followed by a
+  *     temperature-flattened ~ n^0.5 source rebalance
+  *     (`TemperatureMix`);
+  *  7. sequence packing into fixed-token bins (`SeqPack.packByBudget`)
+  *     — optionally preceded by fixed-token chunking with overlap
+  *     (`ChunkSplit`, chunks become the pack units) and
+  *     data-constrained epoch repetition (`EpochBudget`, full epochs
+  *     plus a hash-ordered partial), and followed by training-shard
+  *     assignment (`TrainShards`).
   *
   * Output: one row per packed training document with `(idCol, split,
   * n_tokens, bin_id, bin_offset, clean_text)` plus the untouched
   * valid/test rows (bin columns null) — everything a tokenizer shard
-  * writer needs downstream.
+  * writer needs downstream. With any modern-tail stage enabled the
+  * train rows are pack UNITS instead: `(idCol, split, epoch,
+  * chunk_idx, n_tokens, bin_id, bin_offset, shard, clean_text)`.
   *
   * Scale story = the composed operators' own stories (each documented
   * in SCALE.md); this class adds no shuffle of its own beyond the
@@ -74,7 +83,28 @@ object CorpusPipeline {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
       trainBudgetPerSource: Long = Long.MaxValue,
-      packTokens: Long = 2048L)
+      packTokens: Long = 2048L,
+      // ---- modern train-split curation tail (all off by default; the
+      // ---- legacy mix+pack output contract is unchanged when off) ----
+      // > 0: temperature-flattened (~ n^0.5) rebalance of the train
+      // split down to this many documents (TemperatureMix)
+      temperatureMixDocs: Long = 0L,
+      // > 0: split each surviving train doc into fixed-token chunks
+      // with this window (ChunkSplit) — chunks become the pack units
+      chunkTokens: Int = 0,
+      chunkOverlap: Int = 0,
+      // > 0: per-source token budget with repetition (EpochBudget):
+      // full epochs up to epochMaxEpochs plus a hash-ordered partial
+      epochBudgetPerSource: Long = 0L,
+      epochMaxEpochs: Int = 4,
+      // > 0: assign each packed bin to a training shard (TrainShards)
+      nShards: Int = 0)
+
+  /** Unit-key radix for the chunked pack order: `doc_id * ChunkCap +
+    * chunk_idx` must be collision-free, so a doc with >= ChunkCap
+    * chunks fails loudly instead of silently interleaving.
+    */
+  val ChunkCap = 1L << 20
 
   /** Run the full preparation over `docs` (needs idCol, textCol, a
     * lang column, and srcCol); `evalSet` is the benchmark to
@@ -178,19 +208,82 @@ object CorpusPipeline {
 
     // 6+7. budget-mix and pack the TRAIN split only
     val train = split.filter(col("split") === "train")
-    val mixed =
+    val budgeted =
       if (cfg.trainBudgetPerSource == Long.MaxValue) train
       else RowOps.tokenBudgetSample(train, srcCol, "n_tokens",
         cfg.trainBudgetPerSource, idCol = idCol)
-    val packed = SeqPack.packByBudget(mixed, idCol, "n_tokens",
-      cfg.packTokens)
-      .select(col(idCol), col("split"), col("n_tokens"),
-        col("bin_id"), col("bin_offset"), col(textCol).as("clean_text"))
-    val held = split.filter(col("split") =!= "train")
-      .select(col(idCol), col("split"), col("n_tokens"),
-        lit(null).cast("long").as("bin_id"),
-        lit(null).cast("long").as("bin_offset"),
-        col(textCol).as("clean_text"))
-    packed.unionByName(held)
+    // 6b. temperature-flattened rebalance (~ n^0.5 across sources)
+    val mixed =
+      if (cfg.temperatureMixDocs <= 0L) budgeted
+      else TemperatureMix.sampleSqrtTemperature(budgeted, srcCol, idCol,
+        cfg.temperatureMixDocs)
+
+    val modern = cfg.chunkTokens > 0 || cfg.epochBudgetPerSource > 0L ||
+      cfg.nShards > 0
+    if (!modern) {
+      val packed = SeqPack.packByBudget(mixed, idCol, "n_tokens",
+        cfg.packTokens)
+        .select(col(idCol), col("split"), col("n_tokens"),
+          col("bin_id"), col("bin_offset"), col(textCol).as("clean_text"))
+      val held = split.filter(col("split") =!= "train")
+        .select(col(idCol), col("split"), col("n_tokens"),
+          lit(null).cast("long").as("bin_id"),
+          lit(null).cast("long").as("bin_offset"),
+          col(textCol).as("clean_text"))
+      packed.unionByName(held)
+    } else {
+      // ---- modern tail: chunk -> epoch-repeat -> pack -> shard ----
+      // Pack units carry (__unit, __utok, __utext): a chunk when
+      // chunking is on, else the whole document.
+      val units =
+        if (cfg.chunkTokens <= 0)
+          mixed.select(col(idCol), col(srcCol),
+            lit(null).cast("long").as("chunk_idx"),
+            col(idCol).cast("long").as("__unit"),
+            col("n_tokens").as("__utok"), col(textCol).as("__utext"))
+        else ChunkSplit.chunkByTokens(mixed, idCol, textCol,
+            cfg.chunkTokens, cfg.chunkOverlap)
+          .join(mixed.select(col(idCol), col(srcCol)), idCol)
+          .select(col(idCol), col(srcCol),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            (col(idCol).cast("long") * ChunkCap +
+              when(col("chunk_idx") >= ChunkCap, raise_error(concat(
+                lit(s"chunk fan-out >= $ChunkCap for doc "),
+                col(idCol).cast("string"))))
+                .otherwise(col("chunk_idx").cast("long"))).as("__unit"),
+            col("n_chunk_tokens").as("__utok"),
+            col("chunk_text").as("__utext"))
+      // epoch repetition: (unit, epoch) rows; without it epoch = 0.
+      // The pack key folds epoch in so repeats are distinct pack rows.
+      val epoched =
+        if (cfg.epochBudgetPerSource <= 0L)
+          units.withColumn("epoch", lit(0L))
+            .withColumn("__pk", col("__unit"))
+        else EpochBudget.epochedCorpus(units, srcCol, "__utok",
+            cfg.epochBudgetPerSource, maxEpochs = cfg.epochMaxEpochs,
+            idCol = "__unit")
+          .withColumn("__pk",
+            col("__unit") * (cfg.epochMaxEpochs + 1) + col("epoch"))
+      val packed = SeqPack.packByBudget(epoched, "__pk", "__utok",
+        cfg.packTokens)
+      val sharded =
+        if (cfg.nShards <= 0)
+          packed.withColumn("shard", lit(null).cast("int"))
+        else TrainShards.withShard(packed, cfg.nShards)
+      val trainOut = sharded.select(col(idCol), lit("train").as("split"),
+        col("epoch"), col("chunk_idx"), col("__utok").as("n_tokens"),
+        col("bin_id"), col("bin_offset"), col("shard"),
+        col("__utext").as("clean_text"))
+      val held = split.filter(col("split") =!= "train")
+        .select(col(idCol), col("split"),
+          lit(null).cast("long").as("epoch"),
+          lit(null).cast("long").as("chunk_idx"),
+          col("n_tokens"),
+          lit(null).cast("long").as("bin_id"),
+          lit(null).cast("long").as("bin_offset"),
+          lit(null).cast("int").as("shard"),
+          col(textCol).as("clean_text"))
+      trainOut.unionByName(held)
+    }
   }
 }

@@ -205,7 +205,7 @@ object CoverageQueries extends QueryPack {
     * stage consuming the previous stage's relation instead of
     * `documents`.
     */
-  private val CorpusPipelineFullOracle: String = {
+  private def corpusPipelineOracle(modernTail: Boolean): String = {
     val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
     val bandCond16 = (0 until 16).map(j => s"x.band$j = y.band$j").mkString(" OR ")
     val win5 = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
@@ -365,25 +365,126 @@ object CoverageQueries extends QueryPack {
        |                   ELSE 'test' END AS split
        |       FROM draw),
        |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks_l),
-       |tr AS (SELECT sp.doc_id, nt.n_tokens
-       |       FROM sp JOIN nt USING (doc_id) WHERE sp.split = 'train'),
-       |cum AS (SELECT doc_id, n_tokens,
-       |               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tbef
-       |        FROM tr),
-       |packed AS (SELECT doc_id, 'train' AS split, n_tokens,
-       |                  CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
-       |                  tbef - CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) * 2048 AS bin_offset
-       |           FROM cum),
-       |held AS (SELECT sp.doc_id, sp.split, nt.n_tokens,
-       |                CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_offset
-       |         FROM sp JOIN nt USING (doc_id) WHERE sp.split <> 'train'),
-       |unioned AS (SELECT * FROM packed UNION ALL SELECT * FROM held)
-       |SELECT u.doc_id, u.split, u.n_tokens, u.bin_id, u.bin_offset,
-       |       d7.text AS clean_text
-       |FROM unioned u JOIN d7 USING (doc_id)
-       |ORDER BY u.doc_id""".stripMargin
+       |${if (modernTail) CorpusPipelineModernTail else CorpusPipelineLegacyTail}""".stripMargin
   }
+
+  /** The r9 tail: pack whole train documents into 2048-token bins. */
+  private val CorpusPipelineLegacyTail: String =
+    """tr AS (SELECT sp.doc_id, nt.n_tokens
+      |       FROM sp JOIN nt USING (doc_id) WHERE sp.split = 'train'),
+      |cum AS (SELECT doc_id, n_tokens,
+      |               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tbef
+      |        FROM tr),
+      |packed AS (SELECT doc_id, 'train' AS split, n_tokens,
+      |                  CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+      |                  tbef - CAST(FLOOR(CAST(tbef AS DOUBLE) / 2048.0) AS BIGINT) * 2048 AS bin_offset
+      |           FROM cum),
+      |held AS (SELECT sp.doc_id, sp.split, nt.n_tokens,
+      |                CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_offset
+      |         FROM sp JOIN nt USING (doc_id) WHERE sp.split <> 'train'),
+      |unioned AS (SELECT * FROM packed UNION ALL SELECT * FROM held)
+      |SELECT u.doc_id, u.split, u.n_tokens, u.bin_id, u.bin_offset,
+      |       d7.text AS clean_text
+      |FROM unioned u JOIN d7 USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin
+
+  /** The modern train tail (q_corpus_pipeline_modern config):
+    * temperature mix to 200 docs -> 32/8 token chunks (unit key
+    * doc_id*2^20 + chunk_idx) -> epoch budget 1500/source, max 3 ->
+    * 512-token packing over unit*(3+1)+epoch order -> 8-way shard
+    * assignment by the standard multiplicative draw on bin_id. Each
+    * block mirrors its standalone oracle (q_temperature_mix,
+    * q_chunk_split, q_epoch_budget, q_train_shards) verbatim so the
+    * composition, not new arithmetic, is what this row proves.
+    */
+  private val CorpusPipelineModernTail: String =
+    """trsrc AS (SELECT sp.doc_id, d7.source
+      |          FROM sp JOIN d7 USING (doc_id) WHERE sp.split = 'train'),
+      |tmc AS (SELECT source AS seg, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM trsrc GROUP BY 1),
+      |tmw AS (SELECT seg, n,
+      |               CAST(floor(1000000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      |        FROM tmc),
+      |tmt AS (SELECT SUM(wt) AS tw FROM tmw),
+      |tmq AS (SELECT seg, n, (200 * wt) // t.tw AS q0,
+      |               (200 * wt) % t.tw AS rem
+      |        FROM tmw, tmt t),
+      |tml AS (SELECT seg, n, q0, rem,
+      |               ROW_NUMBER() OVER (ORDER BY rem DESC, seg) AS rr
+      |        FROM tmq),
+      |tmlo AS (SELECT 200 - SUM(q0) AS leftover FROM tmq),
+      |tmquota AS (SELECT seg,
+      |                   LEAST(q0 + CASE WHEN rr <= lo.leftover
+      |                              THEN 1 ELSE 0 END, n) AS quota
+      |            FROM tml, tmlo lo),
+      |tmr AS (SELECT t.source AS seg, t.doc_id,
+      |               ROW_NUMBER() OVER (PARTITION BY t.source
+      |                 ORDER BY ((t.doc_id % 1000000007) * 2654435761)
+      |                          % 1000000007, t.doc_id) AS rk
+      |        FROM trsrc t),
+      |tsel AS (SELECT tmr.doc_id, tmr.seg AS source
+      |         FROM tmr JOIN tmquota USING (seg) WHERE tmr.rk <= tmquota.quota),
+      |cnz AS (SELECT s.doc_id, s.source, t.tk, len(t.tk) AS n
+      |        FROM tsel s JOIN toks_l t USING (doc_id) WHERE len(t.tk) > 0),
+      |cix AS (SELECT doc_id, source, tk, n,
+      |               unnest(generate_series(0,
+      |                 GREATEST(CAST(ceil((n - 8) / 24.0) AS INT), 1) - 1)) AS chunk_idx
+      |        FROM cnz),
+      |cch AS (SELECT doc_id, source, chunk_idx,
+      |               list_slice(tk, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS c
+      |        FROM cix WHERE chunk_idx * 24 < n),
+      |cu AS (SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |              doc_id * 1048576 + chunk_idx AS unit,
+      |              CAST(len(c) AS BIGINT) AS utok,
+      |              array_to_string(c, ' ') AS utext
+      |       FROM cch),
+      |etot AS (SELECT source, CAST(SUM(utok) AS BIGINT) AS ct FROM cu GROUP BY source),
+      |epe AS (SELECT source, ct,
+      |               LEAST(CASE WHEN ct > 0 THEN 1500 // ct ELSE 0 END, 3) AS fe
+      |        FROM etot),
+      |epr AS (SELECT *, CASE WHEN fe < 3 THEN 1500 - fe*ct ELSE 0 END AS rem
+      |        FROM epe),
+      |efull AS (SELECT cu.*, unnest(generate_series(0, CAST(epr.fe AS BIGINT) - 1)) AS epoch
+      |          FROM cu JOIN epr USING (source) WHERE epr.fe >= 1),
+      |eh AS (SELECT cu.*, ((unit % 1000000007) * 2654435761) % 1000000007 AS ord
+      |       FROM cu),
+      |ec AS (SELECT eh.*, SUM(utok) OVER (PARTITION BY source ORDER BY ord, unit) AS cum
+      |       FROM eh),
+      |epart AS (SELECT ec.doc_id, ec.source, ec.chunk_idx, ec.unit, ec.utok,
+      |                 ec.utext, epr.fe AS epoch
+      |          FROM ec JOIN epr USING (source) WHERE ec.cum <= epr.rem),
+      |eall AS (SELECT doc_id, chunk_idx, unit, utok, utext,
+      |                CAST(epoch AS BIGINT) AS epoch
+      |         FROM efull
+      |         UNION ALL
+      |         SELECT doc_id, chunk_idx, unit, utok, utext,
+      |                CAST(epoch AS BIGINT)
+      |         FROM epart),
+      |ek AS (SELECT *, unit * 4 + epoch AS pk FROM eall),
+      |ecum AS (SELECT *, CAST(COALESCE(SUM(utok) OVER (ORDER BY pk
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tbef
+      |         FROM ek),
+      |epk AS (SELECT doc_id, chunk_idx, epoch, utok, utext,
+      |               CAST(FLOOR(CAST(tbef AS DOUBLE) / 512.0) AS BIGINT) AS bin_id,
+      |               tbef - CAST(FLOOR(CAST(tbef AS DOUBLE) / 512.0) AS BIGINT) * 512 AS bin_offset
+      |        FROM ecum),
+      |esh AS (SELECT *, CAST(((bin_id % 1000003) * 2654435761) % 1000000 % 8 AS BIGINT) AS shard
+      |        FROM epk),
+      |mheld AS (SELECT sp.doc_id, sp.split, CAST(NULL AS BIGINT) AS epoch,
+      |                 CAST(NULL AS BIGINT) AS chunk_idx, nt.n_tokens,
+      |                 CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_offset,
+      |                 CAST(NULL AS BIGINT) AS shard, d7.text AS clean_text
+      |          FROM sp JOIN nt USING (doc_id) JOIN d7 USING (doc_id)
+      |          WHERE sp.split <> 'train')
+      |SELECT doc_id, 'train' AS split, epoch, chunk_idx, utok AS n_tokens,
+      |       bin_id, bin_offset, shard, utext AS clean_text
+      |FROM esh
+      |UNION ALL SELECT * FROM mheld
+      |ORDER BY doc_id, epoch NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin
+
+  private val CorpusPipelineFullOracle: String = corpusPipelineOracle(false)
+  private val CorpusPipelineModernOracle: String = corpusPipelineOracle(true)
 
   val queries: Seq[GQuery] = Seq(
 
@@ -1082,6 +1183,46 @@ object CoverageQueries extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some(CorpusPipelineFullOracle)),
+
+    GQuery(
+      "q_corpus_pipeline_modern",
+      "The corpus pipeline with the MODERN train tail composed on top " +
+        "of every cleaning stage: after clean/dedup/boilerplate/" +
+        "quality/classifier/decontamination/leak-split, the train " +
+        "split is temperature-rebalanced (~n^0.5, 200 docs), chunked " +
+        "into 32-token windows with 8 overlap, epoch-repeated to a " +
+        "1500-token/source budget (max 3 full epochs + hash-ordered " +
+        "partial), packed into 512-token bins over the (unit, epoch) " +
+        "order, and 8-way shard-assigned. One oracle replays all " +
+        "fifteen stages end to end.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__lab", (col("source") === "src0").cast("int"))
+        graft.operators.CorpusPipeline.prepare(
+          docs, docs.limit(0),
+          graft.operators.CorpusPipeline.Config(
+            langs = Seq("en", "de", "fr"), minChars = 100,
+            jaccardThreshold = 0.5,
+            boilerWindow = 5, boilerMinDocFreq = 3,
+            spanDedupWindow = 5, spanDedupMinCount = 2,
+            windowDedupN = 8,
+            minQuality = 0.3,
+            classifierLabel = Some("__lab"), minQualityMicro = 20000L,
+            classifierBuckets = 512, classifierIters = 2,
+            splitLeakThreshold = 0.3,
+            splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+            packTokens = 512L,
+            temperatureMixDocs = 200L,
+            chunkTokens = 32, chunkOverlap = 8,
+            epochBudgetPerSource = 1500L, epochMaxEpochs = 3,
+            nShards = 8))
+          .select(col("doc_id"), col("split"), col("epoch"),
+            col("chunk_idx"), col("n_tokens"), col("bin_id"),
+            col("bin_offset"), col("shard").cast("long").as("shard"),
+            col("clean_text"))
+          .orderBy(col("doc_id"), col("epoch"), col("chunk_idx"))
+      },
+      Some(CorpusPipelineModernOracle)),
 
     // -- deterministic stratified sampling -----------------------------------
     GQuery(

@@ -109,6 +109,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bloomAmple === exact, "ample bloom should equal exact")
   }
 
+  test("modern tail: chunk/epoch/shard invariants hold end to end") {
+    val out = CorpusPipeline.prepare(docs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 64L,
+        temperatureMixDocs = 50L,
+        chunkTokens = 16, chunkOverlap = 4,
+        epochBudgetPerSource = 400L, epochMaxEpochs = 3,
+        nShards = 4),
+      "doc_id", "text", "source").cache()
+    try {
+      assert(out.columns.toSeq == Seq("doc_id", "split", "epoch",
+        "chunk_idx", "n_tokens", "bin_id", "bin_offset", "shard",
+        "clean_text"))
+      val train = out.filter(col("split") === "train")
+      assert(train.count() > 0, "modern tail must emit train units")
+      // chunks respect the token window; epochs respect the cap
+      assert(train.filter(col("n_tokens") > 16).count() == 0,
+        "a chunk exceeded chunkTokens")
+      assert(train.filter(col("epoch") < 0 || col("epoch") > 3).count() == 0)
+      assert(train.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+      assert(train.filter(col("bin_offset") < 0 || col("bin_offset") >= 64)
+        .count() == 0, "packing bound violated")
+      // epoch repetition emits identical chunk text per repeat
+      val reps = train.groupBy("doc_id", "chunk_idx")
+        .agg(countDistinct(col("clean_text")).as("v"))
+        .filter(col("v") > 1).count()
+      assert(reps == 0, "repeated chunks must carry identical text")
+      // held rows keep nulls in every train-only column
+      assert(out.filter(col("split") =!= "train" &&
+        (col("epoch").isNotNull || col("shard").isNotNull ||
+          col("bin_id").isNotNull)).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
