@@ -42,6 +42,14 @@ import graft.functions.TextAnalysis
   * DuckDB — IS greedy BPE pair merging, cascades included
   * (" a  a  a  a " → " aa  aa "). That makes the whole learner, encode
   * included, replayable bit-for-bit by a SQL oracle.
+  *
+  * `byteLevel = true` switches the alphabet to UTF-8 bytes with an
+  * end-of-word convention (the GPT-2/tiktoken-class setup): tokens are
+  * 2-hex-digit byte values plus a terminal "_" marker, the wrapped
+  * encoding and merge machinery otherwise unchanged. On any non-ASCII
+  * corpus this learns different merges than char mode (multi-byte
+  * chars merge from their bytes; word-final units exist), and the
+  * fertility report is directly comparable across modes.
   */
 object BpeLearn {
 
@@ -54,13 +62,29 @@ object BpeLearn {
   private def wrapChars(word: Column): Column =
     regexp_replace(word, "(.)", " $1 ")
 
+  /** Byte-level wrapped state (GPT-2/tiktoken-class alphabet): the
+    * word's UTF-8 bytes as 2-hex-digit tokens plus a terminal
+    * end-of-word marker "_" — "ab" ⇒ " 61  62  _ ". Hex pairs keep
+    * merged tokens unambiguous (byte boundaries every 2 chars, no
+    * separator needed), and the marker lets merges learn word-final
+    * units, which changes the learned table on ANY corpus — the
+    * whole point of the convention. Both engines emit uppercase hex.
+    */
+  private def wrapBytes(word: Column): Column =
+    concat(regexp_replace(hex(encode(word, "UTF-8")), "(..)", " $1 "),
+      lit(" _ "))
+
+  private def wrap(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) wrapBytes(word) else wrapChars(word)
+
   /** Corpus → compact (toks, freq) word-frequency table; `toks` is the
     * wrapped-token state string. The ONLY corpus-scale stage.
     */
-  def wordFreqTable(df: DataFrame, textCol: String): DataFrame =
+  def wordFreqTable(df: DataFrame, textCol: String,
+      byteLevel: Boolean = false): DataFrame =
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("freq"))
-      .select(wrapChars(col("__w")).as("toks"), col("freq"))
+      .select(wrap(col("__w"), byteLevel).as("toks"), col("freq"))
 
   /** Adjacent-pair counts over a word-frequency table, weighted by word
     * frequency (multiplicity counted: "aaa" contributes (a,a) twice).
@@ -84,11 +108,11 @@ object BpeLearn {
     * lexicographic (left, right) — invariant under partitioning.
     */
   def learn(df: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 16): LearnResult = {
+      checkpointEvery: Int = 16, byteLevel: Boolean = false): LearnResult = {
     // checkpoints route through CacheBin so their blocks are released
     // at the pipeline boundary, not held for the session's lifetime
     var wf = graft.core.CacheBin.trackCheckpoint(
-      wordFreqTable(df, textCol).localCheckpoint(true))
+      wordFreqTable(df, textCol, byteLevel).localCheckpoint(true))
     val merges = ArrayBuffer.empty[Merge]
     var rank = 0
     var exhausted = false
@@ -133,10 +157,11 @@ object BpeLearn {
     * trie-walking custom Expression; the literal chain is the honest
     * form at oracle-checkable sizes.
     */
-  def encodeExpr(text: Column, merges: Seq[Merge]): Column = {
+  def encodeExpr(text: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column = {
     val sorted = merges.sortBy(_.rank)
     val perWord = transform(TextAnalysis.tokens(text), w => {
-      val merged = sorted.foldLeft(wrapChars(w)) { (acc, m) =>
+      val merged = sorted.foldLeft(wrap(w, byteLevel)) { (acc, m) =>
         applyMerge(acc, m.left, m.right)
       }
       split(trim(merged), "  ")

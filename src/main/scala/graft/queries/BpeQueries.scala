@@ -24,13 +24,25 @@ object BpeQueries extends QueryPack {
   private val oToks =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
 
-  /** w0 (word-frequency) + `Rounds` unrolled (pair-count, argmax, apply)
-    * round CTEs: w0 → p0 → m0 → w1 → … → w`Rounds`.
+  /** Char-mode wrap of a word expression: "ab" -> " a  b ". */
+  private def oWrapChars(w: String): String =
+    s"regexp_replace($w, '(.)', ' \\1 ', 'g')"
+
+  /** Byte-mode wrap: UTF-8 bytes as 2-hex-digit tokens + the "_"
+    * end-of-word marker — "ab" -> " 61  62  _ ". Mirrors
+    * BpeLearn.wrapBytes (both engines emit uppercase hex).
     */
-  private def oLearnCtes: String = {
+  private def oWrapBytes(w: String): String =
+    s"regexp_replace(hex(encode($w)), '(..)', ' \\1 ', 'g') || ' _ '"
+
+  /** w0 (word-frequency) + `Rounds` unrolled (pair-count, argmax, apply)
+    * round CTEs: w0 → p0 → m0 → w1 → … → w`Rounds`; `oWrap` picks the
+    * alphabet (char vs byte mode).
+    */
+  private def oLearnCtes(oWrap: String => String = oWrapChars): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS toks, count(*) AS freq
+         |  SELECT ${oWrap("w")} AS toks, count(*) AS freq
          |  FROM (SELECT unnest($oToks) AS w FROM documents) u
          |  GROUP BY 1)""".stripMargin
     // merge application LEFT JOINs the (single-row) argmax so an
@@ -81,7 +93,7 @@ object BpeQueries extends QueryPack {
         val res = BpeLearn.learn(Tables.load(s, dir, "documents"), "text", Rounds)
         BpeLearn.mergesDf(s, res.merges).orderBy(col("rank"))
       },
-      Some(s"""WITH $oLearnCtes
+      Some(s"""WITH ${oLearnCtes()}
               |SELECT 0 AS rank, l AS "left", r AS "right", CAST(pc AS BIGINT) AS pair_count FROM m0
               |UNION ALL SELECT 1, l, r, CAST(pc AS BIGINT) FROM m1
               |UNION ALL SELECT 2, l, r, CAST(pc AS BIGINT) FROM m2
@@ -96,7 +108,7 @@ object BpeQueries extends QueryPack {
         val res = BpeLearn.learn(Tables.load(s, dir, "documents"), "text", Rounds)
         BpeLearn.vocabulary(res.wordFreq).orderBy(col("token"))
       },
-      Some(s"""WITH $oLearnCtes
+      Some(s"""WITH ${oLearnCtes()}
               |SELECT token, CAST(SUM(freq) AS BIGINT) AS token_count
               |FROM (SELECT unnest(string_split(trim(toks), '  ')) AS token, freq
               |      FROM w$Rounds) u
@@ -119,7 +131,7 @@ object BpeQueries extends QueryPack {
             TextAnalysis.fingerprint(concat_ws(" ", col("__t"))).as("tok_fp"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $oLearnCtes,
+      Some(s"""WITH ${oLearnCtes()},
               |enc AS (
               |  SELECT d.doc_id,
               |    flatten(list_transform($oToks,
@@ -153,13 +165,69 @@ object BpeQueries extends QueryPack {
               / col("n_words").cast("double")).cast("long"))
           .orderBy(col("lang"))
       },
-      Some(s"""WITH $oLearnCtes,
+      Some(s"""WITH ${oLearnCtes()},
               |enc AS (
               |  SELECT d.lang,
               |    CAST(len($oToks) AS BIGINT) AS w,
               |    CAST(len(flatten(list_transform($oToks,
               |      w2 -> string_split(trim(
               |        ${oEncodeChain("regexp_replace(w2, '(.)', ' \\1 ', 'g')")}), '  '))))
+              |      AS BIGINT) AS t
+              |  FROM documents d $oMergeJoins)
+              |SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,
+              |       CAST(SUM(t) AS BIGINT) AS n_tokens,
+              |       CAST(FLOOR(1e6 * CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS BIGINT)
+              |         AS fertility_micro
+              |FROM enc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GQuery(
+      "q_bpe_learn_bytes",
+      "Byte-level BPE training (the GPT-2/tiktoken-class alphabet): " +
+        "tokens are UTF-8 byte values (2-hex-digit) with a terminal " +
+        "end-of-word marker, so merges can learn multi-byte characters " +
+        "and word-final units — different learned merges than char " +
+        "mode on any non-ASCII corpus. Same corpus-once/vocab-iterate " +
+        "plan; oracle replays the byte alphabet end to end.",
+      (s, dir) => {
+        val res = BpeLearn.learn(Tables.load(s, dir, "documents"), "text",
+          Rounds, byteLevel = true)
+        BpeLearn.mergesDf(s, res.merges).orderBy(col("rank"))
+      },
+      Some(s"""WITH ${oLearnCtes(oWrapBytes)}
+              |SELECT 0 AS rank, l AS "left", r AS "right", CAST(pc AS BIGINT) AS pair_count FROM m0
+              |UNION ALL SELECT 1, l, r, CAST(pc AS BIGINT) FROM m1
+              |UNION ALL SELECT 2, l, r, CAST(pc AS BIGINT) FROM m2
+              |ORDER BY rank""".stripMargin)),
+
+    GQuery(
+      "q_bpe_fertility_bytes",
+      "Fertility report under the byte-level tokenizer — directly " +
+        "comparable to q_bpe_fertility's char-mode numbers (same " +
+        "denominator: whitespace words; numerator counts byte-alphabet " +
+        "subword tokens incl. the end-of-word marker).",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val res = BpeLearn.learn(docs, "text", Rounds, byteLevel = true)
+        docs
+          .select(col("lang"),
+            size(graft.functions.TextAnalysis.tokens(col("text")))
+              .cast("long").as("__w"),
+            size(BpeLearn.encodeExpr(col("text"), res.merges,
+              byteLevel = true)).cast("long").as("__t"))
+          .groupBy(col("lang"))
+          .agg(sum(col("__w")).as("n_words"), sum(col("__t")).as("n_tokens"))
+          .withColumn("fertility_micro",
+            floor(lit(1e6) * col("n_tokens").cast("double")
+              / col("n_words").cast("double")).cast("long"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH ${oLearnCtes(oWrapBytes)},
+              |enc AS (
+              |  SELECT d.lang,
+              |    CAST(len($oToks) AS BIGINT) AS w,
+              |    CAST(len(flatten(list_transform($oToks,
+              |      w2 -> string_split(trim(
+              |        ${oEncodeChain(oWrapBytes("w2"))}), '  '))))
               |      AS BIGINT) AS t
               |  FROM documents d $oMergeJoins)
               |SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,

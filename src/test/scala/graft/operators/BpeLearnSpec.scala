@@ -121,6 +121,75 @@ class BpeLearnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---- byte-level mode ----------------------------------------------------
+
+  /** Byte-mode reference: word -> hex byte tokens + "_" marker. */
+  private def refBytes(w: String): List[String] =
+    w.getBytes("UTF-8").toList.map(b => f"${b & 0xff}%02X") :+ "_"
+
+  private def refLearnBytes(words: Seq[String], m: Int)
+      : List[(String, String, Long)] = {
+    var wf: Map[List[String], Long] =
+      words.groupBy(identity).map { case (w, ws) => refBytes(w) -> ws.size.toLong }
+    var merges = List.empty[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, f) <- wf; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) = counts.getOrElse((toks(i), toks(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l2, r2), c2) => (-c2, l2, r2) }
+        merges = merges :+ (l, r, c)
+        wf = wf.groupMapReduce { case (toks, _) => refApply(toks, l, r) }(_._2)(_ + _)
+        k += 1
+      }
+    }
+    merges
+  }
+
+  test("byte mode matches the byte-alphabet reference, marker included") {
+    val texts = Seq("low low lower", "low lower newest", "newest widest")
+    val df = docsDf(texts)
+    val words = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val refMerges = refLearnBytes(words, 6)
+    val res = BpeLearn.learn(df, "text", 6, byteLevel = true)
+    assert(res.merges.map(m => (m.left, m.right, m.pairCount)) === refMerges)
+    // encode round-trips: stripping the marker and decoding hex
+    // reconstructs the original byte stream of every word
+    val enc = df.select(BpeLearn.encodeExpr(col("text"), res.merges,
+      byteLevel = true).as("t")).collect().map(_.getSeq[String](0))
+    for ((t, toks) <- texts.zip(enc)) {
+      val hexStream = toks.mkString.replace("_", "")
+      val bytes = hexStream.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") ===
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString)
+    }
+  }
+
+  test("byte mode learns multi-byte characters from their bytes") {
+    // "héllo" repeated: the é bytes (C3 A9) are the most frequent
+    // adjacent pair tied with others; the merge table must stay inside
+    // byte-token space and encode must keep the marker per word
+    val df = docsDf(Seq("héé héé héé hé"))
+    val res = BpeLearn.learn(df, "text", 2, byteLevel = true)
+    assert(res.merges.nonEmpty)
+    assert(res.merges.forall(m =>
+      (m.left + m.right).replace("_", "").forall("0123456789ABCDEF".contains(_))))
+    val enc = df.select(BpeLearn.encodeExpr(col("text"), res.merges,
+      byteLevel = true).as("t")).head().getSeq[String](0)
+    assert(enc.count(_.endsWith("_")) === 4, "one end-of-word unit per word")
+  }
+
+  test("byte mode is deterministic under repartitioning") {
+    val df = docsDf(Seq("abc bca cab abc", "bca bca abc ccc"))
+    val a = BpeLearn.learn(df, "text", 5, byteLevel = true).merges
+    val b = BpeLearn.learn(df.repartition(7), "text", 5, byteLevel = true).merges
+    assert(a === b)
+  }
+
   test("vocabulary counts match the reference final state") {
     val words = Seq("abab", "abab", "abba", "ab", "ba")
     val df = docsDf(Seq(words.mkString(" ")))
