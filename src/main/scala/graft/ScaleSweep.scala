@@ -27,6 +27,7 @@ object ScaleSweep {
     "q_dsir_select", "q_boilerplate_strip", "q_leak_safe_split",
     "q_quality_classifier", "q_window_dedup", "q_keepfirst_dedup",
     "q_dedup_indexed", "q_keepbest_dedup", "q_containment_dedup",
+    "q_containment_dfcap",
     "q_asof_join", "q_click_attribution", "q_bloom_decontaminate",
     "q_kmv_set_ops", "q_cms_heavy", "q_quantile_gate",
     "q_bpe_learn", "q_pq_codes", "q_pq_rerank", "q_ivf_pq", "q_span_corrupt",

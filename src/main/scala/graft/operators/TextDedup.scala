@@ -260,6 +260,7 @@ object TextDedup {
   def appendToDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, accepted: DataFrame, idCol: String,
       textCol: String): Unit = {
+    assertNotCompacting(spark, path) // appends mid-swap would be lost
     val (n, h, bands, seed) = readIndexMeta(spark, path)
     writeIndexRows(accepted, idCol, textCol, path, n, h, bands, seed,
       mode = "append")
@@ -271,8 +272,11 @@ object TextDedup {
     * Rewrites both tables size-targeted — band rows range-partitioned
     * on (band, val) so each rewritten file covers a contiguous value
     * range (min/max footer pruning for the screen's band join) — then
-    * swaps the directories. Not safe concurrently with readers or
-    * appends; run it between ingest batches like any table maintenance.
+    * swaps the directories. Concurrency is governed by the
+    * [[CompactionLeaseFile]] lease: a second compactor, screener, or
+    * appender on the same path fails fast while the lease is live
+    * instead of racing the swap; run it between ingest batches like
+    * any table maintenance.
     *
     * Also folds replay duplicates: a crash-replayed ingest batch
     * re-appends its band and shingle rows verbatim (see
@@ -316,8 +320,96 @@ object TextDedup {
     }
   }
 
+  /** Writer-exclusion lease for index compaction. The swap in
+    * [[compactDedupIndex]] is crash-safe for ONE writer; nothing in
+    * the directory protocol alone stops a second job on the same
+    * index path from compacting concurrently, or from screening
+    * mid-swap and planning against a half-swapped directory. The
+    * lease is a create-if-absent marker file (`compact.lease`,
+    * holding the owner's epoch millis): atomic creation is the mutex,
+    * a live lease makes every other compactor/screener/appender fail
+    * fast with a clear error, and a lease older than `staleMs`
+    * (crashed owner) is taken over — [[recoverDedupIndex]] heals
+    * whatever the dead owner left behind.
+    */
+  val CompactionLeaseFile = "compact.lease"
+  val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
+
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$CompactionLeaseFile")
+
+  /** Age of a live lease on `path`, if any (None = no lease). */
+  private def leaseAgeMs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(lp))
+      Some(System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime)
+    else None
+  }
+
+  /** Acquire the compaction lease or throw. A fresh lease (age <=
+    * staleMs) rejects this writer; a stale one is deleted and
+    * re-contended. Creation with overwrite = false is the atomic
+    * arbiter — losing the create race also throws.
+    */
+  private[graft] def acquireCompactionLease(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      staleMs: Long): Unit = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    leaseAgeMs(spark, path).foreach { age =>
+      if (age <= staleMs)
+        throw new IllegalStateException(
+          s"dedup index $path is being compacted by another writer " +
+            s"(lease age ${age}ms <= stale threshold ${staleMs}ms)")
+      fs.delete(lp, false) // stale: crashed owner, take over
+    }
+    val out =
+      try fs.create(lp, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"lost the compaction-lease race on $path", e)
+      }
+    try out.writeLong(System.currentTimeMillis()) finally out.close()
+  }
+
+  private[graft] def releaseCompactionLease(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val lp = leasePath(path)
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(lp, false)
+    ()
+  }
+
+  /** Fail fast when another job holds a live compaction lease —
+    * called by the read/append paths so they never plan against a
+    * mid-swap index. A stale lease does NOT block reads:
+    * [[recoverDedupIndex]] makes the directories consistent and the
+    * dead owner can never complete its swap (its lease is gone the
+    * moment a new writer takes over).
+    */
+  private def assertNotCompacting(spark: org.apache.spark.sql.SparkSession,
+      path: String, staleMs: Long = DefaultLeaseStaleMs): Unit =
+    leaseAgeMs(spark, path).foreach { age =>
+      if (age <= staleMs)
+        throw new IllegalStateException(
+          s"dedup index $path is being compacted (lease age ${age}ms); " +
+            "retry after the compaction finishes")
+    }
+
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+      path: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Unit = {
+    acquireCompactionLease(spark, path, leaseStaleMs)
+    try compactDedupIndexLocked(spark, path, targetBytesPerFile)
+    finally releaseCompactionLease(spark, path)
+  }
+
+  private def compactDedupIndexLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytesPerFile: Long): Unit = {
     import graft.catalog.Compaction
     recoverDedupIndex(spark, path)
     val conf = spark.sessionState.newHadoopConf()
@@ -373,6 +465,7 @@ object TextDedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, excludeSelf: Boolean = false): DataFrame = {
+    assertNotCompacting(spark, path) // never plan against a mid-swap index
     recoverDedupIndex(spark, path) // heal a crashed compaction swap first
     val (n, h, bands, seed) = readIndexMeta(spark, path)
     val inSh = graft.core.CacheBin.trackEager(
@@ -501,10 +594,29 @@ object TextDedup {
     *   drop a ⇔ i/na ≥ t ∧ nb > na           (b strictly larger)
     *   drop b ⇔ i/nb ≥ t ∧ na ≥ nb           (tie keeps smaller id a)
     * which is exactly the directed rule with `ida < idb` substituted.
+    *
+    * `maxDocFreq` DEFAULTS ON ([[DefaultContainmentDocFreqCap]]): the
+    * uncapped pair space is the sweep's worst second-decade exponent
+    * (0.94 — it grows with co-shingled mass), and at 100 TB the cap is
+    * not optional, so the capped plan is the one a caller copies.
+    * Threshold rule for choosing a cap: a shingle of document
+    * frequency df forms up to df·(df−1)/2 pair rows, so the worst-case
+    * join output is bounded by Σ_hot df² ≤ (#shingles)·cap — pick cap
+    * so that bound fits the pair budget; semantically, a shingle in
+    * more than `cap` documents is corpus boilerplate (template/header
+    * n-grams) and certifies nothing about PAIRWISE containment, and
+    * both containment denominators are recomputed over the capped
+    * shingle space (the oracles mirror this bit-for-bit). The default
+    * is a pure scale guard sized well above any organic document
+    * frequency in the test corpora (max measured df at sf0.1 is 25),
+    * so it does not bind there — `q_containment_dfcap` verifies a
+    * BINDING cap's values against its own oracle.
     */
+  val DefaultContainmentDocFreqCap = 10000L
+
   def containmentDropContained(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = Some(DefaultContainmentDocFreqCap)): DataFrame = {
     val s = explodedShingleTable(df, idCol, textCol, n, maxDocFreq)
     val pairAgg = s.as("a")
       .join(s.as("b"), col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))

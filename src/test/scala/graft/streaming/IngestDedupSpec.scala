@@ -193,6 +193,54 @@ class IngestDedupSpec extends SparkSpec {
     assert(!fs.exists(p(s"$idx/bands__old")) && !fs.exists(p(s"$idx/bands__compact")))
   }
 
+  test("a second writer is rejected while a compaction lease is live; stale leases recover") {
+    import spark.implicits._
+    val idx = freshDir("idx8") + "/index"
+    TextDedup.writeDedupIndex(
+      Seq(IngestDoc(1L, "alpha beta gamma delta epsilon zeta"),
+        IngestDoc(2L, "one two three four five six seven")).toDF(),
+      "doc_id", "text", idx)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val lease = new org.apache.hadoop.fs.Path(s"$idx/${TextDedup.CompactionLeaseFile}")
+    // simulate a concurrent compactor holding the lease
+    TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    assert(fs.exists(lease))
+    // second compactor: rejected
+    val e1 = intercept[IllegalStateException](
+      TextDedup.compactDedupIndex(spark, idx))
+    assert(e1.getMessage.contains("another writer"))
+    // screener and appender: fail fast instead of reading mid-swap
+    val e2 = intercept[IllegalStateException](
+      TextDedup.dedupAgainstIndex(spark, idx,
+        Seq(IngestDoc(10L, "whatever text this is")).toDF(),
+        "doc_id", "text", threshold = 0.5).collect())
+    assert(e2.getMessage.contains("being compacted"))
+    val e3 = intercept[IllegalStateException](
+      TextDedup.appendToDedupIndex(spark, idx,
+        Seq(IngestDoc(11L, "some new appended document")).toDF(),
+        "doc_id", "text"))
+    assert(e3.getMessage.contains("being compacted"))
+    // owner finishes: lease released, everything proceeds again
+    TextDedup.releaseCompactionLease(spark, idx)
+    TextDedup.compactDedupIndex(spark, idx)
+    assert(!fs.exists(lease), "compaction must release its lease")
+    // stale lease (crashed owner): a new compactor takes over
+    TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    TextDedup.compactDedupIndex(spark, idx, leaseStaleMs = 0L)
+    assert(!fs.exists(lease), "stale lease was not recovered")
+    // and a stale lease never blocks the read path
+    TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    val lp = fs.getFileStatus(lease)
+    fs.setTimes(lease, System.currentTimeMillis() - TextDedup.DefaultLeaseStaleMs - 60000L, lp.getAccessTime)
+    val survivors = TextDedup.dedupAgainstIndex(spark, idx,
+      Seq(IngestDoc(12L, "a wholly new document about nothing else")).toDF(),
+      "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(12L))
+    fs.delete(lease, false)
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
