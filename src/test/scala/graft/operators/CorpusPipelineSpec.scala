@@ -51,10 +51,13 @@ class CorpusPipelineSpec extends SparkSpec {
   }
 
   test("optional stages: window dedup tightens, learned gate filters") {
-    val base = CorpusPipeline.prepare(docs, evalSet,
+    val nBase = CorpusPipeline.prepare(docs, evalSet,
       CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
         packTokens = 256L),
-      "doc_id", "text", "source")
+      "doc_id", "text", "source").count()
+    // the two builds share persisted/checkpointed prefix stages — drain
+    // between them (base is fully materialized above)
+    graft.core.CacheBin.drain()
     val strict = CorpusPipeline.prepare(
       docs.withColumn("__lab", (col("source") === "src0").cast("int")),
       evalSet,
@@ -64,7 +67,6 @@ class CorpusPipelineSpec extends SparkSpec {
         classifierLabel = Some("__lab"),
         minQualityMicro = 1L),
       "doc_id", "text", "source")
-    val nBase = base.count()
     val nStrict = strict.count()
     // both optional stages only ever REMOVE rows
     assert(nStrict <= nBase, s"strict $nStrict must be <= base $nBase")
@@ -78,18 +80,21 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
         packTokens = 256L),
       "doc_id", "text", "source")
+    // span dedup rewrites text, it does not drop documents — survivor
+    // sets can only shrink via the (text-dependent) quality gates
+    val nBase = base.count()
+    val totBase = base.agg(sum(col("n_tokens"))).head().getLong(0)
+    // base fully materialized: drain before the second build, which
+    // shares its persisted/checkpointed prefix stages
+    graft.core.CacheBin.drain()
     val spanned = CorpusPipeline.prepare(docs, evalSet,
       CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
         packTokens = 256L,
         spanDedupWindow = 5),
       "doc_id", "text", "source")
-    // span dedup rewrites text, it does not drop documents — survivor
-    // sets can only shrink via the (text-dependent) quality gates
-    val nBase = base.count()
     val nSpan = spanned.count()
     assert(nSpan <= nBase, s"span $nSpan must be <= base $nSpan")
     // and it genuinely removes repeated-span tokens somewhere
-    val totBase = base.agg(sum(col("n_tokens"))).head().getLong(0)
     val totSpan = spanned.agg(sum(col("n_tokens"))).head().getLong(0)
     assert(totSpan < totBase,
       s"span dedup should shorten the corpus ($totSpan vs $totBase)")
@@ -100,8 +105,9 @@ class CorpusPipelineSpec extends SparkSpec {
     val cfg = CorpusPipeline.Config(
       langs = Seq("en", "de", "fr"), minChars = 100, packTokens = 256L)
     def ids(c: CorpusPipeline.Config) =
-      CorpusPipeline.prepare(docs, evalSet, c, "doc_id", "text", "source")
+      try CorpusPipeline.prepare(docs, evalSet, c, "doc_id", "text", "source")
         .select($"doc_id").as[Long].collect().toSet
+      finally graft.core.CacheBin.drain() // the three variants share prefixes
     val exact = ids(cfg)
     val bloomTight = ids(cfg.copy(bloomDecontaminationBits = 1 << 14))
     val bloomAmple = ids(cfg.copy(bloomDecontaminationBits = 1 << 22))

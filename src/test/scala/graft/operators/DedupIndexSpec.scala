@@ -20,6 +20,7 @@ class DedupIndexSpec extends SparkSpec {
     val viaIndex = TextDedup.dedupAgainstIndex(
       spark, path, incoming, "doc_id", "text", threshold = 0.5)
       .select($"doc_id").orderBy($"doc_id").collect().toSeq
+    graft.core.CacheBin.drain() // both paths persist the incoming shingles
     val inPlan = TextDedup.minhashDedupAgainst(
       incoming, corpus, "doc_id", "text", threshold = 0.5)
       .select($"doc_id").orderBy($"doc_id").collect().toSeq
@@ -38,8 +39,10 @@ class DedupIndexSpec extends SparkSpec {
     val s1 = TextDedup.dedupAgainstIndex(
       spark, path, batch1, "doc_id", "text", threshold = 0.5)
     assert(s1.select($"doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    graft.core.CacheBin.drain() // each screen/append persists its shingle frame
     // admit batch-1 survivors, then a copy of doc 11 must drop
     TextDedup.appendToDedupIndex(spark, path, s1, "doc_id", "text")
+    graft.core.CacheBin.drain()
     val batch2 = Seq(
       (20L, "one two three four five six seven"), // copy of appended doc 11
       (21L, "completely different text here entirely")).toDF("doc_id", "text")
@@ -67,6 +70,7 @@ class DedupIndexSpec extends SparkSpec {
     val before = TextDedup.dedupAgainstIndex(
       spark, path, incoming, "doc_id", "text", threshold = 0.5)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
+    graft.core.CacheBin.drain() // the post-compaction screen repeats this plan
     val bandRowsBefore = spark.read.parquet(s"$path/bands")
       .select($"doc_id", $"band", $"val").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -67,10 +67,12 @@ class SemanticDedupSpec extends SparkSpec {
   }
 
   test("capped dedup keeps the drop rule sound and stays deterministic") {
-    def run(parts: Int) = SemanticDedup.dedup(saturated.repartition(parts),
-      "vec_id", "embedding", nlist = 1, iters = 1, threshold = 0.95,
-      maxCellRows = 10L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(parts: Int) =
+      try SemanticDedup.dedup(saturated.repartition(parts),
+        "vec_id", "embedding", nlist = 1, iters = 1, threshold = 0.95,
+        maxCellRows = 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally graft.core.CacheBin.drain()
     val s1 = run(1)
     assert(s1 == run(5), "capped survivor set must be partitioning-invariant")
     // every exact twin of a smaller id must be gone (collapse is exact)
@@ -83,10 +85,12 @@ class SemanticDedupSpec extends SparkSpec {
   }
 
   test("exact-twin collapse does not change the uncapped survivor set") {
-    def run(maxCellRows: Long) = SemanticDedup.dedup(saturated,
-      "vec_id", "embedding", nlist = 2, iters = 1, threshold = 0.95,
-      maxCellRows = maxCellRows)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(maxCellRows: Long) =
+      try SemanticDedup.dedup(saturated,
+        "vec_id", "embedding", nlist = 2, iters = 1, threshold = 0.95,
+        maxCellRows = maxCellRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally graft.core.CacheBin.drain() // the two runs share persisted subtrees
     // a cap far above every cell size must be a no-op vs the default
     assert(run(Long.MaxValue) == run(1000L))
   }

@@ -35,16 +35,20 @@ class TextScoreSpec extends SparkSpec {
   }
 
   test("bigram LM score is invariant under repartitioning") {
-    def run(parts: Int) = TextScore.bigramLogProb(
-      corpus.repartition(parts), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // drain between runs: each run persists its bigram tables, and the
+    // second identical subtree would otherwise just warn-and-reuse
+    def run(parts: Int) =
+      try TextScore.bigramLogProb(corpus.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      finally graft.core.CacheBin.drain()
     assert(run(1) == run(5))
   }
 
   test("hot-bigram split does not change scores") {
-    def run(hot: Int) = TextScore.bigramLogProb(corpus, "doc_id", "text",
-      hotBigrams = hot)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run(hot: Int) =
+      try TextScore.bigramLogProb(corpus, "doc_id", "text", hotBigrams = hot)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      finally graft.core.CacheBin.drain()
     // hot = 0 routes everything through the cold shuffle join
     assert(run(0) == run(2048))
   }

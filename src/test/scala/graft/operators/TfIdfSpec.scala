@@ -46,6 +46,8 @@ class TfIdfSpec extends SparkSpec {
   test("hot/cold split agrees with itself (hotTerms = 0 forces cold path)") {
     val a = TfIdf.topTerms(docs, "doc_id", "text", k = 3, hotTerms = 1024)
       .orderBy($"doc_id", $"rnk").collect().toSeq
+    // the two variants share persisted subtrees — drain between them
+    graft.core.CacheBin.drain()
     val b = TfIdf.topTerms(docs, "doc_id", "text", k = 3, hotTerms = 0)
       .orderBy($"doc_id", $"rnk").collect().toSeq
     assert(a === b)

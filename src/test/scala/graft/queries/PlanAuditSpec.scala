@@ -13,18 +13,25 @@ class PlanAuditSpec extends SparkSpec {
 
   private def planOf(name: String, execute: Boolean = false): String = {
     val q = SparkEntry.allQueries.find(_.name == name).get
-    val df = q.build(spark, sfDir)
-    if (execute) df.queryExecution.toRdd.count() // finalize AQE stages
-    df.queryExecution.executedPlan.toString
+    try {
+      val df = q.build(spark, sfDir)
+      if (execute) df.queryExecution.toRdd.count() // finalize AQE stages
+      df.queryExecution.executedPlan.toString
+    } finally graft.core.CacheBin.drain() // see allPlans
   }
 
   // built ONCE for the all-queries sweeps: several builds have eager
   // side effects (index/bucketed-table/CSV writes, candidate
   // evaluations) that two per-test loops would repeat for identical
-  // plan text
+  // plan text. Operator-persisted intermediates drain between builds —
+  // within one pass several queries persist identical subtrees (the
+  // bench's between-queries discipline; keeps the log free of
+  // already-cached warnings that would mask a real cache regression)
   private lazy val allPlans: Seq[(String, String)] =
-    SparkEntry.allQueries.map(q =>
-      q.name -> q.build(spark, sfDir).queryExecution.executedPlan.toString)
+    SparkEntry.allQueries.map { q =>
+      try q.name -> q.build(spark, sfDir).queryExecution.executedPlan.toString
+      finally graft.core.CacheBin.drain()
+    }
 
   test("q_scan_filter pushes predicates into the parquet scan") {
     val p = planOf("q_scan_filter")

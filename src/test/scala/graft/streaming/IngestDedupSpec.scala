@@ -175,11 +175,12 @@ class IngestDedupSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def screenSurvivors(): Set[Long] =
-      TextDedup.dedupAgainstIndex(spark, idx,
+      try TextDedup.dedupAgainstIndex(spark, idx,
         Seq(IngestDoc(10L, "alpha beta gamma delta epsilon zeta"),
           IngestDoc(11L, "a wholly new document about nothing else")).toDF(),
         "doc_id", "text", threshold = 0.5)
         .select($"doc_id").collect().map(_.getLong(0)).toSet
+      finally graft.core.CacheBin.drain() // identical screens re-persist the same frame
     // state A — crashed between the two renames: live table missing,
     // completed compacted table waiting (roll FORWARD)
     fs.rename(p(s"$idx/bands"), p(s"$idx/bands__compact"))
