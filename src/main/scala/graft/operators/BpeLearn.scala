@@ -176,9 +176,10 @@ object BpeLearn {
     * replace chain would blow the analyzer/codegen budget. Pinned
     * value-identical to [[encodeExpr]] by BpeEquivalenceSpec.
     */
-  def encodeExprFast(text: Column, merges: Seq[Merge]): Column =
+  def encodeExprFast(text: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column =
     org.apache.spark.sql.graftvec.BpeEncodeExpr.encodeCol(
-      text, merges.sortBy(_.rank).map(m => (m.left, m.right)))
+      text, merges.sortBy(_.rank).map(m => (m.left, m.right)), byteLevel)
 
   /** Post-merge subword vocabulary with corpus frequencies, from the
     * learner's final word-frequency state: explode tokens weighted by

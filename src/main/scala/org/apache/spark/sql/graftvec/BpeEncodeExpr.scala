@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen cost) independent of the merge count — the production path
   * for real vocabularies, where m is in the tens of thousands.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -29,12 +30,12 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     merges.map(p => Array(p._1, p._2)).toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.encode(input.asInstanceOf[UTF8String].toString, table)
+    BpeEncodeExpr.encode(input.asInstanceOf[UTF8String].toString, table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[][]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftvec.BpeEncodeExpr.encode($a.toString(), $ref);")
+      s"${ev.value} = org.apache.spark.sql.graftvec.BpeEncodeExpr.encode($a.toString(), $ref, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -60,13 +61,29 @@ object BpeEncodeExpr {
     out
   }
 
-  def encode(text: String, merges: Array[Array[String]]): GenericArrayData = {
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  def encode(text: String, merges: Array[Array[String]],
+      byteLevel: Boolean): GenericArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
     // tokenization + locale contract: see TextKernels
     TextKernels.forEachToken(text) { word =>
-      var toks = new java.util.ArrayList[String](word.length)
-      var k = 0
-      while (k < word.length) { toks.add(String.valueOf(word.charAt(k))); k += 1 }
+      var toks = new java.util.ArrayList[String](word.length + 1)
+      if (byteLevel) {
+        // byte alphabet: 2-hex-digit uppercase byte tokens + the "_"
+        // end-of-word marker — mirrors BpeLearn.wrapBytes
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = 0
+        while (k < bytes.length) {
+          val b = bytes(k) & 0xff
+          toks.add(new String(Array(HexDigits(b >> 4), HexDigits(b & 0xf))))
+          k += 1
+        }
+        toks.add("_")
+      } else {
+        var k = 0
+        while (k < word.length) { toks.add(String.valueOf(word.charAt(k))); k += 1 }
+      }
       var mi = 0
       while (mi < merges.length) {
         toks = applyMerge(toks, merges(mi)(0), merges(mi)(1))
@@ -80,6 +97,8 @@ object BpeEncodeExpr {
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size())))
   }
 
-  def encodeCol(text: Column, merges: Seq[(String, String)]): Column =
-    ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(text), merges))
+  def encodeCol(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    ExpressionUtils.column(
+      BpeEncode(ExpressionUtils.expression(text), merges, byteLevel))
 }

@@ -38,6 +38,31 @@ class BpeEquivalenceSpec extends SparkSpec {
     assert(fast(3) === Seq("aab", "aa", "aa"))
   }
 
+  test("byte-level BpeEncode == the byte-mode replace chain on the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = BpeLearn.learn(docs, "text", 8, byteLevel = true).merges
+    val chain = docs.select(col("doc_id"),
+      BpeLearn.encodeExpr(col("text"), merges, byteLevel = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = docs.select(col("doc_id"),
+      BpeLearn.encodeExprFast(col("text"), merges, byteLevel = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === chain)
+    // marker present: every word contributes exactly one "_"-suffixed unit
+    assert(chain.values.exists(_.nonEmpty))
+  }
+
+  test("byte-level kernel hex-encodes multi-byte characters like the chain") {
+    import spark.implicits._
+    val df = Seq("héllo wörld", "né né né").toDF("text")
+    val merges = BpeLearn.learn(df, "text", 4, byteLevel = true).merges
+    val chain = df.select(BpeLearn.encodeExpr(col("text"), merges,
+      byteLevel = true).as("t")).collect().map(_.getSeq[String](0))
+    val fast = df.select(BpeLearn.encodeExprFast(col("text"), merges,
+      byteLevel = true).as("t")).collect().map(_.getSeq[String](0))
+    assert(fast.toSeq === chain.toSeq)
+  }
+
   test("plan stays constant-size at a merge count the chain cannot carry") {
     import spark.implicits._
     // 500 synthetic merges: the replace chain would nest 500 deep; the
