@@ -38,30 +38,34 @@ object MacSqlPrune {
 /** DIN-SQL difficulty tiering (reference `DINSQLGenerate.py:20-713`):
   * classify EASY / NON-NESTED / NESTED, then generate with the
   * tier-matched prompt; classification is an LLM call (mockable), the
-  * tier names and flow are the reference's.
+  * tier names and flow are the reference's. Prompt WORDING routes
+  * through [[graft.llm.PromptTemplates]] — dropping the reference's
+  * exact tiered few-shot bodies into a template directory reproduces
+  * its prompts verbatim with zero code change.
   */
 object DinSqlMethod {
 
   val Tiers = Seq("EASY", "NON-NESTED", "NESTED")
 
-  def classify(llm: LlmClient, question: String, links: Seq[String]): String = {
-    val raw = llm.complete(
-      s"Classify the question as EASY, NON-NESTED, or NESTED.\n" +
-        s"Question: $question\nSchema links: ${links.mkString(", ")}\nLabel:").trim.toUpperCase
+  def classify(llm: LlmClient, question: String, links: Seq[String],
+      tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default): String = {
+    val raw = llm.complete(tpl.render("dinsql.classify",
+      "question" -> question, "links" -> links.mkString(", "))).trim.toUpperCase
     Tiers.find(raw.contains).getOrElse("NESTED") // conservative default
   }
 
   def generate(llm: LlmClient, schemaText: String, question: String,
-      links: Seq[String]): String = {
-    val tier = classify(llm, question, links)
+      links: Seq[String],
+      tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default): String = {
+    val tier = classify(llm, question, links, tpl)
     val style = tier match {
       case "EASY" => "a single simple SELECT"
       case "NON-NESTED" => "one SELECT with joins, no subqueries"
       case _ => "a query that may use subqueries (intermediate representation first)"
     }
-    SqlText.clean(llm.complete(
-      s"[$tier] Write $style.\nSchema:\n$schemaText\n" +
-        s"Links: ${links.mkString(", ")}\nQuestion: $question\nSQL:"))
+    SqlText.clean(llm.complete(tpl.render("dinsql.generate",
+      "tier" -> tier, "style" -> style, "schema" -> schemaText,
+      "links" -> links.mkString(", "), "question" -> question)))
   }
 }
 
@@ -73,21 +77,23 @@ object DinSqlMethod {
 object ReForce {
 
   def explore(llm: LlmClient, backend: SqlBackend, schemaText: String,
-      question: String, maxProbes: Int = 10): Seq[(String, String)] = {
-    val probes = SqlText.parseList(llm.complete(
-      s"List up to $maxProbes probe SQLs (use DISTINCT and LIMIT 20) to " +
-        s"inspect relevant columns.\nSchema:\n$schemaText\nQuestion: $question\n[...]"))
+      question: String, maxProbes: Int = 10,
+      tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default): Seq[(String, String)] = {
+    val probes = SqlText.parseList(llm.complete(tpl.render("reforce.probes",
+      "maxProbes" -> maxProbes.toString, "schema" -> schemaText,
+      "question" -> question)))
       .take(maxProbes)
     probes.map(p => p -> backend.runToString(p, maxRows = 20))
   }
 
   def generate(llm: LlmClient, backend: SqlBackend, schemaText: String,
-      question: String): String = {
-    val probeReport = explore(llm, backend, schemaText, question)
+      question: String,
+      tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default): String = {
+    val probeReport = explore(llm, backend, schemaText, question, tpl = tpl)
       .map { case (p, r) => s"-- $p\n$r" }.mkString("\n")
-    SqlText.clean(llm.complete(
-      s"Schema:\n$schemaText\nProbe results:\n$probeReport\n" +
-        s"Question: $question\nFinal SQL:"))
+    SqlText.clean(llm.complete(tpl.render("reforce.final",
+      "schema" -> schemaText, "probes" -> probeReport,
+      "question" -> question)))
   }
 }
 
