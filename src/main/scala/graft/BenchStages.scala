@@ -105,7 +105,8 @@ object BenchStages {
           langs = Seq("en", "de", "fr"), minChars = 100,
           jaccardThreshold = 0.5, boilerWindow = 5, boilerMinDocFreq = 3,
           spanDedupWindow = 5, spanDedupMinCount = 2, windowDedupN = 8,
-          minQuality = 0.3, classifierLabel = Some("__lab"),
+          minQuality = 0.3, repetitionGate = true,
+          classifierLabel = Some("__lab"),
           minQualityMicro = 20000L, classifierBuckets = 512,
           classifierIters = 2, splitLeakThreshold = 0.3,
           splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),

@@ -62,6 +62,10 @@ object CorpusPipeline {
       windowDedupN: Int = 0,
       minQuality: Double = 0.0,
       minAvgLogProb: Double = Double.NegativeInfinity,
+      // Gopher repetition-filter gate on the cleaned text (dup-line /
+      // top-n-gram / dup-n-gram char coverage; binds at the word floor)
+      repetitionGate: Boolean = false,
+      repetitionMinWords: Int = 50,
       // a label column on `docs` turns on the learned quality gate:
       // the classifier trains on the post-heuristic survivors and
       // drops docs scoring below minQualityMicro (micro units, [0,1e6])
@@ -169,10 +173,16 @@ object CorpusPipeline {
           .filter(col("avg_logprob") >= cfg.minAvgLogProb)
           .select(col(idCol)), idCol)
 
-    // 3b. learned quality gate: train on the heuristic survivors'
+    // 3b. within-document repetition gate (Gopher's other filter half
+    // — template/scraper self-repetition that dedup cannot catch)
+    val q2r =
+      if (!cfg.repetitionGate) q2
+      else RepetitionRules.gate(q2, idCol, textCol, cfg.repetitionMinWords)
+
+    // 3c. learned quality gate: train on the heuristic survivors'
     // label column, keep docs at or above the micro-score floor
     val q3 = cfg.classifierLabel match {
-      case None => q2
+      case None => q2r
       case Some(lab) =>
         val spark = q2.sparkSession
         // iterative training on a frame whose lineage already stacks
@@ -181,7 +191,7 @@ object CorpusPipeline {
         // stage) — plan size, not data, becomes the bottleneck.
         // Materialize the survivors ONCE; training and every later
         // stage then plan against a flat scan.
-        val gateIn = stage(q2)
+        val gateIn = stage(q2r)
         val model = QualityClassifier.train(spark, gateIn, idCol, textCol,
           lab, cfg.classifierBuckets, cfg.classifierIters)
         gateIn.join(

@@ -211,6 +211,70 @@ object CoverageQueries extends QueryPack {
     val win5 = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
     val ordBase = graft.operators.Boilerplate.OrdBase
     val oStop = "['the','a','an','and','or','of','to','in','is','it']"
+    // the modern config also enables the repetition gate between the
+    // heuristic quality floor and the classifier: d6 -> d6r, and the
+    // classifier CTEs read the gated relation
+    val qg = if (modernTail) "d6r" else "d6"
+    val repCtes = if (!modernTail) "" else {
+      def ng(n: Int) =
+        s"""SELECT doc_id, '${n}gram' AS kind,
+           |       unnest(list_transform(range(1, len(t) - ${n - 1} + 1),
+           |         i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS u
+           |FROM rptk""".stripMargin
+      def mf(num: String, den: String) =
+        s"CAST(CASE WHEN COALESCE($den, 0) > 0 THEN ($num * 1000000) // $den ELSE 0 END AS BIGINT)"
+      def ka(kind: String, c: String) =
+        s"MAX(CASE WHEN kind = '$kind' THEN $c END)"
+      val checks = Seq(
+        (mf(ka("line", "dup_units"), ka("line", "units")), 300000L),
+        (mf(ka("line", "dup_chars"), ka("line", "chars")), 200000L),
+        (mf(ka("2gram", "top_chars"), ka("2gram", "chars")), 200000L),
+        (mf(ka("3gram", "top_chars"), ka("3gram", "chars")), 180000L),
+        (mf(ka("4gram", "top_chars"), ka("4gram", "chars")), 160000L),
+        (mf(ka("5gram", "dup_chars"), ka("5gram", "chars")), 150000L),
+        (mf(ka("10gram", "dup_chars"), ka("10gram", "chars")), 100000L))
+      val passCond = checks.zipWithIndex
+        .map { case ((_, t), i) => s"COALESCE(rpf.m$i, 0) <= $t" }
+        .mkString(" AND ")
+      s"""rptk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             t2 -> length(t2) > 0) AS t
+         |  FROM d6),
+         |rpunits AS (
+         |  SELECT doc_id, 'line' AS kind,
+         |         unnest(list_filter(list_transform(
+         |           string_split(text, chr(10)), l -> trim(l)),
+         |           l -> l <> '')) AS u
+         |  FROM d6
+         |  UNION ALL ${ng(2)}
+         |  UNION ALL ${ng(3)}
+         |  UNION ALL ${ng(4)}
+         |  UNION ALL ${ng(5)}
+         |  UNION ALL ${ng(10)}),
+         |rpcnts AS (
+         |  SELECT doc_id, kind, u, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(COUNT(*) * length(u) AS BIGINT) AS w,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, kind
+         |           ORDER BY COUNT(*) DESC, u ASC) AS rn
+         |  FROM rpunits GROUP BY doc_id, kind, u),
+         |rppk AS (
+         |  SELECT doc_id, kind,
+         |         SUM(cnt) AS units, SUM(w) AS chars,
+         |         COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_units,
+         |         COALESCE(SUM(w) FILTER (cnt > 1), 0) AS dup_chars,
+         |         MAX(CASE WHEN rn = 1 THEN w END) AS top_chars
+         |  FROM rpcnts GROUP BY doc_id, kind),
+         |rpf AS (
+         |  SELECT doc_id,
+         |${checks.zipWithIndex.map { case ((e, _), i) => s"    $e AS m$i" }.mkString(",\n|")}
+         |  FROM rppk GROUP BY doc_id),
+         |d6r AS MATERIALIZED (
+         |  SELECT d6.* FROM d6
+         |  JOIN rptk ON rptk.doc_id = d6.doc_id
+         |  LEFT JOIN rpf ON rpf.doc_id = d6.doc_id
+         |  WHERE len(rptk.t) < 50 OR ($passCond)),
+         |""".stripMargin
+    }
     s"""WITH RECURSIVE filt AS (
        |  SELECT doc_id, text, source FROM documents
        |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
@@ -297,9 +361,9 @@ object CoverageQueries extends QueryPack {
        |          / greatest(nc, 1.0) * 4.0, 1.0)) * 0.2, 6) AS q
        |  FROM qm),
        |d6 AS MATERIALIZED (SELECT doc_id, text, source FROM qs WHERE q >= 0.3),
-       |ctk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |${repCtes}ctk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |                                   t -> length(t) > 0) AS t
-       |        FROM d6),
+       |        FROM $qg),
        |cng AS (SELECT doc_id, unnest(t) AS g FROM ctk
        |        UNION ALL
        |        SELECT doc_id,
@@ -310,12 +374,12 @@ object CoverageQueries extends QueryPack {
        |        GROUP BY doc_id, bucket
        |        UNION ALL
        |        SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS cnt
-       |        FROM d6),
+       |        FROM $qg),
        |clab AS (SELECT doc_id,
        |                CASE WHEN source = 'src0' THEN CAST(1000000 AS BIGINT)
        |                     ELSE CAST(0 AS BIGINT) END AS ymicro
-       |         FROM d6),
-       |cnn AS (SELECT CAST(10 * COUNT(*) AS BIGINT) AS d FROM d6),
+       |         FROM $qg),
+       |cnn AS (SELECT CAST(10 * COUNT(*) AS BIGINT) AS d FROM $qg),
        |cr0 AS (SELECT doc_id, 500000 - ymicro AS r FROM clab),
        |cg0 AS (SELECT bucket, SUM(r * cnt) AS g
        |        FROM cfx JOIN cr0 USING (doc_id) GROUP BY bucket),
@@ -338,8 +402,8 @@ object CoverageQueries extends QueryPack {
        |cq AS (SELECT doc_id,
        |              CAST(floor(1000000.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT) AS qmic
        |       FROM cm2),
-       |d7 AS MATERIALIZED (SELECT d6.doc_id, d6.text, d6.source
-       |       FROM d6 JOIN cq USING (doc_id) WHERE cq.qmic >= 20000),
+       |d7 AS MATERIALIZED (SELECT $qg.doc_id, $qg.text, $qg.source
+       |       FROM $qg JOIN cq USING (doc_id) WHERE cq.qmic >= 20000),
        |${DedupOracles.baseSfx("d7", "_l")},
        |${DedupOracles.minhashBandCtesSfx(16, 16, 42L, "_l")},
        |${DedupOracles.interJacSfx("_l")},
@@ -1188,13 +1252,13 @@ object CoverageQueries extends QueryPack {
       "q_corpus_pipeline_modern",
       "The corpus pipeline with the MODERN train tail composed on top " +
         "of every cleaning stage: after clean/dedup/boilerplate/" +
-        "quality/classifier/decontamination/leak-split, the train " +
-        "split is temperature-rebalanced (~n^0.5, 200 docs), chunked " +
-        "into 32-token windows with 8 overlap, epoch-repeated to a " +
-        "1500-token/source budget (max 3 full epochs + hash-ordered " +
-        "partial), packed into 512-token bins over the (unit, epoch) " +
-        "order, and 8-way shard-assigned. One oracle replays all " +
-        "fifteen stages end to end.",
+        "quality/REPETITION-GATE/classifier/decontamination/leak-" +
+        "split, the train split is temperature-rebalanced (~n^0.5, " +
+        "200 docs), chunked into 32-token windows with 8 overlap, " +
+        "epoch-repeated to a 1500-token/source budget (max 3 full " +
+        "epochs + hash-ordered partial), packed into 512-token bins " +
+        "over the (unit, epoch) order, and 8-way shard-assigned. One " +
+        "oracle replays all sixteen stages end to end.",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .withColumn("__lab", (col("source") === "src0").cast("int"))
@@ -1207,6 +1271,7 @@ object CoverageQueries extends QueryPack {
             spanDedupWindow = 5, spanDedupMinCount = 2,
             windowDedupN = 8,
             minQuality = 0.3,
+            repetitionGate = true,
             classifierLabel = Some("__lab"), minQualityMicro = 20000L,
             classifierBuckets = 512, classifierIters = 2,
             splitLeakThreshold = 0.3,

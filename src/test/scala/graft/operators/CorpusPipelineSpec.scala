@@ -149,6 +149,26 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("repetition gate composes: an injected self-repeating doc is dropped") {
+    val spam = ("buy cheap now " * 40).trim
+    val spamRow = docs.limit(1)
+      .withColumn("doc_id", lit(99999L))
+      .withColumn("text", lit(spam))
+      .withColumn("lang", lit("en"))
+    val withSpam = docs.unionByName(spamRow)
+    def ids(gate: Boolean) =
+      try CorpusPipeline.prepare(withSpam, evalSet,
+        CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+          packTokens = 256L, repetitionGate = gate),
+        "doc_id", "text", "source")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally graft.core.CacheBin.drain()
+    assert(ids(gate = false).contains(99999L),
+      "spam must survive the heuristic gates alone (it is long enough)")
+    assert(!ids(gate = true).contains(99999L),
+      "the composed repetition gate must drop the self-repeating doc")
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
