@@ -21,8 +21,8 @@ import graft.functions.TextAnalysis
   *  - `dup_line_char_frac`: the same weighted by line length;
   *  - `top{2,3,4}gram_char_frac`: characters covered by the single
   *    most frequent n-gram (count × n-gram length over the kind's
-  *    total char mass; ties break to the lexicographically smallest
-  *    n-gram so the statistic is total-order deterministic);
+  *    total char mass; ties break to the smallest unit hash so the
+  *    statistic is total-order deterministic);
   *  - `dup{5,10}gram_char_frac`: characters covered by n-grams
   *    occurring more than once.
   *
@@ -58,27 +58,68 @@ object RepetitionRules {
   private def lineUnits(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
 
-  /** Space-joined n-grams over the lowercased token stream. */
-  private def ngramUnits(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Hash base for combining per-token fingerprints into an n-gram
+    * identity: h(g) = fold of h(tok)·B + h(next) mod P. Two distinct
+    * n-grams colliding would merge their counts — at P ≈ 1e9 and
+    * per-document unit counts in the thousands, the per-doc collision
+    * probability is ~1e-3 of a single pair and only perturbs a
+    * STATISTIC, never document identity; the price buys fixed-width
+    * shuffle rows (id, kind, hash, len) instead of shuffling every
+    * n-gram STRING — at 100 TB the string form shuffles ~6× the
+    * corpus bytes, the hashed form a small constant per token.
+    */
+  val HashBase = 1000003L
+  val HashMod = 1000000007L
 
-  /** One row per (idCol, kind, unit) occurrence — the single corpus
-    * scan every statistic derives from.
+  /** One row per (idCol, kind, unit-hash, unit-char-length) occurrence
+    * — every statistic derives from this. n-grams are built from ONE
+    * `posexplode` of the token stream plus `lead()` columns of the
+    * per-token fingerprint/length over a per-document window (shared
+    * by every n — lead j computes once): no per-position array slices
+    * (the slice-per-position HOF form measured ~6 s per kind at sf0.1)
+    * and no n-gram string construction at all — identity is the
+    * combined hash, length is the lead-sum of token lengths plus the
+    * joining spaces. The window partitions on the doc id — bounded
+    * groups, no skew funnel.
     */
   private[graft] def unitTable(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val kinds = ("line" -> lineUnits(col(textCol))) +:
-      NgramNs.map(n => s"${n}gram" -> ngramUnits(col(textCol), n))
-    val tagged = kinds.map { case (kind, units) =>
-      transform(units, u => struct(lit(kind).as("kind"), u.as("u")))
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol), lit("line").as("kind"),
+      explode(lineUnits(col(textCol))).as("__u"))
+      .select(col(idCol), col("kind"),
+        TextAnalysis.fingerprint(col("__u")).as("h"),
+        length(col("__u")).cast("long").as("ulen"))
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p", "__t")))
+      .select(col(idCol), col("__p"),
+        TextAnalysis.fingerprint(col("__t")).as("__h0"),
+        length(col("__t")).cast("long").as("__tl0"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val maxN = NgramNs.max
+    val withLeads = toks.select(
+      (col(idCol) +: col("__h0") +: col("__tl0") +:
+        (1 until maxN).flatMap(j => Seq(
+          lead(col("__h0"), j).over(w).as(s"__h$j"),
+          lead(col("__tl0"), j).over(w).as(s"__tl$j")))): _*)
+    val kindCols = NgramNs.map { n =>
+      val h = (1 until n).foldLeft(col("__h0")) { (acc, j) =>
+        // acc < P and B·P + P < 2^63: overflow-free by construction
+        pmod(acc * lit(HashBase) + col(s"__h$j"), lit(HashMod))
+      }
+      val len = (0 until n).map(j =>
+        col(if (j == 0) "__tl0" else s"__tl$j")).reduce(_ + _) +
+        lit((n - 1).toLong)
+      // emit only complete n-grams: the last lead must exist
+      when(col(s"__h${n - 1}").isNotNull,
+        struct(lit(s"${n}gram").as("kind"), h.as("h"), len.as("ulen")))
     }
-    docs.select(col(idCol), explode(concat(tagged: _*)).as("__ku"))
-      .select(col(idCol), col("__ku.kind").as("kind"), col("__ku.u").as("u"))
+    val grams = withLeads
+      .select(col(idCol),
+        explode(filter(array(kindCols: _*), x => x.isNotNull)).as("__ku"))
+      .select(col(idCol), col("__ku.kind").as("kind"),
+        col("__ku.h").as("h"), col("__ku.ulen").as("ulen"))
+    lines.unionByName(grams)
   }
 
   /** floor(1e6·num/den) in INTEGER division (`div` — a `/` on longs is
@@ -103,11 +144,12 @@ object RepetitionRules {
   def report(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50): DataFrame = {
     val counts = unitTable(docs, idCol, textCol)
-      .groupBy(col(idCol), col("kind"), col("u"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("w", length(col("u")).cast("long") * col("cnt"))
+      .groupBy(col(idCol), col("kind"), col("h"))
+      .agg(count(lit(1)).as("cnt"), max(col("ulen")).as("ulen"))
+      .withColumn("w", col("ulen") * col("cnt"))
     // per (doc, kind): total units / char mass, duplicated share, and
-    // the top unit by (count desc, unit asc) via min on (-cnt, u)
+    // the top unit by (count desc, hash asc) via min on (-cnt, h) —
+    // the hash IS the deterministic tie-break in hashed-identity space
     val perKind = counts
       .groupBy(col(idCol), col("kind"))
       .agg(
@@ -115,9 +157,9 @@ object RepetitionRules {
         sum(col("w")).as("chars"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_units"),
         sum(when(col("cnt") > 1, col("w")).otherwise(0L)).as("dup_chars"),
-        min(struct((-col("cnt")).as("nc"), col("u"))).as("top"))
-      .withColumn("top_chars",
-        (-col("top.nc")) * length(col("top.u")).cast("long"))
+        min(struct((-col("cnt")).as("nc"), col("h").as("h"),
+          col("ulen").as("ulen"))).as("top"))
+      .withColumn("top_chars", (-col("top.nc")) * col("top.ulen"))
     def kindAgg(kind: String, c: Column): Column =
       max(when(col("kind") === kind, c)) // one row per kind: max = the value
     val folded = perKind

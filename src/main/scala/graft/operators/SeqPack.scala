@@ -68,4 +68,79 @@ object SeqPack {
       .withColumn("bin_id",
         floor(col("tokens_before").cast("double") / budget.toDouble).cast("long"))
       .withColumn("bin_offset", col("tokens_before") - col("bin_id") * budget)
+
+  /** WHOLE-document packing — no document ever splits across bins (the
+    * SFT/instruction-tuning requirement concat-then-chunk violates:
+    * [[packByBudget]] truncates whichever document straddles a bin
+    * boundary). Harmonic size classes make it fully relational with NO
+    * sequential bin state: a document of weight w joins class
+    * k = budget div w (the max count of its size that fits a bin), and
+    * each bin of class k holds exactly k consecutive class-k documents
+    * in deterministic `orderCol` order — so `bin = classBase(k) +
+    * rank_in_class div k`, pure arithmetic once per-class ranks exist.
+    * Per-class fill is > k/(k+1) of the budget by construction (class-k
+    * weights live in (budget/(k+1), budget/k]), the classic harmonic
+    * packing bound — the price of never splitting and never needing a
+    * first-fit scan's sequential state.
+    *
+    * Scale shape: ranks ride ONE [[withRunningTotal]] pass over the
+    * (class, orderCol) range order (weight 1 — the global rank), and
+    * per-class offsets/bases are a #classes-row aggregate (classes ≤
+    * distinct weights ≤ budget) broadcast back. No per-class window —
+    * the biggest class (short documents) would otherwise funnel one
+    * reducer. Documents with weight > budget fail loudly: silently
+    * truncating or silently giving them a lone bin both corrupt a
+    * training run's sequence-length contract; chunk them first
+    * ([[ChunkSplit]]) if splitting is acceptable.
+    *
+    * Output: input columns + `pack_class`, `bin_id` (dense, 0-based,
+    * class-contiguous), `bin_fill` (the bin's total tokens — same
+    * value on every row of a bin).
+    */
+  def packWholeDocs(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = col(weightCol).cast("long")
+    val classed = df.withColumn("pack_class",
+      when(w.isNull || w <= 0 || w > budget, raise_error(concat(
+        lit(s"packWholeDocs: weight out of (0, $budget] at "),
+        col(orderCol).cast("string"), lit(" weight="), w.cast("string"))))
+        .otherwise(call_function("div", lit(budget), w)).cast("long"))
+    // global rank in (class, order) order; class blocks are contiguous,
+    // so rank - classStart = rank within the class
+    val ranked = withRunningTotal(
+      classed.withColumn("__one", lit(1L))
+        .withColumn("__ck",
+          // composite (class, order) range key as one fixed-width
+          // decimal string: lexicographic order == numeric order for
+          // the non-negative class (≤ budget, 6 digits) and id (≤ 20
+          // digits), which is all withRunningTotal's single orderCol
+          // can range-partition on
+          format_string("%06d|%020d", col("pack_class"), col(orderCol))),
+      "__ck", "__one", out = "__rank")
+    // per-class sizes -> exclusive rank starts and bin bases
+    val classes = ranked.groupBy(col("pack_class"))
+      .agg(count(lit(1)).as("__n"), min(col("__rank")).as("__start"))
+      .orderBy(col("pack_class"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val binBases = classes.scanLeft(0L) { case (acc, (k, n, _)) =>
+      acc + (n + k - 1) / k // ceil(n / k) bins for class k
+    }.init
+    val baseDf = classes.zip(binBases).toSeq
+      .map { case ((k, _, start), base) => (k, start, base) }
+      .toDF("pack_class", "__start", "__base")
+    val packed = ranked
+      .join(broadcast(baseDf), "pack_class")
+      .withColumn("bin_id",
+        col("__base") +
+          call_function("div", col("__rank") - col("__start"), col("pack_class")))
+      .drop("__one", "__ck", "__rank", "__start", "__base")
+    // bin_fill: per-bin token total (bounded groups — ≤ budget docs/bin)
+    val fills = packed.groupBy(col("bin_id"))
+      .agg(sum(w).as("bin_fill"))
+    packed.join(fills, "bin_id")
+  }
 }

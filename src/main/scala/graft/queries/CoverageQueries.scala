@@ -215,66 +215,14 @@ object CoverageQueries extends QueryPack {
     // heuristic quality floor and the classifier: d6 -> d6r, and the
     // classifier CTEs read the gated relation
     val qg = if (modernTail) "d6r" else "d6"
-    val repCtes = if (!modernTail) "" else {
-      def ng(n: Int) =
-        s"""SELECT doc_id, '${n}gram' AS kind,
-           |       unnest(list_transform(range(1, len(t) - ${n - 1} + 1),
-           |         i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS u
-           |FROM rptk""".stripMargin
-      def mf(num: String, den: String) =
-        s"CAST(CASE WHEN COALESCE($den, 0) > 0 THEN ($num * 1000000) // $den ELSE 0 END AS BIGINT)"
-      def ka(kind: String, c: String) =
-        s"MAX(CASE WHEN kind = '$kind' THEN $c END)"
-      val checks = Seq(
-        (mf(ka("line", "dup_units"), ka("line", "units")), 300000L),
-        (mf(ka("line", "dup_chars"), ka("line", "chars")), 200000L),
-        (mf(ka("2gram", "top_chars"), ka("2gram", "chars")), 200000L),
-        (mf(ka("3gram", "top_chars"), ka("3gram", "chars")), 180000L),
-        (mf(ka("4gram", "top_chars"), ka("4gram", "chars")), 160000L),
-        (mf(ka("5gram", "dup_chars"), ka("5gram", "chars")), 150000L),
-        (mf(ka("10gram", "dup_chars"), ka("10gram", "chars")), 100000L))
-      val passCond = checks.zipWithIndex
-        .map { case ((_, t), i) => s"COALESCE(rpf.m$i, 0) <= $t" }
-        .mkString(" AND ")
-      s"""rptk AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |                             t2 -> length(t2) > 0) AS t
-         |  FROM d6),
-         |rpunits AS (
-         |  SELECT doc_id, 'line' AS kind,
-         |         unnest(list_filter(list_transform(
-         |           string_split(text, chr(10)), l -> trim(l)),
-         |           l -> l <> '')) AS u
-         |  FROM d6
-         |  UNION ALL ${ng(2)}
-         |  UNION ALL ${ng(3)}
-         |  UNION ALL ${ng(4)}
-         |  UNION ALL ${ng(5)}
-         |  UNION ALL ${ng(10)}),
-         |rpcnts AS (
-         |  SELECT doc_id, kind, u, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |         CAST(COUNT(*) * length(u) AS BIGINT) AS w,
-         |         ROW_NUMBER() OVER (PARTITION BY doc_id, kind
-         |           ORDER BY COUNT(*) DESC, u ASC) AS rn
-         |  FROM rpunits GROUP BY doc_id, kind, u),
-         |rppk AS (
-         |  SELECT doc_id, kind,
-         |         SUM(cnt) AS units, SUM(w) AS chars,
-         |         COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_units,
-         |         COALESCE(SUM(w) FILTER (cnt > 1), 0) AS dup_chars,
-         |         MAX(CASE WHEN rn = 1 THEN w END) AS top_chars
-         |  FROM rpcnts GROUP BY doc_id, kind),
-         |rpf AS (
-         |  SELECT doc_id,
-         |${checks.zipWithIndex.map { case ((e, _), i) => s"    $e AS m$i" }.mkString(",\n|")}
-         |  FROM rppk GROUP BY doc_id),
+    val repCtes = if (!modernTail) "" else
+      s"""${RepetitionOracles.ctes("d6", "rp")},
          |d6r AS MATERIALIZED (
          |  SELECT d6.* FROM d6
          |  JOIN rptk ON rptk.doc_id = d6.doc_id
          |  LEFT JOIN rpf ON rpf.doc_id = d6.doc_id
-         |  WHERE len(rptk.t) < 50 OR ($passCond)),
+         |  WHERE ${RepetitionOracles.passCond("rpf", "rptk")}),
          |""".stripMargin
-    }
     s"""WITH RECURSIVE filt AS (
        |  SELECT doc_id, text, source FROM documents
        |  WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 100),
@@ -1533,6 +1481,56 @@ object CoverageQueries extends QueryPack {
              |       tokens_before - CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) * 512
              |         AS bin_offset
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_pack_whole",
+      "WHOLE-document packing (no document ever splits across bins — " +
+        "the SFT requirement concat-then-chunk violates): harmonic " +
+        "size classes make it relational with zero sequential bin " +
+        "state — a doc of weight w joins class k = budget div w, each " +
+        "class-k bin holds exactly k consecutive docs, fill > k/(k+1) " +
+        "of budget by construction. Ranks ride the partition-offset " +
+        "cumsum; per-class bases are a #classes-row broadcast.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+          .filter(col("n_tokens") > 0 && col("n_tokens") <= 512)
+        SeqPack.packWholeDocs(docs, "doc_id", "n_tokens", budget = 512L)
+          .select(col("doc_id"), col("n_tokens"), col("pack_class"),
+            col("bin_id"), col("bin_fill"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             |                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |cl AS (
+             |  SELECT doc_id, n_tokens, CAST(512 // n_tokens AS BIGINT) AS k
+             |  FROM t WHERE n_tokens > 0 AND n_tokens <= 512),
+             |rk AS (
+             |  SELECT doc_id, n_tokens, k,
+             |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) - 1 AS r
+             |  FROM cl),
+             |cb AS (SELECT k, CAST((COUNT(*) + k - 1) // k AS BIGINT) AS bins
+             |       FROM cl GROUP BY k),
+             |bs AS (
+             |  SELECT k, CAST(COALESCE(SUM(bins) OVER (ORDER BY k
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |           AS base
+             |  FROM cb),
+             |asg AS (
+             |  SELECT rk.doc_id, rk.n_tokens, rk.k AS pack_class,
+             |         bs.base + rk.r // rk.k AS bin_id
+             |  FROM rk JOIN bs ON bs.k = rk.k),
+             |fl AS (SELECT bin_id, CAST(SUM(n_tokens) AS BIGINT) AS bin_fill
+             |       FROM asg GROUP BY bin_id)
+             |SELECT a.doc_id, a.n_tokens, a.pack_class,
+             |       CAST(a.bin_id AS BIGINT) AS bin_id, fl.bin_fill
+             |FROM asg a JOIN fl USING (bin_id)
+             |ORDER BY a.doc_id""".stripMargin)),
 
     // -- training shard assignment -------------------------------------------
     GQuery(

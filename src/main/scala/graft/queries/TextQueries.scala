@@ -568,63 +568,17 @@ object TextQueries extends QueryPack {
           Tables.load(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("doc_id")),
       Some {
-        def ng(n: Int) =
-          s"""SELECT doc_id, '${n}gram' AS kind,
-             |       unnest(list_transform(range(1, len(t) - ${n - 1} + 1),
-             |         i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS u
-             |FROM tk""".stripMargin
-        def mf(num: String, den: String) =
-          s"CAST(CASE WHEN COALESCE($den, 0) > 0 THEN ($num * 1000000) // $den ELSE 0 END AS BIGINT)"
-        def ka(kind: String, c: String) =
-          s"MAX(CASE WHEN kind = '$kind' THEN $c END)"
-        val fracs = Seq(
-          ("dup_line_frac_micro", mf(ka("line", "dup_units"), ka("line", "units"))),
-          ("dup_line_char_frac_micro", mf(ka("line", "dup_chars"), ka("line", "chars"))),
-          ("top2gram_char_frac_micro", mf(ka("2gram", "top_chars"), ka("2gram", "chars"))),
-          ("top3gram_char_frac_micro", mf(ka("3gram", "top_chars"), ka("3gram", "chars"))),
-          ("top4gram_char_frac_micro", mf(ka("4gram", "top_chars"), ka("4gram", "chars"))),
-          ("dup5gram_char_frac_micro", mf(ka("5gram", "dup_chars"), ka("5gram", "chars"))),
-          ("dup10gram_char_frac_micro", mf(ka("10gram", "dup_chars"), ka("10gram", "chars"))))
-        val thr = Seq(300000L, 200000L, 200000L, 180000L, 160000L, 150000L, 100000L)
-        val passCond = fracs.map(_._1).zip(thr)
-          .map { case (c, t) => s"COALESCE(f.$c, 0) <= $t" }.mkString(" AND ")
-        s"""WITH tk AS (
-           |  SELECT doc_id, $oToks AS t FROM documents),
-           |units AS (
-           |  SELECT doc_id, 'line' AS kind,
-           |         unnest(list_filter(list_transform(
-           |           string_split(text, chr(10)), l -> trim(l)),
-           |           l -> l <> '')) AS u
-           |  FROM documents
-           |  UNION ALL ${ng(2)}
-           |  UNION ALL ${ng(3)}
-           |  UNION ALL ${ng(4)}
-           |  UNION ALL ${ng(5)}
-           |  UNION ALL ${ng(10)}),
-           |cnts AS (
-           |  SELECT doc_id, kind, u, CAST(COUNT(*) AS BIGINT) AS cnt,
-           |         CAST(COUNT(*) * length(u) AS BIGINT) AS w,
-           |         ROW_NUMBER() OVER (PARTITION BY doc_id, kind
-           |           ORDER BY COUNT(*) DESC, u ASC) AS rn
-           |  FROM units GROUP BY doc_id, kind, u),
-           |pk AS (
-           |  SELECT doc_id, kind,
-           |         SUM(cnt) AS units, SUM(w) AS chars,
-           |         COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_units,
-           |         COALESCE(SUM(w) FILTER (cnt > 1), 0) AS dup_chars,
-           |         MAX(CASE WHEN rn = 1 THEN w END) AS top_chars
-           |  FROM cnts GROUP BY doc_id, kind),
-           |f AS (
-           |  SELECT doc_id,
-           |${fracs.map { case (n, e) => s"    $e AS $n" }.mkString(",\n|")}
-           |  FROM pk GROUP BY doc_id)
+        // the CTE chain is the ONE shared mirror (RepetitionOracles)
+        // also consumed mid-chain by the composed pipeline oracle
+        val cols = RepetitionOracles.Checks.map(_._1)
+        s"""WITH ${RepetitionOracles.ctes("documents", "rp")}
            |SELECT d.doc_id,
-           |       CAST(len(tk.t) AS BIGINT) AS n_words,
-           |${fracs.map { case (n, _) => s"       CAST(COALESCE(f.$n, 0) AS BIGINT) AS $n" }.mkString(",\n|")},
-           |       (len(tk.t) < 50 OR ($passCond)) AS repetition_pass
+           |       CAST(len(rptk.t) AS BIGINT) AS n_words,
+           |${cols.map(n => s"       CAST(COALESCE(f.$n, 0) AS BIGINT) AS $n").mkString(",\n|")},
+           |       ${RepetitionOracles.passCond("f", "rptk")} AS repetition_pass
            |FROM documents d
-           |JOIN tk ON tk.doc_id = d.doc_id
-           |LEFT JOIN f ON f.doc_id = d.doc_id
+           |JOIN rptk ON rptk.doc_id = d.doc_id
+           |LEFT JOIN rpf f ON f.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin
       }),
 
