@@ -35,19 +35,19 @@ class SeqPackWholeSpec extends SparkSpec {
   }
 
   test("full bins meet the harmonic fill bound k/(k+1)") {
-    val out = SeqPack.packWholeDocs(docs, "doc_id", "n_tokens", Budget)
-      .select("pack_class", "bin_id", "bin_fill").distinct().collect()
+    // one materialization serves bins AND counts (a second
+    // packWholeDocs call would re-persist the identical plan)
+    val rows = SeqPack.packWholeDocs(docs, "doc_id", "n_tokens", Budget)
+      .select("pack_class", "bin_id", "bin_fill").collect()
+    val counts = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
     // a FULL bin (one holding exactly k docs) of class k has every
     // weight > budget/(k+1), so fill > budget*k/(k+1)
-    val counts = SeqPack.packWholeDocs(docs, "doc_id", "n_tokens", Budget)
-      .groupBy("bin_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    out.foreach { r =>
-      val (k, bin, fill) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      if (counts(bin) == k)
-        assert(fill * (k + 1) > Budget * k,
-          s"full bin $bin of class $k fill $fill below harmonic bound")
-    }
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct
+      .foreach { case (k, bin, fill) =>
+        if (counts(bin) == k)
+          assert(fill * (k + 1) > Budget * k,
+            s"full bin $bin of class $k fill $fill below harmonic bound")
+      }
   }
 
   test("every document lands in exactly one bin (no splits possible)") {
