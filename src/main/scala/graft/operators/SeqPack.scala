@@ -103,10 +103,14 @@ object SeqPack {
     val spark = df.sparkSession
     import spark.implicits._
     val w = col(weightCol).cast("long")
+    // the fixed-width composite range key below would silently
+    // mis-rank a negative order key ('-' sorts before digits), so a
+    // negative id fails as loudly as a bad weight
     val classed = df.withColumn("pack_class",
-      when(w.isNull || w <= 0 || w > budget, raise_error(concat(
-        lit(s"packWholeDocs: weight out of (0, $budget] at "),
-        col(orderCol).cast("string"), lit(" weight="), w.cast("string"))))
+      when(w.isNull || w <= 0 || w > budget || col(orderCol) < 0,
+        raise_error(concat(
+          lit(s"packWholeDocs: weight out of (0, $budget] or negative id at "),
+          col(orderCol).cast("string"), lit(" weight="), w.cast("string"))))
         .otherwise(call_function("div", lit(budget), w)).cast("long"))
     // global rank in (class, order) order; class blocks are contiguous,
     // so rank - classStart = rank within the class
