@@ -78,13 +78,16 @@ object PromptTemplates {
   def loadFromDir(dir: String): PromptTemplates = {
     val p: Path = Paths.get(dir)
     require(Files.isDirectory(p), s"not a template directory: $dir")
-    val loaded = Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".txt"))
-      .map { f =>
-        val key = f.getFileName.toString.stripSuffix(".txt")
-        key -> new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
-      }
-      .toMap
+    val stream = Files.list(p) // must close: holds a directory handle
+    val loaded =
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".txt"))
+        .map { f =>
+          val key = f.getFileName.toString.stripSuffix(".txt")
+          key -> new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+        }
+        .toMap
+      finally stream.close()
     default.withOverrides(loaded)
   }
 }

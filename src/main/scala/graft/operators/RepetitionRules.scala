@@ -26,16 +26,15 @@ import graft.functions.TextAnalysis
   *  - `dup{5,10}gram_char_frac`: characters covered by n-grams
   *    occurring more than once.
   *
-  * Scale shape: the document is tokenized/split ONCE and every unit
-  * kind (line + each n) is emitted from the same scan into one
-  * exploded (doc, kind, unit) table; counts come from a map-side
-  * combinable `groupBy(doc, kind, unit)`, per-kind statistics from a
-  * second bounded aggregation keyed on (doc, kind), and the kinds
-  * fold back to columns with conditional aggregation (no pivot scan).
-  * Both shuffles carry the doc id in the key, so a single pathological
-  * document cannot funnel a reducer. No window over an unbounded key,
-  * no HOF struct folds (DuckDB mis-executes list_reduce struct
-  * accumulators — measured, see the dedup oracle notes), no UDFs.
+  * Scale shape: every unit of a document lives inside its own row, so
+  * the hot path is ONE codegen'd expression per row
+  * ([[org.apache.spark.sql.graftvec.RepetitionStats]]) — zero
+  * shuffles, cost = the scan, usable as a stateless streaming filter.
+  * [[reportRelational]] keeps the exploded two-aggregation form as the
+  * pinned semantic definition (hashed units, both shuffle keys carry
+  * the doc id — no skew funnel; no HOF struct folds, which DuckDB's
+  * list_reduce mis-executes — measured, see the dedup oracle notes);
+  * the DuckDB oracle replays that relational shape.
   */
 object RepetitionRules {
 
@@ -140,8 +139,32 @@ object RepetitionRules {
     * trivially 1.0 — degenerate statistics, not repetition. Short
     * documents report their raw fractions but pass; culling them is
     * the word-count quality rule's job, not this family's.
+    *
+    * Runs as ONE codegen'd expression per row
+    * ([[org.apache.spark.sql.graftvec.RepetitionStats]]) — every unit
+    * of a document lives inside its row, so the statistics need zero
+    * shuffles; [[reportRelational]] is the pinned semantic definition
+    * (and the shape the DuckDB oracle replays).
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50): DataFrame = {
+    val rs = org.apache.spark.sql.graftvec.RepetitionStatsExpr
+      .statsCol(col(textCol))
+    val base = docs
+      .select(col(idCol), rs.as("__rs"))
+      .select(
+        (col(idCol) +: col("__rs.n_words").as("n_words") +:
+          Thresholds.map { case (c, _) => col(s"__rs.$c").as(c) }): _*)
+    base.withColumn("repetition_pass",
+      (col("n_words") < minWords) ||
+        Thresholds.map { case (c, t) => col(c) <= t }.reduce(_ && _))
+  }
+
+  /** The relational definition of [[report]] — explode + two doc-keyed
+    * aggregations; RepetitionRulesSpec pins the kernel to it
+    * value-for-value.
+    */
+  def reportRelational(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50): DataFrame = {
     val counts = unitTable(docs, idCol, textCol)
       .groupBy(col(idCol), col("kind"), col("h"))

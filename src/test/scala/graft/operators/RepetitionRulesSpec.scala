@@ -65,6 +65,38 @@ class RepetitionRulesSpec extends SparkSpec {
     assert(passes.forall(identity))
   }
 
+  test("codegen kernel == the relational definition on the real corpus") {
+    val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val kernel = rows(RepetitionRules.report(docs, "doc_id", "text"))
+    graft.core.CacheBin.drain()
+    val relational = rows(RepetitionRules.reportRelational(docs, "doc_id", "text"))
+    assert(kernel === relational)
+  }
+
+  test("kernel == relational on crafted edge texts") {
+    val texts = Seq(
+      "", " \n \n ", "a", "a a a a a a", "x\nx\nx\n  x  \ny",
+      "line one\nline one\nline two\n\n\nline one",
+      ("spam " * 60).trim, "tabs\there\ttabs\there",
+      "Ünïcode wörds Ünïcode wörds mixed CASE Mixed case")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val df = docsDf(texts)
+    val kernel = rows(RepetitionRules.report(df, "doc_id", "text"))
+    graft.core.CacheBin.drain()
+    val relational = rows(RepetitionRules.reportRelational(df, "doc_id", "text"))
+    assert(kernel === relational)
+  }
+
+  test("the kernel report plans with no exchange (scan-only)") {
+    val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
+    val plan = RepetitionRules.report(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition report shuffles:\n$plan")
+  }
+
   test("deterministic under repartitioning") {
     val texts = Seq("a b a b c\nd e\nd e", "x y z " * 10, "plain text here")
     def run(parts: Int) =
