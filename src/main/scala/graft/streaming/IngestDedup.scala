@@ -172,6 +172,12 @@ object IngestDedup {
     * never reach the dedup screen. This is the streaming shape of the
     * batch pipeline's classifier gate: train offline, save, gate every
     * ingested byte at scan time.
+    *
+    * `repetitionGate` installs the Gopher within-document repetition
+    * filter the same way: [[org.apache.spark.sql.graftvec.RepetitionStats]]
+    * computes every fraction inside one codegen'd row expression, so
+    * the gate is another stateless scan filter — self-repeating spam
+    * is dropped before it costs a dedup screen or an index append.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
@@ -179,15 +185,27 @@ object IngestDedup {
       compactAtFiles: Int = 64,
       compactTargetBytes: Long = 128L * 1024 * 1024,
       qualityModelPath: Option[String] = None,
-      minQualityMicro: Long = 0L): StreamingQuery = {
+      minQualityMicro: Long = 0L,
+      repetitionGate: Boolean = false,
+      repetitionMinWords: Int = 50): StreamingQuery = {
     val spark = docs.sparkSession
-    val gated = qualityModelPath match {
+    val quality = qualityModelPath match {
       case None => docs
       case Some(p) =>
         val model = QualityClassifier.loadModel(spark, p)
         docs.filter(
           QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
     }
+    val gated =
+      if (!repetitionGate) quality
+      else {
+        val rs = org.apache.spark.sql.graftvec.RepetitionStatsExpr
+          .statsCol(col(textCol))
+        val pass = (rs.getField("n_words") < repetitionMinWords) ||
+          graft.operators.RepetitionRules.Thresholds
+            .map { case (c, t) => rs.getField(c) <= t }.reduce(_ && _)
+        quality.filter(pass)
+      }
     gated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

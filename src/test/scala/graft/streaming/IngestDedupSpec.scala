@@ -242,6 +242,38 @@ class IngestDedupSpec extends SparkSpec {
     fs.delete(lease, false)
   }
 
+  test("repetition gate drops self-repeating docs at scan time with no streaming state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx9") + "/index"
+    val out = freshDir("out9") + "/corpus"
+    val ckp = freshDir("ckp9")
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, repetitionGate = true)
+    try {
+      // > 50 distinct words, nothing repeats — the gate must admit it
+      val prose = "the quick brown fox jumps over a lazy dog and then " +
+        "rests beneath an old oak tree while evening settles quietly " +
+        "around this wide open field as distant bells begin ringing " +
+        "softly from some village church beyond those rolling hills " +
+        "where farmers finish their long day of honest autumn work " +
+        "before walking home under early stars"
+      src.addData(
+        IngestDoc(1L, prose),
+        IngestDoc(2L, ("buy cheap now " * 40).trim), // self-repeating spam
+        IngestDoc(3L, "short doc passes via the word floor"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L), s"gate admitted $ids")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "repetition gate introduced streaming state")
+    } finally q.stop()
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
