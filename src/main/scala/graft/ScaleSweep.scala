@@ -31,7 +31,8 @@ object ScaleSweep {
     "q_asof_join", "q_click_attribution", "q_bloom_decontaminate",
     "q_kmv_set_ops", "q_cms_heavy", "q_quantile_gate",
     "q_bpe_learn", "q_pq_codes", "q_pq_rerank", "q_ivf_pq", "q_span_corrupt",
-    "q_char_entropy", "q_embed_outliers", "q_repetition_rules")
+    "q_char_entropy", "q_embed_outliers", "q_repetition_rules",
+    "q_pack_whole")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

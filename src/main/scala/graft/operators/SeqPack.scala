@@ -99,7 +99,12 @@ object SeqPack {
     */
   def packWholeDocs(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
+    // the composite range key renders the class in 6 digits; a budget
+    // past that would silently break the lexicographic==numeric
+    // ordering. Training budgets are token counts (thousands), so the
+    // ceiling is purely defensive.
+    require(budget > 0 && budget <= 999999L,
+      s"budget must be in (0, 999999]: $budget")
     val spark = df.sparkSession
     import spark.implicits._
     val w = col(weightCol).cast("long")
