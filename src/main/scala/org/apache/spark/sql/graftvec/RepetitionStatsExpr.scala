@@ -126,7 +126,9 @@ object RepetitionStatsExpr {
       while (b > a && text.charAt(b - 1) == ' ') b -= 1
       if (b > a) {
         lineH.add(polyHash(text, a, b))
-        lineL.add((b - a).toLong)
+        // CODE POINT count — Spark's length() and DuckDB's length()
+        // both count code points, not UTF-16 units (astral chars!)
+        lineL.add(text.codePointCount(a, b).toLong)
       }
       if (nl < 0) cursor = tl + 1 else cursor = nl + 1
     }
@@ -141,7 +143,7 @@ object RepetitionStatsExpr {
     val tokL = new java.util.ArrayList[Long]()
     TextKernels.forEachToken(text) { tok =>
       tokH.add(polyHash(tok, 0, tok.length))
-      tokL.add(tok.length.toLong)
+      tokL.add(tok.codePointCount(0, tok.length).toLong) // code points
     }
     val nTok = tokH.size()
     val th = new Array[Long](nTok); val tlen = new Array[Long](nTok)

@@ -80,7 +80,11 @@ class RepetitionRulesSpec extends SparkSpec {
       "", " \n \n ", "a", "a a a a a a", "x\nx\nx\n  x  \ny",
       "line one\nline one\nline two\n\n\nline one",
       ("spam " * 60).trim, "tabs\there\ttabs\there",
-      "Ünïcode wörds Ünïcode wörds mixed CASE Mixed case")
+      "Ünïcode wörds Ünïcode wörds mixed CASE Mixed case",
+      // astral code points (surrogate pairs) — the exact class where
+      // a charAt-based hash would diverge from split('')/ascii
+      "math 𝕏 symbols 𝕏 twice 😀 emoji",
+      "𝕏𝕐 𝕏𝕐 repeated astral words")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     val df = docsDf(texts)
