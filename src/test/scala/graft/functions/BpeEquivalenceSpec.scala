@@ -54,7 +54,8 @@ class BpeEquivalenceSpec extends SparkSpec {
 
   test("byte-level kernel hex-encodes multi-byte characters like the chain") {
     import spark.implicits._
-    val df = Seq("héllo wörld", "né né né").toDF("text")
+    // incl. astral code points (4-byte UTF-8, surrogate pairs in the JVM)
+    val df = Seq("héllo wörld", "né né né", "math 𝕏 emoji 😀 𝕏 again").toDF("text")
     val merges = BpeLearn.learn(df, "text", 4, byteLevel = true).merges
     val chain = df.select(BpeLearn.encodeExpr(col("text"), merges,
       byteLevel = true).as("t")).collect().map(_.getSeq[String](0))
