@@ -81,8 +81,16 @@ object BpeEncodeExpr {
         }
         toks.add("_")
       } else {
+        // CODE POINTS, not UTF-16 units: the replace-chain definition
+        // wraps with regexp_replace(word, "(.)", …) and Java-regex "."
+        // matches a code point, so a charAt walk would shatter astral
+        // chars into lone surrogates and diverge from chain + oracle
         var k = 0
-        while (k < word.length) { toks.add(String.valueOf(word.charAt(k))); k += 1 }
+        while (k < word.length) {
+          val cp = word.codePointAt(k)
+          toks.add(new String(Character.toChars(cp)))
+          k += Character.charCount(cp)
+        }
       }
       var mi = 0
       while (mi < merges.length) {

@@ -42,10 +42,14 @@ case class ShingleHashes(child: Expression, n: Int)
       while (j < n) {
         if (j > 0) acc = (acc * 31 + 32) % 1000000007L
         val t = toks(i + j)
+        // CODE POINTS — the pinned polyHash reference iterates
+        // split("")/ascii, i.e. code points; a charAt walk would
+        // hash astral chars as two surrogates and diverge
         var k = 0
         while (k < t.length) {
-          acc = (acc * 31 + t.charAt(k)) % 1000000007L
-          k += 1
+          val cp = t.codePointAt(k)
+          acc = (acc * 31 + cp) % 1000000007L
+          k += Character.charCount(cp)
         }
         j += 1
       }
@@ -74,8 +78,10 @@ case class ShingleHashes(child: Expression, n: Int)
          |  for (int $j = 0; $j < $n; $j++) {
          |    if ($j > 0) $acc = ($acc * 31 + 32) % 1000000007L;
          |    String $t = $a.getUTF8String($i + $j).toString();
-         |    for (int $k = 0; $k < $t.length(); $k++) {
-         |      $acc = ($acc * 31 + $t.charAt($k)) % 1000000007L;
+         |    for (int $k = 0; $k < $t.length(); ) {
+         |      int ${k}cp = $t.codePointAt($k);
+         |      $acc = ($acc * 31 + ${k}cp) % 1000000007L;
+         |      $k += java.lang.Character.charCount(${k}cp);
          |    }
          |  }
          |  $out[$i] = $acc;

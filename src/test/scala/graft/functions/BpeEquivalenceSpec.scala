@@ -38,6 +38,20 @@ class BpeEquivalenceSpec extends SparkSpec {
     assert(fast(3) === Seq("aab", "aa", "aa"))
   }
 
+  test("char-mode kernel treats astral chars as one unit, like the chain") {
+    import spark.implicits._
+    // regexp_replace(word, "(.)", …) matches a CODE POINT per unit, so
+    // the kernel must not shatter surrogate pairs into lone halves
+    val df = Seq("𝕏y 𝕏y xx", "😀a 😀a").toDF("text")
+    val merges = BpeLearn.learn(df, "text", 4).merges
+    val chain = df.select(BpeLearn.encodeExpr(col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val fast = df.select(BpeLearn.encodeExprFast(col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(fast === chain)
+    assert(chain.head.contains("𝕏y"), "astral-led merge must survive intact")
+  }
+
   test("byte-level BpeEncode == the byte-mode replace chain on the corpus") {
     val docs = Tables.load(spark, sfDir, "documents")
     val merges = BpeLearn.learn(docs, "text", 8, byteLevel = true).merges

@@ -19,7 +19,10 @@ class HashEquivalenceSpec extends SparkSpec {
       (2L, "short"),
       (3L, ""),
       (4L, "punctuation, too! and 123 numbers"),
-      (5L, "a b c d e f g h i j k l m n o p"))
+      (5L, "a b c d e f g h i j k l m n o p"),
+      // astral code points: polyHash iterates split("")/ascii = code
+      // points, so the kernel must not hash surrogate halves
+      (6L, "math 𝕏 symbols 𝕏 emoji 😀 words here"))
       .toDF("id", "text")
   }
 
