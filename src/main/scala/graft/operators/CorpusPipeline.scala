@@ -256,7 +256,19 @@ object CorpusPipeline {
           .join(mixed.select(col(idCol), col(srcCol)), idCol)
           .select(col(idCol), col(srcCol),
             col("chunk_idx").cast("long").as("chunk_idx"),
-            (col(idCol).cast("long") * ChunkCap +
+            // doc_id range guard, the magnitude twin of the chunk_idx
+            // guard below: __unit = doc_id*ChunkCap(+chunk_idx) is later
+            // multiplied by (epochMaxEpochs+1) for __pk, so a doc id
+            // past Long.MaxValue / (ChunkCap*(epochMaxEpochs+1)) (~2^41
+            // at the default radix) silently wraps and can collide —
+            // fail loudly instead (conservative when epoching is off;
+            // real ids are nowhere near either bound)
+            (when(abs(col(idCol).cast("long")) >=
+                Long.MaxValue / (ChunkCap * (cfg.epochMaxEpochs + 1L)),
+              raise_error(concat(
+                lit("doc id magnitude overflows the chunked pack key: "),
+                col(idCol).cast("string"))))
+              .otherwise(col(idCol).cast("long")) * ChunkCap +
               when(col("chunk_idx") >= ChunkCap, raise_error(concat(
                 lit(s"chunk fan-out >= $ChunkCap for doc "),
                 col(idCol).cast("string"))))

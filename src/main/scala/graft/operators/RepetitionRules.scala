@@ -41,15 +41,14 @@ object RepetitionRules {
   /** (kind, threshold in micro units) — Gopher's published cut lines;
     * a document PASSES when every fraction is AT OR BELOW its
     * threshold (boundary passes, matching GopherRules' convention).
+    * The values live next to the kernel
+    * ([[org.apache.spark.sql.graftvec.RepetitionStatsExpr.ThresholdsMicro]])
+    * so the single-call gate predicate and this table can never drift.
     */
-  val Thresholds: Seq[(String, Long)] = Seq(
-    "dup_line_frac_micro" -> 300000L,
-    "dup_line_char_frac_micro" -> 200000L,
-    "top2gram_char_frac_micro" -> 200000L,
-    "top3gram_char_frac_micro" -> 180000L,
-    "top4gram_char_frac_micro" -> 160000L,
-    "dup5gram_char_frac_micro" -> 150000L,
-    "dup10gram_char_frac_micro" -> 100000L)
+  val Thresholds: Seq[(String, Long)] = {
+    import org.apache.spark.sql.graftvec.RepetitionStatsExpr
+    RepetitionStatsExpr.FracNames.zip(RepetitionStatsExpr.ThresholdsMicro)
+  }
 
   private val NgramNs = Seq(2, 3, 4, 5, 10)
 
@@ -214,11 +213,16 @@ object RepetitionRules {
         Thresholds.map { case (c, t) => col(c) <= t }.reduce(_ && _))
   }
 
-  /** Keep only documents passing every repetition threshold. */
+  /** Keep only documents passing every repetition threshold — a plain
+    * `filter` on ONE boolean kernel call per row
+    * ([[org.apache.spark.sql.graftvec.RepetitionPass]]): no join, no
+    * shuffle, the gate rides the scan like the streaming path. `idCol`
+    * is kept for signature stability but unused — the predicate is
+    * row-local.
+    */
   def gate(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50): DataFrame =
-    docs.join(
-      report(docs, idCol, textCol, minWords)
-        .filter(col("repetition_pass")).select(col(idCol)),
-      Seq(idCol))
+    docs.filter(
+      org.apache.spark.sql.graftvec.RepetitionStatsExpr
+        .passCol(col(textCol), minWords))
 }

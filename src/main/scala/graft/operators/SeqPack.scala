@@ -99,12 +99,12 @@ object SeqPack {
     */
   def packWholeDocs(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long): DataFrame = {
-    // the composite range key renders the class in 6 digits; a budget
-    // past that would silently break the lexicographic==numeric
-    // ordering. Training budgets are token counts (thousands), so the
-    // ceiling is purely defensive.
-    require(budget > 0 && budget <= 999999L,
-      s"budget must be in (0, 999999]: $budget")
+    require(budget > 0, s"budget must be positive: $budget")
+    // the composite range key renders the class in fixed-width decimal;
+    // the max class is `budget` itself (weight-1 docs), so the width is
+    // the budget's own digit count — 1 M-token (2^20) and larger
+    // long-context budgets pack fine, the key just grows a digit
+    val classDigits = budget.toString.length
     val spark = df.sparkSession
     import spark.implicits._
     val w = col(weightCol).cast("long")
@@ -124,10 +124,11 @@ object SeqPack {
         .withColumn("__ck",
           // composite (class, order) range key as one fixed-width
           // decimal string: lexicographic order == numeric order for
-          // the non-negative class (≤ budget, 6 digits) and id (≤ 20
-          // digits), which is all withRunningTotal's single orderCol
-          // can range-partition on
-          format_string("%06d|%020d", col("pack_class"), col(orderCol))),
+          // the non-negative class (≤ budget, classDigits digits) and
+          // id (≤ 20 digits), which is all withRunningTotal's single
+          // orderCol can range-partition on
+          format_string(s"%0${classDigits}d|%020d",
+            col("pack_class"), col(orderCol))),
       "__ck", "__one", out = "__rank")
     // per-class sizes -> exclusive rank starts and bin bases
     val classes = ranked.groupBy(col("pack_class"))

@@ -326,11 +326,23 @@ object TextDedup {
     * index path from compacting concurrently, or from screening
     * mid-swap and planning against a half-swapped directory. The
     * lease is a create-if-absent marker file (`compact.lease`,
-    * holding the owner's epoch millis): atomic creation is the mutex,
+    * holding the owner's unique token): atomic creation is the mutex,
     * a live lease makes every other compactor/screener/appender fail
     * fast with a clear error, and a lease older than `staleMs`
     * (crashed owner) is taken over — [[recoverDedupIndex]] heals
     * whatever the dead owner left behind.
+    *
+    * Takeover of a stale lease is itself race-free: the contender
+    * atomically RENAMES the stale file to a contender-unique tombstone
+    * before deleting it, so two contenders can never both "win" and a
+    * contender can never delete a FRESH lease another takeover just
+    * created (the delete only ever touches the file the rename handed
+    * it exclusively). Long compactions do not go falsely stale: the
+    * owner renews (touches) its lease on a daemon heartbeat at
+    * staleMs/3, verifying its own token is still in the file first —
+    * and re-verifies ownership immediately before each directory swap,
+    * so an owner that WAS taken over (e.g. a machine pause longer than
+    * staleMs) aborts before touching the live tables.
     */
   val CompactionLeaseFile = "compact.lease"
   val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
@@ -338,32 +350,64 @@ object TextDedup {
   private def leasePath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/$CompactionLeaseFile")
 
+  private def leaseFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    leasePath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Age of a live lease on `path`, if any (None = no lease). */
   private def leaseAgeMs(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[Long] = {
     val lp = leasePath(path)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = leaseFs(spark, path)
     if (fs.exists(lp))
       Some(System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime)
     else None
   }
 
-  /** Acquire the compaction lease or throw. A fresh lease (age <=
-    * staleMs) rejects this writer; a stale one is deleted and
-    * re-contended. Creation with overwrite = false is the atomic
-    * arbiter — losing the create race also throws.
+  /** The owner token stored in the lease file, if the file exists and
+    * is readable (None = no lease, or vanished mid-read).
+    */
+  private def leaseOwner(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val lp = leasePath(path)
+    val fs = leaseFs(spark, path)
+    try {
+      val in = fs.open(lp)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Acquire the compaction lease or throw; returns the owner token to
+    * renew/verify/release with. A fresh lease (age <= staleMs) rejects
+    * this writer. A stale one is taken over in two atomic steps: RENAME
+    * it to a contender-unique tombstone (only one contender's rename
+    * can succeed — and the delete then touches only the tombstone this
+    * contender exclusively owns, never a fresh lease someone else just
+    * created), then re-contend creation. Creation with overwrite =
+    * false is the atomic arbiter — losing the create race also throws.
     */
   private[graft] def acquireCompactionLease(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      staleMs: Long): Unit = {
+      staleMs: Long): String = {
     val lp = leasePath(path)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = leaseFs(spark, path)
+    val token = java.util.UUID.randomUUID().toString
     leaseAgeMs(spark, path).foreach { age =>
       if (age <= staleMs)
         throw new IllegalStateException(
           s"dedup index $path is being compacted by another writer " +
             s"(lease age ${age}ms <= stale threshold ${staleMs}ms)")
-      fs.delete(lp, false) // stale: crashed owner, take over
+      val tomb = new org.apache.hadoop.fs.Path(
+        s"$path/$CompactionLeaseFile.takeover.$token")
+      if (!fs.rename(lp, tomb)) // another contender's rename won
+        throw new IllegalStateException(
+          s"lost the stale-lease takeover race on $path")
+      fs.delete(tomb, false)
     }
     val out =
       try fs.create(lp, false)
@@ -372,23 +416,71 @@ object TextDedup {
           throw new IllegalStateException(
             s"lost the compaction-lease race on $path", e)
       }
-    try out.writeLong(System.currentTimeMillis()) finally out.close()
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    token
   }
 
+  /** Release the lease; when `owner` is non-empty, only if the lease
+    * still carries this owner's token — a lease we lost to a stale
+    * takeover belongs to the new owner and must not be deleted.
+    */
   private[graft] def releaseCompactionLease(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val lp = leasePath(path)
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(lp, false)
-    ()
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      owner: String = ""): Unit = {
+    if (owner.isEmpty || leaseOwner(spark, path).contains(owner)) {
+      leaseFs(spark, path).delete(leasePath(path), false)
+      ()
+    }
+  }
+
+  /** Throw unless the lease on `path` still carries `owner`'s token —
+    * the pre-swap guard: an owner paused past staleMs may have been
+    * taken over, and must abort rather than race the new owner's swap.
+    */
+  private def verifyLeaseOwner(spark: org.apache.spark.sql.SparkSession,
+      path: String, owner: String): Unit =
+    if (!leaseOwner(spark, path).contains(owner))
+      throw new IllegalStateException(
+        s"compaction lease on $path was taken over by another writer " +
+          "(this owner exceeded the stale threshold); aborting before the swap")
+
+  /** Heartbeat that touches the lease's modification time every
+    * `periodMs` so a long-running compaction never goes falsely stale,
+    * verifying the token is still this owner's before each touch (a
+    * taken-over owner stops renewing instead of resurrecting a lease
+    * it no longer holds).
+    */
+  private final class LeaseRenewer(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      owner: String, periodMs: Long) extends Thread {
+    setDaemon(true)
+    setName(s"graft-lease-renew-${leasePath(path).getName}")
+    @volatile private var stopped = false
+    def shutdown(): Unit = { stopped = true; interrupt() }
+    override def run(): Unit =
+      try {
+        while (!stopped) {
+          Thread.sleep(periodMs)
+          if (!stopped && leaseOwner(spark, path).contains(owner))
+            leaseFs(spark, path)
+              .setTimes(leasePath(path), System.currentTimeMillis(), -1)
+        }
+      } catch { case _: InterruptedException => () }
   }
 
   /** Fail fast when another job holds a live compaction lease —
-    * called by the read/append paths so they never plan against a
-    * mid-swap index. A stale lease does NOT block reads:
-    * [[recoverDedupIndex]] makes the directories consistent and the
-    * dead owner can never complete its swap (its lease is gone the
-    * moment a new writer takes over).
+    * called by the read/append paths so a job SCHEDULED while a
+    * compaction runs is rejected up front instead of planning against
+    * a mid-swap index. This is best-effort batch-boundary exclusion,
+    * not a read lock: a compactor acquiring the lease AFTER this check
+    * can still swap under an already-planned read, whose scan then
+    * fails loudly on missing files and is safe to retry (the swap
+    * never exposes a half-written table — [[recoverDedupIndex]]'s
+    * states are whole directories). A stale lease does NOT block
+    * reads: [[recoverDedupIndex]] makes the directories consistent
+    * and the dead owner aborts its own swap via the pre-swap owner
+    * re-check the moment a new writer takes over.
     */
   private def assertNotCompacting(spark: org.apache.spark.sql.SparkSession,
       path: String, staleMs: Long = DefaultLeaseStaleMs): Unit =
@@ -402,14 +494,20 @@ object TextDedup {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
       leaseStaleMs: Long = DefaultLeaseStaleMs): Unit = {
-    acquireCompactionLease(spark, path, leaseStaleMs)
-    try compactDedupIndexLocked(spark, path, targetBytesPerFile)
-    finally releaseCompactionLease(spark, path)
+    val owner = acquireCompactionLease(spark, path, leaseStaleMs)
+    val renewer =
+      new LeaseRenewer(spark, path, owner, math.max(leaseStaleMs / 3, 1000L))
+    renewer.start()
+    try compactDedupIndexLocked(spark, path, targetBytesPerFile, owner)
+    finally {
+      renewer.shutdown()
+      releaseCompactionLease(spark, path, owner)
+    }
   }
 
   private def compactDedupIndexLocked(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytesPerFile: Long): Unit = {
+      path: String, targetBytesPerFile: Long, owner: String): Unit = {
     import graft.catalog.Compaction
     recoverDedupIndex(spark, path)
     val conf = spark.sessionState.newHadoopConf()
@@ -420,6 +518,7 @@ object TextDedup {
     // roll forward (live missing, __compact gone because the rename
     // completed) or roll back (rename never ran).
     def swap(dst: String, tmp: String): Unit = {
+      verifyLeaseOwner(spark, path, owner) // abort if taken over while paused
       val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
       val dstP = new org.apache.hadoop.fs.Path(dst)
       val oldP = new org.apache.hadoop.fs.Path(dst + "__old")

@@ -196,16 +196,15 @@ object IngestDedup {
         docs.filter(
           QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
     }
+    // ONE kernel call per row by construction (RepetitionPass folds the
+    // threshold test into the expression) — field-wise predicates on a
+    // projected stats struct get alias-substituted by predicate
+    // pushdown and re-evaluate the kernel per referenced field
     val gated =
       if (!repetitionGate) quality
-      else {
-        val rs = org.apache.spark.sql.graftvec.RepetitionStatsExpr
-          .statsCol(col(textCol))
-        val pass = (rs.getField("n_words") < repetitionMinWords) ||
-          graft.operators.RepetitionRules.Thresholds
-            .map { case (c, t) => rs.getField(c) <= t }.reduce(_ && _)
-        quality.filter(pass)
-      }
+      else quality.filter(
+        org.apache.spark.sql.graftvec.RepetitionStatsExpr
+          .passCol(col(textCol), repetitionMinWords))
     gated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -45,6 +45,33 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** The repetition GATE as one boolean expression: compute the stats
+  * struct ONCE and apply the Gopher thresholds inside the same kernel
+  * call. This is the form a `filter` should use — referencing the
+  * stats struct's fields from a filter predicate invites Catalyst's
+  * predicate pushdown to substitute the alias and re-evaluate the
+  * kernel once per referenced field (8× per row on the hot scan);
+  * here the predicate is a single call by construction.
+  */
+case class RepetitionPass(child: Expression, minWords: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_pass"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.pass(input.asInstanceOf[UTF8String].toString, minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftvec.RepetitionStatsExpr.pass($a.toString(), $minWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RepetitionStatsExpr {
 
   val FracNames: Seq[String] = Seq(
@@ -52,6 +79,14 @@ object RepetitionStatsExpr {
     "top2gram_char_frac_micro", "top3gram_char_frac_micro",
     "top4gram_char_frac_micro", "dup5gram_char_frac_micro",
     "dup10gram_char_frac_micro")
+
+  /** Gopher's published cut lines in micro units, aligned 1:1 with
+    * [[FracNames]] — a document PASSES when every fraction is AT OR
+    * BELOW its threshold (`graft.operators.RepetitionRules.Thresholds`
+    * re-exports these pairs as the public contract).
+    */
+  val ThresholdsMicro: Array[Long] =
+    Array(300000L, 200000L, 200000L, 180000L, 160000L, 150000L, 100000L)
 
   private val P = 1000000007L
   private val B = 1000003L
@@ -183,6 +218,27 @@ object RepetitionStatsExpr {
       micro(g10.dupChars, g10.chars))
   }
 
+  /** One kernel call, boolean out — the gate predicate for [[RepetitionPass]].
+    * Short documents (n_words < minWords) pass unconditionally: the
+    * thresholds are degenerate there (see RepetitionRules.report).
+    */
+  def pass(text: String, minWords: Int): Boolean = {
+    val row = compute(text)
+    if (row.getLong(0) < minWords) true
+    else {
+      var i = 0
+      while (i < ThresholdsMicro.length) {
+        if (row.getLong(i + 1) > ThresholdsMicro(i)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
   def statsCol(text: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(text)))
+
+  def passCol(text: Column, minWords: Int): Column =
+    ExpressionUtils.column(
+      RepetitionPass(ExpressionUtils.expression(text), minWords))
 }

@@ -101,6 +101,38 @@ class RepetitionRulesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"repetition report shuffles:\n$plan")
   }
 
+  test("gate is join-free and shuffle-free (a scan filter) and matches report's pass column") {
+    val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
+    val gated = RepetitionRules.gate(docs, "doc_id", "text")
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"repetition gate joins:\n$plan")
+    assert(!plan.contains("Exchange"), s"repetition gate shuffles:\n$plan")
+    // the single-call RepetitionPass predicate == report's pass column
+    val viaReport = RepetitionRules.report(docs, "doc_id", "text")
+      .filter(col("repetition_pass")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSet === viaReport)
+    // and the predicate appears ONCE in the plan — no per-field kernel
+    // re-evaluation from alias substitution
+    assert(plan.sliding("repetition_pass".length).count(
+      _ == "repetition_pass") <= 2, // condition + possible reuse line
+      s"kernel duplicated in the gate plan:\n$plan")
+  }
+
+  test("RepetitionPass honors minWords exactly like report") {
+    val texts = Seq(("spam " * 60).trim, ("spam " * 9).trim, "plain text here",
+      "", "a", "Ünïcode wörds Ünïcode wörds", "𝕏𝕐 𝕏𝕐 repeated astral words")
+    for (minWords <- Seq(0, 5, 50)) {
+      val df = docsDf(texts)
+      val viaGate = RepetitionRules.gate(df, "doc_id", "text", minWords)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaReport = RepetitionRules.report(df, "doc_id", "text", minWords)
+        .filter(col("repetition_pass")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(viaGate === viaReport, s"minWords=$minWords")
+    }
+  }
+
   test("deterministic under repartitioning") {
     val texts = Seq("a b a b c\nd e\nd e", "x y z " * 10, "plain text here")
     def run(parts: Int) =

@@ -65,6 +65,29 @@ class SeqPackWholeSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("weight out of"))
   }
 
+  test("a 2^20 long-context budget packs (key width derives from the budget)") {
+    import spark.implicits._
+    val budget = 1L << 20 // 1,048,576 — a realistic modern context length
+    // weights spanning classes: k = budget div w from 1 (whole-budget
+    // docs) to budget (weight-1 docs)
+    val docs20 = Seq(
+      (1L, budget), (2L, budget), (3L, budget / 2), (4L, budget / 2),
+      (5L, budget / 2), (6L, 1L), (7L, 1L), (8L, 300000L), (9L, 300000L),
+      (10L, 999999L)).toDF("doc_id", "n_tokens")
+    val out = SeqPack.packWholeDocs(docs20, "doc_id", "n_tokens", budget)
+      .select("doc_id", "n_tokens", "pack_class", "bin_id", "bin_fill")
+      .collect()
+    assert(out.length === 10)
+    out.groupBy(_.getLong(3)).foreach { case (bin, rows) =>
+      assert(rows.map(_.getLong(1)).sum <= budget, s"bin $bin over budget")
+      assert(rows.map(_.getLong(2)).distinct.length === 1)
+      assert(rows.length <= rows.head.getLong(2))
+    }
+    // whole-budget docs are class 1: one per bin
+    val class1Bins = out.filter(_.getLong(1) == budget).map(_.getLong(3))
+    assert(class1Bins.distinct.length === class1Bins.length)
+  }
+
   test("deterministic under repartitioning") {
     def run(parts: Int) =
       try SeqPack.packWholeDocs(docs.repartition(parts), "doc_id",

@@ -242,6 +242,31 @@ class IngestDedupSpec extends SparkSpec {
     fs.delete(lease, false)
   }
 
+  test("lease carries an owner token: takeover is rename-atomic and release is owner-checked") {
+    import spark.implicits._
+    val idx = freshDir("idx8b") + "/index"
+    TextDedup.writeDedupIndex(
+      Seq(IngestDoc(1L, "alpha beta gamma delta epsilon zeta")).toDF(),
+      "doc_id", "text", idx)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val lease = new org.apache.hadoop.fs.Path(s"$idx/${TextDedup.CompactionLeaseFile}")
+    // crashed owner leaves a stale lease
+    val t0 = TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    fs.setTimes(lease, System.currentTimeMillis() - TextDedup.DefaultLeaseStaleMs - 60000L, -1)
+    // takeover: the new owner's token replaces the dead one's
+    val t1 = TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    assert(t1 !== t0)
+    assert(fs.exists(lease))
+    // a release with the WRONG token (the dead owner waking up) is a
+    // no-op — it must not delete the new owner's fresh lease
+    TextDedup.releaseCompactionLease(spark, idx, t0)
+    assert(fs.exists(lease), "stale ex-owner deleted the new owner's lease")
+    // ... and the new owner's release works
+    TextDedup.releaseCompactionLease(spark, idx, t1)
+    assert(!fs.exists(lease))
+  }
+
   test("repetition gate drops self-repeating docs at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
