@@ -18,7 +18,9 @@ import graft.text.{SchemaLinking, SchemaRender, SqlText}
   * sub-questions) → Refiner (generate, execute, repair on error).
   */
 final case class MacSqlGenerator(llm: LlmClient, backend: SqlBackend,
-    schema: DataFrame) extends Actor {
+    schema: DataFrame,
+    tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default)
+    extends Actor {
   val name = "MACSQLGenerator"
   override val outputName = "pred_sql"
   override val skill = "MAC-SQL: prune -> decompose -> generate+refine loop"
@@ -31,18 +33,18 @@ final case class MacSqlGenerator(llm: LlmClient, backend: SqlBackend,
       val q = r.getString(1)
       // Selector: prune when large, guided by a quick LLM link pass
       val links = SchemaRender.parseSchemaLinkFromStr(llm.complete(
-        s"List relevant table.column links for: $q\nSchema_links: [...]"))
+        tpl.render("macsql.links", "question" -> q)))
       val working =
         if (MacSqlPrune.needsPrune(schema)) MacSqlPrune.prune(schema, links)
         else schema
       val schemaText = SchemaRender.parseSchemaFromDf(working)
       // Decomposer
       val subs = SqlText.parseList(llm.complete(
-        s"Decompose into sub-questions as a list.\nQuestion: $q\n[...]"))
+        tpl.render("macsql.decompose", "question" -> q)))
       // Refiner: generate then execute-repair
       val draft = SqlText.clean(llm.complete(
-        s"Schema:\n$schemaText\nSub-questions: ${subs.mkString("; ")}\n" +
-          s"Question: $q\nSQL:"))
+        tpl.render("macsql.refine", "schema" -> schemaText,
+          "subs" -> subs.mkString("; "), "question" -> q)))
       (r.getString(0), SqlDebug.debugByFeedback(backend, llm, q, schemaText, draft)._2)
     }
     ds.drop(outputName).join(out.toSeq.toDF("instance_id", outputName), "instance_id")

@@ -64,16 +64,67 @@ object PromptTemplates {
     // ReFoRCE refined generation (vars: schema, probes, question)
     "reforce.final" ->
       ("Schema:\n${schema}\nProbe results:\n${probes}\n" +
-        "Question: ${question}\nFinal SQL:"))
+        "Question: ${question}\nFinal SQL:"),
+    // MAC-SQL Selector link pass (vars: question)
+    "macsql.links" ->
+      "List relevant table.column links for: ${question}\nSchema_links: [...]",
+    // MAC-SQL Decomposer (vars: question)
+    "macsql.decompose" ->
+      "Decompose into sub-questions as a list.\nQuestion: ${question}\n[...]",
+    // MAC-SQL Refiner draft (vars: schema, subs, question)
+    "macsql.refine" ->
+      ("Schema:\n${schema}\nSub-questions: ${subs}\n" +
+        "Question: ${question}\nSQL:"))
 
   /** The engine-wide default registry (paraphrased bodies). */
   val default = new PromptTemplates(Defaults)
+
+  private val VarToken = """\$\{([A-Za-z0-9_]+)\}""".r
+
+  /** The `${var}` names a template body references. */
+  private[llm] def varsOf(template: String): Set[String] =
+    VarToken.findAllMatchIn(template).map(_.group(1)).toSet
+
+  /** Per-key variables the render call sites supply — enumerable from
+    * the Defaults because each paraphrase body references EXACTLY the
+    * variables its call site passes (that is the Defaults' documented
+    * contract; a new render call site must extend its default body in
+    * step). This is the lint's ground truth.
+    */
+  val SuppliedVars: Map[String, Set[String]] =
+    Defaults.map { case (k, body) => k -> varsOf(body) }
+
+  /** Validate a deployed template set against the render contract —
+    * catches the two silent deployment failures at LOAD time instead
+    * of per-key at render time: (1) a typo'd KEY (the file would be
+    * ignored and the paraphrase default silently used); (2) a typo'd
+    * or unsupported `${var}` (it would surface as a literal token in
+    * every rendered prompt). A template is free to USE FEWER variables
+    * than its call site supplies — exact reference bodies often ignore
+    * some — but never one the call site does not supply.
+    */
+  def lint(loaded: Map[String, String]): Unit = {
+    val unknownKeys = loaded.keySet -- Defaults.keySet
+    require(unknownKeys.isEmpty,
+      s"unknown template key(s) ${unknownKeys.toSeq.sorted.mkString(", ")}: " +
+        s"no render call site supplies them (known: ${Defaults.keys.toSeq.sorted.mkString(", ")})")
+    loaded.foreach { case (key, body) =>
+      val extra = varsOf(body) -- SuppliedVars(key)
+      require(extra.isEmpty,
+        s"template '$key' references variable(s) " +
+          extra.toSeq.sorted.map(v => "${" + v + "}").mkString(", ") +
+          s" its call site never supplies (supplied: " +
+          SuppliedVars(key).toSeq.sorted.mkString(", ") + ")")
+    }
+  }
 
   /** Defaults overridden by every `<key>.txt` file under `dir` (the
     * key is the filename minus `.txt`, dots preserved — so the
     * reference's exact DIN-SQL prompt body lands as
     * `dinsql.generate.txt`). Non-`.txt` entries are ignored;
-    * subdirectories are not walked.
+    * subdirectories are not walked. The loaded set is [[lint]]ed —
+    * an unknown key or an unsupplied `${var}` fails loudly HERE, not
+    * silently at render time.
     */
   def loadFromDir(dir: String): PromptTemplates = {
     val p: Path = Paths.get(dir)
@@ -88,6 +139,7 @@ object PromptTemplates {
         }
         .toMap
       finally stream.close()
+    lint(loaded)
     default.withOverrides(loaded)
   }
 }

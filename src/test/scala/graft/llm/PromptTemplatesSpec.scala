@@ -41,6 +41,65 @@ class PromptTemplatesSpec extends AnyFunSuite {
       "question" -> "q").contains("Final SQL:"))
   }
 
+  test("lint: a typo'd template KEY fails loudly at load, not silently at render") {
+    val dir = Files.createTempDirectory("graft_tpl_badkey")
+    Files.writeString(dir.resolve("dinsql.clasify.txt"), // typo'd key
+      "EXACT BODY: ${question}")
+    val e = intercept[IllegalArgumentException](
+      PromptTemplates.loadFromDir(dir.toString))
+    assert(e.getMessage.contains("dinsql.clasify"))
+    assert(e.getMessage.contains("no render call site"))
+  }
+
+  test("lint: an unsupplied ${var} fails loudly at load; unused supplied vars are fine") {
+    val dir = Files.createTempDirectory("graft_tpl_badvar")
+    Files.writeString(dir.resolve("dinsql.generate.txt"),
+      "SQL for ${question} with ${schema_links}") // call site supplies `links`
+    val e = intercept[IllegalArgumentException](
+      PromptTemplates.loadFromDir(dir.toString))
+    assert(e.getMessage.contains("${schema_links}"))
+    assert(e.getMessage.contains("dinsql.generate"))
+    // using FEWER vars than supplied is legitimate (exact bodies often
+    // ignore some) — and literal non-identifier ${…} text is not a var
+    val ok = Files.createTempDirectory("graft_tpl_ok")
+    Files.writeString(ok.resolve("dinsql.generate.txt"),
+      "Only the question matters: ${question} (JSON example: ${\"k\": 1})")
+    val t = PromptTemplates.loadFromDir(ok.toString)
+    assert(t.render("dinsql.generate", "question" -> "q", "tier" -> "",
+      "style" -> "", "schema" -> "", "links" -> "")
+      .contains("Only the question matters: q"))
+  }
+
+  test("SuppliedVars enumerates each call site's contract from the defaults") {
+    assert(PromptTemplates.SuppliedVars("dinsql.classify")
+      === Set("question", "links"))
+    assert(PromptTemplates.SuppliedVars("reforce.probes")
+      === Set("maxProbes", "schema", "question"))
+  }
+
+  test("packaged reference-parity template files load, lint clean, and drive the actors") {
+    // the fidelity seam end-to-end: exact-body deployment is a data
+    // directory (here: test resources), zero code change
+    val dir = new java.io.File(getClass.getResource("/templates").toURI)
+    val t = PromptTemplates.loadFromDir(dir.getAbsolutePath)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val llm = new LlmClient {
+      def complete(prompt: String): String = { seen += prompt; "NESTED" }
+    }
+    val tier = DinSqlMethod.classify(llm, "count the rows", Seq("t.c"), t)
+    assert(tier === "NESTED")
+    assert(seen.head.contains("Q: \"count the rows\""))
+    assert(seen.head.contains("schema_links: [t.c]"))
+    assert(seen.head.contains("Let's think step by step"), "tiered few-shot body must arrive verbatim")
+    val refine = t.render("macsql.refine",
+      "schema" -> "S", "subs" -> "a; b", "question" -> "q")
+    assert(refine.contains("[Sub-questions]\na; b"))
+    assert(refine.contains("[Question]\nq"))
+    // untouched keys still fall back to paraphrase defaults
+    assert(t.render("reforce.final", "schema" -> "s", "probes" -> "p",
+      "question" -> "q").contains("Final SQL:"))
+  }
+
   test("an overridden template reaches the actor's LLM call verbatim") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     val llm = new LlmClient {
