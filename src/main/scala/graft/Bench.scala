@@ -39,28 +39,53 @@ object Bench {
     // still disagree by >1.3× (codegen-compile-heavy queries), a third
     // run settles it. bytes_read comes from the last (warm) run so the
     // total reflects one pass over the data.
+    //
+    // GC leveling + attribution (the r11 lesson: the window-dedup
+    // family read +80% in the full bench while measuring flat in
+    // isolation): on a huge heap the JVM hardly ever collects on its
+    // own, so garbage from EARLIER queries is billed to whichever
+    // query finally trips a collection — and uncollected dead
+    // broadcasts/shuffles pile up because Spark's ContextCleaner only
+    // reaps what a GC has finalized. So (a) an UNTIMED System.gc()
+    // levels the heap before every query's timing loop, and (b) each
+    // reported timing carries the GC seconds observed inside that very
+    // run ("gc" map in bench_full.json) so any residual drift is
+    // attributable instead of mysterious.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcSecNow(): Double = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L))
+      t / 1000.0
+    }
     val results = SparkEntry.allQueries.map { q =>
-      def once() = {
+      System.gc() // untimed: collect the previous query's garbage here
+      def once(): (Double, Option[graft.exec.ScanStats], Double) = {
         val t0 = System.nanoTime()
+        val g0 = gcSecNow()
         val result =
           try {
             val (_, stats, elapsed) =
               ScanMetrics.buildExecAndMeasure(spark)(q.build(spark, sfDir))
-            (elapsed, Some(stats))
+            (elapsed, Some(stats), gcSecNow() - g0)
           }
-          catch { case _: Throwable => ((System.nanoTime() - t0) / 1e9, None) }
+          catch { case _: Throwable =>
+            ((System.nanoTime() - t0) / 1e9, None, gcSecNow() - g0) }
           // release operator-persisted intermediates: keeps repeat runs
           // honest (no silent cross-run cache reuse) and the log free of
           // "already cached" warnings that mask real cache regressions
           finally graft.core.CacheBin.drain()
         result
       }
-      val (t1, _) = once()
-      val (t2, s2) = once()
-      if (math.max(t1, t2) > 1.3 * math.min(t1, t2)) {
-        val (t3, s3) = once()
-        (q.name, math.min(t1, math.min(t2, t3)), s3)
-      } else (q.name, math.min(t1, t2), s2)
+      val r1 = once()
+      val r2 = once()
+      if (math.max(r1._1, r2._1) > 1.3 * math.min(r1._1, r2._1)) {
+        val r3 = once()
+        val best = Seq(r1, r2, r3).minBy(_._1)
+        (q.name, best._1, r3._2, best._3)
+      } else {
+        val best = Seq(r1, r2).minBy(_._1)
+        (q.name, best._1, r2._2, best._3)
+      }
     }
     // ANN quality guard: recall@k of the IVF variants against exact
     // kNN over the query ids both ran (wall-time alone would let a
@@ -125,6 +150,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val bytesTotal = results.flatMap(_._3).map(_.bytesRead).sum
     val total = results.map(_._2).sum
+    // GC seconds inside each reported (min) run — only entries that
+    // actually collected; a populated entry here explains an elevated
+    // timing without any plan change
+    val gcJson = results.filter(_._4 > 0.005)
+      .map { case (k, _, _, g) => s""""$k":${num(g, 3)}""" }
+      .mkString("{", ",", "}")
     // per-stage prefixes of the composed queries (untimed in the total;
     // one run each — diagnostics for regression attribution, see
     // BenchStages)
@@ -151,18 +182,18 @@ object Bench {
       s""""$qname":${sts.map { case (n, v) => s""""$n":${num(v, 3)}""" }
         .mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v, _, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val recallJson = recalls
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val dedupRecallJson = dedupRecall
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"gc":$gcJson,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     val top10 = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$top10,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }

@@ -52,6 +52,40 @@ object BenchStages {
         graft.operators.BestDedup.dedupKeepBest(docs(s, dir), "doc_id", "text",
           scoreCol = "n_chars", threshold = 0.5, n = 3, h = 16, bands = 4))),
 
+    // the r11 context-drift family: these three read +45-80% in the
+    // full bench while measuring flat in isolation. The prefixes
+    // bracket each one's two halves so any future drift localizes.
+    "q_window_dedup" -> Seq(
+      "window_hashes" -> ((s, dir) =>
+        TextDedup.withShingleHashes(docs(s, dir), "doc_id", "text", 8)
+          .select(col("doc_id"), explode(col("__shh")).as("__h")).distinct()),
+      "dup_ids" -> ((s, dir) =>
+        graft.operators.WindowDedup.duplicateIds(
+          docs(s, dir), "doc_id", "text", 8)),
+      "full" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_window_dedup").get
+          .build(s, dir))),
+
+    "q_keepfirst_dedup" -> Seq(
+      "window_rows" -> ((s, dir) =>
+        TextDedup.withShingleHashes(docs(s, dir), "doc_id", "text", 5)
+          .select(col("doc_id"),
+            posexplode(col("__shh")).as(Seq("__pos", "__h")))),
+      "full" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_keepfirst_dedup").get
+          .build(s, dir))),
+
+    "q_stream_neardup" -> Seq(
+      "candidates" -> ((s, dir) =>
+        graft.streaming.StreamDedup.nearDupCandidates(
+          docs(s, dir).select(col("doc_id"),
+            timestamp_seconds(col("doc_id") + lit(1700000000L)).as("ts"),
+            col("text")),
+          "doc_id", "ts", "text").toDF()),
+      "full" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_stream_neardup").get
+          .build(s, dir))),
+
     "q_leak_safe_split" -> Seq(
       "neardup_pairs" -> ((s, dir) =>
         TextDedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",

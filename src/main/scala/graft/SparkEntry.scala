@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries}
+import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
     RowOpsQueries,
     TextQueries,
     BpeQueries,
+    UnigramQueries,
     SimilarityQueries,
     PqQueries,
     DedupQueries,
