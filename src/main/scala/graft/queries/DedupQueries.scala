@@ -462,6 +462,77 @@ object DedupQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_span_dedup",
+      "Exact-substring span dedup with suffix-window EXTENSION (the " +
+        "strongest Lee et al. 2022 variant): duplicated 5-token " +
+        "windows (keep-first) merge into maximal covered islands per " +
+        "document — gaps-and-islands on pos - row_number over the " +
+        "doc-partitioned window — and only islands of >= 8 tokens are " +
+        "stripped; shorter incidental repeats survive. O(total " +
+        "tokens), no pairwise stage.",
+      (s, dir) =>
+        graft.operators.SpanDedup.removeLongDupSpans(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 5, minCount = 2, minSpanTokens = 8)
+          .orderBy(col("doc_id")),
+      Some {
+        val win = (0 until 5).map(j => s"tk[i+$j]").mkString(", ")
+        val ord = s"doc_id * ${graft.operators.Boilerplate.OrdBase} + pos"
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+           |                             t -> length(t) > 0) AS tk
+           |  FROM documents),
+           |wu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+           |           i -> struct_pack(pos := i - 1,
+           |                            g := concat_ws(' ', $win)))) AS u
+           |  FROM toks),
+           |w AS (SELECT doc_id, u.pos AS pos, ${DedupOracles.polyHash("u.g")} AS h FROM wu),
+           |g AS (SELECT h, MIN($ord) AS keep_ord
+           |      FROM w GROUP BY h HAVING COUNT(*) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS p
+           |  FROM w JOIN g USING (h)
+           |  WHERE $ord <> g.keep_ord),
+           |isl AS (
+           |  SELECT doc_id, p,
+           |         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+           |  FROM cov),
+           |spans AS (
+           |  SELECT doc_id, grp, MIN(p) AS sp_start, COUNT(*) AS sp_len
+           |  FROM isl GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+           |rm AS (
+           |  SELECT DISTINCT doc_id, unnest(range(sp_start, sp_start + sp_len)) AS p
+           |  FROM spans),
+           |nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+           |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id),
+           |tpu AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(generate_series(1, len(tk)),
+           |           i -> struct_pack(p := i - 1, tok := tk[i]))) AS u
+           |  FROM toks),
+           |tp AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tpu),
+           |keep AS (
+           |  SELECT tp.doc_id, tp.p, tp.tok
+           |  FROM tp LEFT JOIN rm ON tp.doc_id = rm.doc_id AND tp.p = rm.p
+           |  WHERE rm.p IS NULL),
+           |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+           |       FROM keep GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           |       CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed,
+           |       CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+           |       COALESCE(ct.clean_text, '') AS clean_text
+           |FROM documents d
+           |JOIN toks t USING (doc_id)
+           |LEFT JOIN nrem nr USING (doc_id)
+           |LEFT JOIN nsp ns USING (doc_id)
+           |LEFT JOIN ct USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_window_dedup",
       "Exact n-token-window dedup (Lee et al. 2022 at document " +
         "granularity): drop every document sharing an exact 8-token " +
