@@ -15,7 +15,10 @@ import graft.catalog.Tables
   * the sweep queries at 1× and N×, and reports the per-query scaling
   * exponent log(tN/t1)/log(N).
   *
-  * Usage: `runMain graft.ScaleSweep [baseDir] [copies] [outDir]`.
+  * Usage: `runMain graft.ScaleSweep [baseDir] [copies] [outDir] [outDir2]`.
+  * With `outDir2` given, a second ×copies corpus derives from `outDir`
+  * and every query is timed at 1×/N×/N²× in the SAME session (one
+  * coherent run, so cross-row comparisons hold).
   * Output: one JSON line per query + `target/scale_sweep.json`.
   */
 object ScaleSweep {
@@ -32,7 +35,7 @@ object ScaleSweep {
     "q_kmv_set_ops", "q_cms_heavy", "q_quantile_gate",
     "q_bpe_learn", "q_pq_codes", "q_pq_rerank", "q_ivf_pq", "q_span_corrupt",
     "q_char_entropy", "q_embed_outliers", "q_repetition_rules",
-    "q_pack_whole")
+    "q_pack_whole", "q_unigram_learn", "q_span_dedup", "q_wordpiece_learn")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids
@@ -111,11 +114,13 @@ object ScaleSweep {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse("target/scale10")
+    val outDir2 = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
     val spark = graft.core.GraftSession.build("graft-scale-sweep", cores = cpus.toInt)
 
     derive(spark, baseDir, outDir, copies)
+    outDir2.foreach(d2 => derive(spark, outDir, d2, copies))
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -131,10 +136,19 @@ object ScaleSweep {
         val t1 = time(spark, q, baseDir)
         val tN = time(spark, q, outDir)
         val exp = math.log(tN / t1) / math.log(copies.toDouble)
+        val second = outDir2.map { d2 =>
+          val tN2 = time(spark, q, d2)
+          val exp2 = math.log(tN2 / tN) / math.log(copies.toDouble)
+          (tN2, exp2)
+        }
+        val secondJson = second
+          .map { case (tN2, exp2) =>
+            s""","tN2_sec":${num(tN2)},"exponent2":${num(exp2)}""" }
+          .getOrElse("")
         // scalastyle:off println — operator-facing sweep report
-        println(s"""{"query":"$name","t1_sec":${num(t1)},"t${copies}x_sec":${num(tN)},"exponent":${num(exp)}}""")
+        println(s"""{"query":"$name","t1_sec":${num(t1)},"t${copies}x_sec":${num(tN)},"exponent":${num(exp)}$secondJson}""")
         // scalastyle:on println
-        s""""$name":{"t1_sec":${num(t1)},"tN_sec":${num(tN)},"exponent":${num(exp)}}"""
+        s""""$name":{"t1_sec":${num(t1)},"tN_sec":${num(tN)},"exponent":${num(exp)}$secondJson}"""
       }
     }
     val json = s"""{"copies":$copies,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""

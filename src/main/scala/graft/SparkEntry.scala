@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries}
+import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     BpeQueries,
     UnigramQueries,
+    WordPieceQueries,
     SimilarityQueries,
     PqQueries,
     DedupQueries,

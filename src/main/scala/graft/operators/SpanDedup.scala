@@ -53,11 +53,17 @@ object SpanDedup {
       .agg(count(lit(1)).as("__cnt"), min(col("__ord")).as("__keep"))
       .filter(col("__cnt") >= minCount)
       .select(col("__h"), col("__keep"))
-    // distinct covered positions of NON-first duplicated windows
+    // distinct covered positions of NON-first duplicated windows.
+    // ONE exchange for the whole island chain: repartition on the doc
+    // id up front — HashPartitioning(id) satisfies the clustering
+    // requirements of the (id, p) distinct, the per-doc window, the
+    // (id, grp) island aggregate, AND the final per-doc fold, so
+    // nothing downstream re-shuffles (covered mass moves once).
     val covered = wins.join(firsts, "__h")
       .filter(col("__ord") =!= col("__keep"))
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + lit(L - 1))).as("__p"))
+      .repartition(col(idCol))
       .distinct()
     // gaps-and-islands: consecutive covered positions share
     // __p - row_number(); islands below the floor survive
@@ -67,21 +73,23 @@ object SpanDedup {
       .groupBy(col(idCol), col("__grp"))
       .agg(min(col("__p")).as("__start"), count(lit(1)).as("__len"))
       .filter(col("__len") >= minSpanTokens)
-    val rm = spans
-      .select(col(idCol),
-        explode(sequence(col("__start"),
-          col("__start") + col("__len") - 1)).as("__p"))
+    // one doc-keyed fold carries both outputs: islands are disjoint by
+    // construction, so removal positions expand per span with no
+    // dedup, and n_spans is the list size — no second aggregation, no
+    // second join
+    val perDoc = spans
       .groupBy(col(idCol))
-      .agg(collect_set(col("__p")).as("__rm"))
-    val nSpans = spans.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nspans"))
+      .agg(collect_list(struct(col("__start"), col("__len"))).as("__spans"))
+      .select(col(idCol),
+        size(col("__spans")).cast("long").as("__nspans"),
+        flatten(transform(col("__spans"), s =>
+          sequence(s("__start"), s("__start") + s("__len") - 1))).as("__rm"))
     base
-      .join(rm, Seq(idCol), "left_outer")
-      .join(nSpans, Seq(idCol), "left_outer")
+      .join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),
         size(col("__tk")).cast("long").as("n_tokens"),
         coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
-        coalesce(col("__nspans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("__nspans"), lit(0L)).as("n_spans"),
         concat_ws(" ", filter(col("__tk"),
           (t, i) => !coalesce(array_contains(col("__rm"), i), lit(false))))
           .as("clean_text"))
