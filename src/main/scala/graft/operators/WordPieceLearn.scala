@@ -142,4 +142,17 @@ object WordPieceLearn {
   /** Post-merge subword vocabulary with corpus frequencies. */
   def vocabulary(finalWordFreq: DataFrame): DataFrame =
     BpeLearn.vocabulary(finalWordFreq)
+
+  /** BERT's INFERENCE tokenization — greedy longest-match against the
+    * learned vocabulary (codegen'd
+    * [[org.apache.spark.sql.graftvec.WordPieceMaxMatch]]; the
+    * vocabulary is one reference object, so this is a scan expression:
+    * no join, no shuffle, streaming-safe). A word with an unmatchable
+    * cursor maps WHOLE to `unk` — including words whose single chars
+    * were fully merged away during training, faithful BERT behavior.
+    */
+  def maxMatchExpr(text: Column, vocabTokens: Seq[String],
+      unk: String = "[UNK]"): Column =
+    org.apache.spark.sql.graftvec.WordPieceExpr
+      .maxMatchCol(text, vocabTokens, unk)
 }

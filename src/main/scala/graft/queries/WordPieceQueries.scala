@@ -117,6 +117,87 @@ object WordPieceQueries extends QueryPack {
               |GROUP BY token ORDER BY token""".stripMargin)),
 
     GQuery(
+      "q_wordpiece_maxmatch",
+      "Corpus encoded by BERT's greedy longest-match (MaxMatch) " +
+        "inference against the learned WordPiece vocabulary — ONE " +
+        "scan-time codegen'd expression (vocab as a reference object); " +
+        "unmatchable words map whole to [UNK]. Verified by token " +
+        "count + rolling-hash fingerprint per document; the oracle " +
+        "replays MaxMatch as a recursive CTE over pre-joined " +
+        "(position, length, piece) edges.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val res = WordPieceLearn.learn(docs, "text", Rounds)
+        val vocab = WordPieceLearn.vocabulary(res.wordFreq)
+          .select("token").collect().map(_.getString(0)).toSeq
+        docs
+          .select(col("doc_id"),
+            WordPieceLearn.maxMatchExpr(col("text"), vocab).as("__t"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            graft.functions.TextAnalysis.fingerprint(
+              concat_ws(" ", col("__t"))).as("tok_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |$oLearnCtes,
+              |vb AS MATERIALIZED (
+              |  SELECT DISTINCT unnest(string_split(trim(toks), '  ')) AS token
+              |  FROM w$Rounds),
+              |wl AS MATERIALIZED (
+              |  SELECT DISTINCT unnest($oToks) AS word FROM documents),
+              |egm AS MATERIALIZED (
+              |  SELECT w.word, list(struct_pack(i := e.st - 1, negl := -e.k,
+              |                                  tok := e.tok)) AS eg
+              |  FROM wl w
+              |  JOIN (
+              |    SELECT word, st, k,
+              |           CASE WHEN st = 1 THEN substr(word, st, k)
+              |                ELSE '##' || substr(word, st, k) END AS tok
+              |    FROM wl,
+              |         UNNEST(range(1, length(word) + 1)) AS s(st),
+              |         UNNEST(range(1, 8 + 1)) AS kk(k)
+              |    WHERE st + k - 1 <= length(word)
+              |  ) e ON e.word = w.word AND e.tok IN (SELECT token FROM vb)
+              |  GROUP BY w.word),
+              |allw AS (
+              |  SELECT w.word, length(w.word) AS len,
+              |         COALESCE(g.eg, []) AS eg
+              |  FROM wl w LEFT JOIN egm g USING (word)),
+              |mm AS (
+              |  SELECT word, len, eg, 0 AS pos,
+              |         CAST([] AS VARCHAR[]) AS pieces, FALSE AS unk
+              |  FROM allw
+              |  UNION ALL
+              |  SELECT word, len, eg,
+              |         CASE WHEN pick IS NULL THEN len
+              |              ELSE pos - pick['negl'] END AS pos,
+              |         list_append(pieces,
+              |           CASE WHEN pick IS NULL THEN '[UNK]'
+              |                ELSE pick['tok'] END),
+              |         pick IS NULL AS unk
+              |  FROM (
+              |    SELECT *, list_sort(list_filter(eg, e -> e.i = pos))[1] AS pick
+              |    FROM mm WHERE pos < len AND NOT unk) x),
+              |segW AS MATERIALIZED (
+              |  SELECT word, CASE WHEN unk THEN ['[UNK]'] ELSE pieces END AS pieces
+              |  FROM mm WHERE (unk OR pos = len) AND pos >= len),
+              |dw AS MATERIALIZED (
+              |  SELECT doc_id, i AS pos, tk[i] AS w
+              |  FROM (SELECT doc_id, $oToks AS tk FROM documents) d,
+              |       UNNEST(range(1, len(tk) + 1)) AS r(i)),
+              |enc AS MATERIALIZED (
+              |  SELECT dw.doc_id, flatten(list(s.pieces ORDER BY dw.pos)) AS tks
+              |  FROM dw JOIN segW s ON s.word = dw.w
+              |  GROUP BY dw.doc_id)
+              |SELECT d.doc_id,
+              |       CAST(COALESCE(len(e.tks), 0) AS BIGINT) AS n_tokens,
+              |       ${DedupOracles.polyHash(
+                        "array_to_string(COALESCE(e.tks, CAST([] AS VARCHAR[])), ' ')")} AS tok_fp
+              |FROM documents d LEFT JOIN enc e USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "q_wordpiece_fertility",
       "Fertility report under the WordPiece tokenizer — comparable to " +
         "q_bpe_fertility and q_unigram_fertility (same denominator).",

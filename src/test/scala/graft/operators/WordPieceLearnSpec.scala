@@ -61,6 +61,18 @@ class WordPieceLearnSpec extends SparkSpec {
     assert(vocab("b") === 1L)
   }
 
+  test("MaxMatch inference: greedy longest match, whole-word UNK, scan-only plan") {
+    val vocab = Seq("un", "##aff", "##able", "##ably", "aff", "a", "##a", "##b", "b", "##le")
+    val df = docsDf(Seq("unaffable ab zzz ba"))
+    val out = df.select(
+      WordPieceLearn.maxMatchExpr(col("text"), vocab).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("un", "##aff", "##able", "a", "##b", "[UNK]", "b", "##a"))
+    val plan = df.select(WordPieceLearn.maxMatchExpr(col("text"), vocab))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"))
+  }
+
   test("deterministic under repartitioning") {
     val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
     def run(parts: Int) =
