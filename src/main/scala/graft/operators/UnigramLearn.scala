@@ -7,7 +7,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.functions.TextAnalysis
 
 /** Distributed unigram-LM (SentencePiece-class) tokenizer training —
-  * the OTHER production tokenizer family next to [[BpeLearn]]'s BPE:
+  * the second production tokenizer family next to [[BpeLearn]]'s BPE
+  * (the reference counts tokens with a fixed external tokenizer,
+  * `core/utils/tools.py`'s tiktoken call; this engine learns its
+  * tokenizers from the corpus):
   * instead of greedy pair merges, learn a piece probability table and
   * segment by highest-likelihood Viterbi decomposition (Kudo 2018,
   * "Subword Regularization"). Hard-EM on integer counts keeps every

@@ -11,7 +11,9 @@ import graft.functions.TextAnalysis
 /** Distributed WordPiece tokenizer training (Schuster & Nakajima 2012;
   * the BERT-family tokenizer) — the third production family next to
   * [[BpeLearn]] (frequency-scored merges) and [[UnigramLearn]]
-  * (likelihood segmentation). WordPiece is BPE's merge machinery with
+  * (likelihood segmentation); like both, it replaces the reference's
+  * fixed external tokenizer (`core/utils/tools.py`) with one learned
+  * from the corpus. WordPiece is BPE's merge machinery with
   * a LIKELIHOOD objective: each round merges the adjacent pair
   * maximizing `count(l, r) / (count(l) · count(r))` — the pair whose
   * fusion most improves a unigram LM of the token stream — rather than
