@@ -225,4 +225,37 @@ class StreamingSpec extends SparkSpec {
       assert(out.select("eventId").distinct().count() == 3)
     } finally q.stop()
   }
+
+  test("a saved tokenizer encodes a live stream: stateless scan expression, no state store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // train offline on the batch corpus, save, reload — then encode a
+    // stream with the loaded model: the kernel is a scan expression,
+    // so the streaming plan carries NO aggregation state
+    val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
+    val res = graft.operators.UnigramLearn.learn(docs, "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_tok_stream").toString + "/model"
+    graft.operators.TokenizerIO.saveUnigram(spark, res.vocab, p)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TokenizerIO.unigramEncodeExpr(spark, p, col("text")).as("tokens"))
+      .writeStream.format("memory").queryName("tok_out")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "spark query plan"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, tokens FROM tok_out")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      // equality against the batch encode of the same text
+      val batch = Seq((1L, "spark query plan"), (2L, "")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.operators.UnigramLearn.encodeExpr(col("text"), res.vocab).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(rows === batch)
+      assert(rows(1L).nonEmpty && rows(2L).isEmpty)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty, "encode must add no streaming state")
+    } finally q.stop()
+  }
 }
