@@ -178,6 +178,14 @@ object IngestDedup {
     * computes every fraction inside one codegen'd row expression, so
     * the gate is another stateless scan filter — self-repeating spam
     * is dropped before it costs a dedup screen or an index append.
+    *
+    * `tokenizerPath` annotates every admitted document with
+    * tokenizer-accurate `n_tokens` at scan time, from a saved
+    * unigram-LM piece table ([[graft.operators.TokenizerIO]]): the
+    * Viterbi kernel is a stateless scan expression (no join, no
+    * state), so the output corpus lands already carrying the counts
+    * the pack/budget stages consume — train the tokenizer once
+    * offline, count every ingested byte with it.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
@@ -187,7 +195,8 @@ object IngestDedup {
       qualityModelPath: Option[String] = None,
       minQualityMicro: Long = 0L,
       repetitionGate: Boolean = false,
-      repetitionMinWords: Int = 50): StreamingQuery = {
+      repetitionMinWords: Int = 50,
+      tokenizerPath: Option[String] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val quality = qualityModelPath match {
       case None => docs
@@ -205,7 +214,15 @@ object IngestDedup {
       else quality.filter(
         org.apache.spark.sql.graftvec.RepetitionStatsExpr
           .passCol(col(textCol), repetitionMinWords))
-    gated.writeStream
+    val annotated = tokenizerPath match {
+      case None => gated
+      case Some(tp) =>
+        val vocab = graft.operators.TokenizerIO.loadUnigram(spark, tp)
+        gated.withColumn("n_tokens",
+          size(graft.operators.UnigramLearn.encodeExpr(col(textCol), vocab))
+            .cast("long"))
+    }
+    annotated.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

@@ -299,6 +299,43 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("saved tokenizer annotates admitted docs with n_tokens at scan time") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx10") + "/index"
+    val out = freshDir("out10") + "/corpus"
+    val ckp = freshDir("ckp10")
+    val tok = freshDir("tok10") + "/model"
+    // train the tokenizer offline on the batch corpus, save it
+    val corpus = graft.catalog.Tables.load(spark, sfDir, "documents")
+    val res = graft.operators.UnigramLearn.learn(corpus, "text")
+    graft.operators.TokenizerIO.saveUnigram(spark, res.vocab, tok)
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, tokenizerPath = Some(tok))
+    try {
+      src.addData(
+        IngestDoc(1L, "spark query plan join"),
+        IngestDoc(2L, "hash table scan filter group"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Seq((1L, "spark query plan join"),
+        (2L, "hash table scan filter group")).toDF("doc_id", "text")
+        .select($"doc_id", org.apache.spark.sql.functions.size(
+          graft.operators.UnigramLearn.encodeExpr($"text", res.vocab))
+          .cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, "streamed n_tokens must equal the batch encode")
+      assert(got.values.forall(_ > 0))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "tokenizer annotation introduced streaming state")
+    } finally q.stop()
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
