@@ -451,7 +451,7 @@ object TextDedup {
     * taken-over owner stops renewing instead of resurrecting a lease
     * it no longer holds).
     */
-  private final class LeaseRenewer(
+  private[graft] final class LeaseRenewer(
       spark: org.apache.spark.sql.SparkSession, path: String,
       owner: String, periodMs: Long) extends Thread {
     setDaemon(true)

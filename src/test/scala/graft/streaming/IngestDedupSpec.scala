@@ -299,6 +299,40 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lease renewal heartbeat keeps a long compaction fresh and stops after takeover") {
+    import spark.implicits._
+    val idx = freshDir("idx8c") + "/index"
+    TextDedup.writeDedupIndex(
+      Seq(IngestDoc(1L, "alpha beta gamma delta epsilon zeta")).toDF(),
+      "doc_id", "text", idx)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val lease = new org.apache.hadoop.fs.Path(s"$idx/${TextDedup.CompactionLeaseFile}")
+    val t1 = TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+    // age the lease as if the owner had been running a long time
+    val old = System.currentTimeMillis() - 60000L
+    fs.setTimes(lease, old, -1)
+    val renewer = new TextDedup.LeaseRenewer(spark, idx, t1, periodMs = 100L)
+    renewer.start()
+    try {
+      Thread.sleep(600L)
+      val m1 = fs.getFileStatus(lease).getModificationTime
+      assert(m1 > old, "heartbeat must refresh the lease modification time")
+      // another writer takes over (stale path): heartbeat must NOT
+      // resurrect the lost lease
+      fs.delete(lease, false)
+      val t2 = TextDedup.acquireCompactionLease(spark, idx, TextDedup.DefaultLeaseStaleMs)
+      assert(t2 !== t1)
+      fs.setTimes(lease, old, -1)
+      Thread.sleep(600L)
+      assert(fs.getFileStatus(lease).getModificationTime === old,
+        "a taken-over owner kept renewing a lease it no longer holds")
+    } finally {
+      renewer.shutdown()
+      TextDedup.releaseCompactionLease(spark, idx)
+    }
+  }
+
   test("saved tokenizer annotates admitted docs with n_tokens at scan time") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
