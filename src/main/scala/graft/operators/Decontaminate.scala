@@ -54,4 +54,54 @@ object Decontaminate {
     corpus.join(
       contaminatedIds(corpus, evalSet, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** Per-TRAINING-doc overlap audit: the fraction of each document's
+    * DISTINCT word n-grams that also appear anywhere in the eval set —
+    * the graded signal behind threshold decontamination (the any-hit
+    * rule above is this with threshold > 0). One row per corpus doc
+    * with at least one n-gram: `(idCol, n_ngrams, n_contaminated,
+    * overlap_frac)`; all counts exact integers, the fraction one final
+    * double division.
+    *
+    * Shape at 100 TB: shingles are scan-time codegen'd hashes; the
+    * eval shingle set is distinct-reduced and broadcast (eval sets are
+    * benchmark-sized); per-doc counts partial-aggregate map-side — a
+    * document's exploded shingles never leave the partition its row
+    * was scanned into, so the id-keyed shuffle ships ONE count row per
+    * document, not its n-grams.
+    */
+  def overlapReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusShingles = TextDedup.withShingleHashes(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("__shh")).as("__h"))
+    val evalShingles = TextDedup.withShingleHashes(evalSet, idCol, textCol, n)
+      .select(explode(col("__shh")).as("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpusShingles
+      .join(broadcast(evalShingles), Seq("__h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("overlap_frac",
+        col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
+  }
+
+  /** Threshold decontamination (the PaLM/GPT-3-family rule): drop a
+    * training document only when at least `maxOverlap` of its distinct
+    * n-grams leak into the eval set — high-overlap docs are true
+    * benchmark copies, while a single shared idiom (which the any-hit
+    * rule would kill) survives. Documents too short to form an n-gram
+    * have nothing to leak and are kept.
+    */
+  def decontaminateByFraction(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      maxOverlap: Double = 0.5): DataFrame = {
+    require(maxOverlap > 0.0,
+      s"maxOverlap must be positive (got $maxOverlap); " +
+        "use decontaminate() for the any-hit rule")
+    val bad = overlapReport(corpus, evalSet, idCol, textCol, n)
+      .filter(col("overlap_frac") >= lit(maxOverlap))
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
 }

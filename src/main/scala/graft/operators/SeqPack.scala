@@ -57,6 +57,58 @@ object SeqPack {
       .drop("__pid", "__off")
   }
 
+  /** Per-GROUP exclusive running total: like [[withRunningTotal]], but
+    * the prefix sum restarts at zero for every distinct value of
+    * `byCol`, and the order inside a group is given by `orderCols`
+    * (which may carry sort directions, e.g. `col("score").desc`; make
+    * the combination unique per group — ties are broken by nothing).
+    *
+    * Same two-pass shape at scale: range-partition on (by, order...) so
+    * a group spans a CONTIGUOUS run of partitions, collect one
+    * (partition, group, subtotal) row per group-fragment on the driver
+    * (#partitions × #groups rows at worst, in practice #partitions +
+    * #groups since only boundary partitions split), scanLeft offsets
+    * per group, broadcast back. No per-group single-partition window:
+    * a 100 TB language shard never funnels through one task.
+    *
+    * The group key is compared by its string form for the offset
+    * join — fine for the categorical columns (language, domain,
+    * source) this exists for.
+    */
+  def withRunningTotalBy(df: DataFrame, byCol: String, orderCols: Seq[Column],
+      weightCol: String, out: String = "weight_before"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = graft.core.CacheBin.track(df
+      .repartitionByRange((col(byCol) +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__by", col(byCol).cast("string"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val checkedWeight = when(col(weightCol).isNull,
+      raise_error(concat(lit(s"null $weightCol in running-total input in group "),
+        col("__by")))).otherwise(col(weightCol))
+    val totals = ranged
+      .groupBy(col("__pid"), col("__by"))
+      .agg(sum(checkedWeight.cast("long")).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (by, frags) =>
+      val sorted = frags.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3)).map {
+        case (pid, off) => (pid, by, off)
+      }
+    }
+    val offDf = offsets.toDF("__pid", "__by", "__off")
+    val w = Window.partitionBy(col("__pid"), col("__by")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), Seq("__pid", "__by"))
+      .withColumn(out,
+        col("__off") + sum(col(weightCol).cast("long")).over(w) -
+          col(weightCol).cast("long"))
+      .drop("__pid", "__by", "__off")
+  }
+
   /** Pack rows into `budget`-token bins: bin = floor(tokens_before /
     * budget) — the concat-then-chunk assignment (a document belongs to
     * the bin where its first token lands). Emits the bin id and the

@@ -1396,6 +1396,71 @@ object CoverageQueries extends QueryPack {
               |GROUP BY s_e.doc_id
               |ORDER BY s_e.doc_id""".stripMargin)),
 
+    GQuery(
+      "q_overlap_fraction",
+      "Per-training-doc contamination fraction: share of each doc's " +
+        "distinct word 8-grams that leak into the eval set — the " +
+        "graded signal behind threshold decontamination. Exact integer " +
+        "counts (map-side combined, one count row shuffled per doc), " +
+        "one final double division.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.overlapReport(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id >= 50) src_c", 8, "_c")},
+              |${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id < 50) src_e", 8, "_e")},
+              |r AS (
+              |  SELECT s_c.doc_id,
+              |         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+              |         CAST(COUNT(e.h) AS BIGINT) AS n_contaminated
+              |  FROM s_c LEFT JOIN (SELECT DISTINCT h FROM s_e) e ON s_c.h = e.h
+              |  GROUP BY s_c.doc_id)
+              |SELECT doc_id, n_ngrams, n_contaminated,
+              |       CAST(n_contaminated AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+              |         AS overlap_frac
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_overlap_decontaminate",
+      "Threshold decontamination (PaLM/GPT-3-family rule): drop a " +
+        "training doc only when >= 25% of its distinct 8-grams leak " +
+        "into the eval set — benchmark copies die, a single shared " +
+        "idiom (which the any-hit rule of q_decontaminate kills) " +
+        "survives.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.decontaminateByFraction(
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 8, maxOverlap = 0.25)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id >= 50) src_c", 8, "_c")},
+              |${DedupOracles.baseN(
+                 "(SELECT doc_id, text FROM documents WHERE doc_id < 50) src_e", 8, "_e")},
+              |r AS (
+              |  SELECT s_c.doc_id,
+              |         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+              |         CAST(COUNT(e.h) AS BIGINT) AS n_contaminated
+              |  FROM s_c LEFT JOIN (SELECT DISTINCT h FROM s_e) e ON s_c.h = e.h
+              |  GROUP BY s_c.doc_id),
+              |bad AS (
+              |  SELECT doc_id FROM r
+              |  WHERE CAST(n_contaminated AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+              |        >= 0.25)
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id >= 50
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY doc_id""".stripMargin)),
+
     // -- typed Aggregator top-k ----------------------------------------------
     GQuery(
       "q_topk_agg",

@@ -17,6 +17,33 @@ object TextQueries extends QueryPack {
     """list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)"""
   private val oStop = "['the','a','an','and','or','of','to','in','is','it']"
 
+  /** CTE chain `tk → … → sc` replaying TextScore.bigramLogProb: per-doc
+    * bigram count + exact integer micro-log-prob sum under the corpus
+    * add-one-smoothed bigram model. Shared by the raw score query and
+    * the CCNet perplexity-bucket query so the two oracles can never
+    * drift apart.
+    */
+  private val bigramChain: String =
+    s"""tk AS (
+       |  SELECT doc_id, $oToks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+       |    struct_pack(b := ${DedupOracles.polyHash("t[i] || ' ' || t[i+1]")},
+       |                c := ${DedupOracles.polyHash("t[i]")}))) AS u
+       |  FROM tk),
+       |r AS (SELECT doc_id, u.b AS b, u.c AS c FROM bg),
+       |cb AS (SELECT b, c, COUNT(*) AS cbn FROM r GROUP BY b, c),
+       |cu AS (SELECT c, COUNT(*) AS cun FROM r GROUP BY c),
+       |vv AS (SELECT COUNT(*) AS v FROM cu),
+       |w AS (
+       |  SELECT b,
+       |         CAST(floor(1000000.0 * ln(
+       |           CAST(cbn + 1 AS DOUBLE) / CAST(cun + v AS DOUBLE))) AS BIGINT) AS wm
+       |  FROM cb JOIN cu USING (c) CROSS JOIN vv),
+       |sc AS (
+       |  SELECT r.doc_id, COUNT(*) AS n_bigrams, SUM(wm) AS s
+       |  FROM r JOIN w USING (b) GROUP BY r.doc_id)""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
 
     GQuery(
@@ -311,25 +338,7 @@ object TextQueries extends QueryPack {
         graft.operators.TextScore.bigramLogProb(
           Tables.load(s, dir, "documents"), "doc_id", "text")
           .orderBy(col("doc_id")),
-      Some(s"""WITH tk AS (
-              |  SELECT doc_id, $oToks AS t FROM documents),
-              |bg AS (
-              |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
-              |    struct_pack(b := ${DedupOracles.polyHash("t[i] || ' ' || t[i+1]")},
-              |                c := ${DedupOracles.polyHash("t[i]")}))) AS u
-              |  FROM tk),
-              |r AS (SELECT doc_id, u.b AS b, u.c AS c FROM bg),
-              |cb AS (SELECT b, c, COUNT(*) AS cbn FROM r GROUP BY b, c),
-              |cu AS (SELECT c, COUNT(*) AS cun FROM r GROUP BY c),
-              |vv AS (SELECT COUNT(*) AS v FROM cu),
-              |w AS (
-              |  SELECT b,
-              |         CAST(floor(1000000.0 * ln(
-              |           CAST(cbn + 1 AS DOUBLE) / CAST(cun + v AS DOUBLE))) AS BIGINT) AS wm
-              |  FROM cb JOIN cu USING (c) CROSS JOIN vv),
-              |sc AS (
-              |  SELECT r.doc_id, COUNT(*) AS n_bigrams, SUM(wm) AS s
-              |  FROM r JOIN w USING (b) GROUP BY r.doc_id)
+      Some(s"""WITH $bigramChain
               |SELECT d.doc_id,
               |       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
               |       CAST(COALESCE(s, 0) AS BIGINT) AS logprob_micro,
@@ -337,6 +346,47 @@ object TextQueries extends QueryPack {
               |                (CAST(n_bigrams AS DOUBLE) * 1000000.0), 0.0) AS avg_logprob
               |FROM documents d LEFT JOIN sc USING (doc_id)
               |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
+      "q_perplexity_buckets",
+      "CCNet perplexity partitioning: within each language, rank docs " +
+        "by the corpus bigram-LM average and split into head (best 25% " +
+        "of the token mass), middle (next 50%), tail — the " +
+        "quality-by-volume cut a curation pipeline keeps or drops. " +
+        "Per-language cumulative totals via the two-pass " +
+        "range-partitioned prefix sum (no single-partition window); " +
+        "unscoreable docs go straight to the tail.",
+      (s, dir) =>
+        graft.operators.PerplexityBuckets.bucketize(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+          headFrac = 0.25, midFrac = 0.5)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $bigramChain,
+              |scored AS (
+              |  SELECT d.doc_id, d.lang,
+              |         CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |         COALESCE(CAST(s AS DOUBLE) /
+              |                  (CAST(n_bigrams AS DOUBLE) * 1000000.0), 0.0)
+              |           AS avg_logprob
+              |  FROM documents d LEFT JOIN sc USING (doc_id)),
+              |cum AS (
+              |  SELECT doc_id, lang, n_bigrams, avg_logprob,
+              |    SUM(n_bigrams) OVER (PARTITION BY lang
+              |      ORDER BY avg_logprob DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+              |    SUM(n_bigrams) OVER (PARTITION BY lang) AS tot
+              |  FROM scored WHERE n_bigrams > 0)
+              |SELECT doc_id, lang, n_bigrams, avg_logprob,
+              |  CASE WHEN CAST(c AS DOUBLE) <= CAST(tot AS DOUBLE) * CAST(0.25 AS DOUBLE)
+              |         THEN 'head'
+              |       WHEN CAST(c AS DOUBLE) <= CAST(tot AS DOUBLE) * CAST(0.75 AS DOUBLE)
+              |         THEN 'middle'
+              |       ELSE 'tail' END AS bucket
+              |FROM cum
+              |UNION ALL
+              |SELECT doc_id, lang, n_bigrams, avg_logprob, 'tail' AS bucket
+              |FROM scored WHERE n_bigrams = 0
+              |ORDER BY doc_id""".stripMargin)),
 
     GQuery(
       "q_dsir_select",
