@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level curation — the CCNet/RefinedWeb FIRST stage: at
+  * 100 TB of web crawl, URL-keyed exact dedup and per-domain caps are
+  * the cheapest 30-50% volume cut and run BEFORE any content hashing
+  * (a canonical-URL string is ~100 bytes against kilobytes of text, so
+  * this pass shuffles ~1% of the corpus mass the content passes touch).
+  *
+  * Canonicalization is deterministic string surgery — pure codegen'd
+  * scan expressions, no UDF, no network, and fully mirrorable in the
+  * DuckDB oracle:
+  *   - scheme and host lowercase; default ports (:80 http, :443 https)
+  *     stripped; explicit non-default ports kept;
+  *   - fragment stripped; trailing slashes stripped from the path;
+  *   - tracking parameters dropped (utm_*, fbclid, gclid, msclkid,
+  *     ref, mc_cid, mc_eid — the RefinedWeb-style allowlist inverse),
+  *     remaining query parameters SORTED so parameter order never
+  *     splits a canonical key.
+  *
+  * Scale shape: [[dedupByUrl]] is one map-side-combinable groupBy on
+  * the canonical key plus an equi-join back (argmax by lexicographic
+  * struct max — the [[BestDedup]] policy without the pair/CC stages,
+  * because the key is exact); [[capPerDomain]] is a bounded-rank
+  * window (WindowGroupLimit — each map task keeps at most k rows per
+  * domain before the shuffle). No stage materializes anything wider
+  * than (key, score, id).
+  */
+object UrlOps {
+
+  /** Query parameters dropped by canonicalization. */
+  val TrackingParams = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
+
+  /** Canonical form of `url` (see object doc for the rules). Malformed
+    * URLs degrade gracefully: no "://" means scheme and host read as
+    * empty and the value canonicalizes as a bare path — garbage in,
+    * deterministic garbage out, never an error.
+    */
+  def canonicalize(url: Column): Column = {
+    val u0 = regexp_replace(trim(url), "#.*$", "") // fragment off first
+    val scheme = lower(regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u0, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val rawQ = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(rawQ, "&"),
+      p => !(p.rlike(TrackingParams) || p === ""))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** Registered host of a CANONICAL url (no port, no credentials). */
+  def domainOf(urlCanon: Column): Column =
+    regexp_extract(urlCanon, "^[a-z0-9+.-]*://([^/:?]*)", 1)
+
+  /** URL-keyed exact dedup, keep-best: one surviving row per distinct
+    * canonical URL — the highest `scoreCol`, score ties broken to the
+    * smallest `idCol` (deterministic under any partitioning). Returns
+    * the surviving rows of `docs` unchanged plus their `url_canon`.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val keyed = docs.withColumn("url_canon", canonicalize(col(urlCol)))
+    val winners = keyed.groupBy(col("url_canon"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("w"))
+      .select(col("url_canon"), (-col("w.ni")).as(idCol))
+    keyed.join(winners, Seq("url_canon", idCol), "left_semi")
+  }
+
+  /** Per-domain document cap: keep at most `k` rows per registered
+    * domain, the top-k by (`scoreCol` desc, `idCol` asc) — the
+    * RefinedWeb "no single domain floods the corpus" rule. Bounded
+    * rank ⇒ Spark executes the window with WindowGroupLimit (each map
+    * task pre-prunes to k rows per domain before the shuffle).
+    */
+  def capPerDomain(docs: DataFrame, urlCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"domain cap must be positive: $k")
+    val keyed = docs
+      .withColumn("url_canon", canonicalize(col(urlCol)))
+      .withColumn("domain", domainOf(col("url_canon")))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}
