@@ -353,15 +353,18 @@ object TextDedup {
   private def leaseFs(spark: org.apache.spark.sql.SparkSession, path: String) =
     leasePath(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Age of a live lease on `path`, if any (None = no lease). */
+  /** Age of a live lease on `path`, if any (None = no lease — including
+    * one that vanishes between the existence check and the stat, which
+    * happens for real under takeover contention).
+    */
   private def leaseAgeMs(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[Long] = {
-    val lp = leasePath(path)
-    val fs = leaseFs(spark, path)
-    if (fs.exists(lp))
-      Some(System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime)
-    else None
-  }
+      path: String): Option[Long] =
+    fileAgeMs(leaseFs(spark, path), leasePath(path))
+
+  private def fileAgeMs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** The owner token stored in the lease file, if the file exists and
     * is readable (None = no lease, or vanished mid-read).
@@ -384,13 +387,63 @@ object TextDedup {
 
   /** Acquire the compaction lease or throw; returns the owner token to
     * renew/verify/release with. A fresh lease (age <= staleMs) rejects
-    * this writer. A stale one is taken over in two atomic steps: RENAME
-    * it to a contender-unique tombstone (only one contender's rename
-    * can succeed — and the delete then touches only the tombstone this
-    * contender exclusively owns, never a fresh lease someone else just
-    * created), then re-contend creation. Creation with overwrite =
-    * false is the atomic arbiter — losing the create race also throws.
+    * this writer. A stale one is taken over by RENAMING it to a
+    * contender-unique tombstone (only one contender's rename can
+    * succeed), then re-contending creation.
+    *
+    * Two races the r12 rename-to-tombstone protocol lost — both
+    * caught by LeaseStressSpec racing real threads, both closed here:
+    *
+    *  1. Creation with overwrite = false is the atomic arbiter on
+    *     HDFS-class filesystems, but Hadoop's LOCAL filesystem
+    *     implements it as exists-then-create — two contenders hitting
+    *     the gap both "win". For the file scheme, creation goes
+    *     through NIO's O_CREAT|O_EXCL instead, which the kernel
+    *     arbitrates. Losing the create race throws either way.
+    *  2. Rename-based takeover is ABA-prone: the lease observed stale
+    *     can be REPLACED between the staleness check and the rename
+    *     (a faster contender completed its whole takeover in that
+    *     window), and the rename then steals the new owner's FRESH
+    *     lease — restoring it correctly is itself racy when a third
+    *     contender creates yet another lease meanwhile. So takeover
+    *     does not rename the live lease at all: contenders first
+    *     create-if-absent a TAKEOVER LOCK (same atomic primitive),
+    *     and only the lock holder may delete the stale lease — after
+    *     RE-checking under the lock that it is still stale. The live
+    *     lease file is therefore only ever deleted (a) by its owner's
+    *     release or (b) under the lock after a stale re-check; a
+    *     fresh lease can never be collateral damage. A crashed lock
+    *     holder's stale lock is simply deleted — harmless even when
+    *     two contenders both do it and both proceed, because lease
+    *     CREATION stays the single atomic arbiter and the loser
+    *     throws.
     */
+  val TakeoverLockFile = s"$CompactionLeaseFile.takeover"
+
+  /** Atomic create-if-absent with `content`; false = lost the race.
+    * NIO O_EXCL for local paths (Hadoop's local create(overwrite =
+    * false) is exists-then-create — NOT atomic); fs.create for
+    * HDFS-class schemes where the namenode arbitrates.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Boolean =
+    if (fs.getScheme == "file") {
+      val nioPath = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(nioPath)
+        java.nio.file.Files.write(nioPath,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false }
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    }
+
   private[graft] def acquireCompactionLease(
       spark: org.apache.spark.sql.SparkSession, path: String,
       staleMs: Long): String = {
@@ -402,22 +455,34 @@ object TextDedup {
         throw new IllegalStateException(
           s"dedup index $path is being compacted by another writer " +
             s"(lease age ${age}ms <= stale threshold ${staleMs}ms)")
-      val tomb = new org.apache.hadoop.fs.Path(
-        s"$path/$CompactionLeaseFile.takeover.$token")
-      if (!fs.rename(lp, tomb)) // another contender's rename won
+      // stale: take it over UNDER THE TAKEOVER LOCK
+      val lockP = new org.apache.hadoop.fs.Path(s"$path/$TakeoverLockFile")
+      fileAgeMs(fs, lockP).foreach { lockAge =>
+        if (lockAge <= staleMs)
+          throw new IllegalStateException(
+            s"lost the stale-lease takeover race on $path " +
+              "(another contender holds the takeover lock)")
+        fs.delete(lockP, false) // crashed lock holder; see scaladoc
+      }
+      if (!createExclusive(fs, lockP, token))
         throw new IllegalStateException(
           s"lost the stale-lease takeover race on $path")
-      fs.delete(tomb, false)
+      try {
+        // re-check under the lock: the lease may have been replaced by
+        // a fresh one before we locked
+        fileAgeMs(fs, lp) match {
+          case Some(a) if a <= staleMs =>
+            throw new IllegalStateException(
+              s"lost the stale-lease takeover race on $path " +
+                "(the lease was refreshed mid-takeover)")
+          case Some(_) => fs.delete(lp, false) // still stale: clear it
+          case None => () // already cleared
+        }
+      } finally fs.delete(lockP, false)
     }
-    val out =
-      try fs.create(lp, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"lost the compaction-lease race on $path", e)
-      }
-    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    if (!createExclusive(fs, lp, token))
+      throw new IllegalStateException(
+        s"lost the compaction-lease race on $path")
     token
   }
 
@@ -438,7 +503,7 @@ object TextDedup {
     * the pre-swap guard: an owner paused past staleMs may have been
     * taken over, and must abort rather than race the new owner's swap.
     */
-  private def verifyLeaseOwner(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def verifyLeaseOwner(spark: org.apache.spark.sql.SparkSession,
       path: String, owner: String): Unit =
     if (!leaseOwner(spark, path).contains(owner))
       throw new IllegalStateException(
