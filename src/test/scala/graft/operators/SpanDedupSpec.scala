@@ -57,6 +57,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(4L)._4 === "plain unique text with no repeats at all")
   }
 
+  test("a 50k-token doc with 40% duplication costs the same order as an unduplicated one") {
+    import spark.implicits._
+    // the r12 rebuild was O(tokens × removed) per document via a
+    // per-token array_contains: 50k tokens with 20k removed ≈ 10⁹
+    // comparisons in ONE task. The interval-complement rebuild is
+    // O(tokens + spans); this pins the pathological case to the same
+    // order of magnitude as the clean one.
+    val a = (0 until 20000).map(i => s"a$i").mkString(" ")
+    val b = (0 until 10000).map(i => s"b$i").mkString(" ")
+    val dup = Seq((0L, s"$a $b $a")).toDF("doc_id", "text")
+    val uniq = Seq((0L, (0 until 50000).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def timed(df: org.apache.spark.sql.DataFrame): (Double, Map[Long, (Long, Long, Long, String)]) = {
+      val t0 = System.nanoTime()
+      val rows =
+        try SpanDedup.removeLongDupSpans(df, "doc_id", "text", 5, 2, 8)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+        finally graft.core.CacheBin.drain()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val (tWarm, _) = timed(uniq) // codegen/JIT warmup, untimed
+    val (tUniq, uniqOut) = timed(uniq)
+    val (tDup, dupOut) = timed(dup)
+    assert(uniqOut(0L)._2 == 0L)
+    assert(dupOut(0L) == ((50000L, 20000L, 1L, s"$a $b")))
+    // same order of magnitude: generous 10x + fixed slack absorbs
+    // scheduler noise while still failing the quadratic path (minutes)
+    assert(tDup <= tUniq * 10 + 10.0,
+      s"span dedup straggler: dup=$tDup s vs uniq=$tUniq s (warm=$tWarm)")
+  }
+
   test("deterministic under repartitioning; no pairwise join in the plan") {
     val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
     def once(parts: Int) =
