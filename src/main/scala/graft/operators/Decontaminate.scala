@@ -99,6 +99,10 @@ object Decontaminate {
     require(maxOverlap > 0.0,
       s"maxOverlap must be positive (got $maxOverlap); " +
         "use decontaminate() for the any-hit rule")
+    // overlap_frac can never exceed 1, so a caller passing percent
+    // (e.g. 25) would get a silent no-op decontamination
+    require(maxOverlap <= 1.0,
+      s"maxOverlap is a fraction in (0, 1] (got $maxOverlap)")
     val bad = overlapReport(corpus, evalSet, idCol, textCol, n)
       .filter(col("overlap_frac") >= lit(maxOverlap))
       .select(col(idCol))

@@ -40,18 +40,30 @@ object PerplexityBuckets {
       midFrac: Double = 1.0 / 3): DataFrame = {
     require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0,
       s"fractions must be positive with head+mid < 1: $headFrac, $midFrac")
-    val scored = TextScore.bigramLogProb(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // persisted: both branches below (ranked and zero-evidence) and the
+    // language-totals aggregate consume `scored` — unpersisted, the
+    // whole bigram LM (hot/cold score join + per-doc aggregation)
+    // re-executes once per consumer
+    val scored = graft.core.CacheBin.track(
+      TextScore.bigramLogProb(docs, idCol, textCol)
+        .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ranked = scored.filter(col("n_bigrams") > 0)
     val withCum = SeqPack.withRunningTotalBy(
       ranked, langCol,
       Seq(col("avg_logprob").desc, col(idCol)),
       "n_bigrams", out = "__before")
       .withColumn("__cum", col("__before") + col("n_bigrams"))
-    val langTotals = ranked.groupBy(col(langCol))
+    // the totals join keys on the same null-safe sentinel as the
+    // running total: a null language is its own group, and a plain
+    // equi-join on langCol would silently drop its documents
+    val langKey = coalesce(col(langCol).cast("string"),
+      lit(SeqPack.NullGroupKey))
+    val langTotals = ranked.groupBy(langKey.as("__lk"))
       .agg(sum(col("n_bigrams")).as("__total"))
     val labeled = withCum
-      .join(broadcast(langTotals), Seq(langCol))
+      .withColumn("__lk", langKey)
+      .join(broadcast(langTotals), Seq("__lk"))
       .withColumn("bucket",
         when(col("__cum").cast("double") <=
             col("__total").cast("double") * lit(headFrac), lit("head"))

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object SeqPack {
 
+  /** Sentinel group key standing in for NULL in [[withRunningTotalBy]]'s
+    * string-keyed offset join (a NUL byte cannot appear in the
+    * categorical columns — language, domain, source — this is for).
+    */
+  val NullGroupKey = "\u0000__null_group__"
+
   /** `out` = exclusive running total of `weightCol` in `orderCol` order
     * (total of all STRICTLY EARLIER rows; first row gets 0).
     * Deterministic up to ties in `orderCol` — use a unique key.
@@ -73,7 +79,10 @@ object SeqPack {
     *
     * The group key is compared by its string form for the offset
     * join — fine for the categorical columns (language, domain,
-    * source) this exists for.
+    * source) this exists for. A NULL group key forms its own group
+    * (sentinel below): a null language/domain must flow through with a
+    * correct within-group total, not vanish because the inner offset
+    * equi-join can never match a null key.
     */
   def withRunningTotalBy(df: DataFrame, byCol: String, orderCols: Seq[Column],
       weightCol: String, out: String = "weight_before"): DataFrame = {
@@ -82,7 +91,7 @@ object SeqPack {
     val ranged = graft.core.CacheBin.track(df
       .repartitionByRange((col(byCol) +: orderCols): _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__by", col(byCol).cast("string"))
+      .withColumn("__by", coalesce(col(byCol).cast("string"), lit(NullGroupKey)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val checkedWeight = when(col(weightCol).isNull,
       raise_error(concat(lit(s"null $weightCol in running-total input in group "),
