@@ -9,6 +9,9 @@ import graft.functions.TextAnalysis
   * end-to-end path a 100 TB data-curation run actually executes, each
   * stage the engine's own oracle-verified operator:
   *
+  *  0. URL/domain curation (`UrlOps` — canonical-URL exact dedup +
+  *     per-domain caps, off unless a URL column is configured; the
+  *     crawl-first volume cut, ahead of any content hashing);
   *  1. language allowlist + length floor + exact/near dedup
   *     (`CorpusClean.clean` — banded MinHash, no all-pairs stage),
   *     optionally followed by exact-window dedup (`WindowDedup` —
@@ -47,6 +50,15 @@ import graft.functions.TextAnalysis
 object CorpusPipeline {
 
   final case class Config(
+      // a URL column turns on the crawl-first curation stage (UrlOps),
+      // AHEAD of any content hashing: canonical-URL exact dedup
+      // (keep-longest-text, ties to the smallest id), then — with
+      // domainCap > 0 — at most domainCap docs per registered domain.
+      // The cheapest 30-50% volume cut of a web crawl: it shuffles a
+      // ~100-byte canonical key where every later stage shuffles
+      // kilobytes of text.
+      urlCol: Option[String] = None,
+      domainCap: Int = 0,
       langs: Seq[String] = Seq("en"),
       minChars: Int = 100,
       jaccardThreshold: Double = 0.5,
@@ -102,7 +114,17 @@ object CorpusPipeline {
       epochBudgetPerSource: Long = 0L,
       epochMaxEpochs: Int = 4,
       // > 0: assign each packed bin to a training shard (TrainShards)
-      nShards: Int = 0)
+      nShards: Int = 0,
+      // a saved unigram tokenizer artifact (TokenizerIO.saveUnigram)
+      // makes every token count downstream of the split stage
+      // MODEL-accurate instead of whitespace-approximate: n_tokens,
+      // the per-source budgets, the temperature mix and the pack
+      // budgets all then mean real model tokens — the same
+      // train-once/count-everywhere seam as streaming ingest's
+      // tokenizerPath (IngestDedup.start). Chunk SPLITTING
+      // (chunkTokens) stays whitespace-positional — chunk boundaries
+      // are defined on the text, not on piece ids.
+      tokenizerPath: Option[String] = None)
 
   /** Unit-key radix for the chunked pack order: `doc_id * ChunkCap +
     * chunk_idx` must be collision-free, so a doc with >= ChunkCap
@@ -136,8 +158,25 @@ object CorpusPipeline {
     def stage(df: DataFrame): DataFrame =
       graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
 
+    // 0. URL/domain curation (optional crawl-first stage): canonical-
+    // URL exact dedup keep-longest (ties to the smallest id), then the
+    // per-domain cap — runs BEFORE any content hashing because its
+    // shuffle key is the ~100-byte canonical URL, not the text
+    val urled = cfg.urlCol match {
+      case None => docs
+      case Some(u) =>
+        val scored = docs.withColumn("__uscore", length(col(textCol)))
+        val urlDeduped = UrlOps.dedupByUrl(scored, u, "__uscore", idCol)
+          .drop("url_canon")
+        val capped =
+          if (cfg.domainCap <= 0) urlDeduped
+          else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
+            cfg.domainCap).drop("url_canon", "domain")
+        capped.drop("__uscore")
+    }
+
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
-    val neardeduped = CorpusClean.clean(docs, cfg.langs, cfg.minChars,
+    val neardeduped = CorpusClean.clean(urled, cfg.langs, cfg.minChars,
       cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
     val cleaned = stage(
       if (cfg.windowDedupN <= 0) neardeduped
@@ -209,12 +248,19 @@ object CorpusPipeline {
       else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
         cfg.decontaminationNgram))
 
-    // 5. leakage-safe split
+    // 5. leakage-safe split; n_tokens feeds every budget downstream —
+    // model-accurate (scan-time Viterbi kernel, zero joins) when a
+    // tokenizer artifact is configured, whitespace otherwise
+    val tokenCount = cfg.tokenizerPath match {
+      case None => size(TextAnalysis.tokens(col(textCol))).cast("long")
+      case Some(tp) =>
+        val vocab = TokenizerIO.loadUnigram(docs.sparkSession, tp)
+        size(UnigramLearn.encodeExpr(col(textCol), vocab)).cast("long")
+    }
     val split = stage(decon.join(
       LeakSafeSplit.split(decon, idCol, textCol, cfg.splits,
         cfg.splitLeakThreshold).select(col(idCol), col("split")), idCol)
-      .withColumn("n_tokens",
-        size(TextAnalysis.tokens(col(textCol))).cast("long")))
+      .withColumn("n_tokens", tokenCount))
 
     // 6+7. budget-mix and pack the TRAIN split only
     val train = split.filter(col("split") === "train")

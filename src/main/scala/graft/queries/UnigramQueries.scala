@@ -224,6 +224,49 @@ object UnigramQueries extends QueryPack {
               |       CAST(SUM(t) AS BIGINT) AS n_tokens,
               |       CAST(FLOOR(1e6 * CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS BIGINT)
               |         AS fertility_micro
-              |FROM fert GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM fert GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    GQuery(
+      "q_pack_tokenized",
+      "Sequence packing under MODEL-accurate token counts: the corpus " +
+        "is encoded with the learned unigram tokenizer (scan-time " +
+        "Viterbi kernel) and packed into 2048-token bins on those " +
+        "counts — the CorpusPipeline.tokenizerPath semantics, so pack " +
+        "budgets mean real model tokens, not whitespace words. Oracle " +
+        "replays the learner + encode and mirrors the running-total " +
+        "bin arithmetic.",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val res = UnigramLearn.learn(docs, "text", MaxLen, MinCount,
+          SeedCap, Iters, KeepMulti)
+        val counted = docs.select(col("doc_id"),
+          size(UnigramLearn.encodeExpr(col("text"), res.vocab))
+            .cast("long").as("n_tokens"))
+        graft.operators.SeqPack.packByBudget(counted, "doc_id", "n_tokens",
+          budget = 2048L)
+          .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+            col("bin_offset"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |$oEncodeBase,
+              |dtok AS MATERIALIZED (
+              |  SELECT dw.doc_id, CAST(SUM(len(s.pieces)) AS BIGINT) AS t
+              |  FROM dw JOIN segF s ON s.word = dw.w
+              |  GROUP BY 1),
+              |tok AS (
+              |  SELECT d.doc_id, CAST(COALESCE(dt.t, 0) AS BIGINT) AS n_tokens
+              |  FROM documents d LEFT JOIN dtok dt USING (doc_id)),
+              |cum AS (
+              |  SELECT doc_id, n_tokens,
+              |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS BIGINT) AS tokens_before
+              |  FROM tok)
+              |SELECT doc_id, n_tokens,
+              |       CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id,
+              |       tokens_before -
+              |         CAST(FLOOR(CAST(tokens_before AS DOUBLE) / 2048.0) AS BIGINT) * 2048 AS bin_offset
+              |FROM cum ORDER BY doc_id""".stripMargin))
   )
 }

@@ -75,6 +75,41 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
   }
 
+  test("URL stage dedups canonical twins and caps domains ahead of content stages") {
+    graft.core.CacheBin.drain()
+    // deterministic messy URLs: canonical key = doc_id % 40 (so ~n/40
+    // raw URLs collide per key), 5 domains, case/port/tracking noise
+    val k = col("doc_id") % 40
+    val urlDocs = docs.withColumn("url", concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://Site"), (k % 5).cast("string"), lit(".example.com"),
+      when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), k.cast("string"),
+      when(col("doc_id") % 2 === 1, lit("?utm_source=f")).otherwise(lit(""))))
+    val out = CorpusPipeline.prepare(urlDocs, evalSet,
+      CorpusPipeline.Config(urlCol = Some("url"), domainCap = 3,
+        langs = Seq("en", "de", "fr"), minChars = 100, packTokens = 256L),
+      "doc_id", "text", "source")
+    val n = out.count()
+    // 40 canonical keys -> <= 40 URL-dedup survivors; 5 domains x cap 3
+    // -> <= 15 into the content stages, which only ever remove more
+    assert(n > 0 && n <= 15, s"URL stage let $n rows through (cap 15)")
+    // the schema contract is unchanged by the URL stage
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
+    // every survivor is its canonical key's longest text (keep-best)
+    val canonKey = UrlOps.canonicalize(col("url"))
+    val winners = urlDocs
+      .groupBy(canonKey.as("ck"))
+      .agg(max(struct(length(col("text")).as("s"), (-col("doc_id")).as("ni")))
+        .as("w"))
+      .select((-col("w.ni")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(winners),
+      s"non-winners survived the URL stage: ${survivors -- winners}")
+  }
+
   test("optional span dedup strips repeated spans but keeps the documents") {
     val base = CorpusPipeline.prepare(docs, evalSet,
       CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
@@ -167,6 +202,34 @@ class CorpusPipelineSpec extends SparkSpec {
       "spam must survive the heuristic gates alone (it is long enough)")
     assert(!ids(gate = true).contains(99999L),
       "the composed repetition gate must drop the self-repeating doc")
+  }
+
+  test("tokenizerPath makes every n_tokens a saved-model Viterbi count") {
+    // train on the corpus, SAVE, run the pipeline against the loaded
+    // artifact — the full train-once/count-everywhere seam, same as
+    // streaming ingest's tokenizerPath
+    val res = UnigramLearn.learn(docs, "text")
+    val tp = java.nio.file.Files.createTempDirectory("pipe-tok").toString + "/unigram"
+    TokenizerIO.saveUnigram(spark, res.vocab, tp)
+    graft.core.CacheBin.drain()
+    val out = CorpusPipeline.prepare(docs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 100,
+        packTokens = 256L, tokenizerPath = Some(tp)),
+      "doc_id", "text", "source")
+    // every output row's n_tokens equals the direct encode count of its
+    // CLEAN text (the pipeline counts post-boilerplate text)
+    val mismatches = out
+      .withColumn("__direct",
+        size(UnigramLearn.encodeExpr(col("clean_text"), res.vocab)).cast("long"))
+      .filter(col("n_tokens") =!= col("__direct"))
+      .count()
+    assert(mismatches == 0,
+      s"$mismatches rows carry non-model token counts under tokenizerPath")
+    // model counts differ from whitespace counts (the seam is live)
+    val diff = out.withColumn("__ws",
+        size(graft.functions.TextAnalysis.tokens(col("clean_text"))).cast("long"))
+      .filter(col("n_tokens") =!= col("__ws")).count()
+    assert(diff > 0, "model token counts never diverged from whitespace")
   }
 
   test("the pipeline is deterministic under repartitioning") {
