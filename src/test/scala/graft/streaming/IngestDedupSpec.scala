@@ -370,6 +370,97 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ALL gates composed in one stream survive a crash/replay restart with exactly-once admission") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idxE2E") + "/index"
+    val out = freshDir("outE2E") + "/corpus"
+    val ckp = freshDir("ckpE2E")
+    val tok = freshDir("tokE2E") + "/model"
+    val mdl = freshDir("mdlE2E") + "/model"
+    // ---- offline artifacts: quality model + tokenizer ----
+    val labeled = Seq(
+      (1L, "clean well formed prose sentence example", 1),
+      (2L, "clean well formed prose paragraph sample", 1),
+      (3L, "spam spam junk junk garbage garbage noise", 0),
+      (4L, "junk garbage spam noise spam junk words", 0))
+      .toDF("doc_id", "text", "lab")
+    val model = graft.operators.QualityClassifier.train(
+      spark, labeled, "doc_id", "text", "lab", buckets = 64, iters = 8)
+    graft.operators.QualityClassifier.saveModel(spark, model, mdl)
+    val tokRes = graft.operators.UnigramLearn.learn(
+      labeled.select($"text"), "text")
+    graft.operators.TokenizerIO.saveUnigram(spark, tokRes.vocab, tok)
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    graft.core.CacheBin.drain()
+
+    def startQuery(src: MemoryStream[IngestDoc]) =
+      IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+        threshold = 0.5, qualityModelPath = Some(mdl),
+        minQualityMicro = 500000L, repetitionGate = true,
+        repetitionMinWords = 50, tokenizerPath = Some(tok))
+
+    val src = MemoryStream[IngestDoc]
+    val repSpam = Seq.fill(30)("spam words").mkString(" ") // 60 words, 2 distinct
+    val q1 = startQuery(src)
+    try {
+      // batch 1 exercises every gate at once: 1 admits; 2 is an
+      // in-batch exact dup (dedup); 3 fails the learned quality floor;
+      // 4 fails the Gopher repetition gate
+      src.addData(
+        IngestDoc(1L, "clean well formed prose sentence example"),
+        IngestDoc(2L, "clean well formed prose sentence example"),
+        IngestDoc(3L, "garbage junk spam noise junk garbage"),
+        IngestDoc(4L, repSpam))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.isEmpty,
+        "the composed gates must add no streaming state")
+    } finally q1.stop()
+    assert(spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+
+    // ---- CRASH: the offsets for batch 0 were written but the commit
+    // was not — delete the newest commit marker so the restarted query
+    // REPLAYS the batch against an index that already contains doc 1
+    val commits = new java.io.File(s"$ckp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no commit markers written")
+    assert(commits.last.delete(), "could not simulate the crash")
+    // the local checksum FS keeps a .N.crc sidecar per marker; left
+    // behind, the replay's marker rewrite fails on the sidecar rename
+    // ("Rename destination .0.crc already exists") instead of replaying
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+
+    val q2 = startQuery(src)
+    try {
+      q2.processAllAvailable() // replay of batch 0 (idempotent admit)
+      // batch 2 after the restart: a copy of an admitted doc drops via
+      // the INDEX screen; a fresh clean doc admits
+      src.addData(
+        IngestDoc(10L, "clean well formed prose sentence example"),
+        IngestDoc(11L, "clean well formed prose paragraph sample"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // exactly-once: each admitted id appears ONCE despite the replay
+    assert(rows.map(_._1).sorted.toSeq === Seq(1L, 11L),
+      s"exactly-once admission violated: ${rows.toSeq}")
+    // ... and the annotation is still the saved model's Viterbi count
+    val want = Seq((1L, "clean well formed prose sentence example"),
+      (11L, "clean well formed prose paragraph sample"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        graft.operators.UnigramLearn.encodeExpr($"text", tokRes.vocab))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.toMap === want)
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
