@@ -13,7 +13,9 @@ import graft.text.{SchemaRender, SqlText}
   * candidates using execution results → self-correction loop.
   */
 final case class RslSqlGenerator(llm: LlmClient, backend: SqlBackend,
-    schema: DataFrame) extends Actor {
+    schema: DataFrame,
+    tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default)
+    extends Actor {
   val name = "RSLSQLGenerator"
   override val outputName = "pred_sql"
   override val skill = "RSL-SQL: bidir links -> preliminary + augmented -> binary exec selection"
@@ -28,13 +30,13 @@ final case class RslSqlGenerator(llm: LlmClient, backend: SqlBackend,
     val out = rows.map { r =>
       val (q, links) = (r.getString(1), r.getSeq[String](2))
       val preliminary = SqlText.clean(llm.complete(
-        s"Preliminary SQL.\nSchema:\n$schemaText\nLinks: ${links.mkString(", ")}\n" +
-          s"Question: $q\nSQL:"))
+        tpl.render("rslsql.preliminary", "schema" -> schemaText,
+          "links" -> links.mkString(", "), "question" -> q)))
       val keywords = SqlText.parseList(llm.complete(
-        s"Extract condition keywords as a list.\nQuestion: $q\n[...]"))
+        tpl.render("rslsql.keywords", "question" -> q)))
       val augmented = SqlText.clean(llm.complete(
-        s"Augmented SQL using keywords ${keywords.mkString(", ")}.\n" +
-          s"Schema:\n$schemaText\nQuestion: $q\nSQL:"))
+        tpl.render("rslsql.augmented", "keywords" -> keywords.mkString(", "),
+          "schema" -> schemaText, "question" -> q)))
       // binary selection by execution (largest-agreement degenerate to 2)
       val chosen = graft.operators.FastExecSelect
         .select(spark, Seq(preliminary, augmented))

@@ -58,7 +58,9 @@ final case class MacSqlGenerator(llm: LlmClient, backend: SqlBackend,
   */
 final case class ChessGenerator(llm: LlmClient, backend: SqlBackend,
     schema: DataFrame, entityTables: Map[String, (DataFrame, Seq[String])],
-    nCandidates: Int = 3) extends Actor {
+    nCandidates: Int = 3,
+    tpl: graft.llm.PromptTemplates = graft.llm.PromptTemplates.default)
+    extends Actor {
   val name = "CHESSGenerator"
   override val outputName = "pred_sql"
   override val skill = "CHESS: entity retrieval -> candidates -> execute -> unit-test pick"
@@ -71,7 +73,7 @@ final case class ChessGenerator(llm: LlmClient, backend: SqlBackend,
     val out = rows.map { r =>
       val q = r.getString(1)
       val keywords = SqlText.parseList(llm.complete(
-        s"Extract the key entity keywords as a list.\nQuestion: $q\n[...]"))
+        tpl.render("chess.keywords", "question" -> q)))
         .take(5)
       // entity context: one aggregation scan per table, all keywords at once
       val entityContext = entityTables.map { case (tbl, (df, cols)) =>
@@ -82,8 +84,9 @@ final case class ChessGenerator(llm: LlmClient, backend: SqlBackend,
         if (hits.isEmpty) "" else hits.mkString("\n")
       }.filter(_.nonEmpty).mkString("\n")
       val candidates = (0 until nCandidates).map(i => SqlText.clean(llm.complete(
-        s"Candidate $i.\nSchema:\n$schemaText\nEntities:\n$entityContext\n" +
-          s"Question: $q\nSQL:"))).distinct
+        tpl.render("chess.candidate", "index" -> i.toString,
+          "schema" -> schemaText, "entities" -> entityContext,
+          "question" -> q)))).distinct
       val best = SelectActors.chessUnitTests(spark, llm, q, candidates)
         .getOrElse(candidates.head)
       (r.getString(0), best)

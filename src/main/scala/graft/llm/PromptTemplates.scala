@@ -74,7 +74,25 @@ object PromptTemplates {
     // MAC-SQL Refiner draft (vars: schema, subs, question)
     "macsql.refine" ->
       ("Schema:\n${schema}\nSub-questions: ${subs}\n" +
-        "Question: ${question}\nSQL:"))
+        "Question: ${question}\nSQL:"),
+    // CHESS keyword extraction (vars: question)
+    "chess.keywords" ->
+      "Extract the key entity keywords as a list.\nQuestion: ${question}\n[...]",
+    // CHESS candidate generation (vars: index, schema, entities, question)
+    "chess.candidate" ->
+      ("Candidate ${index}.\nSchema:\n${schema}\nEntities:\n${entities}\n" +
+        "Question: ${question}\nSQL:"),
+    // RSL-SQL preliminary SQL (vars: schema, links, question)
+    "rslsql.preliminary" ->
+      ("Preliminary SQL.\nSchema:\n${schema}\nLinks: ${links}\n" +
+        "Question: ${question}\nSQL:"),
+    // RSL-SQL condition-keyword extraction (vars: question)
+    "rslsql.keywords" ->
+      "Extract condition keywords as a list.\nQuestion: ${question}\n[...]",
+    // RSL-SQL augmented SQL (vars: keywords, schema, question)
+    "rslsql.augmented" ->
+      ("Augmented SQL using keywords ${keywords}.\n" +
+        "Schema:\n${schema}\nQuestion: ${question}\nSQL:"))
 
   /** The engine-wide default registry (paraphrased bodies). */
   val default = new PromptTemplates(Defaults)

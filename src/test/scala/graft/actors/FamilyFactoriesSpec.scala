@@ -38,6 +38,28 @@ class FamilyFactoriesSpec extends SparkSpec {
     assert(sql.startsWith("SELECT r_name FROM region"))
   }
 
+  test("RslSqlGenerator: the packaged preliminary template body reaches the LLM verbatim") {
+    val dir = new java.io.File(getClass.getResource("/templates").toURI)
+    val t = graft.llm.PromptTemplates.loadFromDir(dir.getAbsolutePath)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val llm = new graft.llm.LlmClient {
+      def complete(p: String): String = { seen += p
+        if (p.contains("Link the question")) "Schema_links: [region.r_name]"
+        else if (p.contains("[Preliminary SQL]")) "SELECT r_name FROM region"
+        else if (p.contains("condition keywords")) "[names]"
+        else if (p.contains("Augmented SQL")) "SELECT r_name FROM region ORDER BY r_name"
+        else "0"
+      }
+    }
+    val out = RslSqlGenerator(llm, backend, schemaDf, tpl = t).act(questions)
+    assert(out.select("pred_sql").head().getString(0)
+      .startsWith("SELECT r_name FROM region"))
+    val prelim = seen.find(_.contains("[Preliminary SQL]")).get
+    assert(prelim.contains("[Bidirectional schema links]\nregion.r_name"),
+      "bidir links must land in the packaged body's section")
+    assert(prelim.contains("[Question]\nlist region names"))
+  }
+
   test("LinkAlignGenerator: link -> tiered generate -> debug") {
     val llm = MockLlm(playbook = Seq(
       "schema-linking agent" -> "Schema_links: [region.r_name]",

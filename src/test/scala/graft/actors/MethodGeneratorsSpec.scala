@@ -53,6 +53,31 @@ class MethodGeneratorsSpec extends SparkSpec {
     assert(out.select("pred_sql").head().getString(0) == "SELECT COUNT(*) AS n FROM customer")
   }
 
+  test("ChessGenerator: the packaged candidate template body reaches the LLM verbatim") {
+    val dir = new java.io.File(getClass.getResource("/templates").toURI)
+    val t = graft.llm.PromptTemplates.loadFromDir(dir.getAbsolutePath)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val llm = new graft.llm.LlmClient {
+      def complete(p: String): String = { seen += p
+        if (p.contains("entity keywords")) "[building]"
+        else if (p.contains("short checks")) "[]" // majority-vote fallback
+        else if (p.contains("[Attempt")) "SELECT COUNT(*) AS n FROM customer"
+        else "0"
+      }
+    }
+    val entityTables = Map("customer" ->
+      ((Tables.load(spark, sfDir, "customer"), Seq("c_mktsegment"))))
+    val out = ChessGenerator(llm, backend, schemaDf, entityTables, tpl = t)
+      .act(questions)
+    assert(out.select("pred_sql").head().getString(0) ==
+      "SELECT COUNT(*) AS n FROM customer")
+    val cand = seen.find(_.contains("[Attempt")).get
+    assert(cand.contains("[Attempt 0]"), "index var must substitute")
+    assert(cand.contains("[Entity evidence]\nbuilding ~ customer.c_mktsegment"),
+      "retrieved entities must land in the packaged body's section")
+    assert(cand.contains("[Question]\nhow many customers"))
+  }
+
   test("OpenSearchGenerator: profile context + majority vote over candidates") {
     val llm = MockLlm(playbook = Seq(
       "Candidate 0" -> "SELECT COUNT(*) AS n FROM customer",
