@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
+import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, LineQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalExt,
     RowOpsQueries,
     TextQueries,
+    LineQueries,
     BpeQueries,
     UnigramQueries,
     WordPieceQueries,

@@ -196,6 +196,27 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       LongNumRe, "<NUM>")
 
+  /** C0/DEL control characters except the whitespace ones a corpus
+    * keeps (tab \x09, newline \x0A, carriage return \x0D).
+    */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Drop non-whitespace control characters. */
+  def stripControl(text: Column): Column = regexp_replace(text, ControlRe, "")
+
+  /** Collapse runs of spaces/tabs to one space (newlines untouched —
+    * line structure is load-bearing for the line-curation family).
+    */
+  def collapseSpaces(text: Column): Column = regexp_replace(text, "[ \\t]+", " ")
+
+  /** The composed fix-the-bytes pass a web corpus runs before any
+    * hash-keyed dedup: NFC normalization (codegen'd expression), control
+    * strip, whitespace collapse. Per-row scalar — cost = the scan.
+    */
+  def fixText(text: Column): Column =
+    collapseSpaces(stripControl(
+      org.apache.spark.sql.graftvec.NormalizeExpr.nfc(text)))
+
   /** Word n-gram shingles (space-joined) of the token array. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextAnalysis
+
+/** Line-granular web-corpus curation — the C4 cleaning rules (Raffel et
+  * al. 2020, "Exploring the Limits of Transfer Learning", §2.2) and the
+  * RefinedWeb/Dolma corpus-level line deduplication stage. These run
+  * BEFORE document-level dedup: navigation chrome, cookie banners and
+  * footer lines otherwise dominate MinHash shingles and glue unrelated
+  * pages into one near-dup cluster.
+  *
+  * Scale shape: [[c4Clean]] and [[filterLines]] are pure per-row
+  * higher-order-function pipelines — zero shuffle, cost = the scan,
+  * fully inside whole-stage codegen. [[stripDuplicateLines]] follows the
+  * [[Boilerplate]] design: one map-side-combinable groupBy on an 8-byte
+  * line hash (never the line text), one equi-join back, one bounded
+  * per-doc coverage aggregation — O(total lines), no pairwise stage.
+  */
+object LineCuration {
+
+  /** Whitespace-token count of a (trimmed) line. */
+  def wordCount(t: Column): Column =
+    size(filter(split(t, "\\s+"), w => length(w) > 0))
+
+  /** C4's keep-a-line predicate: terminal punctuation, a word-count
+    * floor, and no blocked phrase (case-insensitive).
+    */
+  def lineOk(l: Column, minWords: Int, blockPhrases: Seq[String],
+      terminalRe: String): Column = {
+    val t = trim(l)
+    val blocked = blockPhrases.foldLeft(lit(false))((acc, p) =>
+      acc || lower(t).contains(lit(p.toLowerCase)))
+    t.rlike(terminalRe) && wordCount(t) >= minWords && !blocked
+  }
+
+  /** Per-document line filtering: `(idCol, n_lines, n_kept, clean_text)`
+    * with `clean_text` the surviving lines newline-joined. Keeps every
+    * document (the gate is [[c4Clean]]'s job).
+    */
+  def filterLines(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, blockPhrases: Seq[String] = Seq("javascript"),
+      terminalRe: String = "[.!?\"]$"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** The full C4 document rule: line-filter, then DROP the document when
+    * fewer than `minKeptLines` lines survive or the ORIGINAL text
+    * contains a document-level block phrase (C4 uses "lorem ipsum" and
+    * the curly brace as a code tell). Returns survivors only.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minKeptLines: Int = 2,
+      blockPhrases: Seq[String] = Seq("javascript"),
+      docBlockPhrases: Seq[String] = Seq("lorem ipsum", "{"),
+      terminalRe: String = "[.!?\"]$"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
+    val docBlocked = docBlockPhrases.foldLeft(lit(false))((acc, p) =>
+      acc || lower(t).contains(lit(p.toLowerCase)))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"),
+        docBlocked.as("__blocked"))
+      .filter(col("n_kept") >= minKeptLines && !col("__blocked"))
+      .drop("__blocked")
+  }
+
+  /** Corpus-level exact line deduplication (RefinedWeb "line-wise
+    * corrections" / Dolma's cross-document line dedup): a non-blank
+    * trimmed line occurring in at least `minDocFreq` DISTINCT documents
+    * is removed from EVERY document. Blank lines are never counted and
+    * never removed. One row per input document:
+    * `(idCol, n_lines, n_removed, clean_text)`.
+    *
+    * The flag key is the corpus-portable polynomial hash of the trimmed
+    * line ([[TextAnalysis.polyHash]]) — an 8-byte shuffle key instead of
+    * the line text; the DuckDB oracle mirrors the same hash so both
+    * engines make identical decisions, collisions included.
+    */
+  def stripDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2): DataFrame = {
+    // split once; consumed by the flag counts and the rebuild
+    // (CacheBin contract — runner drains)
+    val base = graft.core.CacheBin.trackEager(
+      docs.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val wins = base.select(col(idCol),
+        posexplode(col("__ls")).as(Seq("__pos", "__l")))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(col(idCol), col("__pos"),
+        TextAnalysis.polyHash(trim(col("__l"))).as("__h"))
+    val flagged = wins.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val covered = wins.join(flagged, "__h")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__cov"))
+    base.join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws("\n", filter(col("__ls"),
+          (l, i) => !coalesce(array_contains(col("__cov"), i), lit(false))))
+          .as("clean_text"))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftvec.NormalizeExpr
+
+import graft.{GQuery, QueryPack}
+import graft.catalog.Tables
+import graft.functions.TextAnalysis
+import graft.operators.LineCuration
+
+/** Line-granular curation + text-fixing, oracle-checked. The synthetic
+  * documents are single-line, so each query derives the SAME multi-line
+  * (or denormalized) text deterministically on both engines — chunk
+  * boundaries from word replacements, shared boilerplate lines keyed on
+  * doc_id — and the DuckDB oracle mirrors every rule, including the
+  * polynomial line hash, so both engines make identical decisions.
+  */
+object LineQueries extends QueryPack {
+
+  /** Spark-side multi-line synth: ' table ' ends a line with '.', ' join '
+    * breaks a line without punctuation.
+    */
+  private def chunked(text: Column): Column =
+    regexp_replace(regexp_replace(text, " table ", ".\n"), " join ", "\n")
+
+  /** Oracle-side mirror of [[chunked]]. */
+  private val ChunkedSql =
+    "regexp_replace(regexp_replace(text, ' table ', '.' || chr(10), 'g'), " +
+      "' join ', chr(10), 'g')"
+
+  /** Oracle-side polynomial hash of a string expression — the exact
+    * [[TextAnalysis.polyHash]] mirror the dedup family pins.
+    */
+  private def polyHashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+
+  def queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_c4_line_filter",
+      "C4 line filtering (Raffel et al. 2020 §2.2): keep lines ending " +
+        "in terminal punctuation, with >= 3 words, and no blocked " +
+        "phrase; rebuild the document from survivors. Pure per-row " +
+        "HOF pipeline — zero shuffle, cost = the scan.",
+      (s, dir) => {
+        val synth = concat(chunked(col("text")),
+          when(col("doc_id") % 2 === 0,
+            lit("\nenable javascript now please today.")).otherwise(lit("")),
+          lit("\nok go."),
+          lit("\nthe quick brown fox jumps over the dog."))
+        LineCuration.filterLines(
+          Tables.load(s, dir, "documents").withColumn("synth", synth),
+          "doc_id", "synth")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    $ChunkedSql ||
+              |    (CASE WHEN doc_id % 2 = 0
+              |          THEN chr(10) || 'enable javascript now please today.'
+              |          ELSE '' END) ||
+              |    chr(10) || 'ok go.' ||
+              |    chr(10) || 'the quick brown fox jumps over the dog.' AS t
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, string_split(t, chr(10)) AS ls,
+              |    list_filter(string_split(t, chr(10)),
+              |      x -> regexp_matches(trim(x), '[.!?"]$$')
+              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+              |                           w -> length(w) > 0)) >= 3
+              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |  FROM s)
+              |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+              |       CAST(len(kept) AS BIGINT) AS n_kept,
+              |       array_to_string(kept, chr(10)) AS clean_text
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_c4_doc_gate",
+      "C4 document gate: line-filter, then DROP documents with < 2 " +
+        "surviving lines or a doc-level block phrase ('lorem ipsum', " +
+        "'{') in the original text. Scan-only filter — the cheapest " +
+        "whole-document cut after URL curation.",
+      (s, dir) => {
+        val synth = concat(chunked(col("text")),
+          when(col("doc_id") % 17 === 3, lit(" lorem ipsum dolor."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 5, lit(" x { y }")).otherwise(lit("")),
+          lit("\nthe quick brown fox jumps over the dog."))
+        LineCuration.c4Clean(
+          Tables.load(s, dir, "documents").withColumn("synth", synth),
+          "doc_id", "synth")
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            length(col("clean_text")).cast("long").as("n_clean_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    $ChunkedSql ||
+              |    (CASE WHEN doc_id % 17 = 3 THEN ' lorem ipsum dolor.' ELSE '' END) ||
+              |    (CASE WHEN doc_id % 23 = 5 THEN ' x { y }' ELSE '' END) ||
+              |    chr(10) || 'the quick brown fox jumps over the dog.' AS t
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+              |    list_filter(string_split(t, chr(10)),
+              |      x -> regexp_matches(trim(x), '[.!?"]$$')
+              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+              |                           w -> length(w) > 0)) >= 3
+              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |  FROM s)
+              |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+              |       CAST(len(kept) AS BIGINT) AS n_kept,
+              |       CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
+              |         AS n_clean_chars
+              |FROM f
+              |WHERE len(kept) >= 2
+              |  AND NOT contains(lower(t), 'lorem ipsum')
+              |  AND NOT contains(lower(t), '{')
+              |ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_line_dedup",
+      "Corpus-level exact line dedup (RefinedWeb/Dolma): a non-blank " +
+        "line in >= 2 DISTINCT documents is removed from every " +
+        "document. GroupBy on the 8-byte line hash + one equi-join " +
+        "back — O(total lines), no pairwise stage; oracle mirrors the " +
+        "hash so decisions (collisions included) are identical.",
+      (s, dir) => {
+        val synth = concat(
+          regexp_replace(col("text"), " merge ", "\n"),
+          when(col("doc_id") % 2 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nall rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 1, lit("\nfollow us on social media"))
+            .otherwise(lit("")))
+        LineCuration.stripDuplicateLines(
+          Tables.load(s, dir, "documents").withColumn("synth", synth),
+          "doc_id", "synth", minDocFreq = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    regexp_replace(text, ' merge ', chr(10), 'g') ||
+              |    (CASE WHEN doc_id % 2 = 0
+              |          THEN chr(10) || 'subscribe to our newsletter' ELSE '' END) ||
+              |    (CASE WHEN doc_id % 3 = 0
+              |          THEN chr(10) || 'all rights reserved' ELSE '' END) ||
+              |    (CASE WHEN doc_id % 5 = 1
+              |          THEN chr(10) || 'follow us on social media' ELSE '' END) AS t
+              |  FROM documents),
+              |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM s),
+              |w AS (
+              |  SELECT doc_id, unnest(l) AS line,
+              |         unnest(generate_series(1, len(l))) AS pos
+              |  FROM ls),
+              |k AS (
+              |  SELECT doc_id, pos, ${polyHashSql("trim(line)")} AS hv
+              |  FROM w WHERE length(trim(line)) > 0),
+              |fl AS (SELECT hv FROM k GROUP BY hv
+              |       HAVING COUNT(DISTINCT doc_id) >= 2),
+              |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
+              |keep AS (SELECT w.doc_id, w.pos, w.line
+              |         FROM w ANTI JOIN cov USING (doc_id, pos)),
+              |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+              |          AS clean_text
+              |        FROM keep GROUP BY doc_id),
+              |rem AS (SELECT doc_id, COUNT(*) AS n_rm FROM cov GROUP BY doc_id)
+              |SELECT ls.doc_id, CAST(len(ls.l) AS BIGINT) AS n_lines,
+              |       CAST(COALESCE(rem.n_rm, 0) AS BIGINT) AS n_removed,
+              |       COALESCE(agg.clean_text, '') AS clean_text
+              |FROM ls
+              |LEFT JOIN agg ON ls.doc_id = agg.doc_id
+              |LEFT JOIN rem ON ls.doc_id = rem.doc_id
+              |ORDER BY ls.doc_id""".stripMargin)),
+
+    GQuery(
+      "q_nfc_normalize",
+      "Unicode NFC normalization via the codegen'd NormalizeString " +
+        "expression (DuckDB oracle: nfc_normalize). The synthesized " +
+        "suffix carries a decomposed combining sequence, so every row " +
+        "actually normalizes; byte-stable keys are what make " +
+        "hash-keyed dedup sound on web text.",
+      (s, dir) => {
+        val synth = concat(col("text"), lit(" cafe"), lit("\u0301"))
+        val norm = NormalizeExpr.nfc(synth)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(synth).cast("long").as("n_before"),
+            length(norm).cast("long").as("n_after"),
+            (synth =!= norm).as("changed"),
+            substring(norm, -1, 1).as("last_char"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, text || ' cafe' || chr(769) AS t FROM documents),
+             |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM s)
+             |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+             |       CAST(length(nt) AS BIGINT) AS n_after,
+             |       t <> nt AS changed,
+             |       substring(nt, -1, 1) AS last_char
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
+      "q_fix_text",
+      "Composed fix-the-bytes pass: NFC + control-char strip + " +
+        "space/tab-run collapse — the mandatory pre-dedup text repair. " +
+        "Per-row scalar regex chain, zero shuffle.",
+      (s, dir) => {
+        val synth = concat(col("text"),
+          lit("\u0007beep\t\t double  spaced caf"), lit("e"), lit("\u0301"))
+        val fixed = TextAnalysis.fixText(synth)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(synth).cast("long").as("n_before"),
+            length(fixed).cast("long").as("n_after"),
+            substring(fixed, -24, 24).as("tail"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    text || chr(7) || 'beep' || chr(9) || chr(9) ||
+             |    ' double  spaced caf' || 'e' || chr(769) AS t
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, t,
+             |    regexp_replace(
+             |      regexp_replace(nfc_normalize(t),
+             |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |      '[ \t]+', ' ', 'g') AS ft
+             |  FROM s)
+             |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+             |       CAST(length(ft) AS BIGINT) AS n_after,
+             |       substring(ft, -24, 24) AS tail
+             |FROM n ORDER BY doc_id""".stripMargin)))
+}

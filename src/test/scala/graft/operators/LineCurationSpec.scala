@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed fixtures for the C4 line rules and corpus-level line
+  * dedup: terminal-punct/word-floor/block-phrase keep logic, the
+  * document gate, blank-line neutrality, and exact removal of lines
+  * shared across >= minDocFreq documents.
+  */
+class LineCurationSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "a good long sentence here.\nshort one.\nno terminal punct line\nenable javascript to view this page."),
+      (1L, "another proper sentence stands here!\n\nis this a question?\nok."),
+      (2L, "{ code block }\nlorem ipsum dolor sit amet.\nclosing proper line right here.")
+    ).toDF("doc_id", "text")
+  }
+
+  test("filterLines keeps terminal-punct lines with >= minWords and no block phrase") {
+    val out = LineCuration.filterLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc0: 4 lines; kept only "a good long sentence here." —
+    // "short one." fails minWords=3, bare line fails punct, javascript blocked
+    assert(out(0L) === ((4L, 1L, "a good long sentence here.")))
+    // doc1: blank line fails word floor; "ok." fails word floor;
+    // sentence + question survive
+    assert(out(1L) === ((4L, 2L,
+      "another proper sentence stands here!\nis this a question?")))
+    // doc2: line-level rules don't see doc-level blocks — lorem line has
+    // punct + words, "{ code block }" fails punct
+    assert(out(2L)._2 === 2L)
+  }
+
+  test("c4Clean drops blocked docs and docs under the kept-line floor") {
+    val out = LineCuration.c4Clean(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc0: 1 kept < 2 -> dropped; doc1: 2 kept, no doc block -> kept;
+    // doc2: contains both "lorem ipsum" and "{" -> dropped
+    assert(out === Set(1L))
+  }
+
+  test("stripDuplicateLines removes lines in >= minDocFreq distinct docs, keeps blanks") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "unique alpha\nsubscribe now\n\nbody text zero"),
+      (1L, "subscribe now\nbody text one"),
+      (2L, "body text two\nsubscribe now\nsubscribe now"),
+      (3L, "all original lines\nnothing shared here")
+    ).toDF("doc_id", "text")
+    val out = LineCuration.stripDuplicateLines(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) === ((4L, 1L, "unique alpha\n\nbody text zero")))
+    assert(out(1L) === ((2L, 1L, "body text one")))
+    // BOTH in-doc copies of the shared line go (flag is corpus-level)
+    assert(out(2L) === ((3L, 2L, "body text two")))
+    assert(out(3L) === ((2L, 0L, "all original lines\nnothing shared here")))
+  }
+
+  test("stripDuplicateLines: a line repeated only within one doc survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "echo echo line\necho echo line"),
+      (1L, "different content")
+    ).toDF("doc_id", "text")
+    val out = LineCuration.stripDuplicateLines(corpus, "doc_id", "text")
+      .filter(col("doc_id") === 0L).collect().head
+    assert(out.getLong(2) === 0L)
+    assert(out.getString(3) === "echo echo line\necho echo line")
+  }
+}
