@@ -12,10 +12,19 @@ import graft.functions.TextAnalysis
   *  0. URL/domain curation (`UrlOps` — canonical-URL exact dedup +
   *     per-domain caps, off unless a URL column is configured; the
   *     crawl-first volume cut, ahead of any content hashing);
+  *  0b. byte repair (`TextAnalysis.fixText` — NFC + control strip +
+  *     space collapse; off by default) and C4 line curation
+  *     (`LineCuration.c4Clean` — line rules + document gate, off by
+  *     default): both BEFORE any hashing, because two byte-distinct
+  *     spellings of one NFC string would otherwise survive exact
+  *     dedup, and chrome lines would dominate MinHash shingles;
   *  1. language allowlist + length floor + exact/near dedup
   *     (`CorpusClean.clean` — banded MinHash, no all-pairs stage),
   *     optionally followed by exact-window dedup (`WindowDedup` —
   *     Lee-et-al-style shared-window removal, off by default);
+  *  1b. corpus-level exact line dedup (`LineCuration
+  *     .stripDuplicateLines`, off by default) — shared chrome lines
+  *     removed from every document before the token-window scrub;
   *  2. cross-document boilerplate removal (`Boilerplate.strip`);
   *  3. quality gates on the CLEANED text: heuristic quality score
   *     floor and bigram-LM floor (`TextAnalysis.qualityScore`,
@@ -59,6 +68,19 @@ object CorpusPipeline {
       // kilobytes of text.
       urlCol: Option[String] = None,
       domainCap: Int = 0,
+      // byte repair before any hashing: NFC normalization (codegen'd
+      // expression) + control-char strip + space/tab-run collapse —
+      // per-row scalar folded into the first scan, zero extra cost
+      fixText: Boolean = false,
+      // > 0 turns on C4 line curation with this per-line word floor:
+      // keep lines ending in terminal punctuation with >= c4MinWords
+      // words and no blocked phrase; DROP docs with < c4MinKeptLines
+      // survivors or a doc-level block phrase (lorem ipsum / brace)
+      c4MinWords: Int = 0,
+      c4MinKeptLines: Int = 2,
+      // > 0 turns on corpus-level exact line dedup: a non-blank line
+      // in >= this many DISTINCT documents is removed from every doc
+      lineDedupMinDocFreq: Int = 0,
       langs: Seq[String] = Seq("en"),
       minChars: Int = 100,
       jaccardThreshold: Double = 0.5,
@@ -175,17 +197,46 @@ object CorpusPipeline {
         capped.drop("__uscore")
     }
 
+    // 0b. byte repair (optional): per-row scalar rewrite of the text
+    // column — folds into the first scan, no stage boundary needed
+    val repaired =
+      if (!cfg.fixText) urled
+      else urled.withColumn(textCol, TextAnalysis.fixText(col(textCol)))
+
+    // 0c. C4 line curation (optional): line rules rebuild the text,
+    // the document gate drops thin/blocked docs. Inner join keeps the
+    // caller's other columns (lang, source, labels).
+    val c4ed =
+      if (cfg.c4MinWords <= 0) repaired
+      else stage(repaired
+        .join(LineCuration.c4Clean(repaired, idCol, textCol,
+          minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
+          .select(col(idCol), col("clean_text")), idCol)
+        .drop(textCol)
+        .withColumnRenamed("clean_text", textCol))
+
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
-    val neardeduped = CorpusClean.clean(urled, cfg.langs, cfg.minChars,
+    val neardeduped = CorpusClean.clean(c4ed, cfg.langs, cfg.minChars,
       cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
     val cleaned = stage(
       if (cfg.windowDedupN <= 0) neardeduped
       else WindowDedup.dropWindowDuplicates(neardeduped, idCol, textCol,
         cfg.windowDedupN))
 
+    // 1b. corpus-level exact line dedup (optional): shared chrome
+    // lines go before the token-window scrub sees them
+    val linded =
+      if (cfg.lineDedupMinDocFreq <= 0) cleaned
+      else stage(cleaned
+        .join(LineCuration.stripDuplicateLines(cleaned, idCol, textCol,
+          cfg.lineDedupMinDocFreq)
+          .select(col(idCol), col("clean_text")), idCol)
+        .drop(textCol)
+        .withColumnRenamed("clean_text", textCol))
+
     // 2. boilerplate scrub — downstream stages score the CLEAN text
-    val boiled = stage(cleaned
-      .join(Boilerplate.strip(cleaned, idCol, textCol,
+    val boiled = stage(linded
+      .join(Boilerplate.strip(linded, idCol, textCol,
         cfg.boilerWindow, cfg.boilerMinDocFreq)
         .select(col(idCol), col("clean_text")), idCol)
       .drop(textCol)

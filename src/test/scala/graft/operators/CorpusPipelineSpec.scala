@@ -232,6 +232,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(diff > 0, "model token counts never diverged from whitespace")
   }
 
+  test("line-curation stages: byte repair, C4 gate, corpus line dedup compose") {
+    graft.core.CacheBin.drain()
+    // multi-line synth: body chunks end with '.', two shared chrome
+    // lines (line-dedup bait), one unique tail per doc carrying a
+    // control char + a DECOMPOSED e-acute (fixText bait)
+    val lineDocs = docs.withColumn("text", concat(
+      regexp_replace(col("text"), " merge ", ".\n"),
+      lit("\nsubscribe to our newsletter today."),
+      lit("\nthe quick brown fox jumps over the dog."),
+      lit("\nunique tail "), col("doc_id").cast("string"),
+      lit(" carries e\u0301lan\u0007 forward.")))
+    val out = CorpusPipeline.prepare(lineDocs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 20,
+        packTokens = 256L,
+        fixText = true, c4MinWords = 3, lineDedupMinDocFreq = 2,
+        // neutralize the token-window boilerplate scrub so shared-line
+        // removal is attributable to the line-dedup stage alone
+        boilerMinDocFreq = 1000000),
+      "doc_id", "text", "source")
+    assert(out.count() > 0, "line-curation run must keep something")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
+    // corpus line dedup removed the shared chrome lines from EVERY doc
+    assert(out.filter(col("clean_text").contains("subscribe to our newsletter"))
+      .count() == 0, "shared chrome line survived line dedup")
+    assert(out.filter(col("clean_text").contains("quick brown fox"))
+      .count() == 0, "second shared line survived line dedup")
+    // fixText stripped the control char and composed the e-acute
+    assert(out.filter(col("clean_text").contains("\u0007")).count() == 0,
+      "control char survived byte repair")
+    assert(out.filter(col("clean_text").contains("\u0301")).count() == 0,
+      "decomposed combining mark survived byte repair")
+    assert(out.filter(col("clean_text").contains("\u00e9lan")).count() > 0,
+      "composed form should appear in surviving unique tails")
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
