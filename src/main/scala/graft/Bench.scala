@@ -226,7 +226,8 @@ object Bench {
     }
     val timings = results.map { case (k, v, _, _) => k -> v }.toMap
     val subtotals = Seq("r10" -> "CORRECTNESS_r10.json",
-      "r11" -> "CORRECTNESS_r11.json", "r12" -> "CORRECTNESS_r12.json")
+      "r11" -> "CORRECTNESS_r11.json", "r12" -> "CORRECTNESS_r12.json",
+      "r13" -> "CORRECTNESS_r13.json")
       .flatMap { case (tag, f) => roundNames(f).map { names =>
         s"${tag}_set" -> timings.view.filterKeys(names).values.sum
       } } :+ ("all" -> total)

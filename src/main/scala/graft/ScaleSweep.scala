@@ -111,6 +111,22 @@ object ScaleSweep {
     math.min(once(), once())
   }
 
+  // ---- ambient-contention telemetry (same contract as Bench): a
+  // fixed CPU-bound probe timed per sample point plus /proc/loadavg,
+  // so a sweep carries its own machine-speed denominator — exponents
+  // are within-run ratios, but contention that GROWS during the run
+  // (the 100x tier runs last per query) still skews second decades.
+  private def calibrate(spark: SparkSession): Double = {
+    System.gc()
+    val t0 = System.nanoTime()
+    spark.range(1000000000L).selectExpr("sum(id % 7)", "count(1)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
@@ -132,8 +148,13 @@ object ScaleSweep {
       case Some(names) => sweep.filter(names)
       case None        => sweep
     }
-    val rows = selected.flatMap { name =>
+    val calStart = calibrate(spark)
+    var calMid = -1.0
+    val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = selected.zipWithIndex.flatMap { case (name, qi) =>
       SparkEntry.allQueries.find(_.name == name).map { q =>
+        if (qi == selected.size / 2) calMid = calibrate(spark)
+        loadSamples(name) = loadAvg()
         val t1 = time(spark, q, baseDir)
         val tN = time(spark, q, outDir)
         val exp = math.log(tN / t1) / math.log(copies.toDouble)
@@ -147,12 +168,21 @@ object ScaleSweep {
             s""","tN2_sec":${num(tN2)},"exponent2":${num(exp2)}""" }
           .getOrElse("")
         // scalastyle:off println — operator-facing sweep report
-        println(s"""{"query":"$name","t1_sec":${num(t1)},"t${copies}x_sec":${num(tN)},"exponent":${num(exp)}$secondJson}""")
+        println(s"""{"query":"$name","t1_sec":${num(t1)},"t${copies}x_sec":${num(tN)},"exponent":${num(exp)},"load":${num(loadSamples(name))}$secondJson}""")
         // scalastyle:on println
-        s""""$name":{"t1_sec":${num(t1)},"tN_sec":${num(tN)},"exponent":${num(exp)}$secondJson}"""
+        s""""$name":{"t1_sec":${num(t1)},"tN_sec":${num(tN)},"exponent":${num(exp)},"load":${num(loadSamples(name))}$secondJson}"""
       }
     }
-    val json = s"""{"copies":$copies,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""
+    val calEnd = calibrate(spark)
+    val loads = loadSamples.values.toSeq
+    val calibrationJson =
+      s"""{"start":${num(calStart)},"mid":${num(calMid)},"end":${num(calEnd)}}"""
+    val loadSummaryJson = if (loads.isEmpty) "{}" else
+      s"""{"min":${num(loads.min)},"mean":${num(loads.sum / loads.size)},"max":${num(loads.max)},"jvm_cores":${java.lang.Runtime.getRuntime.availableProcessors()}}"""
+    // scalastyle:off println
+    println(s"""{"calibration":$calibrationJson,"load_summary":$loadSummaryJson}""")
+    // scalastyle:on println
+    val json = s"""{"copies":$copies,"base":"$baseDir","calibration":$calibrationJson,"load_summary":$loadSummaryJson,"queries":{${rows.mkString(",")}}}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target", "scale_sweep.json"), json)
     spark.stop()

@@ -113,13 +113,12 @@ object TextAnalysis {
   /** Polynomial rolling-hash fingerprint of the full text:
     * fold(acc = (acc * 31 + ascii(char)) mod 1e9+7). Stable across
     * engines and partitionings (it is a per-row scalar, not an agg).
+    * Runs the codegen'd `StringPolyHash` kernel, pinned value-identical
+    * to [[polyHashHof]] (the semantic/oracle reference).
     */
   val FingerprintMod = 1000000007L
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % FingerprintMod)
+    org.apache.spark.sql.graftvec.TextHashExpr.stringPolyHash(text)
 
   /** Character-entropy gate for training corpora — the classic trap it
     * catches: low-entropy junk (aaaa…, base64-ish runs, template spam)
@@ -228,9 +227,19 @@ object TextAnalysis {
 
   /** The same polynomial rolling hash as `fingerprint`, applicable to any
     * string-valued (lambda) column — the engine-portable hash primitive
-    * under MinHash and SimHash.
+    * under MinHash and SimHash. Runs the codegen'd kernel; the HOF form
+    * below is the pinned semantic reference (and the DuckDB-oracle
+    * mirror), kept value-identical by HashEquivalenceSpec.
     */
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.graftvec.TextHashExpr.stringPolyHash(s)
+
+  /** The composable HOF definition of [[polyHash]]/[[fingerprint]]:
+    * `fold(acc = (acc*31 + ascii(char)) % 1e9+7)` over split("") — one
+    * array element allocated per CHARACTER, so the kernel runs the hot
+    * paths; this form defines the semantics.
+    */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),

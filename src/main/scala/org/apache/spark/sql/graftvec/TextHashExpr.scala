@@ -220,9 +220,60 @@ object CharEntropySum {
   }
 }
 
+/** Codegen'd full-string polynomial hash —
+  * `fold(acc = (acc*31 + codePoint) % 1e9+7)` over the string's code
+  * points: the scalar under document fingerprinting (exact dedup's
+  * shuffle key) and line hashing (corpus line dedup). Value-identical
+  * (pinned by HashEquivalenceSpec) to the HOF definition
+  * `TextAnalysis.polyHashHof` — a split-per-char transform+aggregate
+  * chain that allocates one array element per CHARACTER — and to the
+  * DuckDB oracles' list_reduce mirror. One tight loop, zero
+  * allocation.
+  */
+case class StringPolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "string_poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StringPolyHash.hashOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = org.apache.spark.sql.graftvec.StringPolyHash.hashOf($a.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringPolyHash {
+  /** Shared by eval and generated code. CODE POINTS, not UTF-16 units —
+    * the pinned HOF reference iterates split("")/ascii, i.e. code
+    * points; hashing surrogate halves would diverge on astral text.
+    */
+  def hashOf(s: String): Long = {
+    var acc = 0L
+    var k = 0
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      acc = (acc * 31 + cp) % 1000000007L
+      k += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 object TextHashExpr {
   def shingleHashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
+
+  def stringPolyHash(text: Column): Column =
+    ExpressionUtils.column(StringPolyHash(ExpressionUtils.expression(text)))
 
   def minhashSignature(hashes: Column, coeffs: Seq[(Long, Long)]): Column =
     ExpressionUtils.column(MinHashSignature(

@@ -26,10 +26,26 @@ class HashEquivalenceSpec extends SparkSpec {
       .toDF("id", "text")
   }
 
+  test("StringPolyHash == the split-per-char aggregate HOF definition") {
+    import spark.implicits._
+    // the shared docs plus the degenerate cases the kernel must match
+    val edge = Seq((7L, ""), (8L, "x"), (9L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val both = docs.unionByName(edge).select(col("id"),
+      TextAnalysis.polyHash(col("text")).as("fast"),
+      TextAnalysis.polyHashHof(col("text")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null drift at id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2), s"hash drift at id ${r.getLong(0)}")
+    }
+  }
+
   test("ShingleHashes == polyHash over concat_ws-joined shingles") {
     val hof = docs.select(col("id"),
       transform(TextAnalysis.shingles(col("text"), 3),
-        s => TextAnalysis.polyHash(s)).as("h"))
+        s => TextAnalysis.polyHashHof(s)).as("h"))
     val fast = docs.select(col("id"),
       TextHashExpr.shingleHashes(TextAnalysis.tokens(col("text")), 3).as("h"))
     val a = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -62,6 +62,20 @@ class LineCurationSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, "all original lines\nnothing shared here")))
   }
 
+  test("stripDuplicateLines is deterministic under repartitioning") {
+    import spark.implicits._
+    val corpus = (0L until 60L).map { i =>
+      val shared = if (i % 2 == 0) "\ncommon footer line" else ""
+      (i, s"unique body $i content\nsecond line $i$shared")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      LineCuration.stripDuplicateLines(corpus.repartition(parts),
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    assert(run(2) === run(7))
+  }
+
   test("stripDuplicateLines: a line repeated only within one doc survives") {
     import spark.implicits._
     val corpus = Seq(

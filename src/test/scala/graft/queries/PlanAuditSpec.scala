@@ -116,6 +116,30 @@ class PlanAuditSpec extends SparkSpec {
       "flagship plan lost the MinHash signature expression")
   }
 
+  test("q_c4_line_filter is scan-shaped: no joins, no aggregates") {
+    val p = planOf("q_c4_line_filter")
+    assert(!p.contains("Join"), "line filtering must not join")
+    assert(!p.contains("HashAggregate"), "line filtering must not aggregate")
+  }
+
+  test("q_line_dedup flags lines via hash equi-joins, never a pairwise stage") {
+    val p = planOf("q_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "pairwise stage in line dedup")
+    // both joins (flag membership, coverage rebuild) are hash equi-joins
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no hash join in line dedup plan")
+    // the flag key is the 8-byte polynomial line hash, not line text
+    assert(p.contains("__h#"), "line-hash flag key missing from plan")
+  }
+
+  test("q_nfc_normalize keeps the normalize expression inside codegen") {
+    val p = planOf("q_nfc_normalize")
+    assert(p.contains("normalize_nfc"), "normalize expression missing")
+    assert(!p.contains("BatchEvalPython") && !p.contains("udf"),
+      "normalization fell out of codegen")
+  }
+
   test("q_asof_join is joinless: one key shuffle, a sorted window, no pair blowup") {
     val p = planOf("q_asof_join")
     assert(!p.contains("Join"), "as-of join materialized a join node")
