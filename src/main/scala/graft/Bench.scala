@@ -79,6 +79,14 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // the only load sample NOT polluted by this JVM's own decaying
+    // 1-min contribution: nothing has run yet. Mid-run samples measure
+    // (external + self) load; external-contention attribution starts
+    // from this baseline.
+    val loadBaseline = loadAvg()
+    // JIT-warm the probe untimed: a cold start measured 9x slower than
+    // the same probe mid-run, which would read as phantom contention
+    calibrate()
     val calStart = calibrate()
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
     var calMid = -1.0
@@ -239,7 +247,7 @@ object Bench {
     val loadJson = loadSamples
       .map { case (k, v) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
     val loadSummaryJson = if (loads.isEmpty) "{}" else
-      s"""{"min":${num(loads.min, 2)},"mean":${num(loads.sum / loads.size, 2)},"max":${num(loads.max, 2)},"jvm_cores":${cpus.toInt}}"""
+      s"""{"baseline":${num(loadBaseline, 2)},"min":${num(loads.min, 2)},"mean":${num(loads.sum / loads.size, 2)},"max":${num(loads.max, 2)},"jvm_cores":${cpus.toInt}}"""
     val fullQs = results.map { case (k, v, _, _) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val recallJson = recalls
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")

@@ -148,6 +148,13 @@ object ScaleSweep {
       case Some(names) => sweep.filter(names)
       case None        => sweep
     }
+    // the only sample not polluted by this JVM's own decaying 1-min
+    // load contribution (nothing has run yet besides derive, which is
+    // skipped when markers match); mid-run samples are external + self
+    val loadBaseline = loadAvg()
+    // JIT-warm the probe untimed: a cold first probe measured ~9x its
+    // warm time, which would read as phantom start-of-run contention
+    calibrate(spark)
     val calStart = calibrate(spark)
     var calMid = -1.0
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -178,7 +185,7 @@ object ScaleSweep {
     val calibrationJson =
       s"""{"start":${num(calStart)},"mid":${num(calMid)},"end":${num(calEnd)}}"""
     val loadSummaryJson = if (loads.isEmpty) "{}" else
-      s"""{"min":${num(loads.min)},"mean":${num(loads.sum / loads.size)},"max":${num(loads.max)},"jvm_cores":${java.lang.Runtime.getRuntime.availableProcessors()}}"""
+      s"""{"baseline":${num(loadBaseline)},"min":${num(loads.min)},"mean":${num(loads.sum / loads.size)},"max":${num(loads.max)},"jvm_cores":${java.lang.Runtime.getRuntime.availableProcessors()}}"""
     // scalastyle:off println
     println(s"""{"calibration":$calibrationJson,"load_summary":$loadSummaryJson}""")
     // scalastyle:on println
