@@ -179,6 +179,103 @@ object LineQueries extends QueryPack {
               |ORDER BY ls.doc_id""".stripMargin)),
 
     GQuery(
+      "q_line_pipeline",
+      "The round-13 curation stages COMPOSED end to end: byte repair " +
+        "(NFC + control strip + space collapse) -> C4 line filter + " +
+        "document gate -> exact dedup on the cleaned text (~10% of " +
+        "docs share one fixed body and collapse to a single survivor) " +
+        "-> corpus-level line dedup (the chrome line every survivor " +
+        "still carries is removed from all of them). One DuckDB replay " +
+        "of all four stages, fingerprints mirrored.",
+      (s, dir) => {
+        val base = chunked(col("text"))
+        // ~10% of docs swap in one FIXED two-line body (exact-dup bait);
+        // the rest carry a unique tail with a control char + a
+        // DECOMPOSED e-acute (byte-repair bait) and ~3% a doc-level
+        // block phrase; EVERY doc gets the chrome line (line-dedup bait)
+        val synth = concat(
+          when(col("doc_id") % 10 === 7,
+            lit("duplicate page body stands here.\nsecond shared sentence line here."))
+            .otherwise(concat(base,
+              when(col("doc_id") % 31 === 3, lit(" lorem ipsum dolor."))
+                .otherwise(lit("")),
+              lit("\nunique tail "), col("doc_id").cast("string"),
+              lit(" carries cafe\u0301\u0007 and more words."))),
+          lit("\nsubscribe to our newsletter today."))
+        val docs0 = Tables.load(s, dir, "documents").withColumn("synth", synth)
+        val fixed = docs0.withColumn("synth",
+          TextAnalysis.fixText(col("synth")))
+        val c4 = LineCuration.c4Clean(fixed, "doc_id", "synth")
+        val deduped = graft.operators.RowOps.dedupBy(
+          c4.withColumn("__fp", TextAnalysis.fingerprint(col("clean_text"))),
+          Seq("__fp"), "doc_id").drop("__fp", "n_lines", "n_kept")
+        LineCuration.stripDuplicateLines(
+          deduped.withColumnRenamed("clean_text", "synth"),
+          "doc_id", "synth", minDocFreq = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    (CASE WHEN doc_id % 10 = 7
+              |          THEN 'duplicate page body stands here.' || chr(10) ||
+              |               'second shared sentence line here.'
+              |          ELSE $ChunkedSql ||
+              |            (CASE WHEN doc_id % 31 = 3
+              |                  THEN ' lorem ipsum dolor.' ELSE '' END) ||
+              |            chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) ||
+              |            ' carries cafe' || chr(769) || chr(7) || ' and more words.'
+              |     END) || chr(10) || 'subscribe to our newsletter today.' AS t0
+              |  FROM documents),
+              |fx AS (
+              |  SELECT doc_id,
+              |    regexp_replace(
+              |      regexp_replace(nfc_normalize(t0),
+              |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+              |      '[ \\t]+', ' ', 'g') AS t
+              |  FROM s),
+              |c4 AS (
+              |  SELECT doc_id, t,
+              |    list_filter(string_split(t, chr(10)),
+              |      x -> regexp_matches(trim(x), '[.!?"]$$')
+              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+              |                           w -> length(w) > 0)) >= 3
+              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |  FROM fx),
+              |ct AS (
+              |  SELECT doc_id, array_to_string(kept, chr(10)) AS t
+              |  FROM c4
+              |  WHERE len(kept) >= 2
+              |    AND NOT contains(lower(t), 'lorem ipsum')
+              |    AND NOT contains(lower(t), '{')),
+              |fp AS (SELECT doc_id, t, ${polyHashSql("t")} AS fpv FROM ct),
+              |keepers AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fpv),
+              |dd AS (SELECT fp.doc_id, fp.t FROM fp JOIN keepers USING (doc_id)),
+              |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM dd),
+              |w AS (
+              |  SELECT doc_id, unnest(l) AS line,
+              |         unnest(generate_series(1, len(l))) AS pos
+              |  FROM ls),
+              |k AS (
+              |  SELECT doc_id, pos, ${polyHashSql("trim(line)")} AS hv
+              |  FROM w WHERE length(trim(line)) > 0),
+              |fl AS (SELECT hv FROM k GROUP BY hv
+              |       HAVING COUNT(DISTINCT doc_id) >= 2),
+              |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
+              |keep AS (SELECT w.doc_id, w.pos, w.line
+              |         FROM w ANTI JOIN cov USING (doc_id, pos)),
+              |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+              |          AS clean_text
+              |        FROM keep GROUP BY doc_id),
+              |rem AS (SELECT doc_id, COUNT(*) AS n_rm FROM cov GROUP BY doc_id)
+              |SELECT ls.doc_id, CAST(len(ls.l) AS BIGINT) AS n_lines,
+              |       CAST(COALESCE(rem.n_rm, 0) AS BIGINT) AS n_removed,
+              |       COALESCE(agg.clean_text, '') AS clean_text
+              |FROM ls
+              |LEFT JOIN agg ON ls.doc_id = agg.doc_id
+              |LEFT JOIN rem ON ls.doc_id = rem.doc_id
+              |ORDER BY ls.doc_id""".stripMargin)),
+
+    GQuery(
       "q_nfc_normalize",
       "Unicode NFC normalization via the codegen'd NormalizeString " +
         "expression (DuckDB oracle: nfc_normalize). The synthesized " +

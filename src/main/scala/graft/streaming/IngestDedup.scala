@@ -186,6 +186,17 @@ object IngestDedup {
     * state), so the output corpus lands already carrying the counts
     * the pack/budget stages consume — train the tokenizer once
     * offline, count every ingested byte with it.
+    *
+    * `fixText` + `c4MinWords` install the batch pipeline's byte-repair
+    * and C4 line-curation stages at scan time: NFC normalization /
+    * control strip / space collapse rewrite the text column, the C4
+    * line rules rebuild it from surviving lines, and the document gate
+    * drops thin/blocked pages — all per-row column expressions (the
+    * corpus-LEVEL line dedup is deliberately absent here: its
+    * document-frequency aggregation is the one line operator that
+    * would need streaming state). Both run BEFORE the quality and
+    * dedup screens, so a chrome-heavy page is cut down before it costs
+    * a score, a shingle, or an index append.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
@@ -196,13 +207,34 @@ object IngestDedup {
       minQualityMicro: Long = 0L,
       repetitionGate: Boolean = false,
       repetitionMinWords: Int = 50,
-      tokenizerPath: Option[String] = None): StreamingQuery = {
+      tokenizerPath: Option[String] = None,
+      fixText: Boolean = false,
+      c4MinWords: Int = 0,
+      c4MinKeptLines: Int = 2): StreamingQuery = {
     val spark = docs.sparkSession
+    val repaired =
+      if (!fixText) docs
+      else docs.withColumn(textCol,
+        graft.functions.TextAnalysis.fixText(col(textCol)))
+    val lined =
+      if (c4MinWords <= 0) repaired
+      else {
+        import graft.operators.LineCuration
+        val kept = filter(split(col(textCol), "\n"),
+          l => LineCuration.lineOk(l, c4MinWords, Seq("javascript"), "[.!?\"]$"))
+        val docBlocked = Seq("lorem ipsum", "{").foldLeft(lit(false))(
+          (acc, p) => acc || lower(col(textCol)).contains(lit(p)))
+        repaired
+          .withColumn("__kept", kept)
+          .filter(size(col("__kept")) >= c4MinKeptLines && !docBlocked)
+          .withColumn(textCol, array_join(col("__kept"), "\n"))
+          .drop("__kept")
+      }
     val quality = qualityModelPath match {
-      case None => docs
+      case None => lined
       case Some(p) =>
         val model = QualityClassifier.loadModel(spark, p)
-        docs.filter(
+        lined.filter(
           QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
     }
     // ONE kernel call per row by construction (RepetitionPass folds the

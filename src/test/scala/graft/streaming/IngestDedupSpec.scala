@@ -499,4 +499,40 @@ class IngestDedupSpec extends SparkSpec {
         "quality gate introduced streaming state")
     } finally q.stop()
   }
+
+  test("byte repair + C4 line gates rewrite and filter at scan time, stateless") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx11") + "/index"
+    val out = freshDir("out11") + "/corpus"
+    val ckp = freshDir("ckp11")
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, fixText = true, c4MinWords = 3)
+    try {
+      src.addData(
+        // two good lines + one chrome line that fails the word floor;
+        // the kept text carries a control char and a DECOMPOSED e-acute
+        IngestDoc(1L, "a proper first sentence stands here.\nok.\n" +
+          "the cafe\u0301\u0007 second line also survives intact."),
+        // every line fails (no terminal punct / blocked) -> doc dropped
+        IngestDoc(2L, "no terminal punctuation anywhere\n" +
+          "enable javascript to continue reading this."),
+        // doc-level block phrase -> dropped despite good lines
+        IngestDoc(3L, "a fine lorem ipsum sentence right here.\n" +
+          "another perfectly good line follows it."))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L), s"gates admitted ${rows.keySet}")
+      // C4 dropped the thin line, fixText stripped the control char
+      // and composed the e-acute
+      assert(rows(1L) === "a proper first sentence stands here.\n" +
+        "the caf\u00e9 second line also survives intact.")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "line gates introduced streaming state")
+    } finally q.stop()
+  }
 }
