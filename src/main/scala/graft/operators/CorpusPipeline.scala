@@ -154,13 +154,46 @@ object CorpusPipeline {
     */
   val ChunkCap = 1L << 20
 
+  /** One funnel row: documents (or pack units, for the last entries)
+    * surviving a named stage.
+    */
+  final case class StageRows(stage: String, rows: Long)
+
   /** Run the full preparation over `docs` (needs idCol, textCol, a
     * lang column, and srcCol); `evalSet` is the benchmark to
     * decontaminate against (empty frame → stage is a no-op).
     */
   def prepare(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): DataFrame = {
+      srcCol: String = "source"): DataFrame =
+    prepareImpl(docs, evalSet, cfg, idCol, textCol, srcCol, report = None)
+
+  /** [[prepare]] plus the per-stage survivor funnel — the
+    * datasheets-for-datasets artifact a production curation run logs
+    * (where did the volume go, which gate was the big cut). Counts for
+    * enabled stages come from the already-materialized stage
+    * boundaries (each is a cached-scan count, not a recompute of the
+    * chain); unmaterialized intermediate counts (url, quality, mix)
+    * cost one extra evaluation of that stage and are only paid here —
+    * [[prepare]] itself stays count-free.
+    */
+  def prepareWithReport(docs: DataFrame, evalSet: DataFrame,
+      cfg: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): (DataFrame, Seq[StageRows]) = {
+    val buf = scala.collection.mutable.ListBuffer.empty[StageRows]
+    val out = prepareImpl(docs, evalSet, cfg, idCol, textCol, srcCol,
+      report = Some(buf))
+    (out, buf.toList)
+  }
+
+  private def prepareImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
+      idCol: String, textCol: String, srcCol: String,
+      report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
+    def note(name: String, df: DataFrame): DataFrame = {
+      report.foreach(_ += StageRows(name, df.count()))
+      df
+    }
     // Stage boundaries are MATERIALIZED (eager localCheckpoint): every
     // stage k joins its input with an operator output DERIVED FROM
     // that same input, so each boundary frame has >= 2 consumers
@@ -184,6 +217,7 @@ object CorpusPipeline {
     // URL exact dedup keep-longest (ties to the smallest id), then the
     // per-domain cap — runs BEFORE any content hashing because its
     // shuffle key is the ~100-byte canonical URL, not the text
+    note("input", docs)
     val urled = cfg.urlCol match {
       case None => docs
       case Some(u) =>
@@ -194,7 +228,7 @@ object CorpusPipeline {
           if (cfg.domainCap <= 0) urlDeduped
           else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
             cfg.domainCap).drop("url_canon", "domain")
-        capped.drop("__uscore")
+        note("url_curation", capped.drop("__uscore"))
     }
 
     // 0b. byte repair (optional): per-row scalar rewrite of the text
@@ -208,31 +242,31 @@ object CorpusPipeline {
     // caller's other columns (lang, source, labels).
     val c4ed =
       if (cfg.c4MinWords <= 0) repaired
-      else stage(repaired
+      else note("c4_gate", stage(repaired
         .join(LineCuration.c4Clean(repaired, idCol, textCol,
           minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
           .select(col(idCol), col("clean_text")), idCol)
         .drop(textCol)
-        .withColumnRenamed("clean_text", textCol))
+        .withColumnRenamed("clean_text", textCol)))
 
     // 1. allowlist + floors + exact/near dedup (keeps original columns)
     val neardeduped = CorpusClean.clean(c4ed, cfg.langs, cfg.minChars,
       cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
-    val cleaned = stage(
+    val cleaned = note("dedup", stage(
       if (cfg.windowDedupN <= 0) neardeduped
       else WindowDedup.dropWindowDuplicates(neardeduped, idCol, textCol,
-        cfg.windowDedupN))
+        cfg.windowDedupN)))
 
     // 1b. corpus-level exact line dedup (optional): shared chrome
     // lines go before the token-window scrub sees them
     val linded =
       if (cfg.lineDedupMinDocFreq <= 0) cleaned
-      else stage(cleaned
+      else note("line_dedup", stage(cleaned
         .join(LineCuration.stripDuplicateLines(cleaned, idCol, textCol,
           cfg.lineDedupMinDocFreq)
           .select(col(idCol), col("clean_text")), idCol)
         .drop(textCol)
-        .withColumnRenamed("clean_text", textCol))
+        .withColumnRenamed("clean_text", textCol)))
 
     // 2. boilerplate scrub — downstream stages score the CLEAN text
     val boiled = stage(linded
@@ -290,14 +324,16 @@ object CorpusPipeline {
             .select(col(idCol)), idCol)
     }
 
+    note("quality_gates", q3)
+
     // 4. decontamination against the held-out benchmark
-    val decon = stage(
+    val decon = note("decontaminated", stage(
       if (evalSet.isEmpty) q3
       else if (cfg.bloomDecontaminationBits > 0)
         BloomDecontaminate.decontaminate(q3, evalSet, idCol, textCol,
           cfg.decontaminationNgram, mBits = cfg.bloomDecontaminationBits)
       else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
-        cfg.decontaminationNgram))
+        cfg.decontaminationNgram)))
 
     // 5. leakage-safe split; n_tokens feeds every budget downstream —
     // model-accurate (scan-time Viterbi kernel, zero joins) when a
@@ -324,6 +360,7 @@ object CorpusPipeline {
       if (cfg.temperatureMixDocs <= 0L) budgeted
       else TemperatureMix.sampleSqrtTemperature(budgeted, srcCol, idCol,
         cfg.temperatureMixDocs)
+    note("train_mixed", mixed)
 
     val modern = cfg.chunkTokens > 0 || cfg.epochBudgetPerSource > 0L ||
       cfg.nShards > 0
@@ -337,7 +374,7 @@ object CorpusPipeline {
           lit(null).cast("long").as("bin_id"),
           lit(null).cast("long").as("bin_offset"),
           col(textCol).as("clean_text"))
-      packed.unionByName(held)
+      note("output", packed.unionByName(held))
     } else {
       // ---- modern tail: chunk -> epoch-repeat -> pack -> shard ----
       // Pack units carry (__unit, __utok, __utext): a chunk when
@@ -402,7 +439,7 @@ object CorpusPipeline {
           lit(null).cast("long").as("bin_offset"),
           lit(null).cast("int").as("shard"),
           col(textCol).as("clean_text"))
-      trainOut.unionByName(held)
+      note("output", trainOut.unionByName(held))
     }
   }
 }

@@ -268,6 +268,35 @@ class CorpusPipelineSpec extends SparkSpec {
       "composed form should appear in surviving unique tails")
   }
 
+  test("prepareWithReport emits the survivor funnel; prepare is unchanged") {
+    graft.core.CacheBin.drain()
+    val cfg = CorpusPipeline.Config(langs = Seq("en", "de", "fr"),
+      minChars = 100, packTokens = 256L)
+    val (out, funnel) = CorpusPipeline.prepareWithReport(docs, evalSet, cfg,
+      "doc_id", "text", "source")
+    val byName = funnel.map(s => s.stage -> s.rows).toMap
+    // stage order for this config (optional stages absent)
+    assert(funnel.map(_.stage) === Seq("input", "dedup", "quality_gates",
+      "decontaminated", "train_mixed", "output"))
+    assert(byName("input") === docs.count())
+    // document stages only ever remove rows
+    assert(byName("dedup") <= byName("input"))
+    assert(byName("quality_gates") <= byName("dedup"))
+    assert(byName("decontaminated") <= byName("quality_gates"))
+    assert(byName("train_mixed") <= byName("decontaminated"))
+    // output = packed train + held-out rows, one row per survivor
+    assert(byName("output") === out.count())
+    assert(byName("output") === byName("decontaminated"))
+    // materialize before draining the checkpoints out's lineage rides on
+    val reported = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.core.CacheBin.drain()
+    // and the count-free path returns the identical corpus
+    val plain = CorpusPipeline.prepare(docs, evalSet, cfg,
+      "doc_id", "text", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain === reported)
+  }
+
   test("the pipeline is deterministic under repartitioning") {
     def run(parts: Int) = CorpusPipeline.prepare(
       docs.repartition(parts), evalSet,
