@@ -10,6 +10,11 @@ import graft.exec.ScanMetrics
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // sampled before ANY work in this JVM (session build, warmup,
+    // probes) — the only load reading attributable purely to external
+    // contention; everything later includes this process's own
+    // decaying 1-min contribution
+    val loadBaseline = graft.core.MachineProbe.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
@@ -69,23 +74,13 @@ object Bench {
     //  (b) /proc/loadavg (1-min) sampled before every query — a load
     //      far above this JVM's core count flags external competition
     //      for the machine at the exact query it distorted.
-    def calibrate(): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      spark.range(1000000000L).selectExpr("sum(id % 7)", "count(1)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def loadAvg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    // the only load sample NOT polluted by this JVM's own decaying
-    // 1-min contribution: nothing has run yet. Mid-run samples measure
-    // (external + self) load; external-contention attribution starts
-    // from this baseline.
-    val loadBaseline = loadAvg()
+    def calibrate(): Double = graft.core.MachineProbe.calibrate(spark)
+    def loadAvg(): Double = graft.core.MachineProbe.loadAvg()
     // JIT-warm the probe untimed: a cold start measured 9x slower than
-    // the same probe mid-run, which would read as phantom contention
+    // the same probe mid-run, which would read as phantom contention.
+    // (loadBaseline was sampled at the very top of main, before the
+    // session build and query warmup put this JVM's own load on the
+    // 1-min average.)
     calibrate()
     val calStart = calibrate()
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -233,14 +228,20 @@ object Bench {
         .map(_.group(1)).toSet)
     }
     val timings = results.map { case (k, v, _, _) => k -> v }.toMap
+    // each subtotal carries matched/expected counts: if a query named
+    // in a round artifact is missing from this run (renamed/removed),
+    // the smaller total must not read as a comparable number
     val subtotals = Seq("r10" -> "CORRECTNESS_r10.json",
       "r11" -> "CORRECTNESS_r11.json", "r12" -> "CORRECTNESS_r12.json",
       "r13" -> "CORRECTNESS_r13.json")
       .flatMap { case (tag, f) => roundNames(f).map { names =>
-        s"${tag}_set" -> timings.view.filterKeys(names).values.sum
-      } } :+ ("all" -> total)
-    val subtotalsJson = subtotals
-      .map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
+        val matched = names.intersect(timings.keySet)
+        (s"${tag}_set", timings.view.filterKeys(matched).values.sum,
+          matched.size, names.size)
+      } }
+    val subtotalsJson = (subtotals.map { case (k, v, m, e) =>
+      s""""$k":${num(v, 3)},"${k.stripSuffix("_set")}_matched":$m,"${k.stripSuffix("_set")}_expected":$e"""
+    } :+ s""""all":${num(total, 3)}""").mkString("{", ",", "}")
     val calibrationJson =
       s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)}}"""
     val loads = loadSamples.values.toSeq

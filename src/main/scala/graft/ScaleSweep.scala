@@ -111,23 +111,20 @@ object ScaleSweep {
     math.min(once(), once())
   }
 
-  // ---- ambient-contention telemetry (same contract as Bench): a
+  // ---- ambient-contention telemetry (the SHARED MachineProbe — one
+  // implementation keeps Bench and sweep calibration comparable): a
   // fixed CPU-bound probe timed per sample point plus /proc/loadavg,
   // so a sweep carries its own machine-speed denominator — exponents
   // are within-run ratios, but contention that GROWS during the run
   // (the 100x tier runs last per query) still skews second decades.
-  private def calibrate(spark: SparkSession): Double = {
-    System.gc()
-    val t0 = System.nanoTime()
-    spark.range(1000000000L).selectExpr("sum(id % 7)", "count(1)").collect()
-    (System.nanoTime() - t0) / 1e9
-  }
-  private def loadAvg(): Double =
-    try Files.readString(Paths.get("/proc/loadavg"))
-      .split("\\s+")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  private def calibrate(spark: SparkSession): Double =
+    graft.core.MachineProbe.calibrate(spark)
+  private def loadAvg(): Double = graft.core.MachineProbe.loadAvg()
 
   def main(args: Array[String]): Unit = {
+    // before ANY work in this JVM (session build, derive, probes) —
+    // the only load reading attributable purely to external contention
+    val loadBaseline = loadAvg()
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse("target/scale10")
@@ -148,10 +145,6 @@ object ScaleSweep {
       case Some(names) => sweep.filter(names)
       case None        => sweep
     }
-    // the only sample not polluted by this JVM's own decaying 1-min
-    // load contribution (nothing has run yet besides derive, which is
-    // skipped when markers match); mid-run samples are external + self
-    val loadBaseline = loadAvg()
     // JIT-warm the probe untimed: a cold first probe measured ~9x its
     // warm time, which would read as phantom start-of-run contention
     calibrate(spark)

@@ -222,13 +222,17 @@ object CorpusPipeline {
       case None => docs
       case Some(u) =>
         val scored = docs.withColumn("__uscore", length(col(textCol)))
+        // url_canon stays on the frame between the two UrlOps calls so
+        // capPerDomain reuses it instead of re-canonicalizing per row
         val urlDeduped = UrlOps.dedupByUrl(scored, u, "__uscore", idCol)
-          .drop("url_canon")
         val capped =
-          if (cfg.domainCap <= 0) urlDeduped
+          if (cfg.domainCap <= 0) urlDeduped.drop("url_canon")
           else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
             cfg.domainCap).drop("url_canon", "domain")
-        note("url_curation", capped.drop("__uscore"))
+        // materialized like every other stage boundary: the URL
+        // groupBy/semi-join/window subtree otherwise re-executes once
+        // per downstream consumer (c4 join sides, CorpusClean branches)
+        note("url_curation", stage(capped.drop("__uscore")))
     }
 
     // 0b. byte repair (optional): per-row scalar rewrite of the text

@@ -22,6 +22,14 @@ import graft.functions.TextAnalysis
   */
 object LineCuration {
 
+  /** C4's defaults — SHARED by the batch operators and the streaming
+    * ingest gate (IngestDedup), so tuning one cannot silently diverge
+    * batch and streaming admission for identical documents.
+    */
+  val DefaultBlockPhrases: Seq[String] = Seq("javascript")
+  val DefaultDocBlockPhrases: Seq[String] = Seq("lorem ipsum", "{")
+  val DefaultTerminalRe: String = "[.!?\"]$"
+
   /** Whitespace-token count of a (trimmed) line. */
   def wordCount(t: Column): Column =
     size(filter(split(t, "\\s+"), w => length(w) > 0))
@@ -42,8 +50,8 @@ object LineCuration {
     * document (the gate is [[c4Clean]]'s job).
     */
   def filterLines(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 3, blockPhrases: Seq[String] = Seq("javascript"),
-      terminalRe: String = "[.!?\"]$"): DataFrame = {
+      minWords: Int = 3, blockPhrases: Seq[String] = DefaultBlockPhrases,
+      terminalRe: String = DefaultTerminalRe): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
     docs.select(col(idCol),
@@ -59,9 +67,9 @@ object LineCuration {
     */
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 3, minKeptLines: Int = 2,
-      blockPhrases: Seq[String] = Seq("javascript"),
-      docBlockPhrases: Seq[String] = Seq("lorem ipsum", "{"),
-      terminalRe: String = "[.!?\"]$"): DataFrame = {
+      blockPhrases: Seq[String] = DefaultBlockPhrases,
+      docBlockPhrases: Seq[String] = DefaultDocBlockPhrases,
+      terminalRe: String = DefaultTerminalRe): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
@@ -90,6 +98,7 @@ object LineCuration {
     */
   def stripDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
       minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // split once; consumed by the flag counts and the rebuild
     // (CacheBin contract — runner drains)
     val base = graft.core.CacheBin.trackEager(
@@ -104,15 +113,43 @@ object LineCuration {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select(col("__h"))
+    // covered line positions fold into SORTED (start, len) intervals
+    // (gaps-and-islands, doc-bounded window) and the clean text is
+    // rebuilt from their COMPLEMENT via array slices — O(lines + spans)
+    // per document; a per-line membership test against an expanded
+    // removal-position set would be O(lines × removed) and straggle on
+    // a chrome-heavy 20k-line page (the same corner SpanDedup's
+    // rebuild was reworked for)
     val covered = wins.join(flagged, "__h")
+      .select(col(idCol), col("__pos").as("__p"))
+      .repartition(col(idCol))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val spans = covered
+      .withColumn("__grp", col("__p") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__p")).as("__start"), count(lit(1)).as("__len"))
+    val perDoc = spans
       .groupBy(col(idCol))
-      .agg(collect_set(col("__pos")).as("__cov"))
-    base.join(covered, Seq(idCol), "left_outer")
+      .agg(sort_array(collect_list(struct(
+        col("__start").cast("long").as("__start"),
+        col("__len").cast("long").as("__len")))).as("__spans"))
+    val sp = col("__sp")
+    val segments = transform(sequence(lit(0), size(sp)), i => {
+      val segStart = when(i === 0, lit(0L))
+        .otherwise(element_at(sp, i)("__start") + element_at(sp, i)("__len"))
+      val segStop = when(i === size(sp), size(col("__ls")).cast("long"))
+        .otherwise(element_at(sp, i + 1)("__start"))
+      slice(col("__ls"), (segStart + 1).cast("int"),
+        (segStop - segStart).cast("int"))
+    })
+    base
+      .join(perDoc, Seq(idCol), "left_outer")
+      .withColumn("__sp", coalesce(col("__spans"),
+        array().cast("array<struct<__start:bigint,__len:bigint>>")))
       .select(col(idCol),
         size(col("__ls")).cast("long").as("n_lines"),
-        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
-        concat_ws("\n", filter(col("__ls"),
-          (l, i) => !coalesce(array_contains(col("__cov"), i), lit(false))))
-          .as("clean_text"))
+        coalesce(aggregate(sp, lit(0L), (acc, s) => acc + s("__len")), lit(0L))
+          .as("n_removed"),
+        concat_ws("\n", flatten(segments)).as("clean_text"))
   }
 }

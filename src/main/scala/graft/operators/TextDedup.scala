@@ -411,12 +411,23 @@ object TextDedup {
     *     and only the lock holder may delete the stale lease — after
     *     RE-checking under the lock that it is still stale. The live
     *     lease file is therefore only ever deleted (a) by its owner's
-    *     release or (b) under the lock after a stale re-check; a
-    *     fresh lease can never be collateral damage. A crashed lock
-    *     holder's stale lock is simply deleted — harmless even when
-    *     two contenders both do it and both proceed, because lease
-    *     CREATION stays the single atomic arbiter and the loser
-    *     throws.
+    *     release or (b) under the lock after a stale re-check. A
+    *     crashed lock holder's stale lock is cleared by atomic RENAME
+    *     to a contender-unique tombstone (one winner; losers throw),
+    *     never by delete — a pending delete issued against a lock
+    *     observed stale can land arbitrarily later on a successor's
+    *     FRESH lock and put two contenders inside the critical
+    *     section. The rename's own ABA window (the winner stalls and
+    *     renames a refreshed lock) is closed by the tombstone's
+    *     preserved mtime: a fresh-aged tombstone is renamed straight
+    *     back and the contender backs off.
+    *
+    * A plain filesystem has no compare-and-swap, so no lock protocol
+    * on it is airtight against arbitrary stalls; the residual
+    * compound-failure windows (micro-second interleavings stacked on
+    * restore failures) all degrade to the same bounded outcome — the
+    * robbed writer aborts at its heartbeat / pre-swap ownership
+    * verify, wasting one compaction, corrupting nothing.
     */
   val TakeoverLockFile = s"$CompactionLeaseFile.takeover"
 
@@ -462,7 +473,35 @@ object TextDedup {
           throw new IllegalStateException(
             s"lost the stale-lease takeover race on $path " +
               "(another contender holds the takeover lock)")
-        fs.delete(lockP, false) // crashed lock holder; see scaladoc
+        // crashed lock holder: exactly ONE contender may clear the
+        // stale lock — arbitrated by an atomic RENAME to a
+        // contender-unique tombstone, never a delete. A pending
+        // delete is an unbounded-delay weapon: issued against a lock
+        // observed stale, it can land arbitrarily later and destroy a
+        // SUCCESSOR's fresh lock, putting two contenders inside the
+        // critical section (where the lease re-check + delete then
+        // kills a fresh lease). A rename moves only the single file
+        // version it wins; the loser's rename fails (source gone).
+        val tomb = new org.apache.hadoop.fs.Path(
+          s"$path/$TakeoverLockFile.$token.stale")
+        if (!fs.rename(lockP, tomb))
+          throw new IllegalStateException(
+            s"lost the stale-lease takeover race on $path " +
+              "(another contender cleared the stale lock)")
+        // anti-ABA: if this contender stalled between the staleness
+        // read and the rename, the renamed file may be a successor's
+        // FRESH lock (rename preserves mtime, so the tombstone's age
+        // tells). Restore it atomically and back off; if a third
+        // contender already re-created the lock the restore fails and
+        // the robbed holder aborts at its under-lock stale re-check /
+        // pre-swap ownership verify — the documented second line.
+        if (fileAgeMs(fs, tomb).exists(_ <= staleMs)) {
+          fs.rename(tomb, lockP)
+          throw new IllegalStateException(
+            s"lost the stale-lease takeover race on $path " +
+              "(the takeover lock was refreshed mid-clear)")
+        }
+        fs.delete(tomb, false) // this contender's own tombstone
       }
       if (!createExclusive(fs, lockP, token))
         throw new IllegalStateException(

@@ -69,10 +69,16 @@ object UrlOps {
   def dedupByUrl(docs: DataFrame, urlCol: String, scoreCol: String,
       idCol: String): DataFrame = {
     val keyed = docs.withColumn("url_canon", canonicalize(col(urlCol)))
-    val winners = keyed.groupBy(col("url_canon"))
+    // rows without a URL cannot be URL-deduped — route them AROUND the
+    // stage untouched. Left in, the null canonical key would never
+    // match the semi join (null = null is never true) and every
+    // null-URL document would silently vanish from the corpus.
+    val withUrl = keyed.filter(col("url_canon").isNotNull)
+    val winners = withUrl.groupBy(col("url_canon"))
       .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("w"))
       .select(col("url_canon"), (-col("w.ni")).as(idCol))
-    keyed.join(winners, Seq("url_canon", idCol), "left_semi")
+    withUrl.join(winners, Seq("url_canon", idCol), "left_semi")
+      .unionByName(keyed.filter(col("url_canon").isNull))
   }
 
   /** Per-domain document cap: keep at most `k` rows per registered
@@ -84,13 +90,22 @@ object UrlOps {
   def capPerDomain(docs: DataFrame, urlCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0, s"domain cap must be positive: $k")
-    val keyed = docs
-      .withColumn("url_canon", canonicalize(col(urlCol)))
-      .withColumn("domain", domainOf(col("url_canon")))
+    // reuse a canonical key computed by an upstream stage (dedupByUrl)
+    // instead of re-running the six-regex canonicalization per row
+    val keyed0 =
+      if (docs.columns.contains("url_canon")) docs
+      else docs.withColumn("url_canon", canonicalize(col(urlCol)))
+    val keyed = keyed0.withColumn("domain", domainOf(col("url_canon")))
+    // null-URL rows have no domain to cap by: pass them through rather
+    // than pooling every URL-less document into one phantom "domain"
+    // that the cap would then cut to k rows
+    val nullSide = keyed.filter(col("url_canon").isNull)
     val w = Window.partitionBy(col("domain"))
       .orderBy(col(scoreCol).desc, col(idCol))
-    keyed.withColumn("__rn", row_number().over(w))
+    keyed.filter(col("url_canon").isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+      .unionByName(nullSide)
   }
 }

@@ -221,8 +221,9 @@ object IngestDedup {
       else {
         import graft.operators.LineCuration
         val kept = filter(split(col(textCol), "\n"),
-          l => LineCuration.lineOk(l, c4MinWords, Seq("javascript"), "[.!?\"]$"))
-        val docBlocked = Seq("lorem ipsum", "{").foldLeft(lit(false))(
+          l => LineCuration.lineOk(l, c4MinWords,
+            LineCuration.DefaultBlockPhrases, LineCuration.DefaultTerminalRe))
+        val docBlocked = LineCuration.DefaultDocBlockPhrases.foldLeft(lit(false))(
           (acc, p) => acc || lower(col(textCol)).contains(lit(p)))
         repaired
           .withColumn("__kept", kept)

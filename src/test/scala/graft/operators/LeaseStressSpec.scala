@@ -88,6 +88,62 @@ class LeaseStressSpec extends SparkSpec {
     }
   }
 
+  test("a crashed takeover LOCK plus a stale lease: one winner through the lock-clear rename") {
+    // the reviewer-found weapon: the old code DELETED a stale takeover
+    // lock, and that pending delete could land on a successor's fresh
+    // lock, double-admitting contenders; the clear is now an atomic
+    // rename. Seed BOTH artifacts stale and race the full protocol.
+    val iterations = 20
+    val contenders = 8
+    val base = java.nio.file.Files.createTempDirectory("lock-stress").toString
+    (0 until iterations).foreach { iter =>
+      val idx = s"$base/idx$iter"
+      fs(idx).mkdirs(new org.apache.hadoop.fs.Path(idx))
+      val dead = TextDedup.acquireCompactionLease(spark, idx,
+        TextDedup.DefaultLeaseStaleMs)
+      val past = System.currentTimeMillis() -
+        TextDedup.DefaultLeaseStaleMs - 60000L
+      fs(idx).setTimes(leaseFile(idx), past, -1)
+      // a contender crashed mid-takeover holding the lock
+      val lockP = new org.apache.hadoop.fs.Path(
+        s"$idx/${TextDedup.TakeoverLockFile}")
+      val out = fs(idx).create(lockP, false)
+      out.write("crashed-contender".getBytes); out.close()
+      fs(idx).setTimes(lockP, past, -1)
+
+      val start = new CyclicBarrier(contenders)
+      val done = new CountDownLatch(contenders)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until contenders).map { i =>
+        val t = new Thread(() => {
+          try {
+            start.await(30, TimeUnit.SECONDS)
+            wins.add(TextDedup.acquireCompactionLease(spark, idx,
+              TextDedup.DefaultLeaseStaleMs))
+          } catch { case _: IllegalStateException => () }
+          finally done.countDown()
+        }, s"lock-contender-$iter-$i")
+        t.start(); t
+      }
+      assert(done.await(60, TimeUnit.SECONDS), s"iter $iter: contenders hung")
+      threads.foreach(_.join(10000))
+      assert(wins.size == 1,
+        s"iter $iter: ${wins.size} contenders own the lease " +
+          "(stale-lock clear double-admitted)")
+      assert(fs(idx).exists(leaseFile(idx)),
+        s"iter $iter: the winner's fresh lease vanished")
+      // the dead owner aborts; the winner verifies and releases cleanly
+      intercept[IllegalStateException](
+        TextDedup.verifyLeaseOwner(spark, idx, dead))
+      TextDedup.verifyLeaseOwner(spark, idx, wins.peek())
+      TextDedup.releaseCompactionLease(spark, idx, wins.peek())
+      // no takeover-lock residue survives the race (tombstones are
+      // self-owned and deleted; the lock itself is cleared or expired)
+      assert(!fs(idx).exists(lockP),
+        s"iter $iter: takeover lock leaked past the race")
+    }
+  }
+
   test("contenders racing a FRESH lease all lose and never disturb it") {
     val idx = java.nio.file.Files.createTempDirectory("lease-fresh").toString
     val owner = TextDedup.acquireCompactionLease(spark, idx,

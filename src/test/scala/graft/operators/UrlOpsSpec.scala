@@ -68,4 +68,26 @@ class UrlOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("null-URL rows route around both stages untouched") {
+    import spark.implicits._
+    // two canonical twins + three URL-less rows (a mixed-source corpus)
+    val docs = Seq(
+      (0L, "http://a.com/p", 1L), (1L, "HTTP://A.com/p", 2L),
+      (2L, null.asInstanceOf[String], 0L),
+      (3L, null.asInstanceOf[String], 0L),
+      (4L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "url", "score")
+    // dedupByUrl: the twin pair collapses to the higher score; EVERY
+    // null-URL row survives (a null key can never equi-join — dropped
+    // silently before this guard)
+    val deduped = UrlOps.dedupByUrl(docs, "url", "score", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deduped === Set(1L, 2L, 3L, 4L))
+    // capPerDomain k=1: the null rows must NOT pool into one phantom
+    // domain and get cut to k
+    val capped = UrlOps.capPerDomain(docs, "url", "score", "doc_id", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped === Set(1L, 2L, 3L, 4L))
+  }
 }

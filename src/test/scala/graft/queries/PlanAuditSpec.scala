@@ -127,8 +127,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), "pairwise stage in line dedup")
     // both joins (flag membership, coverage rebuild) are hash equi-joins
-    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), "no hash join in line dedup plan")
+    assert(!p.contains("SortMergeJoin"), "a line-dedup join fell to sort-merge")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "no hash join in line dedup plan")
     // the flag key is the 8-byte polynomial line hash, not line text
     assert(p.contains("__h#"), "line-hash flag key missing from plan")
   }
