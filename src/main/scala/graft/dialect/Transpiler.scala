@@ -287,6 +287,387 @@ object Transpiler {
     Set("FROM", "JOIN", "AS", "INTO", "UPDATE", "TABLE").contains(kw)
   }
 
+  // ---------------------------------------------------------------------
+  // Balanced-paren call rewriting — DATEADD/DATE_DIFF/TO_CHAR arguments
+  // routinely contain nested calls, which the word-regex rewrites above
+  // cannot split. Args are rewritten depth-first, so nested calls of the
+  // SAME function resolve before the outer one.
+  // ---------------------------------------------------------------------
+
+  /** Split `s` on top-level commas (paren- and quote-aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inS = false
+    var start = 0
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (inS) {
+        if (c == '\'') {
+          if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 1 else inS = false
+        }
+      } else if (c == '\'') inS = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ',' && depth == 0) { out += s.substring(start, k); start = k + 1 }
+      k += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Rewrite every `name(args...)` call in code regions. `f` receives
+    * the top-level args (already depth-first rewritten) and returns the
+    * replacement, or None to keep the call as-is.
+    */
+  private def rewriteCall(sql: String, name: String)(
+      f: Seq[String] => Option[String]): String = {
+    val upper = sql.toUpperCase
+    val target = name.toUpperCase
+    val tagged = lex(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val wordAt = upper.startsWith(target, i) && tagged(i)._2 == Code &&
+        (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_'))
+      var j = i + target.length
+      var callAt = wordAt
+      if (callAt) {
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        callAt = j < sql.length && sql.charAt(j) == '('
+      }
+      if (!callAt) { sb.append(sql.charAt(i)); i += 1 }
+      else {
+        var depth = 0
+        var k = j
+        var inS = false
+        var end = -1
+        while (k < sql.length && end < 0) {
+          val c = sql.charAt(k)
+          if (inS) {
+            if (c == '\'') {
+              if (k + 1 < sql.length && sql.charAt(k + 1) == '\'') k += 1
+              else inS = false
+            }
+          } else if (c == '\'') inS = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = k }
+          k += 1
+        }
+        if (end < 0) { sb.append(sql.charAt(i)); i += 1 }
+        else {
+          val args = splitArgs(sql.substring(j + 1, end))
+            .map(a => rewriteCall(a, name)(f))
+          f(args) match {
+            case Some(repl) => sb.append(repl)
+            case None =>
+              sb.append(sql.substring(i, j + 1)).append(args.mkString(", "))
+                .append(')')
+          }
+          i = end + 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Normalize a Snowflake/BigQuery date-part token (bare or quoted,
+    * any of the documented abbreviations) to a canonical unit.
+    */
+  private def normUnit(u0: String): Option[String] = {
+    val u = u0.trim.stripPrefix("'").stripSuffix("'").toLowerCase
+    u match {
+      case "y" | "yy" | "yyy" | "yyyy" | "yr" | "yrs" | "year" | "years" => Some("year")
+      case "q" | "qtr" | "qtrs" | "quarter" | "quarters" => Some("quarter")
+      case "mm" | "mon" | "mons" | "month" | "months" => Some("month")
+      case "w" | "wk" | "weekofyear" | "woy" | "week" | "weeks" => Some("week")
+      case "d" | "dd" | "day" | "days" | "dayofmonth" => Some("day")
+      case "h" | "hh" | "hr" | "hrs" | "hour" | "hours" => Some("hour")
+      case "mi" | "min" | "mins" | "minute" | "minutes" => Some("minute")
+      case "s" | "ss" | "sec" | "secs" | "second" | "seconds" => Some("second")
+      case _ => None
+    }
+  }
+
+  /** Spark SQL for `expr` advanced by `n` `unit`s (DATEADD/DATE_ADD). */
+  private def dateAddSql(unit: String, n: String, e: String): String =
+    unit match {
+      case "day" => s"date_add($e, ($n))"
+      case "week" => s"date_add($e, (($n) * 7))"
+      case "month" => s"add_months($e, ($n))"
+      case "quarter" => s"add_months($e, (($n) * 3))"
+      case "year" => s"add_months($e, (($n) * 12))"
+      case u => s"timestampadd(${u.toUpperCase}, ($n), $e)"
+    }
+
+  /** Spark SQL for the Snowflake/BigQuery boundary-counting date diff
+    * (`end - start` in crossed `unit` boundaries — NOT elapsed whole
+    * units, which is what a bare months_between/timestampdiff returns:
+    * DATEDIFF(month, Jan 31, Feb 1) is 1 in both warehouses).
+    */
+  private def dateDiffSql(unit: String, a: String, b: String): String =
+    unit match {
+      case "day" => s"datediff($b, $a)"
+      case "week" =>
+        s"(datediff(date_trunc('WEEK', $b), date_trunc('WEEK', $a)) DIV 7)"
+      case "month" => s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+      case "quarter" => s"((year($b) - year($a)) * 4 + (quarter($b) - quarter($a)))"
+      case "year" => s"(year($b) - year($a))"
+      case u =>
+        val uu = u.toUpperCase
+        s"timestampdiff($uu, date_trunc('$uu', $a), date_trunc('$uu', $b))"
+    }
+
+  /** The string inside a single-quoted literal arg, if it is one. */
+  private def fmtLit(arg: String): Option[String] = {
+    val t = arg.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      Some(t.substring(1, t.length - 1))
+    else None
+  }
+
+  /** Snowflake TO_CHAR/TO_DATE format elements → Spark datetime
+    * pattern. None when the format has an element we don't map (the
+    * call then passes through for the repair loop).
+    */
+  private val snowFmtTokens: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy", "MON" -> "MMM", "MM" -> "MM",
+    "DY" -> "EEE", "DD" -> "dd", "HH24" -> "HH", "HH12" -> "hh",
+    "HH" -> "HH", "MI" -> "mm", "SS" -> "ss", "FF3" -> "SSS")
+
+  private def snowFmtToSpark(fmt: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      snowFmtTokens.find { case (t, _) =>
+        fmt.regionMatches(true, i, t, 0, t.length)
+      } match {
+        case Some((t, sp)) => sb.append(sp); i += t.length
+        case None =>
+          val c = fmt.charAt(i)
+          if ("-/., :".indexOf(c) >= 0) { sb.append(c); i += 1 }
+          else return None
+      }
+    }
+    Some(sb.toString)
+  }
+
+  /** BigQuery %-style (strftime) format → Spark datetime pattern. */
+  private val strfDirectives: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+    'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'e' -> "d",
+    'A' -> "EEEE", 'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM", '%' -> "%")
+
+  private def strfToSpark(fmt: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        if (i + 1 >= fmt.length) return None
+        strfDirectives.get(fmt.charAt(i + 1)) match {
+          case Some(sp) => sb.append(sp); i += 2
+          case None => return None
+        }
+      } else if ("-/., :".indexOf(c) >= 0) { sb.append(c); i += 1 }
+      else return None
+    }
+    Some(sb.toString)
+  }
+
+  /** `lhs [NOT] ILIKE ANY ('a', 'b', ...)` → OR-expansion (Spark has
+    * LIKE ANY but not ILIKE ANY).
+    */
+  private val ilikeAnyRe =
+    """(?i)([A-Za-z0-9_."`]+)\s+(NOT\s+)?ILIKE\s+ANY\s*\(([^()]*)\)""".r
+
+  private def rewriteIlikeAny(sql: String): String =
+    ilikeAnyRe.replaceAllIn(sql, m => {
+      val lhs = m.group(1)
+      val neg = Option(m.group(2)).isDefined
+      val ors = splitArgs(m.group(3)).map(p => s"$lhs ILIKE $p").mkString(" OR ")
+      java.util.regex.Matcher.quoteReplacement(
+        if (neg) s"NOT ($ors)" else s"($ors)")
+    })
+
+  /** Snowflake `expr::TYPE` — Spark parses `::` natively, so only the
+    * TYPE name needs mapping. `NUMBER(p,s)` keeps its precision
+    * (NUMBER → DECIMAL, the `(p,s)` copies through); bare NUMBER maps
+    * to Snowflake's documented default DECIMAL(38,0).
+    */
+  private def rewriteCastColons(sql: String, bare: Map[String, String],
+      withArgs: Map[String, String]): String = {
+    val tagged = lex(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == ':' && i + 1 < sql.length &&
+          sql.charAt(i + 1) == ':' && tagged(i)._2 == Code) {
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val ts = j
+        while (j < sql.length && (Character.isLetterOrDigit(sql.charAt(j)) ||
+            sql.charAt(j) == '_')) j += 1
+        val t = sql.substring(ts, j).toUpperCase
+        var k = j
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        val parened = k < sql.length && sql.charAt(k) == '('
+        val mapped =
+          if (parened) withArgs.getOrElse(t, sql.substring(ts, j))
+          else bare.getOrElse(t, sql.substring(ts, j))
+        sb.append("::").append(mapped)
+        i = j
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val SnowflakeBareTypes: Map[String, String] = Map(
+    "NUMBER" -> "DECIMAL(38,0)", "INT" -> "BIGINT", "INTEGER" -> "BIGINT",
+    "SMALLINT" -> "BIGINT", "TINYINT" -> "BIGINT", "BYTEINT" -> "BIGINT",
+    "FLOAT" -> "DOUBLE", "FLOAT4" -> "DOUBLE", "FLOAT8" -> "DOUBLE",
+    "REAL" -> "DOUBLE",
+    "VARCHAR" -> "STRING", "CHAR" -> "STRING", "TEXT" -> "STRING",
+    "TIMESTAMP_NTZ" -> "TIMESTAMP", "TIMESTAMP_LTZ" -> "TIMESTAMP",
+    "TIMESTAMP_TZ" -> "TIMESTAMP", "VARIANT" -> "STRING")
+
+  private val SnowflakeParenTypes: Map[String, String] = Map(
+    "NUMBER" -> "DECIMAL", "VARCHAR" -> "VARCHAR", "CHAR" -> "CHAR")
+
+  /** Snowflake dialect arm (reference repair-prompt inventory:
+    * `core/actor/generator/sql_debug.py:120-250`; executor surface
+    * `core/db_connect.py:49-136`): DATEADD/DATEDIFF unit-first forms
+    * with boundary-counting semantics, TO_CHAR/TO_DATE/TO_TIMESTAMP
+    * format mapping, `::` cast types, IFF, ILIKE ANY — then the shared
+    * pipeline (QUALIFY, GROUP_CONCAT, type casts). Idempotent.
+    */
+  def transpileSnowflake(sql: String): String = {
+    var out = sql.trim.stripSuffix(";")
+    out = rewriteCall(out, "DATEADD") {
+      case Seq(u, n, e) => normUnit(u).map(dateAddSql(_, n, e))
+      case _ => None
+    }
+    out = rewriteCall(out, "DATEDIFF") {
+      case Seq(u, a, b) => normUnit(u).map(dateDiffSql(_, a, b))
+      case _ => None
+    }
+    out = rewriteCall(out, "TO_CHAR") {
+      case Seq(e) => Some(s"CAST($e AS STRING)")
+      case Seq(e, f) =>
+        fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"date_format($e, '$sf')")
+      case _ => None
+    }
+    out = rewriteCall(out, "TO_DATE") {
+      case Seq(e, f) =>
+        fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_date($e, '$sf')")
+      case _ => None // 1-arg to_date is already Spark
+    }
+    out = rewriteCall(out, "TO_TIMESTAMP") {
+      case Seq(e, f) =>
+        fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_timestamp($e, '$sf')")
+      case _ => None
+    }
+    out = rewriteIlikeAny(out)
+    out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
+    out = replaceToken(out, "IFF", "IF")
+    transpile(out)
+  }
+
+  /** `INTERVAL n unit` (BigQuery DATE_ADD/DATE_SUB second arg). */
+  private val intervalRe = """(?i)^INTERVAL\s+(.+?)\s+([A-Za-z]+)$""".r
+
+  private def parseInterval(arg: String): Option[(String, String)] =
+    arg.trim match {
+      case intervalRe(n, u) => normUnit(u).map(unit => (n, unit))
+      case _ => None
+    }
+
+  /** BigQuery `\`project.dataset.table\`` quotes the whole dotted path
+    * in ONE backtick pair; Spark needs each segment quoted.
+    */
+  private def rewriteBacktickPaths(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '`') {
+        val close = sql.indexOf('`', i + 1)
+        if (close < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else {
+          val inner = sql.substring(i + 1, close)
+          if (inner.contains('.') && inner.matches("[A-Za-z0-9_.\\-]+"))
+            sb.append(inner.split('.').map(s => s"`$s`").mkString("."))
+          else sb.append('`').append(inner).append('`')
+          i = close + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def rewriteBqTypes(sql: String): String =
+    sql.replaceAll("(?i)\\bAS\\s+FLOAT64\\b", "AS DOUBLE")
+      .replaceAll("(?i)\\bAS\\s+INT64\\b", "AS BIGINT")
+      .replaceAll("(?i)\\bAS\\s+NUMERIC\\b", "AS DECIMAL(38,9)")
+      .replaceAll("(?i)\\bAS\\s+BIGNUMERIC\\b", "AS DECIMAL(38,18)")
+      .replaceAll("(?i)\\bAS\\s+BOOL\\b", "AS BOOLEAN")
+      .replaceAll("(?i)\\bAS\\s+BYTES\\b", "AS BINARY")
+
+  /** BigQuery dialect arm (same reference inventory): backtick path
+    * identifiers, SAFE_DIVIDE/SAFE_CAST → try_*, DATE_DIFF/DATE_ADD
+    * argument order (unit LAST; INTERVAL literal), FORMAT_DATE/
+    * PARSE_DATE %-formats, FLOAT64/INT64/NUMERIC casts, COUNTIF,
+    * REGEXP_CONTAINS — then the shared pipeline. Idempotent.
+    *
+    * NOTE: BigQuery NUMERIC is DECIMAL(38,9); a bare rename to
+    * Spark's default DECIMAL(10,0) would silently truncate.
+    */
+  def transpileBigQuery(sql: String): String = {
+    var out = sql.trim.stripSuffix(";")
+    out = rewriteBacktickPaths(out)
+    def diffArm(name: String): Unit =
+      out = rewriteCall(out, name) {
+        case Seq(e, s0, u) => normUnit(u).map(dateDiffSql(_, s0, e))
+        case _ => None
+      }
+    diffArm("DATE_DIFF"); diffArm("TIMESTAMP_DIFF"); diffArm("DATETIME_DIFF")
+    def addArm(name: String, sign: String): Unit =
+      out = rewriteCall(out, name) {
+        case Seq(e, iv) =>
+          parseInterval(iv).map { case (n, u) => dateAddSql(u, s"$sign($n)", e) }
+        case _ => None // Spark's own 2-arg date_add(date, days) passes through
+      }
+    addArm("DATE_ADD", ""); addArm("TIMESTAMP_ADD", ""); addArm("DATETIME_ADD", "")
+    addArm("DATE_SUB", "-"); addArm("TIMESTAMP_SUB", "-"); addArm("DATETIME_SUB", "-")
+    out = rewriteCall(out, "FORMAT_DATE") {
+      case Seq(f, e) =>
+        fmtLit(f).flatMap(strfToSpark).map(sf => s"date_format($e, '$sf')")
+      case _ => None
+    }
+    out = rewriteCall(out, "FORMAT_TIMESTAMP") {
+      case Seq(f, e) =>
+        fmtLit(f).flatMap(strfToSpark).map(sf => s"date_format($e, '$sf')")
+      case _ => None
+    }
+    out = rewriteCall(out, "PARSE_DATE") {
+      case Seq(f, e) =>
+        fmtLit(f).flatMap(strfToSpark).map(sf => s"to_date($e, '$sf')")
+      case _ => None
+    }
+    out = replaceToken(out, "SAFE_DIVIDE", "TRY_DIVIDE")
+    out = replaceToken(out, "SAFE_CAST", "TRY_CAST")
+    out = replaceToken(out, "COUNTIF", "COUNT_IF")
+    out = replaceToken(out, "REGEXP_CONTAINS", "REGEXP_LIKE")
+    out = replaceToken(out, "STARTS_WITH", "STARTSWITH")
+    out = replaceToken(out, "ENDS_WITH", "ENDSWITH")
+    out = replaceToken(out, "ARRAY_LENGTH", "ARRAY_SIZE")
+    out = replaceToken(out, "CURRENT_DATETIME", "CURRENT_TIMESTAMP")
+    out = rewriteBqTypes(out)
+    transpile(out)
+  }
+
   /** sqlite-strict variant: sqlite's LIKE is ASCII-case-insensitive by
     * default, Spark's is case-sensitive — a silent row-set difference
     * on every text predicate. Word-bounded LIKE → ILIKE (NOT ILIKE is

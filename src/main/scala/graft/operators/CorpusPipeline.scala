@@ -77,7 +77,7 @@ object CorpusPipeline {
       // words and no blocked phrase; DROP docs with < c4MinKeptLines
       // survivors or a doc-level block phrase (lorem ipsum / brace)
       c4MinWords: Int = 0,
-      c4MinKeptLines: Int = 2,
+      c4MinKeptLines: Int = LineCuration.DefaultMinKeptLines,
       // > 0 turns on corpus-level exact line dedup: a non-blank line
       // in >= this many DISTINCT documents is removed from every doc
       lineDedupMinDocFreq: Int = 0,
@@ -190,6 +190,11 @@ object CorpusPipeline {
   private def prepareImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
       idCol: String, textCol: String, srcCol: String,
       report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
+    // the whole URL stage is gated on urlCol — a domain cap configured
+    // without it would be silently ignored, not applied
+    require(cfg.domainCap <= 0 || cfg.urlCol.nonEmpty,
+      "domainCap requires urlCol: the per-domain cap is part of the URL " +
+        "curation stage and is only applied when urlCol is set")
     def note(name: String, df: DataFrame): DataFrame = {
       report.foreach(_ += StageRows(name, df.count()))
       df

@@ -22,13 +22,34 @@ import graft.functions.TextAnalysis
   */
 object LineCuration {
 
-  /** C4's defaults — SHARED by the batch operators and the streaming
-    * ingest gate (IngestDedup), so tuning one cannot silently diverge
-    * batch and streaming admission for identical documents.
+  /** The published C4 defaults (Raffel et al. 2020 §2.2 and the
+    * reference TensorFlow-datasets `c4_utils` cleaner): drop lines
+    * mentioning javascript or any of the cookie/policy boilerplate
+    * phrases, keep lines with >= 5 words, drop pages with fewer than 3
+    * surviving lines (C4 counts SENTENCES; kept lines are this
+    * engine's documented approximation — the paper's cleaner operates
+    * line-wise too) or containing "lorem ipsum" / a curly brace.
+    * SHARED by the batch operators and the streaming ingest gate
+    * (IngestDedup), so tuning one cannot silently diverge batch and
+    * streaming admission for identical documents.
     */
-  val DefaultBlockPhrases: Seq[String] = Seq("javascript")
+  val DefaultBlockPhrases: Seq[String] = Seq(
+    "javascript", "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
   val DefaultDocBlockPhrases: Seq[String] = Seq("lorem ipsum", "{")
   val DefaultTerminalRe: String = "[.!?\"]$"
+  val DefaultMinWords: Int = 5
+  val DefaultMinKeptLines: Int = 3
+
+  /** Document-level block predicate (case-insensitive) — the SINGLE
+    * definition used by both [[c4Clean]] and the streaming ingest gate,
+    * so a non-lowercase phrase in the shared default list cannot make
+    * batch and streaming admission diverge.
+    */
+  def docBlocked(t: Column,
+      phrases: Seq[String] = DefaultDocBlockPhrases): Column =
+    phrases.foldLeft(lit(false))((acc, p) =>
+      acc || lower(t).contains(lit(p.toLowerCase)))
 
   /** Whitespace-token count of a (trimmed) line. */
   def wordCount(t: Column): Column =
@@ -50,7 +71,8 @@ object LineCuration {
     * document (the gate is [[c4Clean]]'s job).
     */
   def filterLines(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 3, blockPhrases: Seq[String] = DefaultBlockPhrases,
+      minWords: Int = DefaultMinWords,
+      blockPhrases: Seq[String] = DefaultBlockPhrases,
       terminalRe: String = DefaultTerminalRe): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
@@ -66,20 +88,19 @@ object LineCuration {
     * the curly brace as a code tell). Returns survivors only.
     */
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 3, minKeptLines: Int = 2,
+      minWords: Int = DefaultMinWords,
+      minKeptLines: Int = DefaultMinKeptLines,
       blockPhrases: Seq[String] = DefaultBlockPhrases,
       docBlockPhrases: Seq[String] = DefaultDocBlockPhrases,
       terminalRe: String = DefaultTerminalRe): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     val kept = filter(lines, l => lineOk(l, minWords, blockPhrases, terminalRe))
-    val docBlocked = docBlockPhrases.foldLeft(lit(false))((acc, p) =>
-      acc || lower(t).contains(lit(p.toLowerCase)))
     docs.select(col(idCol),
         size(lines).cast("long").as("n_lines"),
         size(kept).cast("long").as("n_kept"),
         array_join(kept, "\n").as("clean_text"),
-        docBlocked.as("__blocked"))
+        docBlocked(t, docBlockPhrases).as("__blocked"))
       .filter(col("n_kept") >= minKeptLines && !col("__blocked"))
       .drop("__blocked")
   }

@@ -332,12 +332,14 @@ object TextDedup {
     * (crashed owner) is taken over — [[recoverDedupIndex]] heals
     * whatever the dead owner left behind.
     *
-    * Takeover of a stale lease is itself race-free: the contender
-    * atomically RENAMES the stale file to a contender-unique tombstone
-    * before deleting it, so two contenders can never both "win" and a
-    * contender can never delete a FRESH lease another takeover just
-    * created (the delete only ever touches the file the rename handed
-    * it exclusively). Long compactions do not go falsely stale: the
+    * Takeover of a stale lease is itself race-free: contenders first
+    * win an atomic create-if-absent TAKEOVER LOCK, and only the lock
+    * holder may delete the stale lease — after re-checking under the
+    * lock that it is still stale — so two contenders can never both
+    * "win" and a FRESH lease another takeover just created is never
+    * deleted (the lease file itself is never renamed; only a crashed
+    * contender's stale LOCK is cleared by rename-to-tombstone).
+    * Long compactions do not go falsely stale: the
     * owner renews (touches) its lease on a daemon heartbeat at
     * staleMs/3, verifying its own token is still in the file first —
     * and re-verifies ownership immediately before each directory swap,
@@ -387,9 +389,10 @@ object TextDedup {
 
   /** Acquire the compaction lease or throw; returns the owner token to
     * renew/verify/release with. A fresh lease (age <= staleMs) rejects
-    * this writer. A stale one is taken over by RENAMING it to a
-    * contender-unique tombstone (only one contender's rename can
-    * succeed), then re-contending creation.
+    * this writer. A stale one is taken over under the TAKEOVER LOCK
+    * (atomic create-if-absent): only the lock holder deletes the stale
+    * lease, after re-checking staleness under the lock, then
+    * re-contends creation — the lease file is never renamed.
     *
     * Two races the r12 rename-to-tombstone protocol lost — both
     * caught by LeaseStressSpec racing real threads, both closed here:

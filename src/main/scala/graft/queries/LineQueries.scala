@@ -37,18 +37,35 @@ object LineQueries extends QueryPack {
        |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
 
+  /** Oracle-side mirror of [[LineCuration.lineOk]] at the published C4
+    * defaults — built FROM the shared default lists, so widening the
+    * phrase set or moving the word floor re-derives the oracle.
+    */
+  private def lineOkSql(v: String): String = {
+    val blocked = LineCuration.DefaultBlockPhrases
+      .map(p => s"contains(lower(trim($v)), '$p')").mkString(" OR ")
+    s"""regexp_matches(trim($v), '[.!?"]$$')
+       |       AND len(list_filter(string_split_regex(trim($v), '\\s+'),
+       |                           w -> length(w) > 0)) >= ${LineCuration.DefaultMinWords}
+       |       AND NOT ($blocked)""".stripMargin
+  }
+
   def queries: Seq[GQuery] = Seq(
 
     GQuery(
       "q_c4_line_filter",
       "C4 line filtering (Raffel et al. 2020 §2.2): keep lines ending " +
-        "in terminal punctuation, with >= 3 words, and no blocked " +
-        "phrase; rebuild the document from survivors. Pure per-row " +
-        "HOF pipeline — zero shuffle, cost = the scan.",
+        "in terminal punctuation, with >= 5 words, and none of the " +
+        "published javascript/cookie/policy block phrases; rebuild " +
+        "the document from survivors. Pure per-row HOF pipeline — " +
+        "zero shuffle, cost = the scan.",
       (s, dir) => {
         val synth = concat(chunked(col("text")),
           when(col("doc_id") % 2 === 0,
             lit("\nenable javascript now please today.")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 1,
+            lit("\nthis site uses cookies to improve your experience."))
+            .otherwise(lit("")),
           lit("\nok go."),
           lit("\nthe quick brown fox jumps over the dog."))
         LineCuration.filterLines(
@@ -62,16 +79,17 @@ object LineQueries extends QueryPack {
               |    (CASE WHEN doc_id % 2 = 0
               |          THEN chr(10) || 'enable javascript now please today.'
               |          ELSE '' END) ||
+              |    (CASE WHEN doc_id % 3 = 1
+              |          THEN chr(10) ||
+              |            'this site uses cookies to improve your experience.'
+              |          ELSE '' END) ||
               |    chr(10) || 'ok go.' ||
               |    chr(10) || 'the quick brown fox jumps over the dog.' AS t
               |  FROM documents),
               |f AS (
               |  SELECT doc_id, string_split(t, chr(10)) AS ls,
               |    list_filter(string_split(t, chr(10)),
-              |      x -> regexp_matches(trim(x), '[.!?"]$$')
-              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
-              |                           w -> length(w) > 0)) >= 3
-              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |      x -> ${lineOkSql("x")}) AS kept
               |  FROM s)
               |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
               |       CAST(len(kept) AS BIGINT) AS n_kept,
@@ -80,7 +98,7 @@ object LineQueries extends QueryPack {
 
     GQuery(
       "q_c4_doc_gate",
-      "C4 document gate: line-filter, then DROP documents with < 2 " +
+      "C4 document gate: line-filter, then DROP documents with < 3 " +
         "surviving lines or a doc-level block phrase ('lorem ipsum', " +
         "'{') in the original text. Scan-only filter — the cheapest " +
         "whole-document cut after URL curation.",
@@ -107,17 +125,14 @@ object LineQueries extends QueryPack {
               |f AS (
               |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
               |    list_filter(string_split(t, chr(10)),
-              |      x -> regexp_matches(trim(x), '[.!?"]$$')
-              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
-              |                           w -> length(w) > 0)) >= 3
-              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |      x -> ${lineOkSql("x")}) AS kept
               |  FROM s)
               |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
               |       CAST(len(kept) AS BIGINT) AS n_kept,
               |       CAST(length(array_to_string(kept, chr(10))) AS BIGINT)
               |         AS n_clean_chars
               |FROM f
-              |WHERE len(kept) >= 2
+              |WHERE len(kept) >= ${LineCuration.DefaultMinKeptLines}
               |  AND NOT contains(lower(t), 'lorem ipsum')
               |  AND NOT contains(lower(t), '{')
               |ORDER BY doc_id""".stripMargin)),
@@ -236,15 +251,12 @@ object LineQueries extends QueryPack {
               |c4 AS (
               |  SELECT doc_id, t,
               |    list_filter(string_split(t, chr(10)),
-              |      x -> regexp_matches(trim(x), '[.!?"]$$')
-              |       AND len(list_filter(string_split_regex(trim(x), '\\s+'),
-              |                           w -> length(w) > 0)) >= 3
-              |       AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+              |      x -> ${lineOkSql("x")}) AS kept
               |  FROM fx),
               |ct AS (
               |  SELECT doc_id, array_to_string(kept, chr(10)) AS t
               |  FROM c4
-              |  WHERE len(kept) >= 2
+              |  WHERE len(kept) >= ${LineCuration.DefaultMinKeptLines}
               |    AND NOT contains(lower(t), 'lorem ipsum')
               |    AND NOT contains(lower(t), '{')),
               |fp AS (SELECT doc_id, t, ${polyHashSql("t")} AS fpv FROM ct),

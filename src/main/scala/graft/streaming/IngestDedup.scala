@@ -210,7 +210,8 @@ object IngestDedup {
       tokenizerPath: Option[String] = None,
       fixText: Boolean = false,
       c4MinWords: Int = 0,
-      c4MinKeptLines: Int = 2): StreamingQuery = {
+      c4MinKeptLines: Int =
+        graft.operators.LineCuration.DefaultMinKeptLines): StreamingQuery = {
     val spark = docs.sparkSession
     val repaired =
       if (!fixText) docs
@@ -223,8 +224,9 @@ object IngestDedup {
         val kept = filter(split(col(textCol), "\n"),
           l => LineCuration.lineOk(l, c4MinWords,
             LineCuration.DefaultBlockPhrases, LineCuration.DefaultTerminalRe))
-        val docBlocked = LineCuration.DefaultDocBlockPhrases.foldLeft(lit(false))(
-          (acc, p) => acc || lower(col(textCol)).contains(lit(p)))
+        // the SHARED doc-gate predicate — same lowercasing as the batch
+        // path, so batch and streaming admission cannot diverge
+        val docBlocked = LineCuration.docBlocked(col(textCol))
         repaired
           .withColumn("__kept", kept)
           .filter(size(col("__kept")) >= c4MinKeptLines && !docBlocked)

@@ -14,9 +14,10 @@ class LineCurationSpec extends SparkSpec {
   private def docs = {
     import spark.implicits._
     Seq(
-      (0L, "a good long sentence here.\nshort one.\nno terminal punct line\nenable javascript to view this page."),
-      (1L, "another proper sentence stands here!\n\nis this a question?\nok."),
-      (2L, "{ code block }\nlorem ipsum dolor sit amet.\nclosing proper line right here.")
+      (0L, "a good long sentence here okay.\nshort one.\nno terminal punct line\nenable javascript to view this page."),
+      (1L, "another proper sentence stands here!\n\nis this a question now sir?\nok."),
+      (2L, "{ code block }\nlorem ipsum dolor sit amet.\nclosing proper line right here."),
+      (3L, "this site uses cookies for tracking purposes.\nplease accept our full privacy policy terms.\nfirst real sentence with enough words.\nsecond real sentence with enough words.\nthird real sentence with enough words.")
     ).toDF("doc_id", "text")
   }
 
@@ -24,24 +25,31 @@ class LineCurationSpec extends SparkSpec {
     val out = LineCuration.filterLines(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
-    // doc0: 4 lines; kept only "a good long sentence here." —
-    // "short one." fails minWords=3, bare line fails punct, javascript blocked
-    assert(out(0L) === ((4L, 1L, "a good long sentence here.")))
-    // doc1: blank line fails word floor; "ok." fails word floor;
-    // sentence + question survive
+    // doc0: 4 lines; kept only the 6-word opener — "short one." fails
+    // the C4 minWords=5 floor, bare line fails punct, javascript blocked
+    assert(out(0L) === ((4L, 1L, "a good long sentence here okay.")))
+    // doc1: blank + "ok." fail the word floor; 5-word sentence and
+    // 6-word question survive
     assert(out(1L) === ((4L, 2L,
-      "another proper sentence stands here!\nis this a question?")))
+      "another proper sentence stands here!\nis this a question now sir?")))
     // doc2: line-level rules don't see doc-level blocks — lorem line has
-    // punct + words, "{ code block }" fails punct
+    // punct + 5 words, "{ code block }" fails punct
     assert(out(2L)._2 === 2L)
+    // doc3: the C4 policy phrases block the cookie and privacy lines;
+    // the three 6-word sentences survive
+    assert(out(3L) === ((5L, 3L,
+      "first real sentence with enough words.\n" +
+        "second real sentence with enough words.\n" +
+        "third real sentence with enough words.")))
   }
 
   test("c4Clean drops blocked docs and docs under the kept-line floor") {
     val out = LineCuration.c4Clean(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // doc0: 1 kept < 2 -> dropped; doc1: 2 kept, no doc block -> kept;
-    // doc2: contains both "lorem ipsum" and "{" -> dropped
-    assert(out === Set(1L))
+    // doc0: 1 kept < 3 -> dropped; doc1: 2 kept < 3 -> dropped;
+    // doc2: contains both "lorem ipsum" and "{" -> dropped;
+    // doc3: 3 kept, no doc block -> the only survivor
+    assert(out === Set(3L))
   }
 
   test("stripDuplicateLines removes lines in >= minDocFreq distinct docs, keeps blanks") {

@@ -510,7 +510,7 @@ class IngestDedupSpec extends SparkSpec {
       spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
     val src = MemoryStream[IngestDoc]
     val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
-      threshold = 0.5, fixText = true, c4MinWords = 3)
+      threshold = 0.5, fixText = true, c4MinWords = 3, c4MinKeptLines = 2)
     try {
       src.addData(
         // two good lines + one chrome line that fails the word floor;
