@@ -771,6 +771,75 @@ object CoverageQueries extends QueryPack {
              |GROUP BY yr, bucket ORDER BY yr, bucket""".stripMargin)),
 
     GQuery(
+      "q_transpile_snowflake",
+      "Snowflake-isms (DATEADD/DATEDIFF unit-first with boundary-" +
+        "counting month/year semantics, TO_CHAR format mapping, IFF, " +
+        "ILIKE ANY) transpiled and executed via spark.sql — the " +
+        "dialect the reference's Spider2-snow executor targets " +
+        "(db_connect.py:49-136; repair prompts sql_debug.py:120-250).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS ym,
+              |       IFF(o_totalprice > 150000.0, 'big', 'small') AS bucket,
+              |       COUNT(*) AS n_orders,
+              |       CAST(SUM(DATEDIFF(day, o_orderdate,
+              |                         DATEADD(month, 1, o_orderdate))) AS BIGINT)
+              |         AS tot_days,
+              |       CAST(MAX(DATEDIFF(year, o_orderdate, DATE '1998-12-31'))
+              |         AS BIGINT) AS max_yr_diff
+              |FROM orders
+              |WHERE o_orderpriority ILIKE ANY ('1-urgent%', '2-high%')
+              |GROUP BY ym, bucket ORDER BY ym, bucket""".stripMargin))
+        },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |       CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END
+             |         AS bucket,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+             |                CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)))
+             |         AS BIGINT) AS tot_days,
+             |       CAST(MAX(1998 - EXTRACT(YEAR FROM o_orderdate)) AS BIGINT)
+             |         AS max_yr_diff
+             |FROM orders
+             |WHERE o_orderpriority ILIKE '1-urgent%'
+             |   OR o_orderpriority ILIKE '2-high%'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    GQuery(
+      "q_transpile_bigquery",
+      "BigQuery-isms (DATE_DIFF/DATE_ADD unit-LAST argument order, " +
+        "SAFE_DIVIDE -> try_divide, FORMAT_DATE %-formats, COUNTIF, " +
+        "REGEXP_CONTAINS, INT64 casts, backtick identifiers) " +
+        "transpiled and executed via spark.sql — the Spider2-BQ " +
+        "executor dialect (db_connect.py:49-136).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT FORMAT_DATE('%Y', o_orderdate) AS yr,
+              |       COUNTIF(o_orderpriority = '1-URGENT') AS n_urgent,
+              |       COUNT(SAFE_DIVIDE(o_totalprice, MOD(o_custkey, 3))) AS n_div,
+              |       CAST(MAX(DATE_DIFF(DATE '1998-12-31', o_orderdate, MONTH))
+              |         AS INT64) AS max_mo,
+              |       MIN(DATE_ADD(o_orderdate, INTERVAL 2 DAY)) AS min_plus2
+              |FROM `orders`
+              |WHERE REGEXP_CONTAINS(o_orderpriority, 'URGENT|HIGH')
+              |GROUP BY yr ORDER BY yr""".stripMargin))
+        },
+      Some("""SELECT strftime(o_orderdate, '%Y') AS yr,
+             |       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+             |         AS n_urgent,
+             |       COUNT(CASE WHEN o_custkey % 3 <> 0 THEN o_totalprice END)
+             |         AS n_div,
+             |       CAST(MAX((1998 - EXTRACT(YEAR FROM o_orderdate)) * 12 +
+             |                (12 - EXTRACT(MONTH FROM o_orderdate))) AS BIGINT)
+             |         AS max_mo,
+             |       MIN(CAST(o_orderdate AS DATE) + 2) AS min_plus2
+             |FROM orders
+             |WHERE regexp_matches(o_orderpriority, 'URGENT|HIGH')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GQuery(
       "q_sqlite_div",
       "sqlite-strict semantics end to end: the double-quoted " +
         "string-literal fallback (FROM \"orders\" stays an identifier, " +

@@ -116,6 +116,102 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE x = 'LIKE'")
   }
 
+  test("transpileSnowflake: DATEADD/DATEDIFF unit-first forms, nested calls") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT DATEADD(day, 3, o_orderdate) FROM orders") ==
+      "SELECT date_add(o_orderdate, (3)) FROM orders")
+    // nested same-name calls resolve depth-first; quoted + abbreviated units
+    assert(transpileSnowflake("SELECT DATEADD('month', -2, DATEADD(yy, 1, d)) FROM t") ==
+      "SELECT add_months(add_months(d, ((1) * 12)), (-2)) FROM t")
+    // Snowflake's (start, end) order maps to Spark's datediff(end, start)
+    assert(transpileSnowflake("SELECT DATEDIFF(dd, a, b) FROM t") ==
+      "SELECT datediff(b, a) FROM t")
+    // month diff counts BOUNDARIES, not elapsed whole months
+    assert(transpileSnowflake("SELECT DATEDIFF(month, a, b) FROM t") ==
+      "SELECT ((year(b) - year(a)) * 12 + (month(b) - month(a))) FROM t")
+    // sub-day units keep boundary semantics via date_trunc
+    assert(transpileSnowflake("SELECT DATEDIFF(hour, a, b) FROM t") ==
+      "SELECT timestampdiff(HOUR, date_trunc('HOUR', a), date_trunc('HOUR', b)) FROM t")
+    // an unknown unit passes through untouched for the repair loop
+    assert(transpileSnowflake("SELECT DATEDIFF(parsec, a, b) FROM t") ==
+      "SELECT DATEDIFF(parsec, a, b) FROM t")
+  }
+
+  test("transpileSnowflake: TO_CHAR/TO_DATE formats, :: casts, IFF, ILIKE ANY") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT TO_CHAR(o_orderdate, 'YYYY-MM') FROM orders") ==
+      "SELECT date_format(o_orderdate, 'yyyy-MM') FROM orders")
+    assert(transpileSnowflake("SELECT TO_CHAR(n) FROM t") ==
+      "SELECT CAST(n AS STRING) FROM t")
+    assert(transpileSnowflake("SELECT TO_DATE(s, 'DD/MM/YYYY') FROM t") ==
+      "SELECT to_date(s, 'dd/MM/yyyy') FROM t")
+    assert(transpileSnowflake("SELECT x::NUMBER, y::NUMBER(10,2), z::VARCHAR FROM t") ==
+      "SELECT x::DECIMAL(38,0), y::DECIMAL(10,2), z::STRING FROM t")
+    assert(transpileSnowflake("SELECT IFF(a > 1, 'x', 'y') FROM t") ==
+      "SELECT IF(a > 1, 'x', 'y') FROM t")
+    assert(transpileSnowflake("SELECT * FROM t WHERE c ILIKE ANY ('%a%', '%b%')") ==
+      "SELECT * FROM t WHERE (c ILIKE '%a%' OR c ILIKE '%b%')")
+    assert(transpileSnowflake("SELECT * FROM t WHERE c NOT ILIKE ANY ('%a%')") ==
+      "SELECT * FROM t WHERE NOT (c ILIKE '%a%')")
+  }
+
+  test("transpileBigQuery: DATE_DIFF/DATE_ADD arg order, SAFE_*, formats, types") {
+    import Transpiler.transpileBigQuery
+    // BigQuery's (end, start, unit) — unit LAST
+    assert(transpileBigQuery("SELECT DATE_DIFF(b, a, DAY) FROM t") ==
+      "SELECT datediff(b, a) FROM t")
+    assert(transpileBigQuery("SELECT DATE_DIFF(b, a, MONTH) FROM t") ==
+      "SELECT ((year(b) - year(a)) * 12 + (month(b) - month(a))) FROM t")
+    assert(transpileBigQuery("SELECT DATE_ADD(d, INTERVAL 3 DAY) FROM t") ==
+      "SELECT date_add(d, ((3))) FROM t")
+    assert(transpileBigQuery("SELECT DATE_SUB(d, INTERVAL 1 MONTH) FROM t") ==
+      "SELECT add_months(d, (-(1))) FROM t")
+    // Spark's own 2-arg date_add(date, days) passes through untouched
+    assert(transpileBigQuery("SELECT DATE_ADD(d, 3) FROM t") ==
+      "SELECT DATE_ADD(d, 3) FROM t")
+    assert(transpileBigQuery("SELECT SAFE_DIVIDE(a, b) FROM t") ==
+      "SELECT TRY_DIVIDE(a, b) FROM t")
+    assert(transpileBigQuery("SELECT SAFE_CAST(a AS INT64) FROM t") ==
+      "SELECT TRY_CAST(a AS BIGINT) FROM t")
+    assert(transpileBigQuery("SELECT FORMAT_DATE('%Y-%m', d) FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
+    assert(transpileBigQuery("SELECT PARSE_DATE('%Y%m%d', s) FROM t") ==
+      "SELECT to_date(s, 'yyyyMMdd') FROM t")
+    assert(transpileBigQuery(
+      "SELECT CAST(a AS FLOAT64), CAST(b AS NUMERIC), COUNTIF(x > 0) FROM t") ==
+      "SELECT CAST(a AS DOUBLE), CAST(b AS DECIMAL(38,9)), COUNT_IF(x > 0) FROM t")
+    assert(transpileBigQuery("SELECT * FROM t WHERE REGEXP_CONTAINS(s, 'a+')") ==
+      "SELECT * FROM t WHERE REGEXP_LIKE(s, 'a+')")
+    // one backtick pair around a dotted path → per-segment quoting
+    assert(transpileBigQuery("SELECT * FROM `proj.ds.tbl`") ==
+      "SELECT * FROM `proj`.`ds`.`tbl`")
+  }
+
+  test("dialect arms are idempotent and literal-safe") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    val snow = Seq(
+      "SELECT DATEADD(day, 3, d), DATEDIFF(month, a, b), TO_CHAR(d, 'YYYY') FROM t",
+      "SELECT x::NUMBER(10,2) FROM t WHERE c ILIKE ANY ('%a%', '%b%')",
+      "SELECT 'DATEADD(day, 1, x)' AS lit FROM t")
+    snow.foreach { q =>
+      val once = transpileSnowflake(q)
+      assert(transpileSnowflake(once) == once, s"not idempotent: $q -> $once")
+    }
+    // literals are never rewritten
+    assert(transpileSnowflake("SELECT 'DATEADD(day, 1, x)' FROM t") ==
+      "SELECT 'DATEADD(day, 1, x)' FROM t")
+    val bq = Seq(
+      "SELECT DATE_DIFF(b, a, DAY), DATE_ADD(d, INTERVAL 3 DAY) FROM `p.d.t`",
+      "SELECT SAFE_DIVIDE(a, b), FORMAT_DATE('%Y', d) FROM t",
+      "SELECT CAST(a AS NUMERIC) FROM t")
+    bq.foreach { q =>
+      val once = transpileBigQuery(q)
+      assert(transpileBigQuery(once) == once, s"not idempotent: $q -> $once")
+    }
+    assert(transpileBigQuery("SELECT 'SAFE_DIVIDE(a, b)' FROM t") ==
+      "SELECT 'SAFE_DIVIDE(a, b)' FROM t")
+  }
+
   test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {
     val spark = graft.core.GraftSession.build("graft-test", cores = 4)
     graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
