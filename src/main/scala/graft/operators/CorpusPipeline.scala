@@ -199,32 +199,45 @@ object CorpusPipeline {
       report.foreach(_ += StageRows(name, df.count()))
       df
     }
-    // Stage boundaries are MATERIALIZED (eager localCheckpoint): every
-    // stage k joins its input with an operator output DERIVED FROM
-    // that same input, so each boundary frame has >= 2 consumers
-    // across different keys — left unmaterialized, stage k-1's whole
-    // subtree re-evaluates per consumer and the cost compounds
-    // multiplicatively down the 11-stage chain (measured 2x+ on the
-    // full-pipeline bench entry). One flat one-row-per-doc frame per
-    // boundary is also the production shape at 100 TB: a curation run
-    // writes its stage outputs (the checkpoint is the in-session
-    // stand-in), and every stage plans against a flat scan instead of
-    // a re-nested lineage. Checkpoints register with CacheBin
-    // (trackCheckpoint — DataFrame.unpersist cannot free a
-    // checkpoint's RDD blocks) so the caller's drain releases them;
-    // left untracked, repeated prepare() calls in a long-lived session
-    // would accumulate executor storage until GC happened to collect
-    // the frames.
+    // Stage boundaries are materialized (eager localCheckpoint) ON
+    // DEMAND: every join-back stage consumes its input >= 2 times (the
+    // left side plus the operator output DERIVED FROM that same
+    // input), so each such INPUT is flattened to a materialized scan
+    // first — left unmaterialized, the previous stage's whole subtree
+    // re-evaluates per consumer and the cost compounds
+    // multiplicatively down the chain (measured 2x+ on the
+    // full-pipeline bench entry). A stage's OUTPUT, by contrast, is
+    // NOT eagerly materialized: whether it needs to be depends on the
+    // NEXT consumer, which `flatten` decides — a filter-only handoff
+    // (byte repair, quality gates, repetition gate) flows as cheap
+    // re-scannable lineage, removing the redundant checkpoints the
+    // r13 bench measured as the dominant cost of the all-stages-on
+    // pipeline (~1.8x one-shot vs min-of-2). One flat one-row-per-doc
+    // frame per materialized boundary is also the production shape at
+    // 100 TB: a curation run writes its stage outputs (the checkpoint
+    // is the in-session stand-in), and every stage plans against a
+    // flat scan instead of a re-nested lineage. Checkpoints register
+    // with CacheBin (trackCheckpoint — DataFrame.unpersist cannot
+    // free a checkpoint's RDD blocks) so the caller's drain releases
+    // them; left untracked, repeated prepare() calls in a long-lived
+    // session would accumulate executor storage until GC happened to
+    // collect the frames.
     def stage(df: DataFrame): DataFrame =
       graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
+    // `isFlat` = the frame is a materialized scan, or per-row work
+    // over one — cheap to evaluate more than once, so a multi-consumer
+    // stage can read it twice without a new checkpoint
+    def flatten(df: DataFrame, isFlat: Boolean): DataFrame =
+      if (isFlat) df else stage(df)
 
     // 0. URL/domain curation (optional crawl-first stage): canonical-
     // URL exact dedup keep-longest (ties to the smallest id), then the
     // per-domain cap — runs BEFORE any content hashing because its
     // shuffle key is the ~100-byte canonical URL, not the text
     note("input", docs)
-    val urled = cfg.urlCol match {
-      case None => docs
+    // The caller's input is a scan — already flat.
+    val (urled, urledFlat): (DataFrame, Boolean) = cfg.urlCol match {
+      case None => (docs, true)
       case Some(u) =>
         val scored = docs.withColumn("__uscore", length(col(textCol)))
         // url_canon stays on the frame between the two UrlOps calls so
@@ -234,77 +247,92 @@ object CorpusPipeline {
           if (cfg.domainCap <= 0) urlDeduped.drop("url_canon")
           else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
             cfg.domainCap).drop("url_canon", "domain")
-        // materialized like every other stage boundary: the URL
-        // groupBy/semi-join/window subtree otherwise re-executes once
-        // per downstream consumer (c4 join sides, CorpusClean branches)
-        note("url_curation", stage(capped.drop("__uscore")))
+        (note("url_curation", capped.drop("__uscore")), false)
     }
 
     // 0b. byte repair (optional): per-row scalar rewrite of the text
-    // column — folds into the first scan, no stage boundary needed
+    // column — folds into the scan, preserves flatness
     val repaired =
       if (!cfg.fixText) urled
       else urled.withColumn(textCol, TextAnalysis.fixText(col(textCol)))
 
     // 0c. C4 line curation (optional): line rules rebuild the text,
     // the document gate drops thin/blocked docs. Inner join keeps the
-    // caller's other columns (lang, source, labels).
-    val c4ed =
-      if (cfg.c4MinWords <= 0) repaired
-      else note("c4_gate", stage(repaired
-        .join(LineCuration.c4Clean(repaired, idCol, textCol,
-          minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
-          .select(col(idCol), col("clean_text")), idCol)
-        .drop(textCol)
-        .withColumnRenamed("clean_text", textCol)))
+    // caller's other columns (lang, source, labels). Two consumers of
+    // the input (join left + c4Clean derivation) -> flatten it.
+    val (c4ed, c4Flat): (DataFrame, Boolean) =
+      if (cfg.c4MinWords <= 0) (repaired, urledFlat)
+      else {
+        val in = flatten(repaired, urledFlat)
+        (note("c4_gate", in
+          .join(LineCuration.c4Clean(in, idCol, textCol,
+            minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
+            .select(col(idCol), col("clean_text")), idCol)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol)), false)
+      }
 
-    // 1. allowlist + floors + exact/near dedup (keeps original columns)
-    val neardeduped = CorpusClean.clean(c4ed, cfg.langs, cfg.minChars,
-      cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
-    val cleaned = note("dedup", stage(
+    // 1. allowlist + floors + exact/near dedup (keeps original
+    // columns). clean's exact-dedup frame feeds BOTH the pair
+    // generation and the anti-join back, so its input subtree would
+    // evaluate twice unflattened.
+    val neardeduped = CorpusClean.clean(flatten(c4ed, c4Flat), cfg.langs,
+      cfg.minChars, cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
+    val cleaned = note("dedup",
       if (cfg.windowDedupN <= 0) neardeduped
-      else WindowDedup.dropWindowDuplicates(neardeduped, idCol, textCol,
-        cfg.windowDedupN)))
+      else WindowDedup.dropWindowDuplicates(flatten(neardeduped, false),
+        idCol, textCol, cfg.windowDedupN))
 
     // 1b. corpus-level exact line dedup (optional): shared chrome
     // lines go before the token-window scrub sees them
     val linded =
       if (cfg.lineDedupMinDocFreq <= 0) cleaned
-      else note("line_dedup", stage(cleaned
-        .join(LineCuration.stripDuplicateLines(cleaned, idCol, textCol,
-          cfg.lineDedupMinDocFreq)
-          .select(col(idCol), col("clean_text")), idCol)
-        .drop(textCol)
-        .withColumnRenamed("clean_text", textCol)))
+      else {
+        val in = flatten(cleaned, false)
+        note("line_dedup", in
+          .join(LineCuration.stripDuplicateLines(in, idCol, textCol,
+            cfg.lineDedupMinDocFreq)
+            .select(col(idCol), col("clean_text")), idCol)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol))
+      }
 
     // 2. boilerplate scrub — downstream stages score the CLEAN text
-    val boiled = stage(linded
-      .join(Boilerplate.strip(linded, idCol, textCol,
+    val boilIn = flatten(linded, false)
+    val boiled = boilIn
+      .join(Boilerplate.strip(boilIn, idCol, textCol,
         cfg.boilerWindow, cfg.boilerMinDocFreq)
         .select(col(idCol), col("clean_text")), idCol)
       .drop(textCol)
-      .withColumnRenamed("clean_text", textCol))
+      .withColumnRenamed("clean_text", textCol)
 
     // 2b. keep-first span dedup on the boiled text (optional): repeated
     // spans that survived doc-level dedup lose every later occurrence
     val stripped =
       if (cfg.spanDedupWindow <= 0) boiled
-      else stage(boiled
-        .join(Boilerplate.dedupSpans(boiled, idCol, textCol,
-          cfg.spanDedupWindow, cfg.spanDedupMinCount)
-          .select(col(idCol), col("clean_text")), idCol)
-        .drop(textCol)
-        .withColumnRenamed("clean_text", textCol))
+      else {
+        val in = flatten(boiled, false)
+        in.join(Boilerplate.dedupSpans(in, idCol, textCol,
+            cfg.spanDedupWindow, cfg.spanDedupMinCount)
+            .select(col(idCol), col("clean_text")), idCol)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol)
+      }
 
-    // 3. quality gates
+    // 3. quality gates — per-row filters flow as lineage; only the
+    // bigram gate (which joins its input with an aggregate of itself)
+    // forces a boundary
     val q1 = stripped.filter(
       TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
     val q2 =
       if (cfg.minAvgLogProb == Double.NegativeInfinity) q1
-      else q1.join(
-        TextScore.bigramLogProb(q1, idCol, textCol)
-          .filter(col("avg_logprob") >= cfg.minAvgLogProb)
-          .select(col(idCol)), idCol)
+      else {
+        val in = flatten(q1, false)
+        in.join(
+          TextScore.bigramLogProb(in, idCol, textCol)
+            .filter(col("avg_logprob") >= cfg.minAvgLogProb)
+            .select(col(idCol)), idCol)
+      }
 
     // 3b. within-document repetition gate (Gopher's other filter half
     // — template/scraper self-repetition that dedup cannot catch)
@@ -335,14 +363,18 @@ object CorpusPipeline {
 
     note("quality_gates", q3)
 
-    // 4. decontamination against the held-out benchmark
-    val decon = note("decontaminated", stage(
+    // 4. decontamination against the held-out benchmark (skipped
+    // entirely — no boundary — when there is nothing to scrub)
+    val decon = note("decontaminated",
       if (evalSet.isEmpty) q3
-      else if (cfg.bloomDecontaminationBits > 0)
-        BloomDecontaminate.decontaminate(q3, evalSet, idCol, textCol,
-          cfg.decontaminationNgram, mBits = cfg.bloomDecontaminationBits)
-      else Decontaminate.decontaminate(q3, evalSet, idCol, textCol,
-        cfg.decontaminationNgram)))
+      else {
+        val in = flatten(q3, false)
+        if (cfg.bloomDecontaminationBits > 0)
+          BloomDecontaminate.decontaminate(in, evalSet, idCol, textCol,
+            cfg.decontaminationNgram, mBits = cfg.bloomDecontaminationBits)
+        else Decontaminate.decontaminate(in, evalSet, idCol, textCol,
+          cfg.decontaminationNgram)
+      })
 
     // 5. leakage-safe split; n_tokens feeds every budget downstream —
     // model-accurate (scan-time Viterbi kernel, zero joins) when a
@@ -353,22 +385,30 @@ object CorpusPipeline {
         val vocab = TokenizerIO.loadUnigram(docs.sparkSession, tp)
         size(UnigramLearn.encodeExpr(col(textCol), vocab)).cast("long")
     }
-    val split = stage(decon.join(
-      LeakSafeSplit.split(decon, idCol, textCol, cfg.splits,
+    // 5. split: LeakSafeSplit reads its input twice (pair generation +
+    // key join) and the outer join adds a third consumer -> flatten
+    // the input; the OUTPUT is read by the train and held-out branches
+    // (and the final union), so it stays a materialized boundary.
+    val splitIn = flatten(decon, false)
+    val split = stage(splitIn.join(
+      LeakSafeSplit.split(splitIn, idCol, textCol, cfg.splits,
         cfg.splitLeakThreshold).select(col(idCol), col("split")), idCol)
       .withColumn("n_tokens", tokenCount))
 
-    // 6+7. budget-mix and pack the TRAIN split only
+    // 6+7. budget-mix and pack the TRAIN split only. `train` is a
+    // filter over the split checkpoint — flat; the sampling operators
+    // persist their own intermediates, so flatness only degrades when
+    // one of them actually rewrites the frame.
     val train = split.filter(col("split") === "train")
-    val budgeted =
-      if (cfg.trainBudgetPerSource == Long.MaxValue) train
-      else RowOps.tokenBudgetSample(train, srcCol, "n_tokens",
-        cfg.trainBudgetPerSource, idCol = idCol)
+    val (budgeted, budgetedFlat) =
+      if (cfg.trainBudgetPerSource == Long.MaxValue) (train, true)
+      else (RowOps.tokenBudgetSample(train, srcCol, "n_tokens",
+        cfg.trainBudgetPerSource, idCol = idCol), false)
     // 6b. temperature-flattened rebalance (~ n^0.5 across sources)
-    val mixed =
-      if (cfg.temperatureMixDocs <= 0L) budgeted
-      else TemperatureMix.sampleSqrtTemperature(budgeted, srcCol, idCol,
-        cfg.temperatureMixDocs)
+    val (mixed, mixedFlat) =
+      if (cfg.temperatureMixDocs <= 0L) (budgeted, budgetedFlat)
+      else (TemperatureMix.sampleSqrtTemperature(budgeted, srcCol, idCol,
+        cfg.temperatureMixDocs), false)
     note("train_mixed", mixed)
 
     val modern = cfg.chunkTokens > 0 || cfg.epochBudgetPerSource > 0L ||
@@ -387,16 +427,22 @@ object CorpusPipeline {
     } else {
       // ---- modern tail: chunk -> epoch-repeat -> pack -> shard ----
       // Pack units carry (__unit, __utok, __utext): a chunk when
-      // chunking is on, else the whole document.
+      // chunking is on, else the whole document. Chunking reads its
+      // input twice (chunk derivation + source join) and the epoch
+      // stage three more times — flatten once here when either is on.
+      val mx =
+        if (cfg.chunkTokens > 0 || cfg.epochBudgetPerSource > 0L)
+          flatten(mixed, mixedFlat)
+        else mixed
       val units =
         if (cfg.chunkTokens <= 0)
-          mixed.select(col(idCol), col(srcCol),
+          mx.select(col(idCol), col(srcCol),
             lit(null).cast("long").as("chunk_idx"),
             col(idCol).cast("long").as("__unit"),
             col("n_tokens").as("__utok"), col(textCol).as("__utext"))
-        else ChunkSplit.chunkByTokens(mixed, idCol, textCol,
+        else ChunkSplit.chunkByTokens(mx, idCol, textCol,
             cfg.chunkTokens, cfg.chunkOverlap)
-          .join(mixed.select(col(idCol), col(srcCol)), idCol)
+          .join(mx.select(col(idCol), col(srcCol)), idCol)
           .select(col(idCol), col(srcCol),
             col("chunk_idx").cast("long").as("chunk_idx"),
             // doc_id range guard, the magnitude twin of the chunk_idx
@@ -424,7 +470,11 @@ object CorpusPipeline {
         if (cfg.epochBudgetPerSource <= 0L)
           units.withColumn("epoch", lit(0L))
             .withColumn("__pk", col("__unit"))
-        else EpochBudget.epochedCorpus(units, srcCol, "__utok",
+        else EpochBudget.epochedCorpus(
+            // chunk output is a join -> flatten before the epoch
+            // stage's three reads (plan agg, full join, partial sample)
+            flatten(units, isFlat = cfg.chunkTokens <= 0),
+            srcCol, "__utok",
             cfg.epochBudgetPerSource, maxEpochs = cfg.epochMaxEpochs,
             idCol = "__unit")
           .withColumn("__pk",
