@@ -199,7 +199,7 @@ object IvfIndex {
     */
   def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, queryIdCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 5): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
 
@@ -242,10 +242,16 @@ object IvfIndex {
 
   /** IVF search: per query, probe the `nprobe` best cells and rank
     * exact cosine inside them.
+    *
+    * Default nprobe = 5 (of the default 16 cells): on a corpus without
+    * strong cluster structure recall@k is governed by the probe
+    * FRACTION, not the quantizer — 4/16 measured recall@5 = 0.76 on
+    * the synthetic embeddings vs 0.84 at 5/16 (either quantizer), and
+    * the recall floor the bench pins is only cleared with margin at 5.
     */
   def searchIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       queryIdCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 5,
       centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val cents = centroidsOpt.getOrElse(centroids(corpus, idCol, vecCol, nlist))
     val assigned = assignCells(corpus, idCol, vecCol, cents)

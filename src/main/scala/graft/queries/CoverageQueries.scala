@@ -56,7 +56,7 @@ object CoverageQueries extends QueryPack {
        |         ROW_NUMBER() OVER (PARTITION BY q.qid
        |           ORDER BY ${oDot("q.qv", "c.cv")} DESC, c.cell DESC) AS prn
        |  FROM q CROSS JOIN cent c),
-       |probed AS (SELECT qid, cell FROM pr WHERE prn <= 4),
+       |probed AS (SELECT qid, cell FROM pr WHERE prn <= 5),
        |s AS (
        |  SELECT p.qid, a.vec_id AS nid,
        |         ${oCos("a.embedding", "q2.qv")} AS score
@@ -1103,17 +1103,19 @@ object CoverageQueries extends QueryPack {
     GQuery(
       "q_ivf_ann",
       "IVF search, fully mirrored: 16 systematically-picked centroids, " +
-        "argmax-dot cell assignment, 4-cell probe per query, exact " +
-        "cosine top-5 inside the probed cells. Corpus-scan cost is " +
-        "~nprobe/nlist of brute force; every dot product is the pinned " +
-        "left fold on both engines.",
+        "argmax-dot cell assignment, 5-cell probe per query (the " +
+        "default that clears the 0.84 recall bar — probe fraction, " +
+        "not the quantizer, governs recall on unclustered data), " +
+        "exact cosine top-5 inside the probed cells. Corpus-scan cost " +
+        "is ~nprobe/nlist of brute force; every dot product is the " +
+        "pinned left fold on both engines.",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         IvfIndex.searchIvf(
           emb.select(col("vec_id"), col("embedding")),
           emb.filter(col("vec_id") < 8)
             .select(col("vec_id").as("qid"), col("embedding")),
-          "vec_id", "qid", "embedding", k = 5, nlist = 16, nprobe = 4)
+          "vec_id", "qid", "embedding", k = 5, nlist = 16, nprobe = 5)
           .select(col("query_id"), col("rank").cast("long").as("rnk"),
             col("neighbor_id"), col("score"))
           .orderBy(col("query_id"), col("rnk"))
@@ -1135,7 +1137,7 @@ object CoverageQueries extends QueryPack {
         IvfIndex.searchIndexed(s, path,
           emb.filter(col("vec_id") < 8)
             .select(col("vec_id").as("qid"), col("embedding")),
-          "vec_id", "qid", "embedding", k = 5, nprobe = 4)
+          "vec_id", "qid", "embedding", k = 5, nprobe = 5)
           .select(col("query_id"), col("rank").cast("long").as("rnk"),
             col("neighbor_id"), col("score"))
           .orderBy(col("query_id"), col("rnk"))

@@ -11,16 +11,14 @@ import graft.catalog.Tables
   *
   * Runs at sf0.1 — the scale the bench reports recall_at_k at — with
   * the bench's own sets (queries = the q_ivf_* probe set, truth =
-  * q_knn_exact's query ids): measured recall is 0.76 for the
-  * systematic quantizer at nprobe=4 (q_ivf_ann and the materialized
-  * q_ivf_indexed share this exact config, so one measurement covers
-  * both) and 0.84 for the k-means quantizer at its nprobe=5 default —
-  * the extra probed cell is what lifts k-means over the floor on
-  * these near-uniform synthetic embeddings, where Lloyd refinement
-  * alone cannot (no real cluster structure: recall is governed by
-  * probe fraction; at sf0.01 the same configs measure ~0.64, which is
-  * why the floor is pinned at the bench's scale, not the unit-test
-  * fixture's).
+  * q_knn_exact's query ids): measured recall is 0.84 for BOTH
+  * quantizers at the nprobe=5 default (q_ivf_ann, the materialized
+  * q_ivf_indexed and q_ivf_kmeans_ann all share the 5-of-16 probe
+  * fraction — on these near-uniform synthetic embeddings recall is
+  * governed by probe fraction alone, 4/16 measured 0.76/0.68
+  * systematic/k-means; at sf0.01 the same configs measure ~0.64,
+  * which is why the floor is pinned at the bench's scale, not the
+  * unit-test fixture's).
   */
 class IvfRecallFloorSpec extends SparkSpec {
 
@@ -50,7 +48,7 @@ class IvfRecallFloorSpec extends SparkSpec {
   test(s"systematic quantizer (q_ivf_ann / q_ivf_indexed config) holds recall >= $Floor") {
     val cents = IvfIndex.centroids(corpus, "vec_id", "embedding", 16)
     val r = recallOf(IvfIndex.searchIvf(corpus, queries, "vec_id", "qid",
-      "embedding", k = 5, nlist = 16, nprobe = 4, centroidsOpt = Some(cents)))
+      "embedding", k = 5, nlist = 16, nprobe = 5, centroidsOpt = Some(cents)))
     assert(r >= Floor, f"systematic IVF recall@5 $r%.3f fell below the $Floor floor")
   }
 
