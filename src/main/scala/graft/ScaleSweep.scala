@@ -32,7 +32,9 @@ object ScaleSweep {
     "q_dedup_indexed", "q_keepbest_dedup", "q_containment_dedup",
     "q_containment_dfcap",
     "q_asof_join", "q_click_attribution", "q_bloom_decontaminate",
-    "q_kmv_set_ops", "q_cms_heavy", "q_quantile_gate",
+    // the sketch-only row (q_kmv_set_ops carries a brute-force exact
+    // verifier whose O(shared-shingles) growth is not the sketch's)
+    "q_kmv_sketch", "q_cms_heavy", "q_quantile_gate",
     "q_bpe_learn", "q_pq_codes", "q_pq_rerank", "q_ivf_pq", "q_span_corrupt",
     "q_char_entropy", "q_embed_outliers", "q_repetition_rules",
     "q_pack_whole", "q_unigram_learn", "q_span_dedup", "q_wordpiece_learn",

@@ -240,14 +240,51 @@ object DedupQueries extends QueryPack {
     GQuery(
       "q_containment_dedup",
       "Containment dedup (the sub-document case symmetric Jaccard " +
-        "misses): a doc whose distinct-shingle set is >= 0.9 contained " +
-        "in another's drops; the larger side survives (size tie -> " +
-        "smaller id). Same no-cross-product shingle equi-join as the " +
-        "exact-Jaccard baseline, directed pairs.",
+        "misses) at the PRODUCTION default: the hot-shingle df cap " +
+        s"(${TextDedup.DefaultContainmentDocFreqCap}) is on — the " +
+        "oracle mirrors it even though it does not bind at test SF, " +
+        "so the row stays correct at any scale. A doc whose " +
+        "distinct-shingle set is >= 0.9 contained in another's drops; " +
+        "the larger side survives (size tie -> smaller id).",
       (s, dir) =>
         TextDedup.containmentDropContained(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           threshold = 0.9, n = 3)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""WITH $oBase,
+           |keepd AS (SELECT h FROM s GROUP BY h
+           |          HAVING count(*) <= ${TextDedup.DefaultContainmentDocFreqCap}),
+           |sd AS (SELECT s.doc_id, s.h FROM s JOIN keepd USING (h)),
+           |sizesd AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+           |inter2 AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           |  FROM sd a JOIN sd b ON a.h = b.h AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2),
+           |drops AS (
+           |  SELECT DISTINCT i1.id1 AS doc_id
+           |  FROM inter2 i1
+           |  JOIN sizesd na ON na.doc_id = i1.id1
+           |  JOIN sizesd nb ON nb.doc_id = i1.id2
+           |  WHERE CAST(i1.i AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.9
+           |    AND (nb.n > na.n OR (nb.n = na.n AND i1.id2 < i1.id1)))
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    GQuery(
+      "q_containment_uncapped",
+      "Containment dedup with the df cap explicitly OPTED OUT " +
+        "(maxDocFreq = None) — the exact small-corpus form, kept " +
+        "verified alongside the capped default. The uncapped pair " +
+        "space grows with co-shingled mass (the sweep's worst " +
+        "second-decade exponent), so this is the baseline, not the " +
+        "production posture.",
+      (s, dir) =>
+        TextDedup.containmentDropContained(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, n = 3, maxDocFreq = None)
           .select(col("doc_id"))
           .orderBy(col("doc_id")),
       Some(

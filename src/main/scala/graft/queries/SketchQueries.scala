@@ -227,6 +227,80 @@ object SketchQueries extends QueryPack {
               |ORDER BY sid_a""".stripMargin)),
 
     GQuery(
+      "q_kmv_sketch",
+      "The KMV sketch path ALONE — q_kmv_set_ops minus its brute-force " +
+        "exact-intersection companion, so the sweep measures the " +
+        "sketch's own scaling (the composed row's 1.03 exponent was " +
+        "the O(shared-shingle) verifier, not the sketch algebra, " +
+        "which composes from k=64 signatures without rescanning).",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.graftvec.TextHashExpr
+        import graft.functions.TextAnalysis
+        val k = 64
+        val sh = t(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextHashExpr.shingleHashes(
+              TextAnalysis.tokens(col("text")), 5))).as("h"))
+          .distinct()
+        val sk = sh
+          .select(col("source"), KmvSketch.draw(col("h")).as("d"))
+          .distinct()
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(KmvSketch(k).toColumn.name("sketch"))
+          .toDF("source", "sketch")
+          .withColumn("sid", expr("CAST(substring(source, 4) AS BIGINT)"))
+        val a = sk.select(col("sid").as("sid_a"), col("sketch").as("sa"))
+        val b = sk.select((col("sid") - 1).as("sid_a"), col("sketch").as("sb"))
+        a.join(b, "sid_a")
+          .select(col("sid_a"),
+            KmvSketch.overlapCount(col("sa"), col("sb"), k).cast("long").as("rho"),
+            KmvSketch.estimate(KmvSketch.unionSketch(col("sa"), col("sb"), k), k)
+              .as("union_est"),
+            KmvSketch.intersectionEstimate(col("sa"), col("sb"), k).as("inter_est"))
+          .orderBy(col("sid_a"))
+      },
+      Some(s"""WITH ${DedupOracles.baseN(
+                 "(SELECT source AS doc_id, text FROM documents) srcd", 5, "_s")},
+              |sh AS (SELECT doc_id AS source, h FROM s_s),
+              |dd AS (SELECT DISTINCT source,
+              |              ((h % 999999937) * 2654435761) % ${KmvSketch.M} AS d
+              |       FROM sh),
+              |r AS (SELECT source, d,
+              |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY d) AS rn
+              |      FROM dd),
+              |sk AS (SELECT CAST(substr(source, 4) AS BIGINT) AS sid, d, rn
+              |       FROM r WHERE rn <= 64),
+              |sids AS (SELECT DISTINCT sid FROM sk),
+              |pairs AS (SELECT a.sid FROM sids a JOIN sids b ON b.sid = a.sid + 1),
+              |pd AS (SELECT DISTINCT p.sid, s.d
+              |       FROM pairs p JOIN sk s ON s.sid = p.sid OR s.sid = p.sid + 1),
+              |pu AS (SELECT sid, d,
+              |              ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d) AS rn
+              |       FROM pd),
+              |uk AS (SELECT sid, d, rn FROM pu WHERE rn <= 64),
+              |un AS (SELECT sid, COUNT(*) AS nu,
+              |              MAX(CASE WHEN rn = 64 THEN d END) AS hk
+              |       FROM uk GROUP BY 1),
+              |rho AS (SELECT uk.sid, COUNT(*) AS rho
+              |        FROM uk
+              |        JOIN sk a ON a.sid = uk.sid AND a.d = uk.d
+              |        JOIN sk b ON b.sid = uk.sid + 1 AND b.d = uk.d
+              |        GROUP BY uk.sid)
+              |SELECT un.sid AS sid_a,
+              |       COALESCE(rho.rho, 0) AS rho,
+              |       CAST(CASE WHEN un.nu >= 64 THEN (63 * ${KmvSketch.M}) // un.hk
+              |                 ELSE un.nu END AS BIGINT) AS union_est,
+              |       CAST(CASE WHEN un.nu >= 64
+              |                 THEN (COALESCE(rho.rho, 0)
+              |                       * ((63 * ${KmvSketch.M}) // un.hk)) // 64
+              |                 ELSE COALESCE(rho.rho, 0) END AS BIGINT) AS inter_est
+              |FROM un
+              |LEFT JOIN rho ON rho.sid = un.sid
+              |ORDER BY sid_a""".stripMargin)),
+
+    GQuery(
       "q_cms_heavy",
       "Count-min sketch as a relational grid: a 4x1024 counter table " +
         "built by partial-aggregating groupBy (each task ships <= d*w " +
