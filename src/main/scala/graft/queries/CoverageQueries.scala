@@ -33,6 +33,104 @@ object CoverageQueries extends QueryPack {
   private def oCos(a: String, b: String) = VectorOps.oCosine(a, b)
   private def oDot(a: String, b: String) = VectorOps.oDot(a, b)
 
+  /** The db_size schedule arms q_linkalign_reduce_large exercises:
+    * (label, dbSize) with dbSize doubling as the fixture slice width,
+    * so declared and actual width agree per arm. Covers every
+    * breakpoint of topKFor/turnsFor (LinkAlignReduce.py:94-117).
+    */
+  private val LinkAlignArms: Seq[(String, Int)] = Seq(
+    "a200" -> 200, "b350" -> 350, "c400" -> 400,
+    "d1000" -> 1000, "e2500" -> 2500, "f3000" -> 3000)
+
+  /** One schedule arm of the LinkAlign loop as DuckDB CTEs: `turns`
+    * rounds of top-k cosine retrieval with cumulative seen-exclusion,
+    * each next query the id-ordered left-fold sum of the round's
+    * retrieved vectors (`Similarity.iterativeRetrieve` bit-for-bit),
+    * then the (table, column) min-id dedup.
+    */
+  private def laArmCtes(arm: String, n: Int, k: Int, turns: Int): String = {
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs once per
+    // reference, and 35 unrolled rounds referencing the fixture would
+    // re-open the parquet past the fd limit
+    val sb = new StringBuilder
+    sb.append(
+      s"""sch_$arm AS MATERIALIZED (
+         |  SELECT col_id, table_name, column_name, embedding
+         |  FROM sch3000 WHERE col_id < $n)""".stripMargin)
+    for (r <- 1 to turns) {
+      val qv = if (r == 1) "qv0" else s"qv_${arm}_${r - 1}"
+      val notSeen =
+        if (r == 1) ""
+        else "WHERE col_id NOT IN (" + (1 until r)
+          .map(i => s"SELECT col_id FROM r_${arm}_$i")
+          .mkString(" UNION ALL ") + ")"
+      sb.append(
+        s""",
+           |r_${arm}_$r AS MATERIALIZED (
+           |  SELECT col_id, ${r - 1} AS turn_n FROM (
+           |    SELECT col_id, ${oCos("embedding", "q.qv")} AS score
+           |    FROM sch_$arm, $qv q $notSeen)
+           |  ORDER BY score DESC, col_id LIMIT $k)""".stripMargin)
+      if (r < turns) sb.append(
+        s""",
+           |qv_${arm}_$r AS MATERIALIZED (
+           |  SELECT list(v ORDER BY d) AS qv FROM (
+           |    SELECT ds.d AS d,
+           |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |             list(CAST(rr.embedding[ds.d] AS DOUBLE) ORDER BY rr.col_id)),
+           |             (acc, x) -> acc + x) AS v
+           |    FROM (SELECT s.col_id, s.embedding
+           |          FROM sch_$arm s JOIN r_${arm}_$r ri ON s.col_id = ri.col_id) rr
+           |    CROSS JOIN dims ds
+           |    GROUP BY ds.d))""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |dd_$arm AS MATERIALIZED (
+         |  SELECT s.col_id, s.table_name, s.column_name, ret.turn_n,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY s.table_name, s.column_name
+         |           ORDER BY s.col_id) AS rn
+         |  FROM sch_$arm s
+         |  JOIN (${(1 to turns).map(i => s"SELECT * FROM r_${arm}_$i")
+           .mkString(" UNION ALL ")}) ret
+         |    ON s.col_id = ret.col_id)""".stripMargin)
+    sb.toString
+  }
+
+  private val LinkAlignLargeOracle: String = {
+    val fixture =
+      """sch3000 AS MATERIALIZED (
+        |  SELECT (c.copy * 500 + e.vec_id) AS col_id,
+        |         't' || CAST((c.copy * 500 + e.vec_id) % 50 AS VARCHAR) AS table_name,
+        |         'c' || CAST((c.copy * 500 + e.vec_id) % 70 AS VARCHAR) AS column_name,
+        |         CASE WHEN c.copy = 0 THEN embedding
+        |              ELSE list_concat(
+        |                list_slice(embedding, c.copy + 1, len(embedding)),
+        |                list_slice(embedding, 1, c.copy)) END AS embedding
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS copy) c
+        |  WHERE e.vec_id < 500),
+        |dims AS MATERIALIZED (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT len(embedding) FROM sch3000 WHERE col_id = 0))) AS d),
+        |qv0 AS MATERIALIZED (
+        |  SELECT list_transform(generate_series(1, (SELECT MAX(d) FROM dims)),
+        |    i -> CAST(1.0 AS DOUBLE)) AS qv)""".stripMargin
+    val arms = LinkAlignArms.map { case (arm, n) =>
+      laArmCtes(arm, n, graft.operators.LinkAlignReduce.topKFor(n),
+        graft.operators.LinkAlignReduce.turnsFor(n))
+    }
+    val selects = LinkAlignArms.map { case (arm, _) =>
+      s"""SELECT '$arm' AS arm, col_id, table_name, column_name, turn_n
+         |FROM dd_$arm WHERE rn = 1""".stripMargin
+    }
+    s"""WITH $fixture,
+       |${arms.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY arm, col_id""".stripMargin
+  }
+
   /** Shared oracle for both IVF variants (in-plan index and the
     * materialized partition-pruned index — identical output contract).
     * Defined before `queries`: object vals initialize in order.
@@ -1098,6 +1196,46 @@ object CoverageQueries extends QueryPack {
               |  SELECT 1 FROM flg f
               |  WHERE f.table_name = d.table_name AND f.column_name = d.column_name)
               |ORDER BY d.col_id""".stripMargin)),
+
+    GQuery(
+      "q_linkalign_reduce_large",
+      "The LinkAlign reduce loop at REALISTIC schema width: a " +
+        "3000-column fixture (six bit-exact rotations of the 500 base " +
+        "embeddings — rotation is pure reindexing, so both engines " +
+        "build identical vectors), sliced to hit EVERY db_size " +
+        "schedule arm (200/350/400/1000/2500/3000 -> top-k 40..80, " +
+        "rounds 2..10 — reference LinkAlignReduce.py:94-117). Each " +
+        "arm's full retrieve/re-center/dedup loop unrolls in the " +
+        "oracle: 35 retrieval rounds total, every re-centered query " +
+        "an id-ordered fold both engines replay bit-for-bit.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding"))
+        val sch = (0 until 6).map { c =>
+          val rot =
+            if (c == 0) col("embedding")
+            else concat(
+              expr(s"slice(embedding, ${c + 1}, size(embedding) - $c)"),
+              expr(s"slice(embedding, 1, $c)"))
+          base.select((col("vec_id") + lit(500L * c)).as("col_id"),
+            rot.as("embedding"))
+        }.reduce(_ unionByName _)
+          .withColumn("table_name",
+            concat(lit("t"), pmod(col("col_id"), lit(50)).cast("string")))
+          .withColumn("column_name",
+            concat(lit("c"), pmod(col("col_id"), lit(70)).cast("string")))
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        LinkAlignArms.map { case (label, n) =>
+          LinkAlignReduce.reduce(sch.filter(col("col_id") < n),
+            Seq.fill(dim)(1.0), dbSize = n,
+            initRetainRate = 1.0, decayRate = 1.0)
+            .select(lit(label).as("arm"), col("col_id"),
+              col("table_name"), col("column_name"), col("turn_n"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("arm"), col("col_id"))
+      },
+      Some(LinkAlignLargeOracle)),
 
     // -- IVF approximate nearest neighbor ------------------------------------
     GQuery(
