@@ -682,6 +682,20 @@ object Transpiler {
   def transpileSqlite(sql: String, identifiers: Set[String]): String =
     replaceToken(transpile(rewriteDoubleQuoted(sql, identifiers)), "LIKE", "ILIKE")
 
+  /** Dialect name → rewrite (the reference Engine.dialect values the
+    * executors target, `core/db_connect.py:49-136`). sqlite's
+    * integer-division semantics additionally need the analyzed plan —
+    * callers with a session route "sqlite" through `SqliteExec.sql`;
+    * this lexical arm is the sessionless fallback.
+    */
+  def forDialect(dialect: String): String => String =
+    dialect.toLowerCase match {
+      case "snowflake" | "snow" => transpileSnowflake
+      case "bigquery" | "bq"    => transpileBigQuery
+      case "sqlite"             => transpileSqlite(_: String)
+      case _                    => transpile
+    }
+
   /** Full rewrite pipeline. Idempotent. */
   def transpile(sql: String): String = {
     var out = sql.trim.stripSuffix(";")

@@ -53,13 +53,14 @@ class Evaluator(spark: SparkSession, timeoutSec: Int = 60, parallelism: Int = 5,
 
   private val backend = new SqlBackend(spark, timeoutSec)
 
-  private def transpiled(sql: String): String = graft.dialect.Transpiler.transpile(sql)
+  private def transpiled(sql: String): String =
+    graft.dialect.Transpiler.forDialect(dialect)(sql)
 
   /** Dialect-routed execution: sqlite benchmarks (spider/bird families)
     * go through `SqliteExec.sql` — lexical transpile PLUS the
     * type-aware integer-division plan rewrite, neither of which plain
-    * transpile can express — everything else through the generic
-    * transpile + `spark.sql` door.
+    * transpile can express; Spider2-snow / Spider2-BQ gold SQL gets
+    * the Snowflake / BigQuery arm; everything else the shared rewrite.
     */
   private def runSql(sql: String): Either[graft.exec.ExecErr, graft.exec.ExecRows] =
     if (dialect == "sqlite")

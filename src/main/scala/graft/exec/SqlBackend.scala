@@ -51,11 +51,18 @@ class SqlBackend(spark: SparkSession, defaultTimeoutSec: Int = 120) {
     * answered from the catalog, everything else is dialect-transpiled
     * then executed.
     */
-  def runDialect(sql: String): ExecResult = {
+  def runDialect(sql: String): ExecResult = runDialect(sql, "spark")
+
+  /** [[runDialect]] with an explicit source dialect (sqlite /
+    * snowflake / bigquery — the reference's executor surface,
+    * `core/db_connect.py:49-136`): the matching transpiler arm runs
+    * before `spark.sql`.
+    */
+  def runDialect(sql: String, dialect: String): ExecResult = {
     val t0 = System.nanoTime()
     Introspection.answer(spark, sql) match {
       case Some(df) => ExecOk(df, secondsSince(t0))
-      case None => run(graft.dialect.Transpiler.transpile(sql))
+      case None => run(graft.dialect.Transpiler.forDialect(dialect)(sql))
     }
   }
 

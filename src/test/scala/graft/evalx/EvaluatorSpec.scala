@@ -68,6 +68,32 @@ class EvaluatorSpec extends SparkSpec {
     assert(o.score == Some(1))
   }
 
+  test("snowflake dialect evaluates Spider2-snow idioms (DATEADD, ::, IFF)") {
+    val snowEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "snowflake")
+    val o = snowEv.evalOne(ExItem("sn1",
+      Some("SELECT DATEADD(month, 1, DATE '2024-01-31') AS d, " +
+        "IFF(1 < 2, 'y', 'n') AS v, 7::FLOAT AS f"),
+      Some("SELECT DATE '2024-02-29' AS d, 'y' AS v, CAST(7 AS DOUBLE) AS f")))
+    assert(o.score == Some(1), s"snowflake idioms must evaluate: $o")
+    // boundary-counting month diff: Jan 31 -> Feb 1 is ONE month
+    val b = snowEv.evalOne(ExItem("sn2",
+      Some("SELECT DATEDIFF(month, DATE '2024-01-31', DATE '2024-02-01') AS m"),
+      Some("SELECT 1 AS m")))
+    assert(b.score == Some(1), s"boundary month diff: $b")
+  }
+
+  test("bigquery dialect evaluates Spider2-BQ idioms (DATE_DIFF, SAFE_DIVIDE, COUNTIF)") {
+    val bqEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "bigquery")
+    val o = bqEv.evalOne(ExItem("bq1",
+      Some("SELECT DATE_DIFF(DATE '2024-02-01', DATE '2024-01-31', DAY) AS d, " +
+        "SAFE_DIVIDE(4.0, 0) AS z, COUNTIF(1 > 0) AS c"),
+      Some("SELECT 1 AS d, CAST(NULL AS DOUBLE) AS z, " +
+        "CAST(1 AS BIGINT) AS c")))
+    assert(o.score == Some(1), s"bigquery idioms must evaluate: $o")
+  }
+
   test("FastExecSelect groups equivalents, drops failures, picks in largest group") {
     Tables.registerAll(spark, sfDir)
     val sel = FastExecSelect.select(spark, Seq(
