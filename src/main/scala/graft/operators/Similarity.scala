@@ -174,12 +174,16 @@ object Similarity {
       // the k collected rows — a lit(0)-partitioned window is folded by
       // Spark 4's EliminateWindowPartitions into a genuinely
       // unpartitioned WindowExec.
+      // the retrieved VECTORS ride the top-k collect (k rows × dim
+      // floats — tiny), so re-centering costs zero extra jobs: one job
+      // per round instead of two, which matters when the schedule runs
+      // 10 sequential rounds
       val topkRows = corpus
         .join(seen, Seq(idCol), "left_anti")
         .withColumn("score", VectorOps.cosine(col(vecCol), qCol))
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
-        .select(col(idCol), col("score"))
+        .select(col(idCol), col("score"), col(vecCol))
         .collect() // k rows — tiny by construction
         .sortBy(row => (-row.getDouble(1), row.getLong(0)))
       val round = topkRows.zipWithIndex.toSeq
@@ -192,11 +196,9 @@ object Similarity {
       // scale-invariant — and an order-pinned fold, so any engine
       // reproducing the fold gets bit-identical scores next round)
       if (r < rounds) {
-        val ids = topkRows.map(_.getLong(0)).toSeq
-        val vecs = corpus.join(ids.toDF(idCol), Seq(idCol))
-          .select(col(idCol), col(vecCol)).collect()
+        val vecs = topkRows
           .sortBy(_.getLong(0))
-          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+          .map(_.getSeq[Float](2).map(_.toDouble).toArray)
         query = vecs.transpose.map(_.foldLeft(0.0)(_ + _)).toSeq
       }
     }

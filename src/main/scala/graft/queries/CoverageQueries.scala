@@ -1225,6 +1225,11 @@ object CoverageQueries extends QueryPack {
             concat(lit("t"), pmod(col("col_id"), lit(50)).cast("string")))
           .withColumn("column_name",
             concat(lit("c"), pmod(col("col_id"), lit(70)).cast("string")))
+          // persisted: the 35 sequential retrieval rounds each launch
+          // two jobs over this frame — unpersisted, every round re-runs
+          // the 6-way rotation union off the parquet scan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.core.CacheBin.track(sch)
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
         LinkAlignArms.map { case (label, n) =>
           LinkAlignReduce.reduce(sch.filter(col("col_id") < n),
