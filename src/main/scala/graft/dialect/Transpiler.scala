@@ -391,6 +391,18 @@ object Transpiler {
     }
   }
 
+  /** BigQuery date parts are always FULL keywords (DAY, MONTH, ...) —
+    * the Snowflake abbreviations ("d", "mm", "yy") are NOT valid there,
+    * and accepting them in the unit-LAST / expr-first BigQuery forms
+    * would misread a column named `d` as a date part.
+    */
+  private def normUnitBq(u0: String): Option[String] = {
+    val u = u0.trim.stripPrefix("'").stripSuffix("'").toLowerCase
+    if (Set("year", "quarter", "month", "week", "day",
+        "hour", "minute", "second").contains(u)) Some(u)
+    else None
+  }
+
   /** Spark SQL for `expr` advanced by `n` `unit`s (DATEADD/DATE_ADD). */
   private def dateAddSql(unit: String, n: String, e: String): String =
     unit match {
@@ -569,9 +581,29 @@ object Transpiler {
         fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_timestamp($e, '$sf')")
       case _ => None
     }
+    out = rewriteCall(out, "TO_NUMBER") {
+      case Seq(e) => Some(s"CAST($e AS DECIMAL(38,0))")
+      case Seq(e, p, sc) => Some(s"CAST($e AS DECIMAL($p,$sc))")
+      case _ => None
+    }
+    out = rewriteCall(out, "TRY_TO_NUMBER") {
+      case Seq(e) => Some(s"TRY_CAST($e AS DECIMAL(38,0))")
+      case Seq(e, p, sc) => Some(s"TRY_CAST($e AS DECIMAL($p,$sc))")
+      case _ => None
+    }
+    out = rewriteCall(out, "ZEROIFNULL") {
+      case Seq(e) => Some(s"COALESCE($e, 0)")
+      case _ => None
+    }
+    out = rewriteCall(out, "NULLIFZERO") {
+      case Seq(e) => Some(s"NULLIF($e, 0)")
+      case _ => None
+    }
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
     out = replaceToken(out, "IFF", "IF")
+    // DATE_TRUNC('part', expr) is part-first in Snowflake, same as
+    // Spark — passes through natively
     transpile(out)
   }
 
@@ -580,7 +612,7 @@ object Transpiler {
 
   private def parseInterval(arg: String): Option[(String, String)] =
     arg.trim match {
-      case intervalRe(n, u) => normUnit(u).map(unit => (n, unit))
+      case intervalRe(n, u) => normUnitBq(u).map(unit => (n, unit))
       case _ => None
     }
 
@@ -629,7 +661,7 @@ object Transpiler {
     out = rewriteBacktickPaths(out)
     def diffArm(name: String): Unit =
       out = rewriteCall(out, name) {
-        case Seq(e, s0, u) => normUnit(u).map(dateDiffSql(_, s0, e))
+        case Seq(e, s0, u) => normUnitBq(u).map(dateDiffSql(_, s0, e))
         case _ => None
       }
     diffArm("DATE_DIFF"); diffArm("TIMESTAMP_DIFF"); diffArm("DATETIME_DIFF")
@@ -656,6 +688,20 @@ object Transpiler {
         fmtLit(f).flatMap(strfToSpark).map(sf => s"to_date($e, '$sf')")
       case _ => None
     }
+    // BigQuery's trunc family is expr-first (unit LAST, unquoted) —
+    // the reverse of Spark's date_trunc('UNIT', ts); DATE_TRUNC
+    // returns DATE, so it maps to trunc(date, fmt)
+    out = rewriteCall(out, "DATE_TRUNC") {
+      case Seq(e, u) => normUnitBq(u).map(unit => s"trunc($e, '${unit.toUpperCase}')")
+      case _ => None
+    }
+    def truncArm(name: String): Unit =
+      out = rewriteCall(out, name) {
+        case Seq(e, u) =>
+          normUnitBq(u).map(unit => s"date_trunc('${unit.toUpperCase}', $e)")
+        case _ => None
+      }
+    truncArm("TIMESTAMP_TRUNC"); truncArm("DATETIME_TRUNC")
     out = replaceToken(out, "SAFE_DIVIDE", "TRY_DIVIDE")
     out = replaceToken(out, "SAFE_CAST", "TRY_CAST")
     out = replaceToken(out, "COUNTIF", "COUNT_IF")

@@ -187,6 +187,30 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT * FROM `proj`.`ds`.`tbl`")
   }
 
+  test("transpileSnowflake: TO_NUMBER family, ZEROIFNULL/NULLIFZERO") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT TO_NUMBER(s), TO_NUMBER(s, 10, 2) FROM t") ==
+      "SELECT CAST(s AS DECIMAL(38,0)), CAST(s AS DECIMAL(10,2)) FROM t")
+    assert(transpileSnowflake("SELECT TRY_TO_NUMBER(s) FROM t") ==
+      "SELECT TRY_CAST(s AS DECIMAL(38,0)) FROM t")
+    assert(transpileSnowflake("SELECT ZEROIFNULL(x), NULLIFZERO(y) FROM t") ==
+      "SELECT COALESCE(x, 0), NULLIF(y, 0) FROM t")
+    // Snowflake DATE_TRUNC is part-first like Spark: untouched
+    assert(transpileSnowflake("SELECT DATE_TRUNC('month', d) FROM t") ==
+      "SELECT DATE_TRUNC('month', d) FROM t")
+  }
+
+  test("transpileBigQuery: expr-first trunc family flips to Spark order") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT DATE_TRUNC(d, MONTH) FROM t") ==
+      "SELECT trunc(d, 'MONTH') FROM t")
+    assert(transpileBigQuery("SELECT TIMESTAMP_TRUNC(ts, DAY) FROM t") ==
+      "SELECT date_trunc('DAY', ts) FROM t")
+    // Spark's own part-first date_trunc passes through untouched
+    assert(transpileBigQuery("SELECT DATE_TRUNC('MONTH', d) FROM t") ==
+      "SELECT DATE_TRUNC('MONTH', d) FROM t")
+  }
+
   test("dialect arms are idempotent and literal-safe") {
     import Transpiler.{transpileBigQuery, transpileSnowflake}
     val snow = Seq(
