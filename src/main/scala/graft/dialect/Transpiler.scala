@@ -736,8 +736,10 @@ object Transpiler {
     */
   def forDialect(dialect: String): String => String =
     dialect.toLowerCase match {
-      case "snowflake" | "snow" => transpileSnowflake
-      case "bigquery" | "bq"    => transpileBigQuery
+      // "big_query" is the reference's own db_type spelling
+      // (core/db_connect.py:139-147)
+      case "snowflake" | "snow"            => transpileSnowflake
+      case "bigquery" | "bq" | "big_query" => transpileBigQuery
       case "sqlite"             => transpileSqlite(_: String)
       case _                    => transpile
     }
