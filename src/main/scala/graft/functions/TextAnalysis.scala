@@ -195,6 +195,31 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       LongNumRe, "<NUM>")
 
+  /** Full PII scrub (the BigCode/StarCoder-class pre-training stage):
+    * emails, secret-looking 40+-char base64 runs, SSNs, IPv4
+    * addresses, phone-shaped digit/punct runs, then residual 6+-digit
+    * runs — each to a typed tag. REPLACEMENT ORDER IS LOAD-BEARING:
+    * keys go before phones (a 40-char token contains 8+-digit runs a
+    * phone pattern would shred mid-token), SSNs and IPs before phones
+    * (both are phone-shaped), phones before the residual digit-run
+    * cleanup. Same explicit-character-class discipline as [[redact]],
+    * so Java regex and RE2 (DuckDB) agree byte-for-byte; per-row
+    * scalar chain — zero shuffle, cost = the scan.
+    */
+  val SecretRe = "[A-Za-z0-9+/]{40,}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val k = regexp_replace(e, SecretRe, "<KEY>")
+    val s = regexp_replace(k, SsnRe, "<SSN>")
+    val ip = regexp_replace(s, Ipv4Re, "<IP>")
+    val ph = regexp_replace(ip, PhoneRe, "<PHONE>")
+    regexp_replace(ph, LongNumRe, "<NUM>")
+  }
+
   /** C0/DEL control characters except the whitespace ones a corpus
     * keeps (tab \x09, newline \x0A, carriage return \x0D).
     */

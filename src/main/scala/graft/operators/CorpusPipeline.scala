@@ -72,6 +72,10 @@ object CorpusPipeline {
       // expression) + control-char strip + space/tab-run collapse —
       // per-row scalar folded into the first scan, zero extra cost
       fixText: Boolean = false,
+      // PII scrub (emails/keys/SSNs/IPs/phones/digit runs -> typed
+      // tags) in the same scan as byte repair; runs BEFORE hashing so
+      // documents differing only in redacted PII dedup together
+      redactPii: Boolean = false,
       // > 0 turns on C4 line curation with this per-line word floor:
       // keep lines ending in terminal punctuation with >= c4MinWords
       // words and no blocked phrase; DROP docs with < c4MinKeptLines
@@ -250,11 +254,14 @@ object CorpusPipeline {
         (note("url_curation", capped.drop("__uscore")), false)
     }
 
-    // 0b. byte repair (optional): per-row scalar rewrite of the text
-    // column — folds into the scan, preserves flatness
-    val repaired =
+    // 0b. byte repair + PII scrub (optional): per-row scalar rewrites
+    // of the text column — fold into the scan, preserve flatness
+    val repaired0 =
       if (!cfg.fixText) urled
       else urled.withColumn(textCol, TextAnalysis.fixText(col(textCol)))
+    val repaired =
+      if (!cfg.redactPii) repaired0
+      else repaired0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     // 0c. C4 line curation (optional): line rules rebuild the text,
     // the document gate drops thin/blocked docs. Inner join keeps the

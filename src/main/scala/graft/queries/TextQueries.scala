@@ -244,6 +244,56 @@ object TextQueries extends QueryPack {
               |FROM r ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "q_pii_redact",
+      "Full PII scrub (BigCode/StarCoder-class): email, 40+-char " +
+        "secret, SSN, IPv4, phone, residual digit run — six ordered " +
+        "replace-alls to typed tags, order load-bearing (keys before " +
+        "phones so a phone pattern cannot shred a token's digit runs; " +
+        "SSN/IP before the phone-shaped catch-all). The synthesized " +
+        "suffix carries one of EACH PII type; the oracle replays the " +
+        "identical chain, so the full redacted text hash-matches.",
+      (s, dir) => {
+        val synth = concat(col("text"),
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com ssn 123-45-6789 host 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 call +1 (415) 555-0199 key "),
+          lit("AbCdEf0123456789AbCdEf0123456789AbCdEf01"),
+          lit(" pin 123456 done."))
+        val red = redactPii(synth)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            length(synth).cast("long").as("n_before"),
+            length(red).cast("long").as("n_after"),
+            red.as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |         text || ' mail user' || CAST(doc_id AS VARCHAR) ||
+              |         '@example.com ssn 123-45-6789 host 10.0.' ||
+              |         CAST(doc_id % 256 AS VARCHAR) ||
+              |         '.7 call +1 (415) 555-0199 key ' ||
+              |         'AbCdEf0123456789AbCdEf0123456789AbCdEf01' ||
+              |         ' pin 123456 done.' AS t
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id, t,
+              |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |      regexp_replace(regexp_replace(t,
+              |        '$EmailRe', '<EMAIL>', 'g'),
+              |        '$SecretRe', '<KEY>', 'g'),
+              |        '$SsnRe', '<SSN>', 'g'),
+              |        '$Ipv4Re', '<IP>', 'g'),
+              |        '$PhoneRe', '<PHONE>', 'g'),
+              |        '$LongNumRe', '<NUM>', 'g') AS rt
+              |  FROM s)
+              |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+              |       CAST(length(rt) AS BIGINT) AS n_after,
+              |       rt AS clean_text
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    GQuery(
       "q_corpus_report",
       "Corpus composition report (datasheets-for-datasets): per " +
         "(source, lang) segment — doc count, exact-unique text count " +

@@ -209,14 +209,21 @@ object IngestDedup {
       repetitionMinWords: Int = 50,
       tokenizerPath: Option[String] = None,
       fixText: Boolean = false,
+      redactPii: Boolean = false,
       c4MinWords: Int = 0,
       c4MinKeptLines: Int =
         graft.operators.LineCuration.DefaultMinKeptLines): StreamingQuery = {
     val spark = docs.sparkSession
-    val repaired =
+    val repaired0 =
       if (!fixText) docs
       else docs.withColumn(textCol,
         graft.functions.TextAnalysis.fixText(col(textCol)))
+    // PII scrub shares the batch pipeline's expression — another
+    // stateless per-row scan rewrite, BEFORE any hashing/screening
+    val repaired =
+      if (!redactPii) repaired0
+      else repaired0.withColumn(textCol,
+        graft.functions.TextAnalysis.redactPii(col(textCol)))
     val lined =
       if (c4MinWords <= 0) repaired
       else {

@@ -268,6 +268,35 @@ class CorpusPipelineSpec extends SparkSpec {
       "composed form should appear in surviving unique tails")
   }
 
+  test("PII scrub stage: typed tags in, raw PII out, before any hashing") {
+    graft.core.CacheBin.drain()
+    // doc_id sits OUTSIDE the redacted spans: after redaction the
+    // tails stay doc-unique, so the boilerplate scrub (which would
+    // correctly remove a corpus-wide identical tail) leaves them
+    val piiDocs = docs.withColumn("text", concat(col("text"),
+      lit(" contact user@mail.example id "), col("doc_id").cast("string"),
+      lit(" ssn 987-65-4321 now.")))
+    val out = CorpusPipeline.prepare(piiDocs, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 20,
+        packTokens = 256L, redactPii = true),
+      "doc_id", "text", "source")
+    assert(out.count() > 0)
+    assert(out.filter(col("clean_text").rlike("@mail\\.example")).count() == 0,
+      "raw email survived the scrub")
+    assert(out.filter(col("clean_text").contains("987-65-4321")).count() == 0,
+      "raw SSN survived the scrub")
+    // downstream of the boilerplate scrub clean_text is rebuilt from
+    // lowercased tokens, so the tags read <email>/<ssn> there; a few
+    // docs legitimately lose a tag to shared-window boilerplate
+    // removal (the word-soup prefix collides across docs), so the tag
+    // presence check is a strong majority, while the NO-RAW-PII
+    // invariant above is absolute
+    val tagged = out.filter(lower(col("clean_text")).contains("<email>") &&
+      lower(col("clean_text")).contains("<ssn>")).count()
+    assert(tagged * 10 >= out.count() * 9,
+      s"typed tags survive in too few documents: $tagged of ${out.count()}")
+  }
+
   test("prepareWithReport emits the survivor funnel; prepare is unchanged") {
     graft.core.CacheBin.drain()
     val cfg = CorpusPipeline.Config(langs = Seq("en", "de", "fr"),

@@ -500,6 +500,30 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PII scrub rewrites at scan time, stateless") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx12") + "/index"
+    val out = freshDir("out12") + "/corpus"
+    val ckp = freshDir("ckp12")
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, redactPii = true)
+    try {
+      src.addData(IngestDoc(1L,
+        "reach me at a.b@example.com or 192.168.0.1 with pin 987654 thanks"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L) ===
+        "reach me at <EMAIL> or <IP> with pin <NUM> thanks")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "PII scrub introduced streaming state")
+    } finally q.stop()
+  }
+
   test("byte repair + C4 line gates rewrite and filter at scan time, stateless") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
