@@ -87,6 +87,38 @@ object UrlOps {
     * rank ⇒ Spark executes the window with WindowGroupLimit (each map
     * task pre-prunes to k rows per domain before the shuffle).
     */
+  /** UT1-style domain-blocklist filtering (the RefinedWeb adult/fraud
+    * cut): drop every document whose host IS a blocked domain or is a
+    * SUBDOMAIN of one. The host explodes into its domain SUFFIXES
+    * (ads.t.example.com -> [ads.t.example.com, t.example.com,
+    * example.com] — bounded by label count, ~3-6 rows/doc) so the
+    * blocklist probe is a pure EQUI semi-join: no suffix/LIKE join, no
+    * cartesian, and a multi-million-row UT1 list stays a shuffled (or
+    * auto-broadcast, when small) hash join at 100 TB. Null-URL rows
+    * pass through untouched (nothing to block on).
+    */
+  def dropBlockedDomains(docs: DataFrame, urlCol: String, idCol: String,
+      blocklist: DataFrame, blockCol: String = "domain"): DataFrame = {
+    val keyed =
+      if (docs.columns.contains("url_canon")) docs
+      else docs.withColumn("url_canon", canonicalize(col(urlCol)))
+    val withUrl = keyed.filter(col("url_canon").isNotNull)
+    val labels = split(domainOf(col("url_canon")), "\\.")
+    // suffixes from the full host down to the 2-label registrable
+    // tail; the >= 2 guard keeps sequence() ascending on 1-label hosts
+    val suffixes = when(size(labels) >= 2,
+      transform(sequence(lit(0), size(labels) - 2),
+        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+      .otherwise(array(array_join(labels, ".")))
+    val flagged = withUrl
+      .select(col(idCol), explode(suffixes).as("__sfx"))
+      .join(blocklist.select(lower(col(blockCol)).as("__sfx")),
+        Seq("__sfx"), "left_semi")
+      .select(col(idCol)).distinct()
+    withUrl.join(flagged, Seq(idCol), "left_anti")
+      .unionByName(keyed.filter(col("url_canon").isNull))
+  }
+
   def capPerDomain(docs: DataFrame, urlCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k > 0, s"domain cap must be positive: $k")

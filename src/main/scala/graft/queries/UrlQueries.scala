@@ -151,5 +151,48 @@ object UrlQueries extends QueryPack {
            |           ORDER BY n_chars DESC, doc_id) AS rn
            |  FROM canon)
            |SELECT domain, doc_id, score FROM ranked
-           |WHERE rn <= 5 ORDER BY domain, doc_id""".stripMargin)))
+           |WHERE rn <= 5 ORDER BY domain, doc_id""".stripMargin)),
+
+    GQuery(
+      "q_url_blocklist",
+      "UT1-style domain-blocklist filtering: hosts explode into their " +
+        "domain suffixes (bounded by label count) and a pure EQUI " +
+        "semi-join probes the blocklist — a registered-domain entry " +
+        "blocks every subdomain, a full-host entry blocks exactly " +
+        "that host; survivors pass unchanged. No LIKE/suffix join " +
+        "anywhere, so a multi-million-row UT1 list is a plain hash " +
+        "join at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        // one registered-domain entry (blocks www.site3.* subdomains)
+        // and one exact-host entry
+        val block = Seq("site3.example.com", "www.site7.example.com")
+          .toDF("domain")
+        UrlOps.dropBlockedDomains(
+          withUrl(Tables.load(s, dir, "documents")), "url", "doc_id", block)
+          .select(col("doc_id"),
+            UrlOps.domainOf(col("url_canon")).as("host"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH $UrlCanonCte,
+           |blk AS (SELECT * FROM (VALUES ('site3.example.com'),
+           |                              ('www.site7.example.com')) b(domain)),
+           |hosts AS (
+           |  SELECT doc_id,
+           |         regexp_extract(url_canon, '^[a-z0-9+.-]*://([^/:?]*)', 1) AS host
+           |  FROM canon),
+           |sfx AS (
+           |  SELECT doc_id,
+           |         unnest(CASE WHEN len(ls) >= 2
+           |           THEN list_transform(range(0, len(ls) - 1),
+           |                i -> array_to_string(list_slice(ls, i + 1, len(ls)), '.'))
+           |           ELSE [array_to_string(ls, '.')] END) AS s
+           |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM hosts)),
+           |flagged AS (
+           |  SELECT DISTINCT sfx.doc_id
+           |  FROM sfx JOIN blk ON sfx.s = lower(blk.domain))
+           |SELECT h.doc_id, h.host FROM hosts h
+           |ANTI JOIN flagged f USING (doc_id)
+           |ORDER BY h.doc_id""".stripMargin)))
 }

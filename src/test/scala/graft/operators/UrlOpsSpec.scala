@@ -90,4 +90,31 @@ class UrlOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(capped === Set(1L, 2L, 3L, 4L))
   }
+
+  test("domain blocklist: registered-domain entry blocks subdomains, exact host exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "http://ads.tracker.example.com/x"), // subdomain of blocked
+      (1L, "http://tracker.example.com/y"),     // the blocked domain itself
+      (2L, "http://example.com/z"),             // PARENT of blocked: survives
+      (3L, "http://news.example.org/a"),        // exact-host entry
+      (4L, "http://example.org/b"),             // sibling: survives
+      (5L, "http://clean.site.net/c"),          // unrelated
+      (6L, null.asInstanceOf[String]))          // null URL passes through
+      .toDF("doc_id", "url")
+    val block = Seq("tracker.example.com", "NEWS.example.org").toDF("domain")
+    val kept = UrlOps.dropBlockedDomains(docs, "url", "doc_id", block)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L, 6L), kept.toString)
+  }
+
+  test("blocklist filtering is a pure equi-join plan (no cartesian/BNLJ)") {
+    import spark.implicits._
+    val docs = Seq((0L, "http://a.b.c/x")).toDF("doc_id", "url")
+    val block = Seq("b.c").toDF("domain")
+    val plan = UrlOps.dropBlockedDomains(docs, "url", "doc_id", block)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
