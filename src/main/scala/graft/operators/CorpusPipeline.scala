@@ -169,8 +169,12 @@ object CorpusPipeline {
     */
   def prepare(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): DataFrame =
-    prepareImpl(docs, evalSet, cfg, idCol, textCol, srcCol, report = None)
+      srcCol: String = "source",
+      // UT1-style domain blocklist (one `domain` column): applied at
+      // the head of the URL stage, before any content work
+      blocklist: Option[DataFrame] = None): DataFrame =
+    prepareImpl(docs, evalSet, cfg, idCol, textCol, srcCol, blocklist,
+      report = None)
 
   /** [[prepare]] plus the per-stage survivor funnel — the
     * datasheets-for-datasets artifact a production curation run logs
@@ -184,21 +188,26 @@ object CorpusPipeline {
   def prepareWithReport(docs: DataFrame, evalSet: DataFrame,
       cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): (DataFrame, Seq[StageRows]) = {
+      srcCol: String = "source",
+      blocklist: Option[DataFrame] = None): (DataFrame, Seq[StageRows]) = {
     val buf = scala.collection.mutable.ListBuffer.empty[StageRows]
     val out = prepareImpl(docs, evalSet, cfg, idCol, textCol, srcCol,
-      report = Some(buf))
+      blocklist, report = Some(buf))
     (out, buf.toList)
   }
 
   private def prepareImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
       idCol: String, textCol: String, srcCol: String,
+      blocklist: Option[DataFrame],
       report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
-    // the whole URL stage is gated on urlCol — a domain cap configured
-    // without it would be silently ignored, not applied
+    // the whole URL stage is gated on urlCol — a domain cap or a
+    // blocklist configured without it would be silently ignored
     require(cfg.domainCap <= 0 || cfg.urlCol.nonEmpty,
       "domainCap requires urlCol: the per-domain cap is part of the URL " +
         "curation stage and is only applied when urlCol is set")
+    require(blocklist.isEmpty || cfg.urlCol.nonEmpty,
+      "a domain blocklist requires urlCol: blocklist filtering is part " +
+        "of the URL curation stage and is only applied when urlCol is set")
     def note(name: String, df: DataFrame): DataFrame = {
       report.foreach(_ += StageRows(name, df.count()))
       df
@@ -243,7 +252,12 @@ object CorpusPipeline {
     val (urled, urledFlat): (DataFrame, Boolean) = cfg.urlCol match {
       case None => (docs, true)
       case Some(u) =>
-        val scored = docs.withColumn("__uscore", length(col(textCol)))
+        // blocklist first — the cheapest cut, and dropBlockedDomains
+        // leaves url_canon on the frame for dedupByUrl to reuse
+        val unblocked = blocklist
+          .map(bl => UrlOps.dropBlockedDomains(docs, u, idCol, bl))
+          .getOrElse(docs)
+        val scored = unblocked.withColumn("__uscore", length(col(textCol)))
         // url_canon stays on the frame between the two UrlOps calls so
         // capPerDomain reuses it instead of re-canonicalizing per row
         val urlDeduped = UrlOps.dedupByUrl(scored, u, "__uscore", idCol)

@@ -118,12 +118,27 @@ object LineCuration {
     * engines make identical decisions, collisions included.
     */
   def stripDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocFreq: Int = 2): DataFrame = {
+      minDocFreq: Int = 2): DataFrame =
+    stripDuplicateUnits(docs, idCol, textCol, minDocFreq, sep = "\n")
+
+  /** [[stripDuplicateLines]] at PARAGRAPH granularity (units split on
+    * blank lines) — RefinedWeb's other exact-dedup grain: a repeated
+    * paragraph (quoted passage, templated intro) is removed from every
+    * document while its unique surroundings survive. Same plan, same
+    * output contract, `sep = "\n\n"`.
+    */
+  def stripDuplicateParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, minDocFreq: Int = 2): DataFrame =
+    stripDuplicateUnits(docs, idCol, textCol, minDocFreq, sep = "\n\n")
+
+  private def stripDuplicateUnits(docs: DataFrame, idCol: String,
+      textCol: String, minDocFreq: Int, sep: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // split once; consumed by the flag counts and the rebuild
     // (CacheBin contract — runner drains)
+    // sep is a literal ("\n" or "\n\n" — no regex metacharacters)
     val base = graft.core.CacheBin.trackEager(
-      docs.select(col(idCol), split(col(textCol), "\n").as("__ls"))
+      docs.select(col(idCol), split(col(textCol), sep).as("__ls"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val wins = base.select(col(idCol),
         posexplode(col("__ls")).as(Seq("__pos", "__l")))
@@ -171,6 +186,6 @@ object LineCuration {
         size(col("__ls")).cast("long").as("n_lines"),
         coalesce(aggregate(sp, lit(0L), (acc, s) => acc + s("__len")), lit(0L))
           .as("n_removed"),
-        concat_ws("\n", flatten(segments)).as("clean_text"))
+        concat_ws(sep, flatten(segments)).as("clean_text"))
   }
 }

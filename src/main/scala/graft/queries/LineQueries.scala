@@ -194,6 +194,61 @@ object LineQueries extends QueryPack {
               |ORDER BY ls.doc_id""".stripMargin)),
 
     GQuery(
+      "q_paragraph_dedup",
+      "Corpus-level exact PARAGRAPH dedup (RefinedWeb's other exact " +
+        "grain): units split on blank lines; a paragraph in >= 2 " +
+        "DISTINCT documents is removed from every document while its " +
+        "unique surroundings survive. Same 8-byte-hash groupBy + " +
+        "equi-join plan as line dedup, sep = blank line.",
+      (s, dir) => {
+        val synth = concat(
+          regexp_replace(col("text"), " stream ", "\n\n"),
+          when(col("doc_id") % 3 === 1,
+            lit("\n\nthis quoted passage appears in many documents verbatim"))
+            .otherwise(lit("")),
+          lit("\n\nunique closing paragraph "), col("doc_id").cast("string"))
+        LineCuration.stripDuplicateParagraphs(
+          Tables.load(s, dir, "documents").withColumn("synth", synth),
+          "doc_id", "synth", minDocFreq = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    regexp_replace(text, ' stream ', chr(10) || chr(10), 'g') ||
+              |    (CASE WHEN doc_id % 3 = 1
+              |          THEN chr(10) || chr(10) ||
+              |            'this quoted passage appears in many documents verbatim'
+              |          ELSE '' END) ||
+              |    chr(10) || chr(10) || 'unique closing paragraph ' ||
+              |    CAST(doc_id AS VARCHAR) AS t
+              |  FROM documents),
+              |ls AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS l FROM s),
+              |w AS (
+              |  SELECT doc_id, unnest(l) AS line,
+              |         unnest(generate_series(1, len(l))) AS pos
+              |  FROM ls),
+              |k AS (
+              |  SELECT doc_id, pos, ${polyHashSql("trim(line)")} AS hv
+              |  FROM w WHERE length(trim(line)) > 0),
+              |fl AS (SELECT hv FROM k GROUP BY hv
+              |       HAVING COUNT(DISTINCT doc_id) >= 2),
+              |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
+              |keep AS (SELECT w.doc_id, w.pos, w.line
+              |         FROM w ANTI JOIN cov USING (doc_id, pos)),
+              |agg AS (SELECT doc_id,
+              |          string_agg(line, chr(10) || chr(10) ORDER BY pos)
+              |          AS clean_text
+              |        FROM keep GROUP BY doc_id),
+              |rem AS (SELECT doc_id, COUNT(*) AS n_rm FROM cov GROUP BY doc_id)
+              |SELECT ls.doc_id, CAST(len(ls.l) AS BIGINT) AS n_lines,
+              |       CAST(COALESCE(rem.n_rm, 0) AS BIGINT) AS n_removed,
+              |       COALESCE(agg.clean_text, '') AS clean_text
+              |FROM ls
+              |LEFT JOIN agg ON ls.doc_id = agg.doc_id
+              |LEFT JOIN rem ON ls.doc_id = rem.doc_id
+              |ORDER BY ls.doc_id""".stripMargin)),
+
+    GQuery(
       "q_line_pipeline",
       "The round-13 curation stages COMPOSED end to end: byte repair " +
         "(NFC + control strip + space collapse) -> C4 line filter + " +

@@ -268,6 +268,33 @@ class CorpusPipelineSpec extends SparkSpec {
       "composed form should appear in surviving unique tails")
   }
 
+  test("URL blocklist: blocked domains (and subdomains) never reach content stages") {
+    graft.core.CacheBin.drain()
+    import spark.implicits._
+    // host depends on doc_id % 3: a third of docs sit on the blocked
+    // registered domain (some as subdomains)
+    val urled = docs.withColumn("url",
+      concat(lit("http://"),
+        when(col("doc_id") % 3 === 0, lit("ads.bad.example"))
+          .when(col("doc_id") % 3 === 1, lit("bad.example"))
+          .otherwise(lit("good.example")),
+        lit("/p/"), col("doc_id").cast("string")))
+    val block = Seq("bad.example").toDF("domain")
+    val out = CorpusPipeline.prepare(urled, evalSet,
+      CorpusPipeline.Config(langs = Seq("en", "de", "fr"), minChars = 20,
+        packTokens = 256L, urlCol = Some("url")),
+      "doc_id", "text", "source", blocklist = Some(block))
+    assert(out.count() > 0)
+    assert(out.filter(pmod(col("doc_id"), lit(3)) =!= 2).count() == 0,
+      "documents on the blocked domain (or its subdomains) survived")
+    // blocklist without urlCol fails loudly instead of silently no-op
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(urled, evalSet,
+        CorpusPipeline.Config(langs = Seq("en")),
+        "doc_id", "text", "source", blocklist = Some(block))
+    }
+  }
+
   test("PII scrub stage: typed tags in, raw PII out, before any hashing") {
     graft.core.CacheBin.drain()
     // doc_id sits OUTSIDE the redacted spans: after redaction the

@@ -84,6 +84,24 @@ class LineCurationSpec extends SparkSpec {
     assert(run(2) === run(7))
   }
 
+  test("stripDuplicateParagraphs: blank-line units, same contract") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "unique intro zero\n\nshared quoted passage here\n\nclosing zero"),
+      (1L, "opening one\n\nshared quoted passage here"),
+      (2L, "all original paragraphs\n\nnothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = LineCuration.stripDuplicateParagraphs(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the shared paragraph goes from BOTH docs; single-newline content
+    // inside a paragraph is untouched (units are blank-line separated)
+    assert(out(0L) === ((3L, 1L, "unique intro zero\n\nclosing zero")))
+    assert(out(1L) === ((2L, 1L, "opening one")))
+    assert(out(2L) === ((2L, 0L,
+      "all original paragraphs\n\nnothing shared at all")))
+  }
+
   test("stripDuplicateLines: a line repeated only within one doc survives") {
     import spark.implicits._
     val corpus = Seq(
