@@ -1,0 +1,72 @@
+package graft.dialect
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property guards for the transpiler's lexical surgery over 300
+  * seeded-random SQL strings mixing identifiers, literals that CONTAIN
+  * dialect keywords, comments, numbers, and nested dialect calls: all
+  * three arms are IDEMPOTENT on their own output, never touch
+  * single-quoted literals, and leave dialect-free SQL byte-identical.
+  */
+class TranspilerPropertySpec extends AnyFunSuite {
+
+  private val idents = Vector("a", "b", "col1", "t.x", "order_total", "d")
+  private val lits = Vector(
+    "'plain'", "'DATEADD(day, 1, x)'", "'SAFE_DIVIDE(a, b)'",
+    "'it''s'", "'100 %'", "'TO_CHAR(d)'")
+  private val calls = Vector(
+    "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
+    "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
+    "DATE_DIFF(b, a, DAY)", "DATE_ADD(d, INTERVAL 3 DAY)",
+    "SAFE_DIVIDE(a, b)", "FORMAT_DATE('%Y', d)", "COUNTIF(x > 0)",
+    "DATEADD(month, 1, DATEADD(year, -1, d))")
+  private val comments = Vector(
+    "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
+
+  private def genSql(rng: scala.util.Random): (String, Seq[String]) = {
+    val n = 1 + rng.nextInt(5)
+    val usedLits = scala.collection.mutable.ListBuffer.empty[String]
+    val terms = (0 until n).map { _ =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 => idents(rng.nextInt(idents.size))
+        case 3 | 4 | 5 =>
+          val l = lits(rng.nextInt(lits.size)); usedLits += l; l
+        case 6 | 7 | 8 => calls(rng.nextInt(calls.size))
+        case _ => comments(rng.nextInt(comments.size))
+      }
+    }
+    val tail = Vector("", " FROM t", " FROM t WHERE a > 0")(rng.nextInt(3))
+    ("SELECT " + terms.mkString(", ") + tail, usedLits.toList)
+  }
+
+  private val arms: Seq[(String, String => String)] = Seq(
+    "snowflake" -> Transpiler.transpileSnowflake,
+    "bigquery" -> Transpiler.transpileBigQuery,
+    "shared" -> (Transpiler.transpile(_: String)))
+
+  test("all arms are idempotent and literal-safe on 300 seeded-random SQLs") {
+    val rng = new scala.util.Random(20260815L)
+    (0 until 300).foreach { i =>
+      val (sql, usedLits) = genSql(rng)
+      arms.foreach { case (name, f) =>
+        val once = f(sql)
+        assert(f(once) == once, s"[$i] $name not idempotent on: $sql\n-> $once")
+        usedLits.foreach(l =>
+          assert(once.contains(l), s"[$i] $name mangled literal $l in: $once"))
+      }
+    }
+  }
+
+  test("dialect-free SQL passes through unchanged") {
+    val clean = Seq(
+      "SELECT a, b FROM t WHERE a > 0 ORDER BY b",
+      "SELECT count(*) AS n FROM t GROUP BY a HAVING count(*) > 1",
+      "SELECT t.x, 'lit' FROM t JOIN u ON t.id = u.id",
+      "WITH c AS (SELECT 1 AS x) SELECT x FROM c")
+    clean.foreach { sql =>
+      arms.foreach { case (name, f) =>
+        assert(f(sql) == sql, s"$name rewrote dialect-free SQL: $sql -> ${f(sql)}")
+      }
+    }
+  }
+}
