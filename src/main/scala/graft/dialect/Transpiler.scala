@@ -557,6 +557,7 @@ object Transpiler {
     */
   def transpileSnowflake(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
+    out = replaceToken(out, "TO_VARCHAR", "TO_CHAR") // alias, same forms
     out = rewriteCall(out, "DATEADD") {
       case Seq(u, n, e) => normUnit(u).map(dateAddSql(_, n, e))
       case _ => None
@@ -703,6 +704,9 @@ object Transpiler {
       }
     truncArm("TIMESTAMP_TRUNC"); truncArm("DATETIME_TRUNC")
     out = replaceToken(out, "SAFE_DIVIDE", "TRY_DIVIDE")
+    out = replaceToken(out, "SAFE_ADD", "TRY_ADD")
+    out = replaceToken(out, "SAFE_SUBTRACT", "TRY_SUBTRACT")
+    out = replaceToken(out, "SAFE_MULTIPLY", "TRY_MULTIPLY")
     out = replaceToken(out, "SAFE_CAST", "TRY_CAST")
     out = replaceToken(out, "COUNTIF", "COUNT_IF")
     out = replaceToken(out, "REGEXP_CONTAINS", "REGEXP_LIKE")

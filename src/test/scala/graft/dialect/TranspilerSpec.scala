@@ -171,6 +171,8 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT DATE_ADD(d, 3) FROM t")
     assert(transpileBigQuery("SELECT SAFE_DIVIDE(a, b) FROM t") ==
       "SELECT TRY_DIVIDE(a, b) FROM t")
+    assert(transpileBigQuery("SELECT SAFE_ADD(a, b), SAFE_MULTIPLY(a, b) FROM t") ==
+      "SELECT TRY_ADD(a, b), TRY_MULTIPLY(a, b) FROM t")
     assert(transpileBigQuery("SELECT SAFE_CAST(a AS INT64) FROM t") ==
       "SELECT TRY_CAST(a AS BIGINT) FROM t")
     assert(transpileBigQuery("SELECT FORMAT_DATE('%Y-%m', d) FROM t") ==
@@ -198,6 +200,9 @@ class TranspilerSpec extends AnyFunSuite {
     // Snowflake DATE_TRUNC is part-first like Spark: untouched
     assert(transpileSnowflake("SELECT DATE_TRUNC('month', d) FROM t") ==
       "SELECT DATE_TRUNC('month', d) FROM t")
+    // TO_VARCHAR is TO_CHAR's alias — same forms
+    assert(transpileSnowflake("SELECT TO_VARCHAR(d, 'YYYY-MM') FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
   }
 
   test("transpileBigQuery: expr-first trunc family flips to Spark order") {
