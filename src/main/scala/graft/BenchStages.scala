@@ -39,6 +39,43 @@ object BenchStages {
       "pair_agg_drops" -> ((s, dir) =>
         TextDedup.containmentDropContained(docs(s, dir), "doc_id", "text", 0.9, 3))),
 
+    "q_linkalign_reduce_large" -> {
+      // the 35-round driver loop is the cost center; the prefixes
+      // separate fixture construction from one mid-size arm so a
+      // regression localizes to "fixture build" vs "per-round cost"
+      def fixture(s: SparkSession, dir: String): DataFrame = {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") < 500)
+          .select(col("vec_id"), col("embedding"))
+        (0 until 6).map { c =>
+          val rot =
+            if (c == 0) col("embedding")
+            else concat(
+              expr(s"slice(embedding, ${c + 1}, size(embedding) - $c)"),
+              expr(s"slice(embedding, 1, $c)"))
+          base.select((col("vec_id") + lit(500L * c)).as("col_id"),
+            rot.as("embedding"))
+        }.reduce(_ unionByName _)
+          .withColumn("table_name",
+            concat(lit("t"), pmod(col("col_id"), lit(50)).cast("string")))
+          .withColumn("column_name",
+            concat(lit("c"), pmod(col("col_id"), lit(70)).cast("string")))
+      }
+      Seq(
+        "fixture" -> ((s: SparkSession, dir: String) => fixture(s, dir)),
+        "one_arm_1000" -> { (s: SparkSession, dir: String) =>
+          val sch = fixture(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.core.CacheBin.track(sch)
+          graft.operators.LinkAlignReduce.reduce(
+            sch.filter(col("col_id") < 1000), Seq.fill(64)(1.0),
+            dbSize = 1000, initRetainRate = 1.0, decayRate = 1.0)
+        },
+        "all_arms" -> ((s: SparkSession, dir: String) =>
+          SparkEntry.allQueries.find(_.name == "q_linkalign_reduce_large").get
+            .build(s, dir)))
+    },
+
     "q_keepbest_dedup" -> Seq(
       "neardup_pairs" -> ((s, dir) =>
         TextDedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
