@@ -220,6 +220,16 @@ object TextAnalysis {
     regexp_replace(ph, LongNumRe, "<NUM>")
   }
 
+  /** Occurrences of a literal `tag` in `text` — exact integer length
+    * arithmetic, identical on any engine. With a [[redactPii]]'d
+    * column this counts the scrub's work product per type (the
+    * datasheet metric a curation run reports), consistent with the
+    * redaction by construction.
+    */
+  def tagCount(text: Column, tag: String): Column =
+    ((length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(tag), ""))) / tag.length).cast("long")
+
   /** C0/DEL control characters except the whitespace ones a corpus
     * keeps (tab \x09, newline \x0A, carriage return \x0D).
     */

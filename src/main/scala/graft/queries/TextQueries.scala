@@ -294,6 +294,84 @@ object TextQueries extends QueryPack {
               |FROM r ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "q_pii_stats",
+      "Per-source PII incidence report (the datasheet metric a " +
+        "curation run publishes): tag counts per type over the " +
+        "scrubbed text — exact integer length arithmetic, consistent " +
+        "with the redaction by construction. Every doc carries an " +
+        "email; SSN/IP/phone/key/num appear on doc_id residues, so " +
+        "per-source counts differ and actually exercise the " +
+        "aggregation.",
+      (s, dir) => {
+        val synth = concat(col("text"),
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 2 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, concat(lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call +1 (415) 555-0199"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" key AbCdEf0123456789AbCdEf0123456789AbCdEf01"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" pin 654321"))
+            .otherwise(lit("")),
+          lit(" done."))
+        val red = redactPii(synth)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), red.as("__r"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(tagCount(col("__r"), "<EMAIL>")).as("n_email"),
+            sum(tagCount(col("__r"), "<SSN>")).as("n_ssn"),
+            sum(tagCount(col("__r"), "<IP>")).as("n_ip"),
+            sum(tagCount(col("__r"), "<PHONE>")).as("n_phone"),
+            sum(tagCount(col("__r"), "<KEY>")).as("n_key"),
+            sum(tagCount(col("__r"), "<NUM>")).as("n_num"))
+          .orderBy(col("source"))
+      },
+      Some {
+        def cnt(tag: String, w: Int, as: String) =
+          s"CAST(SUM(CAST((length(rt) - length(replace(rt, '$tag', ''))) / $w AS BIGINT)) AS BIGINT) AS $as"
+        s"""WITH s AS (
+           |  SELECT source,
+           |         text || ' mail user' || CAST(doc_id AS VARCHAR) ||
+           |         '@example.com' ||
+           |         (CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-6789' ELSE '' END) ||
+           |         (CASE WHEN doc_id % 3 = 0
+           |               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           |               ELSE '' END) ||
+           |         (CASE WHEN doc_id % 5 = 0 THEN ' call +1 (415) 555-0199' ELSE '' END) ||
+           |         (CASE WHEN doc_id % 7 = 0
+           |               THEN ' key AbCdEf0123456789AbCdEf0123456789AbCdEf01'
+           |               ELSE '' END) ||
+           |         (CASE WHEN doc_id % 11 = 0 THEN ' pin 654321' ELSE '' END) ||
+           |         ' done.' AS t
+           |  FROM documents),
+           |r AS (
+           |  SELECT source,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(regexp_replace(t,
+           |        '$EmailRe', '<EMAIL>', 'g'),
+           |        '$SecretRe', '<KEY>', 'g'),
+           |        '$SsnRe', '<SSN>', 'g'),
+           |        '$Ipv4Re', '<IP>', 'g'),
+           |        '$PhoneRe', '<PHONE>', 'g'),
+           |        '$LongNumRe', '<NUM>', 'g') AS rt
+           |  FROM s)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  ${cnt("<EMAIL>", 7, "n_email")},
+           |  ${cnt("<SSN>", 5, "n_ssn")},
+           |  ${cnt("<IP>", 4, "n_ip")},
+           |  ${cnt("<PHONE>", 7, "n_phone")},
+           |  ${cnt("<KEY>", 5, "n_key")},
+           |  ${cnt("<NUM>", 5, "n_num")}
+           |FROM r GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    GQuery(
       "q_corpus_report",
       "Corpus composition report (datasheets-for-datasets): per " +
         "(source, lang) segment — doc count, exact-unique text count " +
