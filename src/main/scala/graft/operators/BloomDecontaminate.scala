@@ -40,12 +40,23 @@ object BloomDecontaminate {
     */
   def buildFilter(eval: DataFrame, textCol: String, n: Int,
       mBits: Int, kHashes: Int): Array[Long] = {
-    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
     val hs = TextDedup.withShingleHashes(
         eval.select(lit(0L).as("__id"), col(textCol)), "__id", textCol, n)
       .select(explode(col("__shh")).as("__h"))
-    val positions = hs.select(
-        (0 until kHashes).map(i => position(col("__h"), i, mBits)): _*)
+    buildFilterFromHashes(hs, mBits, kHashes)
+  }
+
+  /** [[buildFilter]] over an arbitrary one-Long-column hash frame —
+    * the generic membership-set compiler (domain blocklists, id sets):
+    * any key family that can hash to a Long becomes a broadcast
+    * bitset probed by a stateless scan predicate.
+    */
+  def buildFilterFromHashes(hashes: DataFrame, mBits: Int,
+      kHashes: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    val h = col(hashes.columns.head)
+    val positions = hashes.select(
+        (0 until kHashes).map(i => position(h, i, mBits)): _*)
       .flatMap(r => (0 until kHashes).map(r.getLong))(
         org.apache.spark.sql.Encoders.scalaLong)
       .distinct().collect()

@@ -97,26 +97,71 @@ object UrlOps {
     * auto-broadcast, when small) hash join at 100 TB. Null-URL rows
     * pass through untouched (nothing to block on).
     */
+  /** Domain-suffix set of a CANONICAL url's host, full host down to
+    * the 2-label registrable tail (ads.t.example.com ->
+    * [ads.t.example.com, t.example.com, example.com]) — bounded by
+    * label count; the >= 2 guard keeps sequence() ascending on
+    * 1-label hosts.
+    */
+  def domainSuffixes(urlCanon: Column): Column = {
+    val labels = split(domainOf(urlCanon), "\\.")
+    when(size(labels) >= 2,
+      transform(sequence(lit(0), size(labels) - 2),
+        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+      .otherwise(array(array_join(labels, ".")))
+  }
+
   def dropBlockedDomains(docs: DataFrame, urlCol: String, idCol: String,
       blocklist: DataFrame, blockCol: String = "domain"): DataFrame = {
     val keyed =
       if (docs.columns.contains("url_canon")) docs
       else docs.withColumn("url_canon", canonicalize(col(urlCol)))
     val withUrl = keyed.filter(col("url_canon").isNotNull)
-    val labels = split(domainOf(col("url_canon")), "\\.")
-    // suffixes from the full host down to the 2-label registrable
-    // tail; the >= 2 guard keeps sequence() ascending on 1-label hosts
-    val suffixes = when(size(labels) >= 2,
-      transform(sequence(lit(0), size(labels) - 2),
-        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
-      .otherwise(array(array_join(labels, ".")))
     val flagged = withUrl
-      .select(col(idCol), explode(suffixes).as("__sfx"))
+      .select(col(idCol), explode(domainSuffixes(col("url_canon"))).as("__sfx"))
       .join(blocklist.select(lower(col(blockCol)).as("__sfx")),
         Seq("__sfx"), "left_semi")
       .select(col(idCol)).distinct()
     withUrl.join(flagged, Seq(idCol), "left_anti")
       .unionByName(keyed.filter(col("url_canon").isNull))
+  }
+
+  /** Streaming-safe blocklist: the domain list compiles to a broadcast
+    * Bloom bitset ([[graft.operators.BloomDecontaminate]] machinery,
+    * keys = [[graft.functions.TextAnalysis.polyHash]] of the
+    * lowercased domain) and the probe is a PER-ROW SCAN PREDICATE over
+    * the host's suffix set — zero joins, zero aggregation, zero
+    * streaming state, so the ingest stream can apply it where the
+    * exact equi-join form's distinct would need a state store. False
+    * positives OVER-block at the standard Bloom rate (size mBits for
+    * the list); the exact join stays the batch default. Null-URL rows
+    * pass through (nothing to block on).
+    */
+  def buildDomainFilter(blocklist: DataFrame, blockCol: String = "domain",
+      mBits: Int = 1 << 16, kHashes: Int = 3): Array[Long] =
+    BloomDecontaminate.buildFilterFromHashes(
+      blocklist.select(
+        graft.functions.TextAnalysis.polyHash(lower(col(blockCol))).as("__h")),
+      mBits, kHashes)
+
+  /** True when any suffix of the canonical url's host probes into the
+    * compiled filter — the stateless scan predicate.
+    */
+  def blockedByFilter(urlCanon: Column, words: Array[Long],
+      mBits: Int = 1 << 16, kHashes: Int = 3): Column =
+    exists(domainSuffixes(urlCanon), s =>
+      BloomDecontaminate.mightContain(words,
+        graft.functions.TextAnalysis.polyHash(s), mBits, kHashes))
+
+  def dropBlockedDomainsBloom(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame, blockCol: String = "domain",
+      mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    val words = buildDomainFilter(blocklist, blockCol, mBits, kHashes)
+    val keyed =
+      if (docs.columns.contains("url_canon")) docs
+      else docs.withColumn("url_canon", canonicalize(col(urlCol)))
+    keyed.filter(!coalesce(
+      blockedByFilter(col("url_canon"), words, mBits, kHashes), lit(false)))
   }
 
   def capPerDomain(docs: DataFrame, urlCol: String, scoreCol: String,

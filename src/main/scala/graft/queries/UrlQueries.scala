@@ -194,5 +194,60 @@ object UrlQueries extends QueryPack {
            |  FROM sfx JOIN blk ON sfx.s = lower(blk.domain))
            |SELECT h.doc_id, h.host FROM hosts h
            |ANTI JOIN flagged f USING (doc_id)
-           |ORDER BY h.doc_id""".stripMargin)))
+           |ORDER BY h.doc_id""".stripMargin)),
+
+    GQuery(
+      "q_url_blocklist_bloom",
+      "The STREAMING-SAFE blocklist form: the domain list compiles to " +
+        "a Bloom bitset (polyHash keys, the portable double-hashed " +
+        "probe positions) and blocking is a per-row scan predicate " +
+        "over the host's suffix set — zero joins, zero state. False " +
+        "positives are deterministic, so the oracle's logical replay " +
+        "of the same positions drops the identical doc set.",
+      (s, dir) => {
+        import s.implicits._
+        val block = Seq("site3.example.com", "www.site7.example.com")
+          .toDF("domain")
+        UrlOps.dropBlockedDomainsBloom(
+          withUrl(Tables.load(s, dir, "documents")), "url", block)
+          .select(col("doc_id"),
+            UrlOps.domainOf(col("url_canon")).as("host"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val polyOf = (e: String) => DedupOracles.polyHash(e)
+        def positions(h: String) =
+          s"""(((($h) * 2654435761) % 1000000007
+             |  + ks.i * ((($h) * 2246822519) % 1000000007)) % 1000000007) % 65536""".stripMargin
+        s"""WITH $UrlCanonCte,
+           |blk AS (SELECT * FROM (VALUES ('site3.example.com'),
+           |                              ('www.site7.example.com')) b(domain)),
+           |ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+           |bloom AS (
+           |  SELECT DISTINCT ${positions(polyOf("lower(domain)"))} AS pos
+           |  FROM blk, ks),
+           |hosts AS (
+           |  SELECT doc_id,
+           |         regexp_extract(url_canon, '^[a-z0-9+.-]*://([^/:?]*)', 1) AS host
+           |  FROM canon),
+           |sfx AS (
+           |  SELECT doc_id,
+           |         unnest(CASE WHEN len(ls) >= 2
+           |           THEN list_transform(range(0, len(ls) - 1),
+           |                i -> array_to_string(list_slice(ls, i + 1, len(ls)), '.'))
+           |           ELSE [array_to_string(ls, '.')] END) AS sfv
+           |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM hosts)),
+           |probe AS (
+           |  SELECT sfx.doc_id, sfx.sfv, ks.i,
+           |         ${positions(polyOf("sfx.sfv"))} AS pos
+           |  FROM sfx, ks),
+           |hit AS (
+           |  SELECT probe.doc_id, probe.sfv, COUNT(*) AS k_in
+           |  FROM probe JOIN bloom USING (pos)
+           |  GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT doc_id FROM hit WHERE k_in = 3)
+           |SELECT h.doc_id, h.host FROM hosts h
+           |ANTI JOIN bad USING (doc_id)
+           |ORDER BY h.doc_id""".stripMargin
+      }))
 }

@@ -212,11 +212,31 @@ object IngestDedup {
       redactPii: Boolean = false,
       c4MinWords: Int = 0,
       c4MinKeptLines: Int =
-        graft.operators.LineCuration.DefaultMinKeptLines): StreamingQuery = {
+        graft.operators.LineCuration.DefaultMinKeptLines,
+      // streaming-safe domain blocklist: compiled ONCE to a broadcast
+      // Bloom bitset, probed by a stateless scan predicate over the
+      // url column's host suffixes (the exact equi-join form's
+      // distinct would need a streaming state store); requires urlCol
+      urlCol: Option[String] = None,
+      domainBlocklist: Option[org.apache.spark.sql.DataFrame] = None,
+      blocklistBits: Int = 1 << 16): StreamingQuery = {
+    require(domainBlocklist.isEmpty || urlCol.nonEmpty,
+      "a domain blocklist requires urlCol: the blocklist probes the " +
+        "url column's host suffixes")
     val spark = docs.sparkSession
+    val unblocked = (urlCol, domainBlocklist) match {
+      case (Some(u), Some(bl)) =>
+        val words = graft.operators.UrlOps.buildDomainFilter(
+          bl, mBits = blocklistBits)
+        docs.filter(!coalesce(
+          graft.operators.UrlOps.blockedByFilter(
+            graft.operators.UrlOps.canonicalize(col(u)), words,
+            mBits = blocklistBits), lit(false)))
+      case _ => docs
+    }
     val repaired0 =
-      if (!fixText) docs
-      else docs.withColumn(textCol,
+      if (!fixText) unblocked
+      else unblocked.withColumn(textCol,
         graft.functions.TextAnalysis.fixText(col(textCol)))
     // PII scrub shares the batch pipeline's expression — another
     // stateless per-row scan rewrite, BEFORE any hashing/screening

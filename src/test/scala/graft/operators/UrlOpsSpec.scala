@@ -108,6 +108,29 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept === Set(2L, 4L, 5L, 6L), kept.toString)
   }
 
+  test("bloom blocklist equals the exact form on the fixture, with a join-free plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "http://ads.tracker.example.com/x"),
+      (1L, "http://tracker.example.com/y"),
+      (2L, "http://example.com/z"),
+      (3L, "http://news.example.org/a"),
+      (4L, "http://example.org/b"),
+      (5L, "http://clean.site.net/c"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val block = Seq("tracker.example.com", "NEWS.example.org").toDF("domain")
+    val exact = UrlOps.dropBlockedDomains(docs, "url", "doc_id", block)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomDf = UrlOps.dropBlockedDomainsBloom(docs, "url", block)
+    val bloom = bloomDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom === exact, s"bloom=$bloom exact=$exact")
+    // the streaming-safe form is a pure scan predicate: no join, no
+    // aggregation anywhere in the plan
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
   test("blocklist filtering is a pure equi-join plan (no cartesian/BNLJ)") {
     import spark.implicits._
     val docs = Seq((0L, "http://a.b.c/x")).toDF("doc_id", "url")

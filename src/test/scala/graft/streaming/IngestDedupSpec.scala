@@ -500,6 +500,38 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domain blocklist gates the stream via the Bloom scan predicate, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idx13") + "/index"
+    val out = freshDir("out13") + "/corpus"
+    val ckp = freshDir("ckp13")
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val block = Seq("spam.example").toDF("domain")
+    val src = MemoryStream[IngestDoc]
+    // url derives from the id: odd ids sit on the blocked domain
+    val docs = src.toDF().withColumn("url",
+      concat(lit("http://"),
+        when(col("doc_id") % 2 === 1, lit("ads.spam.example"))
+          .otherwise(lit("ok.example")),
+        lit("/p/"), col("doc_id").cast("string")))
+    val q = IngestDedup.start(docs, "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, urlCol = Some("url"), domainBlocklist = Some(block))
+    try {
+      src.addData(
+        IngestDoc(1L, "a perfectly fine text on a blocked domain"),
+        IngestDoc(2L, "a perfectly fine text on a clean domain"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L), s"blocklist admitted $ids")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "blocklist gate introduced streaming state")
+    } finally q.stop()
+  }
+
   test("PII scrub rewrites at scan time, stateless") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
