@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, EvalQueries, LineQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
+import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, DialectQueries, EvalQueries, LineQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
     StreamQueries,
     TemporalQueries,
     SketchQueries,
-    CoverageQueries)
+    CoverageQueries,
+    DialectQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

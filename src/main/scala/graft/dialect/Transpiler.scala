@@ -105,6 +105,36 @@ object Transpiler {
     sb.toString
   }
 
+  /** Literal-safe regex replacement: matches that START inside a string
+    * literal, quoted identifier, or comment are kept verbatim. The regex
+    * passes below were plain-string rewrites before round 15 — a literal
+    * containing `CAST(a AS TEXT)` or `strftime(...)` WAS rewritten inside
+    * the quotes (the r14 verdict's latent literal-safety hole).
+    */
+  private def guarded(sql: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    lazy val tagged = lex(sql)
+    re.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (tagged(m.start)._2 == Code) f(m) else m.matched))
+  }
+
+  /** Matching close paren for the open paren at `open`, honoring string
+    * literals, quoted identifiers and comments via the lex region tags
+    * (a ')' inside a '--' comment or quoted identifier never matches).
+    */
+  private def matchParen(sql: String,
+      tagged: IndexedSeq[(Char, Region, Int)], open: Int): Int = {
+    val d = tagged(open)._3
+    var k = open + 1
+    while (k < sql.length) {
+      if (sql.charAt(k) == ')' && tagged(k)._2 == Code && tagged(k)._3 == d - 1)
+        return k
+      k += 1
+    }
+    -1
+  }
+
   /** strftime('%Y', x) etc → date_format(x, 'yyyy'). Handles the common
     * single-directive formats the benchmarks use.
     */
@@ -117,15 +147,14 @@ object Transpiler {
     """(?i)strftime\s*\(\s*'([^']*)'\s*,\s*([^()]*?)\s*\)""".r
 
   private def rewriteStrftime(sql: String): String =
-    strftimeRe.replaceAllIn(sql, m => {
+    guarded(sql, strftimeRe) { m =>
       val fmt = m.group(1)
       val arg = m.group(2)
       strftimeFormats.get(fmt) match {
-        case Some(sparkFmt) =>
-          java.util.regex.Matcher.quoteReplacement(s"date_format($arg, '$sparkFmt')")
-        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(sparkFmt) => s"date_format($arg, '$sparkFmt')"
+        case None => m.matched
       }
-    })
+    }
 
   /** QUALIFY (Snowflake/BigQuery/DuckDB) → subquery + WHERE filter.
     * `SELECT <list> FROM ... QUALIFY <cond> [ORDER BY ...] [LIMIT ...]`
@@ -168,18 +197,22 @@ object Transpiler {
     """(?i)GROUP_CONCAT\s*\(\s*([^(),]+?)\s*(?:,\s*'([^']*)'\s*)?\)""".r
 
   private def rewriteGroupConcat(sql: String): String =
-    groupConcatRe.replaceAllIn(sql, m => {
+    guarded(sql, groupConcatRe) { m =>
       val sep = Option(m.group(2)).getOrElse(",")
-      java.util.regex.Matcher.quoteReplacement(
-        s"array_join(collect_list(${m.group(1)}), '$sep')")
-    })
+      s"array_join(collect_list(${m.group(1)}), '$sep')"
+    }
 
-  /** CAST(x AS <alien type>) mappings. */
+  /** CAST(x AS <alien type>) mappings (literal-guarded). */
+  private val typeCastMaps: Seq[(scala.util.matching.Regex, String)] = Seq(
+    "(?i)\\bAS\\s+TEXT\\b".r -> "AS STRING",
+    "(?i)\\bAS\\s+REAL\\b".r -> "AS DOUBLE",
+    "(?i)\\bAS\\s+INTEGER\\b".r -> "AS INT",
+    "(?i)\\bAS\\s+NUMERIC\\b".r -> "AS DOUBLE")
+
   private def rewriteTypes(sql: String): String =
-    sql.replaceAll("(?i)\\bAS\\s+TEXT\\b", "AS STRING")
-      .replaceAll("(?i)\\bAS\\s+REAL\\b", "AS DOUBLE")
-      .replaceAll("(?i)\\bAS\\s+INTEGER\\b", "AS INT")
-      .replaceAll("(?i)\\bAS\\s+NUMERIC\\b", "AS DOUBLE")
+    typeCastMaps.foldLeft(sql) { case (acc, (re, to)) =>
+      guarded(acc, re)(_ => to)
+    }
 
   /** CHARINDEX(needle, haystack) → INSTR(haystack, needle): T-SQL's
     * argument order is the REVERSE of Spark's instr — a bare rename
@@ -189,9 +222,7 @@ object Transpiler {
     """(?i)\bCHARINDEX\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)""".r
 
   private def rewriteCharindex(sql: String): String =
-    charindexRe.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"INSTR(${m.group(2)}, ${m.group(1)})"))
+    guarded(sql, charindexRe)(m => s"INSTR(${m.group(2)}, ${m.group(1)})")
 
   /** sqlite date idioms:
     * DATE('now') → current_date(); DATETIME('now') → current_timestamp();
@@ -202,10 +233,12 @@ object Transpiler {
   private val dateNowModRe =
     """(?i)\b(DATE|DATETIME)\s*\(\s*'now'\s*(?:,\s*'([+-]?\d+)\s+(day|days|month|months|year|years)'\s*)?\)""".r
 
+  private val juliandayRe = """(?i)\bjulianday\s*\(\s*([^()]*?)\s*\)""".r
+
   private def rewriteSqliteDates(sql: String): String = {
-    val withNow = dateNowModRe.replaceAllIn(sql, m => {
+    val withNow = guarded(sql, dateNowModRe) { m =>
       val base = if (m.group(1).equalsIgnoreCase("DATE")) "current_date()" else "current_timestamp()"
-      val repl = Option(m.group(2)) match {
+      Option(m.group(2)) match {
         case None => base
         case Some(n) =>
           val amount = n.toInt
@@ -215,11 +248,9 @@ object Transpiler {
             case _ => s"add_months($base, ${amount * 12})"
           }
       }
-      java.util.regex.Matcher.quoteReplacement(repl)
-    })
-    """(?i)\bjulianday\s*\(\s*([^()]*?)\s*\)""".r.replaceAllIn(withNow, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"(CAST(datediff(${m.group(1)}, DATE'1970-01-01') AS DOUBLE) + 2440587.5)"))
+    }
+    guarded(withNow, juliandayRe)(m =>
+      s"(CAST(datediff(${m.group(1)}, DATE'1970-01-01') AS DOUBLE) + 2440587.5)")
   }
 
   /** sqlite's double-quoted fallback: a double-quoted token is an
@@ -294,23 +325,19 @@ object Transpiler {
   // SAME function resolve before the outer one.
   // ---------------------------------------------------------------------
 
-  /** Split `s` on top-level commas (paren- and quote-aware). */
+  /** Split `s` on top-level commas, using the lex region tags so a ','
+    * inside a string literal, quoted identifier, or comment never splits
+    * (the r14 advisor's rewriteCall finding).
+    */
   private def splitArgs(s: String): Seq[String] = {
+    val tagged = lex(s)
     val out = Seq.newBuilder[String]
-    var depth = 0
-    var inS = false
     var start = 0
     var k = 0
     while (k < s.length) {
-      val c = s.charAt(k)
-      if (inS) {
-        if (c == '\'') {
-          if (k + 1 < s.length && s.charAt(k + 1) == '\'') k += 1 else inS = false
-        }
-      } else if (c == '\'') inS = true
-      else if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (c == ',' && depth == 0) { out += s.substring(start, k); start = k + 1 }
+      if (s.charAt(k) == ',' && tagged(k)._2 == Code && tagged(k)._3 == 0) {
+        out += s.substring(start, k); start = k + 1
+      }
       k += 1
     }
     out += s.substring(start)
@@ -340,22 +367,9 @@ object Transpiler {
       }
       if (!callAt) { sb.append(sql.charAt(i)); i += 1 }
       else {
-        var depth = 0
-        var k = j
-        var inS = false
-        var end = -1
-        while (k < sql.length && end < 0) {
-          val c = sql.charAt(k)
-          if (inS) {
-            if (c == '\'') {
-              if (k + 1 < sql.length && sql.charAt(k + 1) == '\'') k += 1
-              else inS = false
-            }
-          } else if (c == '\'') inS = true
-          else if (c == '(') depth += 1
-          else if (c == ')') { depth -= 1; if (depth == 0) end = k }
-          k += 1
-        }
+        // close-paren scan via the lex region tags: a ')' inside a
+        // comment or quoted identifier never closes the call
+        val end = matchParen(sql, tagged, j)
         if (end < 0) { sb.append(sql.charAt(i)); i += 1 }
         else {
           val args = splitArgs(sql.substring(j + 1, end))
@@ -396,21 +410,55 @@ object Transpiler {
     * and accepting them in the unit-LAST / expr-first BigQuery forms
     * would misread a column named `d` as a date part.
     */
-  private def normUnitBq(u0: String): Option[String] = {
+  /** BigQuery's bare WEEK date part is SUNDAY-start — Spark's WEEK is
+    * Monday-start — so WEEK is excluded here and the trunc/diff arms
+    * emit explicit Sunday-aligned arithmetic instead (a bare mapping
+    * returns silently different values for any range spanning a
+    * Sunday). `allowWeek` re-admits it for pure 7-day arithmetic
+    * (DATE_ADD INTERVAL n WEEK), where the week-start convention is
+    * irrelevant.
+    */
+  private def normUnitBq(u0: String, allowWeek: Boolean = false): Option[String] = {
     val u = u0.trim.stripPrefix("'").stripSuffix("'").toLowerCase
-    if (Set("year", "quarter", "month", "week", "day",
+    if (Set("year", "quarter", "month", "day",
         "hour", "minute", "second").contains(u)) Some(u)
+    else if (u == "week" && allowWeek) Some(u)
     else None
   }
 
-  /** Spark SQL for `expr` advanced by `n` `unit`s (DATEADD/DATE_ADD). */
-  private def dateAddSql(unit: String, n: String, e: String): String =
+  /** True when the (possibly quoted) unit token is WEEK. */
+  private def isWeekUnit(u0: String): Boolean =
+    u0.trim.stripPrefix("'").stripSuffix("'").equalsIgnoreCase("week")
+
+  /** Spark SQL for `expr` advanced by `n` `unit`s when the input is
+    * known to be a DATE (BigQuery DATE_ADD/DATE_SUB only accept DATE):
+    * date_add/add_months return DATE, matching BigQuery exactly.
+    */
+  private def dateAddSqlDate(unit: String, n: String, e: String): String =
     unit match {
       case "day" => s"date_add($e, ($n))"
       case "week" => s"date_add($e, (($n) * 7))"
       case "month" => s"add_months($e, ($n))"
       case "quarter" => s"add_months($e, (($n) * 3))"
       case "year" => s"add_months($e, (($n) * 12))"
+      case u => s"timestampadd(${u.toUpperCase}, ($n), $e)"
+    }
+
+  /** Spark SQL for `expr` advanced by `n` `unit`s when the input may be
+    * (or is known to be) a TIMESTAMP — Snowflake DATEADD and BigQuery
+    * TIMESTAMP_ADD/DATETIME_ADD preserve the time-of-day, which
+    * date_add/add_months silently truncate (r14 advisor finding).
+    * Month-grain units use `+ make_ym_interval`, which is fully
+    * type-preserving in Spark (DATE stays DATE, TIMESTAMP keeps its
+    * time-of-day, end-of-month clamps like add_months); day/sub-day
+    * units use timestampadd, which promotes a DATE input to midnight
+    * TIMESTAMP — values exact, only the rendered type widens.
+    */
+  private def dateAddSqlTs(unit: String, n: String, e: String): String =
+    unit match {
+      case "month" => s"($e + make_ym_interval(0, CAST(($n) AS INT)))"
+      case "quarter" => s"($e + make_ym_interval(0, CAST(($n) * 3 AS INT)))"
+      case "year" => s"($e + make_ym_interval(CAST(($n) AS INT), 0))"
       case u => s"timestampadd(${u.toUpperCase}, ($n), $e)"
     }
 
@@ -431,6 +479,23 @@ object Transpiler {
         val uu = u.toUpperCase
         s"timestampdiff($uu, date_trunc('$uu', $a), date_trunc('$uu', $b))"
     }
+
+  /** Sunday-start week truncation of a date/timestamp's DATE part:
+    * shift +1 day, Monday-truncate, shift back. For a Sunday d this is
+    * d itself; for any other day the most recent Sunday.
+    */
+  private def bqSundayTruncDate(e: String): String =
+    s"date_sub(trunc(date_add($e, 1), 'WEEK'), 1)"
+
+  /** BigQuery WEEK diff (Sunday boundaries crossed from a to b). */
+  private def bqWeekDiffSql(a: String, b: String): String =
+    s"(datediff(${bqSundayTruncDate(b)}, ${bqSundayTruncDate(a)}) DIV 7)"
+
+  /** Sunday-start week truncation preserving the TIMESTAMP type
+    * (BigQuery TIMESTAMP_TRUNC/DATETIME_TRUNC WEEK).
+    */
+  private def bqSundayTruncTs(e: String): String =
+    s"timestampadd(DAY, -1, date_trunc('WEEK', timestampadd(DAY, 1, $e)))"
 
   /** The string inside a single-quoted literal arg, if it is one. */
   private def fmtLit(arg: String): Option[String] = {
@@ -496,13 +561,12 @@ object Transpiler {
     """(?i)([A-Za-z0-9_."`]+)\s+(NOT\s+)?ILIKE\s+ANY\s*\(([^()]*)\)""".r
 
   private def rewriteIlikeAny(sql: String): String =
-    ilikeAnyRe.replaceAllIn(sql, m => {
+    guarded(sql, ilikeAnyRe) { m =>
       val lhs = m.group(1)
       val neg = Option(m.group(2)).isDefined
       val ors = splitArgs(m.group(3)).map(p => s"$lhs ILIKE $p").mkString(" OR ")
-      java.util.regex.Matcher.quoteReplacement(
-        if (neg) s"NOT ($ors)" else s"($ors)")
-    })
+      if (neg) s"NOT ($ors)" else s"($ors)"
+    }
 
   /** Snowflake `expr::TYPE` — Spark parses `::` natively, so only the
     * TYPE name needs mapping. `NUMBER(p,s)` keeps its precision
@@ -548,6 +612,320 @@ object Transpiler {
   private val SnowflakeParenTypes: Map[String, String] = Map(
     "NUMBER" -> "DECIMAL", "VARCHAR" -> "VARCHAR", "CHAR" -> "CHAR")
 
+  // ---------------------------------------------------------------------
+  // FROM-clause array expansion — BigQuery UNNEST and Snowflake LATERAL
+  // FLATTEN become Spark LATERAL VIEW [POS]EXPLODE. These are the
+  // arrays/structs idioms the reference's Spider2 repair prompts call
+  // out (core/actor/generator/sql_debug.py:145,184). NVL / NVL2 /
+  // DECODE (NULL-matching) / SPLIT_PART / LISTAGG ... WITHIN GROUP /
+  // 2-arg REGEXP_SUBSTR are native Spark 4 functions with matching
+  // semantics and deliberately pass through untouched.
+  // ---------------------------------------------------------------------
+
+  /** Next identifier-ish token at/after `at` (skips whitespace);
+    * returns (token, endExclusive). Backtick-quoted tokens come back
+    * with their quotes.
+    */
+  private def readWord(sql: String, at: Int): (String, Int) = {
+    var p = at
+    while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+    if (p < sql.length && sql.charAt(p) == '`') {
+      val close = sql.indexOf('`', p + 1)
+      if (close < 0) ("", p) else (sql.substring(p, close + 1), close + 1)
+    } else {
+      val s0 = p
+      while (p < sql.length && (Character.isLetterOrDigit(sql.charAt(p)) ||
+          sql.charAt(p) == '_')) p += 1
+      (sql.substring(s0, p), p)
+    }
+  }
+
+  /** Keywords that terminate an alias position. */
+  private val aliasStops = Set("", "WHERE", "GROUP", "ORDER", "ON",
+    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "JOIN", "LIMIT", "UNION",
+    "HAVING", "QUALIFY", "WITH", "LATERAL", "WINDOW", "EXCEPT",
+    "INTERSECT", "USING", "SELECT", "FROM", "UNNEST", "OFFSET", "AND",
+    "OR", "NOT")
+
+  /** Parse `[AS] alias` at `at`; (aliasOpt, endExclusive). */
+  private def readAlias(sql: String, at: Int): (Option[String], Int) = {
+    val (w1, e1) = readWord(sql, at)
+    if (w1.equalsIgnoreCase("AS")) {
+      val (w2, e2) = readWord(sql, e1)
+      if (w2.nonEmpty) (Some(w2), e2) else (None, at)
+    } else if (w1.nonEmpty && !aliasStops.contains(w1.toUpperCase))
+      (Some(w1), e1)
+    else (None, at)
+  }
+
+  /** Scan backwards from `before` (exclusive) for the FROM-clause
+    * connector introducing a joined item: (startIndex, isLeftJoin) for
+    * `,` / `[CROSS|INNER] JOIN` / `LEFT [OUTER] JOIN`, or (-1, false)
+    * when the item is not join-connected.
+    */
+  private def connectorBefore(sql: String, before: Int): (Int, Boolean) = {
+    var b = before - 1
+    while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+    if (b < 0) (-1, false)
+    else if (sql.charAt(b) == ',') (b, false)
+    else {
+      def wordEndingAt(e: Int): (String, Int) = {
+        var s0 = e
+        while (s0 >= 0 && (Character.isLetterOrDigit(sql.charAt(s0)) ||
+            sql.charAt(s0) == '_')) s0 -= 1
+        (sql.substring(s0 + 1, e + 1).toUpperCase, s0 + 1)
+      }
+      val (w1, s1) = wordEndingAt(b)
+      if (w1 != "JOIN") (-1, false)
+      else {
+        var b2 = s1 - 1
+        while (b2 >= 0 && sql.charAt(b2).isWhitespace) b2 -= 1
+        if (b2 < 0) (s1, false)
+        else {
+          val (w2, s2) = wordEndingAt(b2)
+          w2 match {
+            case "CROSS" | "INNER" => (s2, false)
+            case "LEFT" => (s2, true)
+            case "OUTER" =>
+              var b3 = s2 - 1
+              while (b3 >= 0 && sql.charAt(b3).isWhitespace) b3 -= 1
+              if (b3 >= 0) {
+                val (w3, s3) = wordEndingAt(b3)
+                if (w3 == "LEFT") (s3, true) else (s1, false)
+              } else (s1, false)
+            case _ => (s1, false) // bare JOIN acts as CROSS for a generator
+          }
+        }
+      }
+    }
+  }
+
+  private val inUnnestRe =
+    """(?i)([A-Za-z0-9_."`]+)\s+(NOT\s+)?IN\s+UNNEST\s*\(""".r
+
+  /** BigQuery `x [NOT] IN UNNEST(arr)` → array_contains(arr, x). */
+  private def rewriteInUnnest(sql: String): String = {
+    val tagged = lex(sql)
+    inUnnestRe.findAllMatchIn(sql).find(m => tagged(m.start)._2 == Code) match {
+      case None => sql
+      case Some(m) =>
+        val close = matchParen(sql, tagged, m.end - 1)
+        if (close < 0) sql
+        else {
+          val arr = sql.substring(m.end, close).trim
+          val call = s"array_contains($arr, ${m.group(1)})"
+          val repl = if (Option(m.group(2)).isDefined) s"NOT $call" else call
+          rewriteInUnnest(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+    }
+  }
+
+  /** BigQuery `FROM t [, | CROSS JOIN | LEFT JOIN] UNNEST(arr) [AS] x
+    * [WITH OFFSET [AS] o] [ON TRUE]` → `LATERAL VIEW [OUTER]
+    * EXPLODE|POSEXPLODE(arr) AS [o,] x` (WITH OFFSET and posexplode's
+    * position column are both 0-based). One rewrite per pass, recursing
+    * until no connected UNNEST remains; an UNNEST we cannot shape (no
+    * alias or no connector) passes through for the repair loop.
+    */
+  private def rewriteFromUnnest(sql: String): String = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    var i = 0
+    var rewritten: Option[String] = None
+    while (rewritten.isEmpty && i >= 0 && i < sql.length) {
+      i = upper.indexOf("UNNEST", i)
+      if (i >= 0) {
+        val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_')
+        var j = i + 6
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (tagged(i)._2 == Code && leftOk && j < sql.length &&
+            sql.charAt(j) == '(') {
+          val (connStart, isLeft) = connectorBefore(sql, i)
+          val close = if (connStart >= 0) matchParen(sql, tagged, j) else -1
+          if (close >= 0) {
+            val arr = sql.substring(j + 1, close).trim
+            val (aliasOpt, aEnd) = readAlias(sql, close + 1)
+            aliasOpt.foreach { alias =>
+              var end = aEnd
+              var offsetAlias: Option[String] = None
+              val (w1, e1) = readWord(sql, end)
+              if (w1.equalsIgnoreCase("WITH")) {
+                val (w2, e2) = readWord(sql, e1)
+                if (w2.equalsIgnoreCase("OFFSET")) {
+                  end = e2
+                  val (oa, oe) = readAlias(sql, e2)
+                  offsetAlias = oa.orElse(Some("`offset`"))
+                  if (oa.isDefined) end = oe
+                }
+              }
+              var ok = true
+              if (isLeft) { // LEFT JOIN UNNEST ... ON TRUE
+                val (ow, oe) = readWord(sql, end)
+                val (tw, te) = readWord(sql, oe)
+                if (ow.equalsIgnoreCase("ON") && tw.equalsIgnoreCase("TRUE")) end = te
+                else ok = false
+              }
+              if (ok) {
+                val outer = if (isLeft) "OUTER " else ""
+                val lat = offsetAlias match {
+                  case Some(o) => s" LATERAL VIEW ${outer}POSEXPLODE($arr) AS $o, $alias"
+                  case None => s" LATERAL VIEW ${outer}EXPLODE($arr) AS $alias"
+                }
+                val prefix = sql.substring(0, connStart)
+                  .reverse.dropWhile(_.isWhitespace).reverse
+                rewritten = Some(prefix + lat + sql.substring(end))
+              }
+            }
+          }
+        }
+        if (rewritten.isEmpty) i += 1
+      }
+    }
+    rewritten.map(rewriteFromUnnest).getOrElse(sql)
+  }
+
+  /** Snowflake `[,|CROSS JOIN|LEFT JOIN] [LATERAL] FLATTEN(input =>
+    * arr) [AS] f` (and the `TABLE(FLATTEN(...))` spelling) →
+    * `LATERAL VIEW [OUTER] POSEXPLODE(arr) f AS index, value` — the
+    * `f.index`/`f.value` projections Spider2-snow gold SQL leans on
+    * resolve against the posexplode output columns. `OUTER => TRUE`
+    * maps to LATERAL VIEW OUTER; PATH/RECURSIVE/MODE args pass through
+    * for the repair loop.
+    */
+  private def rewriteFlatten(sql: String): String = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    var i = 0
+    var rewritten: Option[String] = None
+    while (rewritten.isEmpty && i >= 0 && i < sql.length) {
+      i = upper.indexOf("FLATTEN", i)
+      if (i >= 0) {
+        val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_')
+        var j = i + 7
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (tagged(i)._2 == Code && leftOk && j < sql.length &&
+            sql.charAt(j) == '(')
+          rewritten = flattenAt(sql, tagged, i, j)
+        if (rewritten.isEmpty) i += 1
+      }
+    }
+    rewritten.map(rewriteFlatten).getOrElse(sql)
+  }
+
+  private val flattenArgRe = """(?is)^([A-Za-z_]+)\s*=>\s*(.+)$""".r
+
+  private def flattenAt(sql: String,
+      tagged: IndexedSeq[(Char, Region, Int)], i: Int, j: Int): Option[String] = {
+    def wordBefore(e0: Int): (String, Int) = { // (word, startIdx) ending before e0
+      var b = e0 - 1
+      while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+      var s0 = b
+      while (s0 >= 0 && (Character.isLetterOrDigit(sql.charAt(s0)) ||
+          sql.charAt(s0) == '_')) s0 -= 1
+      if (b < 0) ("", 0) else (sql.substring(s0 + 1, b + 1), s0 + 1)
+    }
+    // optional TABLE( wrapper
+    var segStart = i
+    var wrapped = false
+    var b = i - 1
+    while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+    if (b >= 0 && sql.charAt(b) == '(') {
+      val (tw, ts) = wordBefore(b)
+      if (!tw.equalsIgnoreCase("TABLE")) return None
+      wrapped = true; segStart = ts
+    }
+    // optional LATERAL keyword
+    val (lw, ls) = wordBefore(segStart)
+    if (lw.equalsIgnoreCase("LATERAL")) segStart = ls
+    val (connStart, isLeft) = connectorBefore(sql, segStart)
+    if (connStart < 0) return None
+    val close = matchParen(sql, tagged, j)
+    if (close < 0) return None
+    var end = close + 1
+    if (wrapped) { // the TABLE wrapper's own ')'
+      var k = end
+      while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+      if (k >= sql.length || sql.charAt(k) != ')') return None
+      end = k + 1
+    }
+    val args = splitArgs(sql.substring(j + 1, close))
+    var input: Option[String] = None
+    var outer = false
+    var unsupported = false
+    args.foreach {
+      case flattenArgRe(k, v) => k.toLowerCase match {
+        case "input" => input = Some(v.trim)
+        case "outer" => outer = v.trim.equalsIgnoreCase("true")
+        case _ => unsupported = true // PATH / RECURSIVE / MODE
+      }
+      case pos if input.isEmpty => input = Some(pos)
+      case _ => unsupported = true
+    }
+    if (unsupported) return None
+    input.flatMap { arr =>
+      val (aliasOpt, aEnd) = readAlias(sql, end)
+      var fin = if (aliasOpt.isDefined) aEnd else end
+      var shapeOk = true
+      if (isLeft) { // LEFT JOIN ... FLATTEN ... ON TRUE
+        val (ow, oe) = readWord(sql, fin)
+        val (tw, te) = readWord(sql, oe)
+        if (ow.equalsIgnoreCase("ON") && tw.equalsIgnoreCase("TRUE")) fin = te
+        else shapeOk = false
+      }
+      if (!shapeOk) None
+      else {
+        val outerKw = if (outer || isLeft) "OUTER " else ""
+        val aliasSeg = aliasOpt.map(a => s" $a").getOrElse("")
+        val prefix = sql.substring(0, connStart)
+          .reverse.dropWhile(_.isWhitespace).reverse
+        Some(prefix +
+          s" LATERAL VIEW ${outerKw}POSEXPLODE($arr)$aliasSeg AS index, value" +
+          sql.substring(fin))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Regex-function families with positional/occurrence/group arguments.
+  // ---------------------------------------------------------------------
+
+  /** Count capturing groups in a regex literal (`(` not `(?`). */
+  private def captureGroups(p: String): Int = {
+    var i = 0; var n = 0
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      if (ch == '\\') i += 2
+      else {
+        if (ch == '(' && !(i + 1 < p.length && p.charAt(i + 1) == '?')) n += 1
+        i += 1
+      }
+    }
+    n
+  }
+
+  /** Snowflake regex params (c/i/m/s; 'e' handled by callers) as an
+    * inline-flag prefix. None for params we don't support.
+    */
+  private def regexParamPrefix(params: String): Option[String] =
+    if (!params.forall(c => "cimse".indexOf(c) >= 0)) None
+    else {
+      val flags = "ims".filter(params.contains(_))
+      Some(if (flags.isEmpty) "" else s"(?$flags)")
+    }
+
+  private def prefixPattern(p: String, prefix: String): String =
+    if (prefix.isEmpty) p
+    else fmtLit(p) match {
+      case Some(lit) => s"'$prefix$lit'"
+      case None => s"concat('$prefix', $p)"
+    }
+
+  /** Subject shifted to `pos` (1-based), eliding the no-op substr. */
+  private def subjFrom(e: String, pos: String): String =
+    if (pos.trim == "1") e else s"substr($e, $pos)"
+
   /** Snowflake dialect arm (reference repair-prompt inventory:
     * `core/actor/generator/sql_debug.py:120-250`; executor surface
     * `core/db_connect.py:49-136`): DATEADD/DATEDIFF unit-first forms
@@ -557,9 +935,13 @@ object Transpiler {
     */
   def transpileSnowflake(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
+    out = rewriteFlatten(out)
     out = replaceToken(out, "TO_VARCHAR", "TO_CHAR") // alias, same forms
+    // DATEADD's input type is unknown at the string level; the
+    // timestamp-preserving forms never truncate a time-of-day
+    // (Snowflake DATEADD preserves the input's type and time)
     out = rewriteCall(out, "DATEADD") {
-      case Seq(u, n, e) => normUnit(u).map(dateAddSql(_, n, e))
+      case Seq(u, n, e) => normUnit(u).map(dateAddSqlTs(_, n, e))
       case _ => None
     }
     out = rewriteCall(out, "DATEDIFF") {
@@ -600,6 +982,26 @@ object Transpiler {
       case Seq(e) => Some(s"NULLIF($e, 0)")
       case _ => None
     }
+    // REGEXP_SUBSTR(subject, pattern[, position[, occurrence[, params
+    // [, group]]]]): the 2-arg form is native Spark (NULL on no match,
+    // like Snowflake); extended forms compose substr + regexp_extract_all
+    // + try_element_at (NULL when the occurrence is absent)
+    out = rewriteCall(out, "REGEXP_SUBSTR") {
+      case Seq(_, _) => None
+      case Seq(e, p, pos) => Some(s"regexp_substr(${subjFrom(e, pos)}, $p)")
+      case Seq(e, p, pos, occ) =>
+        Some(s"try_element_at(regexp_extract_all(${subjFrom(e, pos)}, $p, 0), CAST($occ AS INT))")
+      case Seq(e, p, pos, occ, params) =>
+        fmtLit(params).flatMap(ps => regexParamPrefix(ps).map { pre =>
+          val g = if (ps.contains('e')) 1 else 0
+          s"try_element_at(regexp_extract_all(${subjFrom(e, pos)}, ${prefixPattern(p, pre)}, $g), CAST($occ AS INT))"
+        })
+      case Seq(e, p, pos, occ, params, grp) =>
+        fmtLit(params).flatMap(ps => regexParamPrefix(ps).map { pre =>
+          s"try_element_at(regexp_extract_all(${subjFrom(e, pos)}, ${prefixPattern(p, pre)}, CAST($grp AS INT)), CAST($occ AS INT))"
+        })
+      case _ => None
+    }
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
     out = replaceToken(out, "IFF", "IF")
@@ -613,7 +1015,9 @@ object Transpiler {
 
   private def parseInterval(arg: String): Option[(String, String)] =
     arg.trim match {
-      case intervalRe(n, u) => normUnitBq(u).map(unit => (n, unit))
+      // week re-admitted: INTERVAL n WEEK is pure 7-day arithmetic,
+      // no week-start convention involved
+      case intervalRe(n, u) => normUnitBq(u, allowWeek = true).map(unit => (n, unit))
       case _ => None
     }
 
@@ -660,20 +1064,34 @@ object Transpiler {
   def transpileBigQuery(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
     out = rewriteBacktickPaths(out)
+    out = rewriteInUnnest(out)
+    out = rewriteFromUnnest(out)
     def diffArm(name: String): Unit =
       out = rewriteCall(out, name) {
+        case Seq(e, s0, u) if isWeekUnit(u) =>
+          // BigQuery's bare WEEK is Sunday-start (Spark's is Monday):
+          // count Sunday boundaries crossed, explicitly aligned
+          Some(bqWeekDiffSql(s0, e))
         case Seq(e, s0, u) => normUnitBq(u).map(dateDiffSql(_, s0, e))
         case _ => None
       }
     diffArm("DATE_DIFF"); diffArm("TIMESTAMP_DIFF"); diffArm("DATETIME_DIFF")
-    def addArm(name: String, sign: String): Unit =
+    // DATE_ADD/DATE_SUB accept only DATE in BigQuery → date-typed
+    // arithmetic; TIMESTAMP_/DATETIME_ preserve time-of-day via the
+    // timestamp-preserving forms (a date_add here would silently
+    // truncate the clock — r14 advisor finding)
+    def addArm(name: String, sign: String, ts: Boolean): Unit =
       out = rewriteCall(out, name) {
         case Seq(e, iv) =>
-          parseInterval(iv).map { case (n, u) => dateAddSql(u, s"$sign($n)", e) }
+          parseInterval(iv).map { case (n, u) =>
+            if (ts) dateAddSqlTs(u, s"$sign($n)", e)
+            else dateAddSqlDate(u, s"$sign($n)", e)
+          }
         case _ => None // Spark's own 2-arg date_add(date, days) passes through
       }
-    addArm("DATE_ADD", ""); addArm("TIMESTAMP_ADD", ""); addArm("DATETIME_ADD", "")
-    addArm("DATE_SUB", "-"); addArm("TIMESTAMP_SUB", "-"); addArm("DATETIME_SUB", "-")
+    addArm("DATE_ADD", "", ts = false); addArm("DATE_SUB", "-", ts = false)
+    addArm("TIMESTAMP_ADD", "", ts = true); addArm("TIMESTAMP_SUB", "-", ts = true)
+    addArm("DATETIME_ADD", "", ts = true); addArm("DATETIME_SUB", "-", ts = true)
     out = rewriteCall(out, "FORMAT_DATE") {
       case Seq(f, e) =>
         fmtLit(f).flatMap(strfToSpark).map(sf => s"date_format($e, '$sf')")
@@ -693,16 +1111,67 @@ object Transpiler {
     // the reverse of Spark's date_trunc('UNIT', ts); DATE_TRUNC
     // returns DATE, so it maps to trunc(date, fmt)
     out = rewriteCall(out, "DATE_TRUNC") {
+      case Seq(e, u) if isWeekUnit(u) => Some(bqSundayTruncDate(e))
       case Seq(e, u) => normUnitBq(u).map(unit => s"trunc($e, '${unit.toUpperCase}')")
       case _ => None
     }
     def truncArm(name: String): Unit =
       out = rewriteCall(out, name) {
+        case Seq(e, u) if isWeekUnit(u) => Some(bqSundayTruncTs(e))
         case Seq(e, u) =>
           normUnitBq(u).map(unit => s"date_trunc('${unit.toUpperCase}', $e)")
         case _ => None
       }
     truncArm("TIMESTAMP_TRUNC"); truncArm("DATETIME_TRUNC")
+    // REGEXP_EXTRACT / its REGEXP_SUBSTR synonym: BigQuery returns the
+    // single capturing group when the pattern has one, else the full
+    // match, NULL on no match; position/occurrence args compose
+    // substr + regexp_extract_all + try_element_at
+    def bqExtract(name: String): Unit =
+      out = rewriteCall(out, name) {
+        case Seq(e, p) =>
+          fmtLit(p).map(captureGroups).flatMap {
+            case 0 => Some(s"regexp_substr($e, $p)")
+            case 1 => Some(s"nullif(try_element_at(regexp_extract_all($e, $p, 1), 1), '')")
+            case _ => None
+          }
+        case Seq(e, p, pos) =>
+          fmtLit(p).map(captureGroups).collect { case g @ (0 | 1) =>
+            s"try_element_at(regexp_extract_all(${subjFrom(e, pos)}, $p, $g), 1)"
+          }
+        case Seq(e, p, pos, occ) =>
+          fmtLit(p).map(captureGroups).collect { case g @ (0 | 1) =>
+            s"try_element_at(regexp_extract_all(${subjFrom(e, pos)}, $p, $g), CAST($occ AS INT))"
+          }
+        case _ => None
+      }
+    bqExtract("REGEXP_EXTRACT"); bqExtract("REGEXP_SUBSTR")
+    out = rewriteCall(out, "REGEXP_EXTRACT_ALL") {
+      case Seq(e, p) =>
+        fmtLit(p).map(captureGroups).collect { case g @ (0 | 1) =>
+          s"regexp_extract_all($e, $p, $g)"
+        }
+      case _ => None
+    }
+    // STRING_AGG(x[, sep] ORDER BY k) → WITHIN GROUP form (Spark's
+    // string_agg/listagg take the ordering outside the argument list)
+    out = rewriteCall(out, "STRING_AGG") { args =>
+      val idx = args.indexWhere(a => findTopLevelKeyword(a, "ORDER") >= 0)
+      if (idx < 0) None
+      else {
+        val a = args(idx)
+        val p = findTopLevelKeyword(a, "ORDER")
+        val byAt = findTopLevelKeyword(a, "BY", p + 5)
+        if (byAt < 0 || findTopLevelKeyword(a, "LIMIT") >= 0) None
+        else {
+          val head = a.substring(0, p).trim
+          val ob = a.substring(p).trim
+          val newArgs = args.take(idx) ++
+            (if (head.nonEmpty) Seq(head) else Nil) ++ args.drop(idx + 1)
+          Some(s"string_agg(${newArgs.mkString(", ")}) WITHIN GROUP ($ob)")
+        }
+      }
+    }
     out = replaceToken(out, "SAFE_DIVIDE", "TRY_DIVIDE")
     out = replaceToken(out, "SAFE_ADD", "TRY_ADD")
     out = replaceToken(out, "SAFE_SUBTRACT", "TRY_SUBTRACT")

@@ -156,35 +156,51 @@ object UrlOps {
     * the host's suffix set — zero joins, zero aggregation, zero
     * streaming state, so the ingest stream can apply it where the
     * exact equi-join form's distinct would need a state store. False
-    * positives OVER-block at the standard Bloom rate (size mBits for
-    * the list); the exact join stays the batch default. Null-URL rows
-    * pass through (nothing to block on).
+    * positives OVER-block at the standard Bloom rate; the exact join
+    * stays the batch default. Null-URL rows pass through (nothing to
+    * block on).
+    *
+    * `mBits = 0` (the default) sizes the bitset FROM THE LIST at ~10
+    * bits/key (k=3 → ~1% FP), floored at the historical 64 Kib: a
+    * fixed 8 KiB bitset saturates on anything like a real UT1 list
+    * (millions of domains → FP rate → 1, the stateless predicate
+    * silently dropping most clean documents — r14 advisor finding).
+    * Probe-side sizing derives from the returned array
+    * (`words.length * 64`), so build and probe cannot disagree.
     */
+  def domainFilterBits(nKeys: Long): Int = {
+    val want = math.max(1L << 16, 10L * math.max(nKeys, 0L))
+    val capped = math.min(want, 1L << 30) // 128 MiB broadcast ceiling
+    (((capped + 63) / 64) * 64).toInt
+  }
+
   def buildDomainFilter(blocklist: DataFrame, blockCol: String = "domain",
-      mBits: Int = 1 << 16, kHashes: Int = 3): Array[Long] =
-    BloomDecontaminate.buildFilterFromHashes(
-      blocklist.select(
-        graft.functions.TextAnalysis.polyHash(lower(col(blockCol))).as("__h")),
-      mBits, kHashes)
+      mBits: Int = 0, kHashes: Int = 3): Array[Long] = {
+    val hashes = blocklist.select(
+      graft.functions.TextAnalysis.polyHash(lower(col(blockCol))).as("__h"))
+    val bits = if (mBits > 0) mBits else domainFilterBits(blocklist.count())
+    BloomDecontaminate.buildFilterFromHashes(hashes, bits, kHashes)
+  }
 
   /** True when any suffix of the canonical url's host probes into the
-    * compiled filter — the stateless scan predicate.
+    * compiled filter — the stateless scan predicate. The bitset size
+    * is implied by the array (`words.length * 64`).
     */
   def blockedByFilter(urlCanon: Column, words: Array[Long],
-      mBits: Int = 1 << 16, kHashes: Int = 3): Column =
+      kHashes: Int = 3): Column =
     exists(domainSuffixes(urlCanon), s =>
       BloomDecontaminate.mightContain(words,
-        graft.functions.TextAnalysis.polyHash(s), mBits, kHashes))
+        graft.functions.TextAnalysis.polyHash(s), words.length * 64, kHashes))
 
   def dropBlockedDomainsBloom(docs: DataFrame, urlCol: String,
       blocklist: DataFrame, blockCol: String = "domain",
-      mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+      mBits: Int = 0, kHashes: Int = 3): DataFrame = {
     val words = buildDomainFilter(blocklist, blockCol, mBits, kHashes)
     val keyed =
       if (docs.columns.contains("url_canon")) docs
       else docs.withColumn("url_canon", canonicalize(col(urlCol)))
     keyed.filter(!coalesce(
-      blockedByFilter(col("url_canon"), words, mBits, kHashes), lit(false)))
+      blockedByFilter(col("url_canon"), words, kHashes), lit(false)))
   }
 
   def capPerDomain(docs: DataFrame, urlCol: String, scoreCol: String,

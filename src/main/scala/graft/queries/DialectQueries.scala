@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{GQuery, QueryPack}
+import graft.dialect.Transpiler
+
+/** Round-15 dialect long-tail, end-to-end through `spark.sql` with
+  * DuckDB oracles: BigQuery FROM-clause UNNEST (incl. WITH OFFSET and
+  * IN UNNEST), Snowflake LATERAL FLATTEN, LISTAGG ... WITHIN GROUP,
+  * NVL/NVL2/DECODE/SPLIT_PART (native Spark 4 pass-throughs, verified
+  * against DuckDB equivalents), extended REGEXP_SUBSTR/REGEXP_EXTRACT
+  * argument forms, BigQuery's Sunday-start WEEK alignment, and the
+  * time-of-day-preserving TIMESTAMP_ADD/DATETIME_ADD mapping — the
+  * arrays/structs and date idioms the reference's Spider2 repair
+  * prompts enumerate (core/actor/generator/sql_debug.py:120-250).
+  *
+  * The genuinely nested inputs come from an in-session array fixture
+  * (`nation_arrays`: one sorted VARCHAR array per region) built with
+  * array_sort(collect_list(...)) on the Spark side and
+  * list(... ORDER BY ...) on the DuckDB side, so both engines explode
+  * identical arrays and WITH OFFSET positions are deterministic.
+  */
+object DialectQueries extends QueryPack {
+
+  /** Registers all parquet tables plus the nested-array fixture. */
+  private def withNested(s: org.apache.spark.sql.SparkSession, dir: String)(
+      body: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
+    QueryPack.withTables(s, dir) { spark =>
+      spark.sql(
+        """SELECT n_regionkey, array_sort(collect_list(n_name)) AS names
+          |FROM nation GROUP BY n_regionkey""".stripMargin)
+        .createOrReplaceTempView("nation_arrays")
+      body(spark)
+    }
+
+  /** The same fixture as a DuckDB CTE (sorted lists, zip-unnest). */
+  private val oracleNested =
+    """nation_arrays AS (
+      |  SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+      |  FROM nation GROUP BY n_regionkey),
+      |exploded AS (
+      |  SELECT n_regionkey, unnest(names) AS nm,
+      |         unnest(range(len(names))) AS pos
+      |  FROM nation_arrays)""".stripMargin
+
+  override def queries: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_transpile_bq_unnest",
+      "BigQuery FROM-clause UNNEST over a genuinely nested array " +
+        "column: `, UNNEST(names) AS nm WITH OFFSET AS pos` becomes " +
+        "LATERAL VIEW POSEXPLODE, ENDS_WITH/IN UNNEST rewrite to " +
+        "Spark equivalents, and the 0-based offsets match DuckDB's " +
+        "range() zip-unnest (sql_debug.py:184 names these idioms).",
+      (s, dir) =>
+        withNested(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT n_regionkey, CAST(pos AS INT64) AS pos, nm
+              |FROM nation_arrays, UNNEST(names) AS nm WITH OFFSET AS pos
+              |WHERE ENDS_WITH(nm, '0') OR pos = 0
+              |ORDER BY n_regionkey, pos""".stripMargin))
+        },
+      Some(s"""WITH $oracleNested
+              |SELECT n_regionkey, CAST(pos AS BIGINT) AS pos, nm
+              |FROM exploded
+              |WHERE nm LIKE '%0' OR pos = 0
+              |ORDER BY n_regionkey, pos""".stripMargin)),
+
+    GQuery(
+      "q_transpile_snow_flatten",
+      "Snowflake LATERAL FLATTEN(input => arr) with f.index/f.value " +
+        "projections and :: casts, rewritten to LATERAL VIEW " +
+        "POSEXPLODE (sql_debug.py:145 names LATERAL FLATTEN for " +
+        "Spider2-snow).",
+      (s, dir) =>
+        withNested(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT a.n_regionkey, f.index::INT AS idx,
+              |       f.value::VARCHAR AS nation_name
+              |FROM nation_arrays a, LATERAL FLATTEN(input => a.names) f
+              |WHERE f.index < 3
+              |ORDER BY a.n_regionkey, idx""".stripMargin))
+        },
+      Some(s"""WITH $oracleNested
+              |SELECT n_regionkey, CAST(pos AS BIGINT) AS idx,
+              |       nm AS nation_name
+              |FROM exploded WHERE pos < 3
+              |ORDER BY n_regionkey, idx""".stripMargin)),
+
+    GQuery(
+      "q_transpile_listagg",
+      "Snowflake LISTAGG ... WITHIN GROUP, NVL, NULL-matching DECODE " +
+        "and SPLIT_PART — all native Spark 4 functions that the " +
+        "Snowflake arm deliberately passes through, verified against " +
+        "DuckDB string_agg/COALESCE/CASE/split_part equivalents.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT n_regionkey,
+              |       LISTAGG(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+              |       NVL(MIN(NULLIF(n_name, n_name)), 'none') AS nvl_probe,
+              |       DECODE(n_regionkey, 0, 'zero', 1, 'one', 'many') AS bucket,
+              |       SPLIT_PART(MIN(n_name), '_', 2) AS first_num
+              |FROM nation
+              |GROUP BY n_regionkey
+              |ORDER BY n_regionkey""".stripMargin))
+        },
+      Some("""SELECT n_regionkey,
+             |       string_agg(n_name, '|' ORDER BY n_name) AS nations,
+             |       COALESCE(MIN(NULLIF(n_name, n_name)), 'none') AS nvl_probe,
+             |       CASE WHEN n_regionkey = 0 THEN 'zero'
+             |            WHEN n_regionkey = 1 THEN 'one'
+             |            ELSE 'many' END AS bucket,
+             |       split_part(MIN(n_name), '_', 2) AS first_num
+             |FROM nation
+             |GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_snow_regexp",
+      "Snowflake REGEXP_SUBSTR extended argument forms (position, " +
+        "occurrence, 'e' group extraction) and NVL2, composed from " +
+        "substr + regexp_extract_all + try_element_at.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT p_partkey,
+              |       REGEXP_SUBSTR(p_name, '[a-z]+') AS w1,
+              |       REGEXP_SUBSTR(p_name, '[a-z]+', 1, 2) AS w2,
+              |       REGEXP_SUBSTR(p_name, '([a-z]+) ([a-z]+)', 1, 1, 'e', 2) AS g2,
+              |       NVL2(p_name, 'named', 'anon') AS probe
+              |FROM part
+              |WHERE p_partkey < 200
+              |ORDER BY p_partkey""".stripMargin))
+        },
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_name, '[a-z]+') AS w1,
+             |       regexp_extract_all(p_name, '[a-z]+')[2] AS w2,
+             |       regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS g2,
+             |       CASE WHEN p_name IS NOT NULL THEN 'named' ELSE 'anon' END AS probe
+             |FROM part
+             |WHERE p_partkey < 200
+             |ORDER BY p_partkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_bq_extract",
+      "BigQuery REGEXP_EXTRACT (group-aware), REGEXP_EXTRACT_ALL " +
+        "under ARRAY_LENGTH, position/occurrence forms, and " +
+        "STRING_AGG with in-call ORDER BY → WITHIN GROUP.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT p_partkey,
+              |       REGEXP_EXTRACT(p_name, '([a-z]+) ') AS first_word,
+              |       REGEXP_EXTRACT(p_name, '[a-z]+', 1, 2) AS second_word,
+              |       CAST(ARRAY_LENGTH(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS INT64) AS n_words,
+              |       STRING_AGG(p_name, ';' ORDER BY p_name) AS all_names
+              |FROM part
+              |WHERE p_partkey < 50
+              |GROUP BY p_partkey, p_name
+              |ORDER BY p_partkey""".stripMargin))
+        },
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_name, '([a-z]+) ', 1) AS first_word,
+             |       regexp_extract_all(p_name, '[a-z]+')[2] AS second_word,
+             |       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+             |       string_agg(p_name, ';' ORDER BY p_name) AS all_names
+             |FROM part
+             |WHERE p_partkey < 50
+             |GROUP BY p_partkey, p_name
+             |ORDER BY p_partkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_bq_week",
+      "BigQuery's bare WEEK date part is SUNDAY-start (Spark's WEEK " +
+        "is Monday-start): DATE_TRUNC(d, WEEK) and DATE_DIFF(.., WEEK) " +
+        "emit explicitly Sunday-aligned arithmetic, verified against a " +
+        "DuckDB oracle that Sunday-aligns its Monday-start date_trunc " +
+        "the same way (r14 advisor finding).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT CAST(DATE_TRUNC(o_orderdate, WEEK) AS STRING) AS wk,
+              |       COUNT(*) AS n,
+              |       CAST(MAX(DATE_DIFF(o_orderdate, DATE '1995-01-01', WEEK)) AS INT64) AS max_wk
+              |FROM orders
+              |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              |  AND o_orderdate < TIMESTAMP '1995-04-01'
+              |GROUP BY wk
+              |ORDER BY wk""".stripMargin))
+        },
+      Some("""SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1 AS VARCHAR) AS wk,
+             |       COUNT(*) AS n,
+             |       CAST(MAX(date_diff('day',
+             |           date_trunc('week', DATE '1995-01-01' + 1) - 1,
+             |           date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1) // 7) AS BIGINT) AS max_wk
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |  AND o_orderdate < TIMESTAMP '1995-04-01'
+             |GROUP BY wk
+             |ORDER BY wk""".stripMargin)),
+
+    GQuery(
+      "q_transpile_ts_add",
+      "TIMESTAMP_ADD/DATETIME_ADD preserve the time-of-day: minute " +
+        "adds via timestampadd and month adds via + make_ym_interval " +
+        "(with end-of-month clamping) render identical clocks to " +
+        "DuckDB's interval arithmetic — the old date_add mapping " +
+        "would truncate every one of these to midnight (r14 advisor " +
+        "finding).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT event_id,
+              |       FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', TIMESTAMP_ADD(ts, INTERVAL 90 MINUTE)) AS t90m,
+              |       FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', DATETIME_ADD(ts, INTERVAL 1 MONTH)) AS t1mo
+              |FROM events
+              |WHERE event_id < 500
+              |ORDER BY event_id""".stripMargin))
+        },
+      Some("""SELECT event_id,
+             |       strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS t90m,
+             |       strftime(ts + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS t1mo
+             |FROM events
+             |WHERE event_id < 500
+             |ORDER BY event_id""".stripMargin)))
+}

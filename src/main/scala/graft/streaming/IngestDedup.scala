@@ -219,7 +219,9 @@ object IngestDedup {
       // distinct would need a streaming state store); requires urlCol
       urlCol: Option[String] = None,
       domainBlocklist: Option[org.apache.spark.sql.DataFrame] = None,
-      blocklistBits: Int = 1 << 16): StreamingQuery = {
+      // 0 = size the bitset from the list (~10 bits/key, 64 Kib
+      // floor) — a fixed small default saturates on UT1-scale lists
+      blocklistBits: Int = 0): StreamingQuery = {
     require(domainBlocklist.isEmpty || urlCol.nonEmpty,
       "a domain blocklist requires urlCol: the blocklist probes the " +
         "url column's host suffixes")
@@ -230,8 +232,8 @@ object IngestDedup {
           bl, mBits = blocklistBits)
         docs.filter(!coalesce(
           graft.operators.UrlOps.blockedByFilter(
-            graft.operators.UrlOps.canonicalize(col(u)), words,
-            mBits = blocklistBits), lit(false)))
+            graft.operators.UrlOps.canonicalize(col(u)), words),
+          lit(false)))
       case _ => docs
     }
     val repaired0 =

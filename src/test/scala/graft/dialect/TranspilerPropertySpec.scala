@@ -13,13 +13,25 @@ class TranspilerPropertySpec extends AnyFunSuite {
   private val idents = Vector("a", "b", "col1", "t.x", "order_total", "d")
   private val lits = Vector(
     "'plain'", "'DATEADD(day, 1, x)'", "'SAFE_DIVIDE(a, b)'",
-    "'it''s'", "'100 %'", "'TO_CHAR(d)'")
+    "'it''s'", "'100 %'", "'TO_CHAR(d)'",
+    // the r14 verdict's hostile pool: these seed the three formerly
+    // plain-regex passes (strftime / CAST-type / sqlite-date rewrites)
+    // plus the new UNNEST/FLATTEN/LISTAGG structural scans
+    "'CAST(a AS TEXT)'", "'strftime(''%Y'', x)'", "'GROUP_CONCAT(a)'",
+    "'CHARINDEX(a, b)'", "'julianday(x)'", "'a, UNNEST(arr) AS x'",
+    "', LATERAL FLATTEN(input => v) f'", "'LISTAGG(x)'",
+    "'REGEXP_SUBSTR(s, p, 1, 2)'", "'CAST(b AS REAL)'")
   private val calls = Vector(
     "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
     "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
     "DATE_DIFF(b, a, DAY)", "DATE_ADD(d, INTERVAL 3 DAY)",
     "SAFE_DIVIDE(a, b)", "FORMAT_DATE('%Y', d)", "COUNTIF(x > 0)",
-    "DATEADD(month, 1, DATEADD(year, -1, d))")
+    "DATEADD(month, 1, DATEADD(year, -1, d))",
+    "NVL(a, b)", "NVL2(a, b, col1)", "DECODE(a, 1, 'x', 'y')",
+    "SPLIT_PART(t.x, ',', 2)", "REGEXP_SUBSTR(t.x, 'p+', 3)",
+    "REGEXP_SUBSTR(t.x, '(a)(b)', 1, 1, 'e', 2)",
+    "TIMESTAMP_ADD(d, INTERVAL 5 MINUTE)", "DATE_TRUNC(d, WEEK)",
+    "DATE_DIFF(b, a, WEEK)", "DATEADD(day, 1, COALESCE(t.x, 'a,b'))")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

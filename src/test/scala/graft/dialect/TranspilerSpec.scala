@@ -118,11 +118,15 @@ class TranspilerSpec extends AnyFunSuite {
 
   test("transpileSnowflake: DATEADD/DATEDIFF unit-first forms, nested calls") {
     import Transpiler.transpileSnowflake
+    // day-grain uses timestampadd — Snowflake DATEADD preserves a
+    // timestamp input's time-of-day, which date_add would truncate
     assert(transpileSnowflake("SELECT DATEADD(day, 3, o_orderdate) FROM orders") ==
-      "SELECT date_add(o_orderdate, (3)) FROM orders")
+      "SELECT timestampadd(DAY, (3), o_orderdate) FROM orders")
+    // month-grain uses + make_ym_interval: fully type-preserving (DATE
+    // stays DATE, TIMESTAMP keeps its clock), clamps like add_months;
     // nested same-name calls resolve depth-first; quoted + abbreviated units
     assert(transpileSnowflake("SELECT DATEADD('month', -2, DATEADD(yy, 1, d)) FROM t") ==
-      "SELECT add_months(add_months(d, ((1) * 12)), (-2)) FROM t")
+      "SELECT ((d + make_ym_interval(CAST((1) AS INT), 0)) + make_ym_interval(0, CAST((-2) AS INT))) FROM t")
     // Snowflake's (start, end) order maps to Spark's datediff(end, start)
     assert(transpileSnowflake("SELECT DATEDIFF(dd, a, b) FROM t") ==
       "SELECT datediff(b, a) FROM t")
@@ -166,6 +170,14 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT date_add(d, ((3))) FROM t")
     assert(transpileBigQuery("SELECT DATE_SUB(d, INTERVAL 1 MONTH) FROM t") ==
       "SELECT add_months(d, (-(1))) FROM t")
+    // TIMESTAMP_/DATETIME_ arms preserve the time-of-day (BigQuery's
+    // inputs are timestamps by definition; date_add would truncate)
+    assert(transpileBigQuery("SELECT TIMESTAMP_ADD(ts, INTERVAL 90 MINUTE) FROM t") ==
+      "SELECT timestampadd(MINUTE, ((90)), ts) FROM t")
+    assert(transpileBigQuery("SELECT DATETIME_ADD(dt, INTERVAL 1 MONTH) FROM t") ==
+      "SELECT (dt + make_ym_interval(0, CAST(((1)) AS INT))) FROM t")
+    assert(transpileBigQuery("SELECT TIMESTAMP_SUB(ts, INTERVAL 2 DAY) FROM t") ==
+      "SELECT timestampadd(DAY, (-(2)), ts) FROM t")
     // Spark's own 2-arg date_add(date, days) passes through untouched
     assert(transpileBigQuery("SELECT DATE_ADD(d, 3) FROM t") ==
       "SELECT DATE_ADD(d, 3) FROM t")
@@ -239,6 +251,140 @@ class TranspilerSpec extends AnyFunSuite {
     }
     assert(transpileBigQuery("SELECT 'SAFE_DIVIDE(a, b)' FROM t") ==
       "SELECT 'SAFE_DIVIDE(a, b)' FROM t")
+  }
+
+  test("transpileBigQuery: bare WEEK is Sunday-start — explicit alignment") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT DATE_TRUNC(d, WEEK) FROM t") ==
+      "SELECT date_sub(trunc(date_add(d, 1), 'WEEK'), 1) FROM t")
+    assert(transpileBigQuery("SELECT TIMESTAMP_TRUNC(ts, WEEK) FROM t") ==
+      "SELECT timestampadd(DAY, -1, date_trunc('WEEK', timestampadd(DAY, 1, ts))) FROM t")
+    assert(transpileBigQuery("SELECT DATE_DIFF(b, a, WEEK) FROM t") ==
+      "SELECT (datediff(date_sub(trunc(date_add(b, 1), 'WEEK'), 1), " +
+        "date_sub(trunc(date_add(a, 1), 'WEEK'), 1)) DIV 7) FROM t")
+    // pure 7-day arithmetic keeps WEEK (no week-start convention)
+    assert(transpileBigQuery("SELECT DATE_ADD(d, INTERVAL 2 WEEK) FROM t") ==
+      "SELECT date_add(d, (((2)) * 7)) FROM t")
+    // Sunday-start semantics pinned on a Sunday-spanning pair:
+    // 2026-08-13 is a Thursday, 2026-08-16 a Sunday — one Sunday
+    // boundary crossed, though the Monday-start convention sees none
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    val r = spark.sql(transpileBigQuery(
+      "SELECT DATE_DIFF(DATE '2026-08-16', DATE '2026-08-13', WEEK) AS w, " +
+        "CAST(DATE_TRUNC(DATE '2026-08-16', WEEK) AS STRING) AS t1, " +
+        "CAST(DATE_TRUNC(DATE '2026-08-13', WEEK) AS STRING) AS t2")).head()
+    assert(r.getAs[Number](0).longValue == 1L)
+    assert(r.getString(1) == "2026-08-16") // a Sunday truncates to itself
+    assert(r.getString(2) == "2026-08-09") // back to the previous Sunday
+  }
+
+  test("transpileBigQuery: FROM-clause UNNEST → LATERAL VIEW") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT x FROM t, UNNEST(t.arr) AS x") ==
+      "SELECT x FROM t LATERAL VIEW EXPLODE(t.arr) AS x")
+    assert(transpileBigQuery("SELECT x FROM t CROSS JOIN UNNEST(arr) x") ==
+      "SELECT x FROM t LATERAL VIEW EXPLODE(arr) AS x")
+    assert(transpileBigQuery(
+      "SELECT x, o FROM t, UNNEST(arr) AS x WITH OFFSET AS o WHERE o < 2") ==
+      "SELECT x, o FROM t LATERAL VIEW POSEXPLODE(arr) AS o, x WHERE o < 2")
+    assert(transpileBigQuery(
+      "SELECT x FROM t LEFT JOIN UNNEST(t.arr) AS x ON TRUE") ==
+      "SELECT x FROM t LATERAL VIEW OUTER EXPLODE(t.arr) AS x")
+    // IN UNNEST is a membership test, not an expansion
+    assert(transpileBigQuery("SELECT * FROM t WHERE k IN UNNEST(arr)") ==
+      "SELECT * FROM t WHERE array_contains(arr, k)")
+    assert(transpileBigQuery("SELECT * FROM t WHERE k NOT IN UNNEST(arr)") ==
+      "SELECT * FROM t WHERE NOT array_contains(arr, k)")
+    // a bare FROM UNNEST (no connector) passes through for the repair loop
+    assert(transpileBigQuery("SELECT x FROM UNNEST(arr) AS x") ==
+      "SELECT x FROM UNNEST(arr) AS x")
+    // literals containing UNNEST stay untouched
+    assert(transpileBigQuery("SELECT 'a, UNNEST(arr) AS x' FROM t") ==
+      "SELECT 'a, UNNEST(arr) AS x' FROM t")
+  }
+
+  test("transpileSnowflake: LATERAL FLATTEN → LATERAL VIEW POSEXPLODE") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake(
+      "SELECT t.id, f.value FROM t, LATERAL FLATTEN(input => t.arr) f") ==
+      "SELECT t.id, f.value FROM t LATERAL VIEW POSEXPLODE(t.arr) f AS index, value")
+    assert(transpileSnowflake(
+      "SELECT f.value FROM t, TABLE(FLATTEN(input => arr)) f") ==
+      "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(arr) f AS index, value")
+    assert(transpileSnowflake(
+      "SELECT f.value FROM t, LATERAL FLATTEN(input => arr, outer => TRUE) f") ==
+      "SELECT f.value FROM t LATERAL VIEW OUTER POSEXPLODE(arr) f AS index, value")
+    // positional input; no alias
+    assert(transpileSnowflake("SELECT value FROM t, LATERAL FLATTEN(arr)") ==
+      "SELECT value FROM t LATERAL VIEW POSEXPLODE(arr) AS index, value")
+    // unsupported args (PATH/RECURSIVE) pass through for the repair loop
+    assert(transpileSnowflake(
+      "SELECT 1 FROM t, LATERAL FLATTEN(input => v, path => 'a') f") ==
+      "SELECT 1 FROM t, LATERAL FLATTEN(input => v, path => 'a') f")
+  }
+
+  test("extended REGEXP_SUBSTR / REGEXP_EXTRACT argument forms") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // Snowflake: 2-arg is native; position/occurrence/params/group compose
+    assert(transpileSnowflake("SELECT REGEXP_SUBSTR(s, 'p+') FROM t") ==
+      "SELECT REGEXP_SUBSTR(s, 'p+') FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_SUBSTR(s, 'p+', 3) FROM t") ==
+      "SELECT regexp_substr(substr(s, 3), 'p+') FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_SUBSTR(s, 'p+', 1, 2) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, 'p+', 0), CAST(2 AS INT)) FROM t")
+    assert(transpileSnowflake(
+      "SELECT REGEXP_SUBSTR(s, '(a) (b)', 1, 1, 'e', 2) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '(a) (b)', CAST(2 AS INT)), CAST(1 AS INT)) FROM t")
+    assert(transpileSnowflake(
+      "SELECT REGEXP_SUBSTR(s, 'p', 1, 1, 'ie') FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '(?i)p', 1), CAST(1 AS INT)) FROM t")
+    // BigQuery REGEXP_EXTRACT: single capture group → that group,
+    // no group → full match, >1 group → repair loop
+    assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, 'a+') FROM t") ==
+      "SELECT regexp_substr(s, 'a+') FROM t")
+    assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, '([a-z]+)@') FROM t") ==
+      "SELECT nullif(try_element_at(regexp_extract_all(s, '([a-z]+)@', 1), 1), '') FROM t")
+    assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t") ==
+      "SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t")
+    assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, 'a+', 2, 3) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(substr(s, 2), 'a+', 0), CAST(3 AS INT)) FROM t")
+    assert(transpileBigQuery("SELECT ARRAY_LENGTH(REGEXP_EXTRACT_ALL(s, 'a+')) FROM t") ==
+      "SELECT ARRAY_SIZE(regexp_extract_all(s, 'a+', 0)) FROM t")
+  }
+
+  test("BigQuery STRING_AGG with in-call ORDER BY → WITHIN GROUP") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT STRING_AGG(x, ', ' ORDER BY k) FROM t GROUP BY g") ==
+      "SELECT string_agg(x, ', ') WITHIN GROUP (ORDER BY k) FROM t GROUP BY g")
+    assert(transpileBigQuery("SELECT STRING_AGG(x ORDER BY x DESC) FROM t") ==
+      "SELECT string_agg(x) WITHIN GROUP (ORDER BY x DESC) FROM t")
+    // no ORDER BY → native Spark string_agg, untouched
+    assert(transpileBigQuery("SELECT STRING_AGG(x, ',') FROM t") ==
+      "SELECT STRING_AGG(x, ',') FROM t")
+    // LIMIT inside the aggregate is unsupported → repair loop
+    assert(transpileBigQuery("SELECT STRING_AGG(x ORDER BY x LIMIT 2) FROM t") ==
+      "SELECT STRING_AGG(x ORDER BY x LIMIT 2) FROM t")
+  }
+
+  test("shared-arm regex passes are literal-guarded (r14 hole closed)") {
+    val hostile = Seq(
+      "SELECT 'CAST(a AS TEXT)' FROM t",
+      "SELECT 'strftime(''%Y'', x)' FROM t",
+      "SELECT 'GROUP_CONCAT(a)' FROM t",
+      "SELECT 'CHARINDEX(a, b)' FROM t",
+      "SELECT 'DATE(''now'', ''-1 year'')' FROM t",
+      "SELECT 'julianday(x)' FROM t",
+      "SELECT a FROM t -- CAST(a AS TEXT) strftime('%Y', x)",
+      "SELECT /* GROUP_CONCAT(a) AS REAL */ a FROM t")
+    hostile.foreach { q =>
+      assert(transpile(q) == q, s"shared arm rewrote inside a literal: $q -> ${transpile(q)}")
+      assert(Transpiler.transpileSnowflake(q) == q.trim.stripSuffix(";").trim ||
+        Transpiler.transpileSnowflake(q) == q,
+        s"snowflake arm rewrote inside a literal: $q")
+    }
+    // and a comma inside a literal no longer splits call arguments
+    assert(Transpiler.transpileSnowflake("SELECT DATEADD(day, 3, COALESCE(s, 'a,b')) FROM t") ==
+      "SELECT timestampadd(DAY, (3), COALESCE(s, 'a,b')) FROM t")
   }
 
   test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {

@@ -6,8 +6,13 @@ import graft.SparkSpec
 import graft.catalog.Tables
 
 /** Recall floor for the IVF ANN defaults: a quantizer or probe-config
-  * change that lands bench recall@5 below 0.75 must fail HERE, not
+  * change that lands bench recall@5 below 0.80 must fail HERE, not
   * surface as a silently smaller recall_at_k in the bench JSON.
+  * (Round 15: floor raised 0.75 → 0.80 now that all five paths
+  * measure >= 0.84 at the nprobe=5 defaults, and the PQ re-rank path
+  * pinned separately at 0.90 — it measures 0.92 and a regression in
+  * the exact re-scoring stage should not hide under the looser
+  * shortlist floor.)
   *
   * Runs at sf0.1 — the scale the bench reports recall_at_k at — with
   * the bench's own sets (queries = the q_ivf_* probe set, truth =
@@ -22,7 +27,10 @@ import graft.catalog.Tables
   */
 class IvfRecallFloorSpec extends SparkSpec {
 
-  private val Floor = 0.75
+  private val Floor = 0.80
+  // exact re-rank re-scores the shortlist with true cosines — it must
+  // hold a tighter floor than the ADC-ranked paths
+  private val RerankFloor = 0.90
   private lazy val dir = "/root/testdata/sf0.1"
 
   private lazy val emb = Tables.load(spark, dir, "embeddings")
@@ -69,10 +77,11 @@ class IvfRecallFloorSpec extends SparkSpec {
   private lazy val books =
     ProductQuant.trainCodebooks(corpus, "vec_id", "embedding", 8, 16, 2)
 
-  test(s"PQ shortlist + re-rank (q_pq_rerank config) holds recall >= $Floor") {
+  test(s"PQ shortlist + re-rank (q_pq_rerank config) holds recall >= $RerankFloor") {
     val r = recallOf(ProductQuant.searchAdcRerank(corpus, queries,
       "vec_id", "qid", "embedding", k = 5, books, shortlistFactor = 32))
-    assert(r >= Floor, f"PQ re-rank recall@5 $r%.3f fell below the $Floor floor")
+    assert(r >= RerankFloor,
+      f"PQ re-rank recall@5 $r%.3f fell below the $RerankFloor floor")
   }
 
   test(s"IVF-PQ (q_ivf_pq config) holds recall >= $Floor") {

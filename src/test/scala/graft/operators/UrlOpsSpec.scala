@@ -131,6 +131,25 @@ class UrlOpsSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("bloom blocklist bitset sizes from the list (UT1-scale safe)") {
+    import spark.implicits._
+    // 64 Kib floor for small lists (historical default preserved)
+    assert(UrlOps.domainFilterBits(0) == (1 << 16))
+    assert(UrlOps.domainFilterBits(100) == (1 << 16))
+    // ~10 bits/key beyond the floor, rounded to whole 64-bit words —
+    // a real UT1 list (millions of domains) no longer saturates an
+    // 8 KiB bitset into blocking everything
+    assert(UrlOps.domainFilterBits(3_000_000L) == 30_000_000)
+    assert(UrlOps.domainFilterBits(3_000_001L) == 30_000_064)
+    assert(UrlOps.domainFilterBits(3_000_000L) % 64 == 0)
+    // capped at the 128 MiB broadcast ceiling
+    assert(UrlOps.domainFilterBits(Long.MaxValue / 16) == (1 << 30))
+    // the built array's length implies the probe-side size
+    val block = Seq("tracker.example.com").toDF("domain")
+    val words = UrlOps.buildDomainFilter(block)
+    assert(words.length * 64 == (1 << 16))
+  }
+
   test("blocklist filtering is a pure equi-join plan (no cartesian/BNLJ)") {
     import spark.implicits._
     val docs = Seq((0L, "http://a.b.c/x")).toDF("doc_id", "url")
