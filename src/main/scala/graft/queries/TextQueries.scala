@@ -645,6 +645,55 @@ object TextQueries extends QueryPack {
               |FROM m2 ORDER BY doc_id""".stripMargin)),
 
     GQuery(
+      "q_lang_id_trained",
+      "TRAINED char-trigram language ID (the learned seam behind the " +
+        "fixed-marker langId/langIdNgram fixtures): per-language " +
+        "top-20 trigram profiles learned from the labeled documents " +
+        "table (count DESC, gram ASC ties), scoring via the zero-join " +
+        "length-shrinkage codegen path, argmax with lexicographic " +
+        "tie order, evaluated as per-language accuracy. The DuckDB " +
+        "oracle replays training AND scoring end-to-end.",
+      (s, dir) => {
+        import graft.operators.LangIdTrain
+        val docs = Tables.load(s, dir, "documents")
+        val model = LangIdTrain.train(docs, "text", "lang", n = 3, topK = 20)
+        val profiles = LangIdTrain.profilesOf(model)
+        docs.select(col("lang"),
+            LangIdTrain.predictExpr(col("text"), profiles).as("predicted"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT lang, lower(text) AS lt,
+             |         unnest(range(1, length(lower(text)) - 1)) AS i
+             |  FROM documents WHERE length(lower(text)) >= 3),
+             |g AS (SELECT lang, substr(lt, CAST(i AS INT), 3) AS gram FROM pos),
+             |counts AS (SELECT lang, gram, COUNT(*) AS c FROM g GROUP BY lang, gram),
+             |model AS (
+             |  SELECT lang, gram, c FROM (
+             |    SELECT lang, gram, c,
+             |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rk
+             |    FROM counts) WHERE rk <= 20),
+             |scores AS (
+             |  SELECT d.doc_id, d.lang AS actual, m.lang AS cand,
+             |         SUM(CAST((length(lower(d.text)) -
+             |                   length(replace(lower(d.text), m.gram, ''))) // 3
+             |             AS BIGINT) * m.c) AS score
+             |  FROM documents d CROSS JOIN model m
+             |  GROUP BY d.doc_id, d.lang, m.lang),
+             |pred AS (
+             |  SELECT doc_id, actual, cand AS predicted FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, cand) AS rk FROM scores) WHERE rk = 1)
+             |SELECT actual AS lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_correct
+             |FROM pred GROUP BY actual ORDER BY actual""".stripMargin)),
+
+    GQuery(
       "q_tfidf_keywords",
       "TF-IDF keyword extraction: top-5 terms per document by " +
         "tf*floor(1e6*ln((N+1)/(df+1))), corpus df computed " +
