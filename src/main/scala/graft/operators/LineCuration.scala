@@ -131,6 +131,23 @@ object LineCuration {
       textCol: String, minDocFreq: Int = 2): DataFrame =
     stripDuplicateUnits(docs, idCol, textCol, minDocFreq, sep = "\n\n")
 
+  /** The flag side of [[stripDuplicateLines]] exposed on its own: the
+    * polyHash of every trimmed non-blank unit occurring in at least
+    * `minDocFreq` DISTINCT documents, with its document frequency.
+    * This is what [[LineIndex.writeLineIndex]] materializes so the
+    * streaming ingest can probe corpus-level line dedup as a stateless
+    * scan (the document-frequency aggregation itself needs the whole
+    * reference corpus and cannot run in-stream).
+    */
+  def duplicateUnitHashes(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2, sep: String = "\n"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), sep)).as("__l"))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(col(idCol), TextAnalysis.polyHash(trim(col("__l"))).as("hash"))
+      .groupBy(col("hash"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+
   private def stripDuplicateUnits(docs: DataFrame, idCol: String,
       textCol: String, minDocFreq: Int, sep: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -191,12 +191,18 @@ object IngestDedup {
     * and C4 line-curation stages at scan time: NFC normalization /
     * control strip / space collapse rewrite the text column, the C4
     * line rules rebuild it from surviving lines, and the document gate
-    * drops thin/blocked pages — all per-row column expressions (the
-    * corpus-LEVEL line dedup is deliberately absent here: its
-    * document-frequency aggregation is the one line operator that
-    * would need streaming state). Both run BEFORE the quality and
-    * dedup screens, so a chrome-heavy page is cut down before it costs
-    * a score, a shingle, or an index append.
+    * drops thin/blocked pages — all per-row column expressions. Both
+    * run BEFORE the quality and dedup screens, so a chrome-heavy page
+    * is cut down before it costs a score, a shingle, or an index
+    * append.
+    *
+    * `lineIndexPath` installs corpus-LEVEL exact line dedup — the one
+    * line operator whose document-frequency aggregation cannot run
+    * in-stream — via the materialized [[graft.operators.LineIndex]]:
+    * a batch-built duplicate-line-hash artifact compiles once at
+    * stream start into a broadcast Bloom bitset and flagged lines are
+    * stripped by a stateless scan expression (the blocklist pattern);
+    * periodic batch re-index refreshes it on the next (re)start.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
@@ -213,6 +219,7 @@ object IngestDedup {
       c4MinWords: Int = 0,
       c4MinKeptLines: Int =
         graft.operators.LineCuration.DefaultMinKeptLines,
+      lineIndexPath: Option[String] = None,
       // streaming-safe domain blocklist: compiled ONCE to a broadcast
       // Bloom bitset, probed by a stateless scan predicate over the
       // url column's host suffixes (the exact equi-join form's
@@ -262,11 +269,21 @@ object IngestDedup {
           .withColumn(textCol, array_join(col("__kept"), "\n"))
           .drop("__kept")
       }
-    val quality = qualityModelPath match {
+    // corpus-level line dedup as a stateless scan: the batch-built
+    // line-hash index compiles ONCE here; flagged lines are stripped
+    // per row with zero joins and zero state
+    val lineScreened = lineIndexPath match {
       case None => lined
       case Some(p) =>
+        val f = graft.operators.LineIndex.loadFilter(spark, p)
+        lined.withColumn(textCol,
+          graft.operators.LineIndex.stripLinesExpr(col(textCol), f))
+    }
+    val quality = qualityModelPath match {
+      case None => lineScreened
+      case Some(p) =>
         val model = QualityClassifier.loadModel(spark, p)
-        lined.filter(
+        lineScreened.filter(
           QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
     }
     // ONE kernel call per row by construction (RepetitionPass folds the

@@ -461,6 +461,76 @@ class IngestDedupSpec extends SparkSpec {
     assert(rows.toMap === want)
   }
 
+  test("batch-built line-hash index strips chrome lines in-stream; admission equals the batch twin, restart included") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idxLine") + "/index"
+    val lidx = freshDir("lineIdx") + "/lineindex"
+    val out = freshDir("outLine") + "/corpus"
+    val ckp = freshDir("ckpLine")
+    // reference corpus with cross-document chrome: the subscribe and
+    // cookie lines repeat across documents, every other line is unique
+    val ref = Seq(
+      IngestDoc(1L, "unique alpha opening line\nSUBSCRIBE to our newsletter\nalpha closing thoughts here"),
+      IngestDoc(2L, "different beta body text\nSUBSCRIBE to our newsletter\naccept our cookie policy\nbeta conclusion paragraph"),
+      IngestDoc(3L, "gamma standalone content\naccept our cookie policy\ngamma final remarks"))
+      .toDF()
+    // ---- the batch twin: corpus-level exact line dedup ----
+    val twin = graft.operators.LineCuration
+      .stripDuplicateLines(ref, "doc_id", "text", minDocFreq = 2)
+      .select($"doc_id", $"clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twin.values.forall(t => !t.contains("SUBSCRIBE") &&
+      !t.contains("cookie")), s"twin kept chrome: $twin")
+    // ---- batch-built index from the same reference corpus ----
+    val n = graft.operators.LineIndex.writeLineIndex(
+      ref, "doc_id", "text", lidx, minDocFreq = 2)
+    assert(n == 2L, s"expected the 2 chrome-line hashes, got $n")
+    graft.core.CacheBin.drain()
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+
+    def startQuery(src: MemoryStream[IngestDoc]) =
+      IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+        threshold = 0.5, lineIndexPath = Some(lidx))
+
+    val src = MemoryStream[IngestDoc]
+    val docs = ref.as[IngestDoc].collect()
+    val q1 = startQuery(src)
+    try {
+      src.addData(docs(0), docs(1))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.isEmpty,
+        "the line screen must add no streaming state")
+    } finally q1.stop()
+
+    // ---- CRASH between offsets and commit: delete the newest commit
+    // marker so the restarted query replays batch 0 ----
+    val commits = new java.io.File(s"$ckp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no commit markers written")
+    assert(commits.last.delete(), "could not simulate the crash")
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+
+    val q2 = startQuery(src)
+    try {
+      q2.processAllAvailable() // replay of batch 0 (idempotent admit)
+      src.addData(docs(2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // exactly-once admission AND per-document text equal to the twin's
+    val admitted = spark.read.parquet(out)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(admitted.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L),
+      s"exactly-once admission violated: ${admitted.toSeq}")
+    assert(admitted.toMap === twin,
+      s"stream admission diverged from the batch twin:\n" +
+        s"stream=${admitted.toMap}\ntwin=$twin")
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
