@@ -926,6 +926,20 @@ object Transpiler {
   private def subjFrom(e: String, pos: String): String =
     if (pos.trim == "1") e else s"substr($e, $pos)"
 
+  /** Snowflake single-colon VARIANT path access (`f.value:name`,
+    * `v:a:b`) → dot field access. The `(?!:)` guard keeps `::` casts
+    * out (a cast's first colon is followed by a colon; its second is
+    * never preceded by an identifier char), and the loop resolves
+    * deeper paths one hop per pass.
+    */
+  private val variantPathRe =
+    """([A-Za-z_][A-Za-z0-9_]*)\s*:(?!:)\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  private def rewriteVariantPaths(sql: String): String = {
+    val once = guarded(sql, variantPathRe)(m => s"${m.group(1)}.${m.group(2)}")
+    if (once == sql) sql else rewriteVariantPaths(once)
+  }
+
   /** Snowflake dialect arm (reference repair-prompt inventory:
     * `core/actor/generator/sql_debug.py:120-250`; executor surface
     * `core/db_connect.py:49-136`): DATEADD/DATEDIFF unit-first forms
@@ -1004,6 +1018,7 @@ object Transpiler {
     }
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
+    out = rewriteVariantPaths(out)
     out = replaceToken(out, "IFF", "IF")
     // DATE_TRUNC('part', expr) is part-first in Snowflake, same as
     // Spark — passes through natively

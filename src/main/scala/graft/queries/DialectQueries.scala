@@ -21,7 +21,10 @@ import graft.dialect.Transpiler
   */
 object DialectQueries extends QueryPack {
 
-  /** Registers all parquet tables plus the nested-array fixture. */
+  /** Registers all parquet tables plus the nested fixtures: an array
+    * column (`nation_arrays`) and a Spider2-style VARIANT-shaped
+    * array-of-struct column (`nation_structs`).
+    */
   private def withNested(s: org.apache.spark.sql.SparkSession, dir: String)(
       body: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
     QueryPack.withTables(s, dir) { spark =>
@@ -29,6 +32,12 @@ object DialectQueries extends QueryPack {
         """SELECT n_regionkey, array_sort(collect_list(n_name)) AS names
           |FROM nation GROUP BY n_regionkey""".stripMargin)
         .createOrReplaceTempView("nation_arrays")
+      spark.sql(
+        """SELECT n_regionkey,
+          |       array_sort(collect_list(named_struct(
+          |         'name', n_name, 'nkey', n_nationkey))) AS nats
+          |FROM nation GROUP BY n_regionkey""".stripMargin)
+        .createOrReplaceTempView("nation_structs")
       body(spark)
     }
 
@@ -85,6 +94,61 @@ object DialectQueries extends QueryPack {
               |       nm AS nation_name
               |FROM exploded WHERE pos < 3
               |ORDER BY n_regionkey, idx""".stripMargin)),
+
+    GQuery(
+      "q_transpile_bq_unnest_struct",
+      "BigQuery UNNEST over an array-of-STRUCT column (the Spider2 " +
+        "arrays/structs shape): `, UNNEST(nats) AS x` + `x.field` " +
+        "projections run end-to-end over genuinely nested data.",
+      (s, dir) =>
+        withNested(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT n_regionkey, x.name AS nat_name,
+              |       CAST(x.nkey AS INT64) AS nat_key
+              |FROM nation_structs, UNNEST(nats) AS x
+              |WHERE ENDS_WITH(x.name, '1') OR x.nkey = 0
+              |ORDER BY n_regionkey, nat_name""".stripMargin))
+        },
+      Some("""WITH nation_structs AS (
+             |  SELECT n_regionkey,
+             |         list(struct_pack(name := n_name, nkey := n_nationkey)
+             |              ORDER BY n_name) AS nats
+             |  FROM nation GROUP BY n_regionkey),
+             |ex AS (SELECT n_regionkey, unnest(nats) AS x FROM nation_structs)
+             |SELECT n_regionkey, x.name AS nat_name,
+             |       CAST(x.nkey AS BIGINT) AS nat_key
+             |FROM ex WHERE x.name LIKE '%1' OR x.nkey = 0
+             |ORDER BY n_regionkey, nat_name""".stripMargin)),
+
+    GQuery(
+      "q_transpile_snow_flatten_path",
+      "Snowflake LATERAL FLATTEN over VARIANT-shaped structs with " +
+        "single-colon path access (`f.value:name::VARCHAR`) — the " +
+        "Spider2-snow idiom — rewritten to posexplode + dot field " +
+        "access + mapped casts.",
+      (s, dir) =>
+        withNested(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT a.n_regionkey, f.index::INT AS idx,
+              |       f.value:name::VARCHAR AS nat_name,
+              |       f.value:nkey::INT AS nat_key
+              |FROM nation_structs a, LATERAL FLATTEN(input => a.nats) f
+              |WHERE f.index < 2
+              |ORDER BY a.n_regionkey, idx""".stripMargin))
+        },
+      Some("""WITH nation_structs AS (
+             |  SELECT n_regionkey,
+             |         list(struct_pack(name := n_name, nkey := n_nationkey)
+             |              ORDER BY n_name) AS nats
+             |  FROM nation GROUP BY n_regionkey),
+             |ex AS (SELECT n_regionkey,
+             |              unnest(nats) AS x,
+             |              unnest(range(len(nats))) AS pos
+             |       FROM nation_structs)
+             |SELECT n_regionkey, CAST(pos AS BIGINT) AS idx,
+             |       x.name AS nat_name, CAST(x.nkey AS BIGINT) AS nat_key
+             |FROM ex WHERE pos < 2
+             |ORDER BY n_regionkey, idx""".stripMargin)),
 
     GQuery(
       "q_transpile_listagg",

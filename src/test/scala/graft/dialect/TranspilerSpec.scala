@@ -323,6 +323,22 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT 1 FROM t, LATERAL FLATTEN(input => v, path => 'a') f")
   }
 
+  test("transpileSnowflake: single-colon VARIANT paths → dot access") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT f.value:name FROM t") ==
+      "SELECT f.value.name FROM t")
+    assert(transpileSnowflake("SELECT v:a:b FROM t") ==
+      "SELECT v.a.b FROM t")
+    // composes with :: casts — the cast's colons are never paths
+    assert(transpileSnowflake("SELECT f.value:nkey::INT FROM t") ==
+      "SELECT f.value.nkey::BIGINT FROM t")
+    assert(transpileSnowflake("SELECT x::NUMBER FROM t") ==
+      "SELECT x::DECIMAL(38,0) FROM t")
+    // literals with colons stay untouched
+    assert(transpileSnowflake("SELECT 'a:b', c FROM t") ==
+      "SELECT 'a:b', c FROM t")
+  }
+
   test("extended REGEXP_SUBSTR / REGEXP_EXTRACT argument forms") {
     import Transpiler.{transpileBigQuery, transpileSnowflake}
     // Snowflake: 2-arg is native; position/occurrence/params/group compose
