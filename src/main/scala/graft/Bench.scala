@@ -268,7 +268,7 @@ object Bench {
     // the smaller total must not read as a comparable number
     val subtotals = Seq("r10" -> "CORRECTNESS_r10.json",
       "r11" -> "CORRECTNESS_r11.json", "r12" -> "CORRECTNESS_r12.json",
-      "r13" -> "CORRECTNESS_r13.json")
+      "r13" -> "CORRECTNESS_r13.json", "r14" -> "CORRECTNESS_r14.json")
       .flatMap { case (tag, f) => roundNames(f).map { names =>
         val matched = names.intersect(timings.keySet)
         (s"${tag}_set", timings.view.filterKeys(matched).values.sum,

@@ -214,15 +214,18 @@ object Transpiler {
       guarded(acc, re)(_ => to)
     }
 
-  /** CHARINDEX(needle, haystack) → INSTR(haystack, needle): T-SQL's
-    * argument order is the REVERSE of Spark's instr — a bare rename
-    * would silently return wrong positions.
+  /** CHARINDEX(needle, haystack[, start]) → INSTR(haystack, needle) /
+    * locate(needle, haystack, start): T-SQL's/Snowflake's argument
+    * order is the REVERSE of Spark's instr — a bare rename would
+    * silently return wrong positions. Balanced-paren rewrite (round
+    * 15: was a word regex that could not split nested call args).
     */
-  private val charindexRe =
-    """(?i)\bCHARINDEX\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*\)""".r
-
   private def rewriteCharindex(sql: String): String =
-    guarded(sql, charindexRe)(m => s"INSTR(${m.group(2)}, ${m.group(1)})")
+    rewriteCall(sql, "CHARINDEX") {
+      case Seq(a, b) => Some(s"INSTR($b, $a)")
+      case Seq(a, b, st) => Some(s"locate($a, $b, $st)")
+      case _ => None
+    }
 
   /** sqlite date idioms:
     * DATE('now') → current_date(); DATETIME('now') → current_timestamp();
@@ -926,6 +929,116 @@ object Transpiler {
   private def subjFrom(e: String, pos: String): String =
     if (pos.trim == "1") e else s"substr($e, $pos)"
 
+  /** Warehouse SPLIT takes a LITERAL delimiter; Spark's split takes a
+    * REGEX — `SPLIT(s, '.')` silently splits on every character. When
+    * the delimiter is a literal, regex metachars are escaped into the
+    * emitted literal (`'.'` → `'\\.'`, which Spark's escaped-string
+    * parser reads as the regex `\.`). A literal already free of
+    * metachars is left untouched (the rewrite would be the identity),
+    * and one containing a backslash passes through for the repair loop
+    * (it is either already escaped — rewriting again would
+    * double-escape and break idempotence — or genuinely exotic).
+    */
+  private val regexMeta = ".[](){}^$|?*+\\"
+
+  private def splitDelimiter(d: String): Option[String] =
+    fmtLit(d).filter(l => !l.contains("\\")).flatMap { lit =>
+      if (!lit.exists(regexMeta.contains(_))) None // plain: already correct
+      else Some("'" + lit.flatMap {
+        case c if regexMeta.contains(c) => s"\\\\$c"
+        case '\'' => "''"
+        case c => c.toString
+      } + "'")
+    }
+
+  /** Sort-aware array collection for the warehouses' ordered
+    * ARRAY_AGG (Spark's array_agg accepts no ordering; its LISTAGG
+    * does natively). Single ORDER BY key only; DISTINCT composes only
+    * when ordering by the collected expression itself.
+    */
+  private def sortAwareCollect(x: String, ob0: String,
+      distinct: Boolean): Option[String] = {
+    val obRe = """(?is)^(.+?)(\s+ASC|\s+DESC)?$""".r
+    val (ob, desc) = ob0.trim match {
+      case obRe(k, dir) =>
+        (k.trim, dir != null && dir.trim.equalsIgnoreCase("DESC"))
+      case other => (other, false)
+    }
+    if (splitArgs(ob).size > 1) None // multi-key → repair loop
+    else {
+      val sorted =
+        if (ob.equalsIgnoreCase(x))
+          Some(if (distinct) s"array_sort(collect_set($x))"
+          else s"array_sort(collect_list($x))")
+        else if (distinct) None
+        else Some(s"transform(array_sort(collect_list(" +
+          s"named_struct('s', $ob, 'v', $x))), __s -> __s.v)")
+      sorted.map(s0 => if (desc) s"reverse($s0)" else s0)
+    }
+  }
+
+  /** Snowflake `ARRAY_AGG([DISTINCT] x) WITHIN GROUP (ORDER BY k)` →
+    * sort-aware collect (the WITHIN GROUP clause trails the call, so
+    * this is a structural scan, not a call rewrite).
+    */
+  private def rewriteArrayAggWithinGroup(sql: String): String = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    var i = 0
+    var rewritten: Option[String] = None
+    while (rewritten.isEmpty && i >= 0 && i < sql.length) {
+      i = upper.indexOf("ARRAY_AGG", i)
+      if (i >= 0) {
+        val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+          sql.charAt(i - 1) != '_')
+        var j = i + 9
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (tagged(i)._2 == Code && leftOk && j < sql.length &&
+            sql.charAt(j) == '(') {
+          val close = matchParen(sql, tagged, j)
+          if (close >= 0) {
+            val (w1, e1) = readWord(sql, close + 1)
+            val (w2, e2) = readWord(sql, e1)
+            if (w1.equalsIgnoreCase("WITHIN") && w2.equalsIgnoreCase("GROUP")) {
+              var k = e2
+              while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+              if (k < sql.length && sql.charAt(k) == '(') {
+                val gclose = matchParen(sql, tagged, k)
+                val inner = if (gclose >= 0)
+                  sql.substring(k + 1, gclose).trim else ""
+                val obRe = """(?is)^ORDER\s+BY\s+(.+)$""".r
+                inner match {
+                  case obRe(ob) =>
+                    val rawArg = sql.substring(j + 1, close).trim
+                    val distinct = rawArg.toUpperCase.startsWith("DISTINCT ")
+                    val x = if (distinct) rawArg.substring(9).trim else rawArg
+                    sortAwareCollect(x, ob, distinct).foreach { repl =>
+                      rewritten = Some(
+                        sql.substring(0, i) + repl + sql.substring(gclose + 1))
+                    }
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+        if (rewritten.isEmpty) i += 1
+      }
+    }
+    rewritten.map(rewriteArrayAggWithinGroup).getOrElse(sql)
+  }
+
+  /** TIMESTAMPADD-style add that stays a FIXPOINT under re-transpile
+    * (the output's own `timestampadd` re-matches the arm, so no parens
+    * may accumulate): day/sub-day args pass through verbatim,
+    * month-grain routes to the type-preserving interval form.
+    */
+  private def tsAddFixpoint(unit: String, n: String, e: String): String =
+    unit match {
+      case "month" | "quarter" | "year" => dateAddSqlTs(unit, n, e)
+      case u => s"timestampadd(${u.toUpperCase}, $n, $e)"
+    }
+
   /** Snowflake single-colon VARIANT path access (`f.value:name`,
     * `v:a:b`) → dot field access. The `(?!:)` guard keeps `::` casts
     * out (a cast's first colon is followed by a colon; its second is
@@ -950,6 +1063,7 @@ object Transpiler {
   def transpileSnowflake(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
     out = rewriteFlatten(out)
+    out = rewriteArrayAggWithinGroup(out)
     out = replaceToken(out, "TO_VARCHAR", "TO_CHAR") // alias, same forms
     // DATEADD's input type is unknown at the string level; the
     // timestamp-preserving forms never truncate a time-of-day
@@ -960,6 +1074,57 @@ object Transpiler {
     }
     out = rewriteCall(out, "DATEDIFF") {
       case Seq(u, a, b) => normUnit(u).map(dateDiffSql(_, a, b))
+      case _ => None
+    }
+    // TIMESTAMPDIFF/TIMEDIFF are Snowflake ALIASES of DATEDIFF with
+    // its boundary-counting semantics — Spark's native timestampdiff
+    // counts elapsed whole units (Jan 31 → Feb 1 is 0 months in Spark,
+    // 1 in Snowflake), so a pass-through would be silently wrong
+    Seq("TIMESTAMPDIFF", "TIMEDIFF").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(u, a, b) => normUnit(u).flatMap { unit =>
+          // fixpoint guard: the DATEDIFF arm's sub-day output is itself
+          // a timestampdiff over date_trunc'd args — already
+          // boundary-aligned, re-wrapping would stack truncations
+          val pre = s"date_trunc('${unit.toUpperCase}',"
+          if (a.startsWith(pre) && b.startsWith(pre)) None
+          else Some(dateDiffSql(unit, a, b))
+        }
+        case _ => None
+      }
+    }
+    // TIMESTAMPADD/TIMEADD alias DATEADD; the fixpoint form keeps the
+    // re-matching day-grain output stable under re-transpile
+    Seq("TIMESTAMPADD", "TIMEADD").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(u, n, e) => normUnit(u).map(tsAddFixpoint(_, n, e))
+        case _ => None
+      }
+    }
+    // DATE_PART with a BARE unit token (Spark's date_part wants a
+    // string literal); already-quoted units normalize the same way
+    out = rewriteCall(out, "DATE_PART") {
+      case Seq(u, e) => normUnit(u).map(unit =>
+        s"date_part('${unit.toUpperCase}', $e)")
+      case _ => None
+    }
+    out = rewriteCall(out, "MONTHNAME") {
+      case Seq(e) => Some(s"date_format($e, 'MMM')")
+      case _ => None
+    }
+    out = rewriteCall(out, "DAYNAME") {
+      case Seq(e) => Some(s"date_format($e, 'EEE')")
+      case _ => None
+    }
+    // Snowflake ARRAY_CONTAINS(value, array) — the REVERSE of Spark's
+    // argument order; array_position avoids emitting a call the arm
+    // would re-match and swap back
+    out = rewriteCall(out, "ARRAY_CONTAINS") {
+      case Seq(v, arr) => Some(s"(array_position($arr, $v) > 0)")
+      case _ => None
+    }
+    out = rewriteCall(out, "SPLIT") {
+      case Seq(s0, d) => splitDelimiter(d).map(esc => s"split($s0, $esc)")
       case _ => None
     }
     out = rewriteCall(out, "TO_CHAR") {
@@ -1117,9 +1282,40 @@ object Transpiler {
         fmtLit(f).flatMap(strfToSpark).map(sf => s"date_format($e, '$sf')")
       case _ => None
     }
+    out = rewriteCall(out, "FORMAT_DATETIME") {
+      case Seq(f, e) =>
+        fmtLit(f).flatMap(strfToSpark).map(sf => s"date_format($e, '$sf')")
+      case _ => None
+    }
     out = rewriteCall(out, "PARSE_DATE") {
       case Seq(f, e) =>
         fmtLit(f).flatMap(strfToSpark).map(sf => s"to_date($e, '$sf')")
+      case _ => None
+    }
+    Seq("PARSE_TIMESTAMP", "PARSE_DATETIME").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(f, e) =>
+          fmtLit(f).flatMap(strfToSpark).map(sf => s"to_timestamp($e, '$sf')")
+        case _ => None
+      }
+    }
+    // days-since-epoch pair (UNIX_DATE / DATE_FROM_UNIX_DATE)
+    out = rewriteCall(out, "UNIX_DATE") {
+      case Seq(e) => Some(s"datediff($e, DATE'1970-01-01')")
+      case _ => None
+    }
+    out = rewriteCall(out, "DATE_FROM_UNIX_DATE") {
+      case Seq(n) => Some(s"date_add(DATE'1970-01-01', ($n))")
+      case _ => None
+    }
+    // BigQuery DIV(a, b) integer division → Spark's infix DIV
+    out = rewriteCall(out, "DIV") {
+      case Seq(a, b) => Some(s"(($a) DIV ($b))")
+      case _ => None
+    }
+    out = rewriteCall(out, "SPLIT") {
+      case Seq(s0) => Some(s"split($s0, ',')") // BigQuery default delimiter
+      case Seq(s0, d) => splitDelimiter(d).map(esc => s"split($s0, $esc)")
       case _ => None
     }
     // BigQuery's trunc family is expr-first (unit LAST, unquoted) —
@@ -1167,6 +1363,24 @@ object Transpiler {
           s"regexp_extract_all($e, $p, $g)"
         }
       case _ => None
+    }
+    // BigQuery ARRAY_AGG(x ORDER BY k): the ordering sits INSIDE the
+    // call; Spark's array_agg takes none → sort-aware collect
+    out = rewriteCall(out, "ARRAY_AGG") { args =>
+      val idx = args.indexWhere(a => findTopLevelKeyword(a, "ORDER") >= 0)
+      if (idx < 0 || args.size != 1) None
+      else {
+        val a = args(idx)
+        val p = findTopLevelKeyword(a, "ORDER")
+        val byAt = findTopLevelKeyword(a, "BY", p + 5)
+        if (byAt < 0 || findTopLevelKeyword(a, "LIMIT") >= 0) None
+        else {
+          val rawArg = a.substring(0, p).trim
+          val distinct = rawArg.toUpperCase.startsWith("DISTINCT ")
+          val x = if (distinct) rawArg.substring(9).trim else rawArg
+          sortAwareCollect(x, a.substring(byAt + 2).trim, distinct)
+        }
+      }
     }
     // STRING_AGG(x[, sep] ORDER BY k) → WITHIN GROUP form (Spark's
     // string_agg/listagg take the ordering outside the argument list)

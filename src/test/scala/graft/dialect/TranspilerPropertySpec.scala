@@ -31,7 +31,13 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "SPLIT_PART(t.x, ',', 2)", "REGEXP_SUBSTR(t.x, 'p+', 3)",
     "REGEXP_SUBSTR(t.x, '(a)(b)', 1, 1, 'e', 2)",
     "TIMESTAMP_ADD(d, INTERVAL 5 MINUTE)", "DATE_TRUNC(d, WEEK)",
-    "DATE_DIFF(b, a, WEEK)", "DATEADD(day, 1, COALESCE(t.x, 'a,b'))")
+    "DATE_DIFF(b, a, WEEK)", "DATEADD(day, 1, COALESCE(t.x, 'a,b'))",
+    "TIMESTAMPDIFF(month, a, b)", "TIMESTAMPADD(day, 3, d)",
+    "DATE_PART(month, d)", "MONTHNAME(d)", "SPLIT(t.x, '.')",
+    "SPLIT(t.x, ',')", "ARRAY_CONTAINS(a, b)", "DIV(a, b)",
+    "UNIX_DATE(d)", "CHARINDEX(a, b, 2)", "FORMAT_DATETIME('%Y', d)",
+    "ARRAY_AGG(a) WITHIN GROUP (ORDER BY a)",
+    "ARRAY_AGG(b ORDER BY col1 DESC)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

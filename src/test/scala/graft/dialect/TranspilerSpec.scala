@@ -403,6 +403,91 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT timestampadd(DAY, (3), COALESCE(s, 'a,b')) FROM t")
   }
 
+  test("dialect batch 2: aliases, DATE_PART, name funcs, SPLIT, DIV, unix-date") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // Snowflake TIMESTAMPDIFF aliases DATEDIFF's BOUNDARY counting —
+    // Spark's native timestampdiff would return 0 here
+    assert(transpileSnowflake("SELECT TIMESTAMPDIFF(month, a, b) FROM t") ==
+      "SELECT ((year(b) - year(a)) * 12 + (month(b) - month(a))) FROM t")
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    assert(spark.sql(transpileSnowflake(
+      "SELECT TIMESTAMPDIFF(month, DATE '2020-01-31', DATE '2020-02-01') AS m"))
+      .head().getInt(0) == 1)
+    // TIMESTAMPADD day-grain is a fixpoint (no paren accumulation)
+    assert(transpileSnowflake("SELECT TIMESTAMPADD(day, 3, d) FROM t") ==
+      "SELECT timestampadd(DAY, 3, d) FROM t")
+    assert(transpileSnowflake("SELECT TIMEADD(month, 2, d) FROM t") ==
+      "SELECT (d + make_ym_interval(0, CAST((2) AS INT))) FROM t")
+    assert(transpileSnowflake("SELECT DATE_PART(month, d) FROM t") ==
+      "SELECT date_part('MONTH', d) FROM t")
+    assert(transpileSnowflake("SELECT DATE_PART('yy', d) FROM t") ==
+      "SELECT date_part('YEAR', d) FROM t")
+    assert(transpileSnowflake("SELECT MONTHNAME(d), DAYNAME(d) FROM t") ==
+      "SELECT date_format(d, 'MMM'), date_format(d, 'EEE') FROM t")
+    // Snowflake ARRAY_CONTAINS is (value, array) — reversed from Spark
+    assert(transpileSnowflake("SELECT ARRAY_CONTAINS(x, arr) FROM t") ==
+      "SELECT (array_position(arr, x) > 0) FROM t")
+    // SPLIT takes a LITERAL delimiter: metachars get regex-escaped,
+    // plain delimiters pass through, backslash-bearing ones repair-loop
+    assert(transpileSnowflake("SELECT SPLIT(s, '.') FROM t") ==
+      "SELECT split(s, '\\\\.') FROM t")
+    assert(spark.sql(transpileSnowflake("SELECT SPLIT('a.b.c', '.')[1] AS x"))
+      .head().getString(0) == "b")
+    assert(transpileSnowflake("SELECT SPLIT(s, ',') FROM t") ==
+      "SELECT SPLIT(s, ',') FROM t")
+    assert(transpileSnowflake("SELECT SPLIT(s, '\\.') FROM t") ==
+      "SELECT SPLIT(s, '\\.') FROM t")
+    // CHARINDEX now splits nested call args; 3-arg maps to locate
+    assert(transpile("SELECT CHARINDEX(LOWER(a), CONCAT(b, c)) FROM t") ==
+      "SELECT INSTR(CONCAT(b, c), LOWER(a)) FROM t")
+    assert(transpile("SELECT CHARINDEX('x', s, 5) FROM t") ==
+      "SELECT locate('x', s, 5) FROM t")
+    // BigQuery: DIV, unix-date pair, FORMAT_DATETIME/PARSE_TIMESTAMP
+    assert(transpileBigQuery("SELECT DIV(a, b) FROM t") ==
+      "SELECT ((a) DIV (b)) FROM t")
+    assert(transpileBigQuery("SELECT UNIX_DATE(d) FROM t") ==
+      "SELECT datediff(d, DATE'1970-01-01') FROM t")
+    assert(transpileBigQuery("SELECT DATE_FROM_UNIX_DATE(n) FROM t") ==
+      "SELECT date_add(DATE'1970-01-01', (n)) FROM t")
+    assert(transpileBigQuery("SELECT FORMAT_DATETIME('%Y-%m', dt) FROM t") ==
+      "SELECT date_format(dt, 'yyyy-MM') FROM t")
+    assert(transpileBigQuery("SELECT PARSE_TIMESTAMP('%Y-%m-%d', s) FROM t") ==
+      "SELECT to_timestamp(s, 'yyyy-MM-dd') FROM t")
+    assert(transpileBigQuery("SELECT SPLIT(s) FROM t") ==
+      "SELECT split(s, ',') FROM t")
+    assert(transpileBigQuery("SELECT SPLIT(s, '|') FROM t") ==
+      "SELECT split(s, '\\\\|') FROM t")
+  }
+
+  test("ordered ARRAY_AGG: Snowflake WITHIN GROUP and BigQuery in-call ORDER BY") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    assert(transpileSnowflake(
+      "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY x) FROM t") ==
+      "SELECT array_sort(collect_list(x)) FROM t")
+    assert(transpileSnowflake(
+      "SELECT ARRAY_AGG(DISTINCT x) WITHIN GROUP (ORDER BY x DESC) FROM t") ==
+      "SELECT reverse(array_sort(collect_set(x))) FROM t")
+    assert(transpileSnowflake(
+      "SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY k) FROM t") ==
+      "SELECT transform(array_sort(collect_list(" +
+        "named_struct('s', k, 'v', v))), __s -> __s.v) FROM t")
+    // plain ARRAY_AGG is native Spark — untouched
+    assert(transpileSnowflake("SELECT ARRAY_AGG(x) FROM t") ==
+      "SELECT ARRAY_AGG(x) FROM t")
+    assert(transpileBigQuery("SELECT ARRAY_AGG(v ORDER BY k DESC) FROM t") ==
+      "SELECT reverse(transform(array_sort(collect_list(" +
+        "named_struct('s', k, 'v', v))), __s -> __s.v)) FROM t")
+    assert(transpileBigQuery("SELECT ARRAY_AGG(x) FROM t") ==
+      "SELECT ARRAY_AGG(x) FROM t")
+    // executed: the collected order is the ORDER BY order
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    val r = spark.sql(transpileSnowflake(
+      "SELECT ARRAY_AGG(v) WITHIN GROUP (ORDER BY k DESC) AS a " +
+        "FROM VALUES (1,'x'),(2,'y'),(3,'z') AS t(k,v)"))
+      .head().getSeq[String](0)
+    assert(r == Seq("z", "y", "x"))
+  }
+
   test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {
     val spark = graft.core.GraftSession.build("graft-test", cores = 4)
     graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
