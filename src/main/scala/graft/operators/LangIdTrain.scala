@@ -39,12 +39,19 @@ object LangIdTrain {
   def train(docs: DataFrame, textCol: String, langCol: String,
       n: Int = 3, topK: Int = 20): DataFrame = {
     require(n >= 1 && topK >= 1, s"need n >= 1 and topK >= 1: n=$n topK=$topK")
+    // explode POSITIONS, not a pre-built substring array: a
+    // `transform(..., i -> substr(lower(text), i, n))` lambda
+    // re-lowers the whole document once PER ELEMENT (no common-subexpr
+    // elimination across HOF iterations — measured 7.5 s at sf0.1);
+    // here lower() runs once per row and each exploded row takes one
+    // substr off the already-lowered column (1.3 s)
     val grams = docs
-      .filter(length(lower(col(textCol))) >= n)
-      .select(col(langCol).as("lang"),
-        explode(expr(
-          s"transform(sequence(1, length(lower($textCol)) - ${n - 1}), " +
-            s"i -> substr(lower($textCol), i, $n))")).as("gram"))
+      .filter(length(col(textCol)) >= n)
+      .select(col(langCol).as("lang"), lower(col(textCol)).as("__lt"))
+      .select(col("lang"), col("__lt"),
+        explode(sequence(lit(1), length(col("__lt")) - (n - 1))).as("__i"))
+      .select(col("lang"),
+        col("__lt").substr(col("__i"), lit(n)).as("gram"))
     val counts = grams.groupBy("lang", "gram").count()
     // per-language top-K: the window partitions on lang (bounded
     // cardinality, never single-partition on real label sets) and the
