@@ -38,7 +38,10 @@ object ScaleSweep {
     "q_bpe_learn", "q_pq_codes", "q_pq_rerank", "q_ivf_pq", "q_span_corrupt",
     "q_char_entropy", "q_embed_outliers", "q_repetition_rules",
     "q_pack_whole", "q_unigram_learn", "q_span_dedup", "q_wordpiece_learn",
-    "q_url_dedup", "q_domain_cap", "q_c4_line_filter", "q_line_dedup")
+    "q_url_dedup", "q_domain_cap", "q_c4_line_filter", "q_line_dedup",
+    // round 15: trained language ID — one (lang,gram) hash-agg over the
+    // labeled side + a stateless scoring scan; expected ~linear
+    "q_lang_id_trained")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

@@ -86,6 +86,10 @@ object CorpusPipeline {
       // in >= this many DISTINCT documents is removed from every doc
       lineDedupMinDocFreq: Int = 0,
       langs: Seq[String] = Seq("en"),
+      // a saved LangIdTrain model path RE-DERIVES the lang column from
+      // the text (stateless scan expression) before the allowlist —
+      // for corpora arriving WITHOUT trusted language labels
+      langIdModelPath: Option[String] = None,
       minChars: Int = 100,
       jaccardThreshold: Double = 0.5,
       boilerWindow: Int = 5,
@@ -293,11 +297,23 @@ object CorpusPipeline {
           .withColumnRenamed("clean_text", textCol)), false)
       }
 
+    // 0d. trained language ID (optional): corpora without trusted
+    // labels re-derive the lang column from the saved char-gram model
+    // — a per-row scan expression, flatness preserved
+    val langed = cfg.langIdModelPath match {
+      case None => c4ed
+      case Some(p) =>
+        val profiles = LangIdTrain.profilesOf(
+          LangIdTrain.load(docs.sparkSession, p))
+        c4ed.withColumn("lang",
+          LangIdTrain.predictExpr(col(textCol), profiles))
+    }
+
     // 1. allowlist + floors + exact/near dedup (keeps original
     // columns). clean's exact-dedup frame feeds BOTH the pair
     // generation and the anti-join back, so its input subtree would
     // evaluate twice unflattened.
-    val neardeduped = CorpusClean.clean(flatten(c4ed, c4Flat), cfg.langs,
+    val neardeduped = CorpusClean.clean(flatten(langed, c4Flat), cfg.langs,
       cfg.minChars, cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
     val cleaned = note("dedup",
       if (cfg.windowDedupN <= 0) neardeduped

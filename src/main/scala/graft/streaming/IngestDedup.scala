@@ -220,6 +220,11 @@ object IngestDedup {
       c4MinKeptLines: Int =
         graft.operators.LineCuration.DefaultMinKeptLines,
       lineIndexPath: Option[String] = None,
+      // saved LangIdTrain model + allowlist: language admission as a
+      // stateless scan predicate (the batch pipeline's langIdModelPath
+      // + langs pair) — for streams without trusted language labels
+      langIdModelPath: Option[String] = None,
+      allowedLangs: Seq[String] = Nil,
       // streaming-safe domain blocklist: compiled ONCE to a broadcast
       // Bloom bitset, probed by a stateless scan predicate over the
       // url column's host suffixes (the exact equi-join form's
@@ -279,11 +284,24 @@ object IngestDedup {
         lined.withColumn(textCol,
           graft.operators.LineIndex.stripLinesExpr(col(textCol), f))
     }
-    val quality = qualityModelPath match {
+    // trained language-ID admission: the model compiles once to a
+    // per-row scoring expression (zero joins, zero state)
+    val langGated = langIdModelPath match {
       case None => lineScreened
       case Some(p) =>
+        require(allowedLangs.nonEmpty,
+          "langIdModelPath needs allowedLangs: an admission gate with " +
+            "an empty allowlist would drop every document")
+        val profiles = graft.operators.LangIdTrain.profilesOf(
+          graft.operators.LangIdTrain.load(spark, p))
+        lineScreened.filter(graft.operators.LangIdTrain
+          .predictExpr(col(textCol), profiles).isin(allowedLangs: _*))
+    }
+    val quality = qualityModelPath match {
+      case None => langGated
+      case Some(p) =>
         val model = QualityClassifier.loadModel(spark, p)
-        lineScreened.filter(
+        langGated.filter(
           QualityClassifier.scoreExpr(col(textCol), model) >= lit(minQualityMicro))
     }
     // ONE kernel call per row by construction (RepetitionPass folds the

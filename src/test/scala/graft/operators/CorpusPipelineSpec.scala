@@ -75,6 +75,32 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id", "split", "n_tokens", "bin_id", "bin_offset", "clean_text"))
   }
 
+  test("langIdModelPath re-derives the lang column before the allowlist") {
+    import spark.implicits._
+    val mdl = java.nio.file.Files.createTempDirectory("cp_langid").toString + "/m"
+    // disjoint toy languages; the corpus arrives with NO trusted label
+    val labeled = Seq(
+      (1L, "xx", "xaxa xbxb xaxa xcxc xaxa"),
+      (2L, "yy", "yoyo ypyp yoyo yqyq yoyo"))
+      .toDF("doc_id", "lang", "text")
+    LangIdTrain.save(LangIdTrain.train(labeled, "text", "lang", 3, 5), mdl)
+    val body = Seq.fill(30)("xaxa xbxb xcxc").mkString(" ") // >= minChars, xx
+    val bodyY = Seq.fill(30)("yoyo ypyp yqyq").mkString(" ")
+    val unlabeled = Seq(
+      (10L, "mislabeled", body, "web"),
+      (11L, "mislabeled", bodyY, "web"))
+      .toDF("doc_id", "lang", "text", "source")
+    val out = CorpusPipeline.prepare(
+      unlabeled, spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit("").as("text")).limit(0),
+      CorpusPipeline.Config(langs = Seq("xx"), langIdModelPath = Some(mdl),
+        minChars = 10, packTokens = 256L),
+      "doc_id", "text", "source")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(10L),
+      s"trained lang-ID must override the untrusted label: $ids")
+  }
+
   test("URL stage dedups canonical twins and caps domains ahead of content stages") {
     graft.core.CacheBin.drain()
     // deterministic messy URLs: canonical key = doc_id % 40 (so ~n/40

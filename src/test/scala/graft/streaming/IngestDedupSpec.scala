@@ -531,6 +531,46 @@ class IngestDedupSpec extends SparkSpec {
         s"stream=${admitted.toMap}\ntwin=$twin")
   }
 
+  test("trained language-ID gate admits only allowed languages, stateless") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idxLang") + "/index"
+    val mdl = freshDir("mdlLang") + "/langid"
+    val out = freshDir("outLang") + "/corpus"
+    val ckp = freshDir("ckpLang")
+    // offline: train the char-gram model on disjoint toy languages
+    val labeled = Seq(
+      (1L, "xx", "xaxa xbxb xaxa xcxc xaxa"),
+      (2L, "xx", "xbxb xaxa xaxa xdxd xaxa"),
+      (3L, "yy", "yoyo ypyp yoyo yqyq yoyo"),
+      (4L, "yy", "ypyp yoyo yoyo yryr yoyo"))
+      .toDF("doc_id", "lang", "text")
+    graft.operators.LangIdTrain.save(
+      graft.operators.LangIdTrain.train(labeled, "text", "lang", 3, 5), mdl)
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, langIdModelPath = Some(mdl), allowedLangs = Seq("xx"))
+    try {
+      src.addData(
+        IngestDoc(10L, "xaxa xcxc xbxb fresh content"), // xx → admit
+        IngestDoc(11L, "yqyq yoyo ypyp other language")) // yy → drop
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the language gate must add no streaming state")
+    } finally q.stop()
+    val admitted = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(10L), s"admitted: $admitted")
+    // misconfiguration fails loudly, not by dropping everything
+    val err = intercept[IllegalArgumentException] {
+      IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+        threshold = 0.5, langIdModelPath = Some(mdl))
+    }
+    assert(err.getMessage.contains("allowedLangs"))
+  }
+
   test("saved-model quality gate filters at scan time with no streaming state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
