@@ -1181,6 +1181,31 @@ object Transpiler {
         })
       case _ => None
     }
+    // semi-structured access: GET is 0-based like Spark's [] (arrays),
+    // and [] also serves object/map keys
+    out = rewriteCall(out, "GET") {
+      case Seq(v, k) => Some(s"$v[$k]")
+      case _ => None
+    }
+    // ARRAY_SLICE(arr, from, to): 0-based from, exclusive to → Spark's
+    // 1-based (start, length). Negative literal indices (count from
+    // the end) pass through for the repair loop.
+    out = rewriteCall(out, "ARRAY_SLICE") {
+      case Seq(arr, f, t)
+          if !f.trim.startsWith("-") && !t.trim.startsWith("-") =>
+        Some(s"slice($arr, ($f) + 1, ($t) - ($f))")
+      case _ => None
+    }
+    // OBJECT_CONSTRUCT with literal keys → named_struct (Snowflake's
+    // NULL-dropping and '*' forms pass through)
+    out = rewriteCall(out, "OBJECT_CONSTRUCT") { args =>
+      val keysLiteral = args.size >= 2 && args.size % 2 == 0 &&
+        args.grouped(2).forall(p => fmtLit(p.head).isDefined)
+      if (keysLiteral) Some(s"named_struct(${args.mkString(", ")})")
+      else None
+    }
+    out = replaceToken(out, "ARRAY_CAT", "CONCAT")
+    out = replaceToken(out, "ARRAY_TO_STRING", "ARRAY_JOIN")
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
     out = rewriteVariantPaths(out)
@@ -1411,6 +1436,12 @@ object Transpiler {
     out = replaceToken(out, "STARTS_WITH", "STARTSWITH")
     out = replaceToken(out, "ENDS_WITH", "ENDSWITH")
     out = replaceToken(out, "ARRAY_LENGTH", "ARRAY_SIZE")
+    out = replaceToken(out, "ARRAY_CONCAT", "CONCAT")
+    out = replaceToken(out, "ARRAY_REVERSE", "REVERSE")
+    out = replaceToken(out, "ARRAY_TO_STRING", "ARRAY_JOIN")
+    out = replaceToken(out, "GENERATE_ARRAY", "SEQUENCE")
+    out = replaceToken(out, "LOGICAL_AND", "BOOL_AND")
+    out = replaceToken(out, "LOGICAL_OR", "BOOL_OR")
     out = replaceToken(out, "CURRENT_DATETIME", "CURRENT_TIMESTAMP")
     out = rewriteBqTypes(out)
     transpile(out)

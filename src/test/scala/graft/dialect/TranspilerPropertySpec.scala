@@ -37,7 +37,9 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "SPLIT(t.x, ',')", "ARRAY_CONTAINS(a, b)", "DIV(a, b)",
     "UNIX_DATE(d)", "CHARINDEX(a, b, 2)", "FORMAT_DATETIME('%Y', d)",
     "ARRAY_AGG(a) WITHIN GROUP (ORDER BY a)",
-    "ARRAY_AGG(b ORDER BY col1 DESC)")
+    "ARRAY_AGG(b ORDER BY col1 DESC)",
+    "GET(a, 0)", "ARRAY_SLICE(a, 1, 3)", "OBJECT_CONSTRUCT('k', b)",
+    "ARRAY_TO_STRING(a, '-')", "GENERATE_ARRAY(1, 5)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

@@ -488,6 +488,35 @@ class TranspilerSpec extends AnyFunSuite {
     assert(r == Seq("z", "y", "x"))
   }
 
+  test("semi-structured access: GET, ARRAY_SLICE, OBJECT_CONSTRUCT, array renames") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    assert(transpileSnowflake("SELECT GET(arr, 0), GET(obj, 'k') FROM t") ==
+      "SELECT arr[0], obj['k'] FROM t")
+    assert(transpileSnowflake("SELECT ARRAY_SLICE(arr, 1, 3) FROM t") ==
+      "SELECT slice(arr, (1) + 1, (3) - (1)) FROM t")
+    // negative (from-the-end) indices pass through for the repair loop
+    assert(transpileSnowflake("SELECT ARRAY_SLICE(arr, -2, 3) FROM t") ==
+      "SELECT ARRAY_SLICE(arr, -2, 3) FROM t")
+    assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT('a', x, 'b', y) FROM t") ==
+      "SELECT named_struct('a', x, 'b', y) FROM t")
+    // dynamic keys / odd arity / '*' pass through
+    assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT(k, v) FROM t") ==
+      "SELECT OBJECT_CONSTRUCT(k, v) FROM t")
+    assert(transpileSnowflake("SELECT ARRAY_CAT(a, b), ARRAY_TO_STRING(a, '-') FROM t") ==
+      "SELECT CONCAT(a, b), ARRAY_JOIN(a, '-') FROM t")
+    assert(transpileBigQuery(
+      "SELECT ARRAY_CONCAT(a, b), ARRAY_REVERSE(a), GENERATE_ARRAY(1, 5, 2) FROM t") ==
+      "SELECT CONCAT(a, b), REVERSE(a), SEQUENCE(1, 5, 2) FROM t")
+    assert(transpileBigQuery("SELECT LOGICAL_AND(p), LOGICAL_OR(p) FROM t") ==
+      "SELECT BOOL_AND(p), BOOL_OR(p) FROM t")
+    // executed: the slice arithmetic is Snowflake's 0-based/exclusive
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    val r = spark.sql(transpileSnowflake(
+      "SELECT ARRAY_SLICE(ARRAY_CAT(SEQUENCE(0, 2), SEQUENCE(3, 5)), 1, 4) AS s"))
+      .head().getSeq[Long](0)
+    assert(r == Seq(1L, 2L, 3L))
+  }
+
   test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {
     val spark = graft.core.GraftSession.build("graft-test", cores = 4)
     graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
