@@ -160,6 +160,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "bloom probe joined instead of scanning")
   }
 
+  test("q_lang_id_trained never joins: model rides as collected literals") {
+    // training is a hash-agg + bounded per-language window; scoring is
+    // a per-row expression over the collected profiles — if a join
+    // appears, someone re-joined the model table to the corpus
+    val p = planOf("q_lang_id_trained")
+    assert(!p.contains("Join"), "trained lang-ID must not join model to corpus")
+  }
+
   test("NO query plan contains a cartesian product (documented O(n^2) baselines excepted)") {
     // exact all-pairs baselines are deliberately quadratic (SCALE.md):
     // they broadcast one side (BroadcastNestedLoopJoin), never a
