@@ -55,6 +55,34 @@ object Decontaminate {
       contaminatedIds(corpus, evalSet, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** EMBEDDING-space decontamination: drop every corpus row whose
+    * vector's cosine to ANY eval vector reaches `threshold` — the
+    * semantic complement to the n-gram passes, catching paraphrased or
+    * reformatted benchmark leakage that shares no 13-gram with the
+    * eval set.
+    *
+    * 100 TB shape: the eval side is small by construction, so it
+    * broadcasts with precomputed norms and the whole operator is ONE
+    * broadcast anti-join — each corpus row probes the in-memory eval
+    * vectors and short-circuits on its first hit (anti-join early
+    * exit); the corpus never shuffles, no pair set materializes, and
+    * corpus norms are computed once per row, not once per pair. Same
+    * float kernels and mirror-exact arithmetic as the kNN family.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      evalVecCol: String = "embedding"): DataFrame = {
+    import graft.functions.FloatVec
+    val ev = evalSet.select(col(evalVecCol).as("__evec"),
+      FloatVec.normF(col(evalVecCol)).as("__enorm"))
+    corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
+      .join(broadcast(ev),
+        FloatVec.dotF(col(vecCol), col("__evec")) /
+          (col("__cnorm") * col("__enorm")) >= threshold,
+        "left_anti")
+      .drop("__cnorm")
+  }
+
   /** Per-TRAINING-doc overlap audit: the fraction of each document's
     * DISTINCT word n-grams that also appear anywhere in the eval set —
     * the graded signal behind threshold decontamination (the any-hit

@@ -133,6 +133,29 @@ object SimilarityQueries extends QueryPack {
               |WHERE score >= 0.35 ORDER BY id1, id2""".stripMargin)),
 
     GQuery(
+      "q_semantic_decontaminate",
+      "Embedding-space decontamination (threshold 0.8): corpus rows " +
+        "whose cosine to ANY eval vector reaches the threshold are " +
+        "dropped — the semantic complement to the 13-gram passes for " +
+        "paraphrased benchmark leakage. One broadcast anti-join: the " +
+        "corpus never shuffles and each row short-circuits on its " +
+        "first hit.",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.Decontaminate.semanticDecontaminate(
+          emb, emb.filter(col("vec_id") < 10).select(col("embedding")),
+          "vec_id", "embedding", 0.8)
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""SELECT e.vec_id, e.label FROM embeddings e
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM embeddings q
+              |  WHERE q.vec_id < 10
+              |    AND ${oCos("e.embedding", "q.embedding")} >= 0.8)
+              |ORDER BY e.vec_id""".stripMargin)),
+
+    GQuery(
       "q_vec_quant",
       "Symmetric int8 vector quantization (the 4x storage cut for " +
         "embedding tables): per-vector scale = max|x|/127, codes = " +

@@ -160,6 +160,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "bloom probe joined instead of scanning")
   }
 
+  test("q_semantic_decontaminate is one broadcast anti-join: corpus never shuffles") {
+    val p = planOf("q_semantic_decontaminate", execute = true)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      "semantic decon must probe a broadcast eval set with an anti join")
+    // the only exchanges are the eval-side broadcast and the output
+    // ORDER BY's range exchange — a hash exchange would mean the
+    // corpus itself shuffled for the probe
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled in semantic decon:\n$p")
+  }
+
   test("q_lang_id_trained never joins: model rides as collected literals") {
     // training is a hash-agg + bounded per-language window; scoring is
     // a per-row expression over the collected profiles — if a join
