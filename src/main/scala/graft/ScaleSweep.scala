@@ -40,8 +40,9 @@ object ScaleSweep {
     "q_pack_whole", "q_unigram_learn", "q_span_dedup", "q_wordpiece_learn",
     "q_url_dedup", "q_domain_cap", "q_c4_line_filter", "q_line_dedup",
     // round 15: trained language ID — one (lang,gram) hash-agg over the
-    // labeled side + a stateless scoring scan; expected ~linear
-    "q_lang_id_trained")
+    // labeled side + a stateless scoring scan; expected ~linear.
+    // Semantic decontamination — one broadcast anti-join, O(n·|eval|)
+    "q_lang_id_trained", "q_semantic_decontaminate")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

@@ -94,6 +94,36 @@ class EvaluatorSpec extends SparkSpec {
     assert(o.score == Some(1), s"bigquery idioms must evaluate: $o")
   }
 
+  test("snowflake dialect evaluates LATERAL FLATTEN / LISTAGG / variant paths end-to-end") {
+    val snowEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "snowflake")
+    val o = snowEv.evalOne(ExItem("sn3",
+      Some("SELECT f.index::INT AS i, f.value:a::INT AS v " +
+        "FROM (SELECT ARRAY_AGG(OBJECT_CONSTRUCT('a', c)) WITHIN GROUP (ORDER BY c) AS arr " +
+        "      FROM VALUES (2), (1) AS t(c)) s, " +
+        "LATERAL FLATTEN(input => s.arr) f ORDER BY i"),
+      Some("SELECT CAST(0 AS BIGINT) AS i, CAST(1 AS BIGINT) AS v " +
+        "UNION ALL SELECT 1, 2 ORDER BY i")))
+    assert(o.score == Some(1), s"flatten/variant path must evaluate: $o")
+    val l = snowEv.evalOne(ExItem("sn4",
+      Some("SELECT LISTAGG(c, ',') WITHIN GROUP (ORDER BY c DESC) AS s " +
+        "FROM VALUES ('a'), ('b') AS t(c)"),
+      Some("SELECT 'b,a' AS s")))
+    assert(l.score == Some(1), s"listagg must evaluate: $l")
+  }
+
+  test("bigquery dialect evaluates UNNEST WITH OFFSET end-to-end") {
+    val bqEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "bigquery")
+    val o = bqEv.evalOne(ExItem("bq2",
+      Some("SELECT x, CAST(o AS INT64) AS pos " +
+        "FROM (SELECT ARRAY_AGG(c ORDER BY c) AS arr FROM VALUES (20), (10) AS t(c)) s, " +
+        "UNNEST(arr) AS x WITH OFFSET AS o ORDER BY pos"),
+      Some("SELECT 10 AS x, CAST(0 AS BIGINT) AS pos " +
+        "UNION ALL SELECT 20, 1 ORDER BY pos")))
+    assert(o.score == Some(1), s"unnest with offset must evaluate: $o")
+  }
+
   test("FastExecSelect groups equivalents, drops failures, picks in largest group") {
     Tables.registerAll(spark, sfDir)
     val sel = FastExecSelect.select(spark, Seq(
