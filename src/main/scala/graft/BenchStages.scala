@@ -27,6 +27,16 @@ object BenchStages {
   /** query name → ordered (stage name, prefix builder). */
   val stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
 
+    "q_lang_id_trained" -> Seq(
+      // train = the (lang,gram) hash-agg + top-K window; the full query
+      // adds the scoring scan + accuracy agg — the delta localizes a
+      // regression to training vs scoring
+      "train_model" -> ((s, dir) =>
+        graft.operators.LangIdTrain.train(docs(s, dir), "text", "lang", 3, 20)),
+      "score_accuracy" -> ((s, dir) =>
+        SparkEntry.allQueries.find(_.name == "q_lang_id_trained").get
+          .build(s, dir))),
+
     "q_jaccard_neardup" -> Seq(
       "shingle_table" -> ((s, dir) =>
         TextDedup.explodedShingleTable(docs(s, dir), "doc_id", "text", 3, None)),
