@@ -148,6 +148,59 @@ object LineCuration {
       .agg(countDistinct(col(idCol)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Paragraph-grain NEAR-duplicate dedup — the fuzzy counterpart of
+    * [[stripDuplicateParagraphs]]: paragraphs that are near-dups of an
+    * EARLIER paragraph anywhere in the corpus (MinHash+LSH candidates
+    * over the unit text, verified by exact shingle Jaccard >=
+    * `threshold`) are removed, and each document's text is rebuilt
+    * from its survivors — templated intros with per-page fill-ins,
+    * lightly-edited quoted passages, the chrome exact paragraph dedup
+    * misses by one token. Keep rule: global unit order is
+    * (doc, position) and every verified pair drops its LATER unit
+    * (direct pairs, not transitive closure — deterministic and
+    * engine-mirrorable). Blank units never participate and never drop.
+    * Output contract matches the exact form: one row per input doc,
+    * `(idCol, n_units, n_removed, clean_text)`.
+    *
+    * 100 TB shape: units ride the same banded (band, value) shuffle as
+    * document-grain MinHash (no pair blowup), the unit key is an
+    * 8-byte composite (doc * 2^20 + pos, loudly guarded), and the
+    * rebuild is one per-doc sort of surviving positions — no
+    * interval machinery needed because survivors rebuild directly.
+    */
+  def stripNearDupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5, n: Int = 3,
+      h: Int = 16, bands: Int = 0): DataFrame = {
+    val K = 1L << 20 // unit radix (the SeqPack ChunkCap discipline)
+    val units = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n"))
+        .as(Seq("__pos", "__u")))
+      // a >= 2^20-paragraph document would alias unit keys: fail loudly
+      .filter(assert_true(col("__pos") < lit(K),
+        lit(s"document with >= $K paragraphs")).isNull)
+      .withColumn("__uid", col(idCol) * K + col("__pos"))
+    val nonBlank = units.filter(length(trim(col("__u"))) > 0)
+    val pairs = TextDedup.minhashNearDupPairs(
+      nonBlank.select(col("__uid").as("doc_id"), col("__u").as("text")),
+      "doc_id", "text", threshold, n, h, bands)
+    val losers = pairs.select(col("id2").as("__uid")).distinct()
+    val surviving = units.join(losers, Seq("__uid"), "left_anti")
+    val rebuilt = surviving
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws("\n\n",
+          transform(
+            sort_array(collect_list(struct(
+              col("__pos").as("p"), col("__u").as("u")))),
+            s => s("u"))).as("clean_text"))
+    val totals = docs.select(col(idCol),
+      size(split(col(textCol), "\n\n")).cast("long").as("n_units"))
+    totals.join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_units"),
+        (col("n_units") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   private def stripDuplicateUnits(docs: DataFrame, idCol: String,
       textCol: String, minDocFreq: Int, sep: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

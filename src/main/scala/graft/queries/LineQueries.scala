@@ -194,6 +194,75 @@ object LineQueries extends QueryPack {
               |ORDER BY ls.doc_id""".stripMargin)),
 
     GQuery(
+      "q_paragraph_neardup",
+      "Paragraph-grain NEAR-dup dedup (the fuzzy counterpart of " +
+        "q_paragraph_dedup): templated paragraphs differing by a " +
+        "fill-in token (two variants injected into every 37th doc) " +
+        "are MinHash-LSH candidates verified by exact shingle " +
+        "Jaccard >= 0.5; every unit near-dupping an earlier unit " +
+        "drops and documents rebuild from survivors. The oracle " +
+        "replays signatures, bands, verification, and the rebuild.",
+      (s, dir) => {
+        val synth = concat(
+          regexp_replace(col("text"), " stream ", "\n\n"),
+          when(col("doc_id") % 37 === 1, concat(
+            lit("\n\nthis templated welcome passage appears on page variant "),
+            (col("doc_id") % 2).cast("string"))).otherwise(lit("")),
+          lit("\n\nunique closing paragraph "), col("doc_id").cast("string"))
+        LineCuration.stripNearDupParagraphs(
+          Tables.load(s, dir, "documents").withColumn("synth", synth),
+          "doc_id", "synth", threshold = 0.5, bands = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bandCond = (0 until 4).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        s"""WITH s0 AS (
+           |  SELECT doc_id AS odoc,
+           |    regexp_replace(text, ' stream ', chr(10) || chr(10), 'g') ||
+           |    (CASE WHEN doc_id % 37 = 1
+           |          THEN chr(10) || chr(10) ||
+           |            'this templated welcome passage appears on page variant ' ||
+           |            CAST(doc_id % 2 AS VARCHAR)
+           |          ELSE '' END) ||
+           |    chr(10) || chr(10) || 'unique closing paragraph ' ||
+           |    CAST(doc_id AS VARCHAR) AS t
+           |  FROM documents),
+           |pu AS (
+           |  SELECT odoc,
+           |         unnest(string_split(t, chr(10) || chr(10))) AS para,
+           |         unnest(range(len(string_split(t, chr(10) || chr(10))))) AS pos
+           |  FROM s0),
+           |units AS (
+           |  SELECT odoc * 1048576 + pos AS doc_id, para AS text
+           |  FROM pu WHERE length(trim(para)) > 0),
+           |${DedupOracles.base("units")},
+           |${DedupOracles.minhashBandCtes()},
+           |${DedupOracles.interJac},
+           |losers AS (
+           |  SELECT DISTINCT j.id2 AS uid
+           |  FROM j
+           |  JOIN bnd x ON x.doc_id = j.id1
+           |  JOIN bnd y ON y.doc_id = j.id2
+           |  WHERE j.jaccard >= 0.5 AND ($bandCond)),
+           |kept AS (
+           |  SELECT p.odoc, p.pos, p.para FROM pu p
+           |  WHERE NOT EXISTS (SELECT 1 FROM losers l
+           |                    WHERE l.uid = p.odoc * 1048576 + p.pos)),
+           |tot AS (
+           |  SELECT odoc, CAST(count(*) AS BIGINT) AS n_units
+           |  FROM pu GROUP BY odoc),
+           |reb AS (
+           |  SELECT odoc, CAST(count(*) AS BIGINT) AS kept_n,
+           |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY odoc)
+           |SELECT t.odoc AS doc_id, t.n_units,
+           |       t.n_units - COALESCE(r.kept_n, 0) AS n_removed,
+           |       COALESCE(r.clean_text, '') AS clean_text
+           |FROM tot t LEFT JOIN reb r ON r.odoc = t.odoc
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_paragraph_dedup",
       "Corpus-level exact PARAGRAPH dedup (RefinedWeb's other exact " +
         "grain): units split on blank lines; a paragraph in >= 2 " +
