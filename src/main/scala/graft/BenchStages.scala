@@ -202,6 +202,19 @@ object BenchStages {
         graft.operators.CorpusPipeline.prepare(d, d.limit(0), c)
       }
       Seq(
+        // minimal pipeline (allowlist + dedup + split + pack only) —
+        // the delta to base_pack512 is the quality/boiler/span/window/
+        // classifier gate block, previously unattributable inside the
+        // ~10 s base prefix
+        "clean_pack512" -> ((s: SparkSession, dir: String) => {
+          val d = docs(s, dir)
+          graft.operators.CorpusPipeline.prepare(d, d.limit(0),
+            graft.operators.CorpusPipeline.Config(
+              langs = Seq("en", "de", "fr"), minChars = 100,
+              jaccardThreshold = 0.5,
+              splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05),
+              packTokens = 512L))
+        }),
         "base_pack512" -> ((s: SparkSession, dir: String) =>
           run(s, dir, cfg(0L, 0, 0L, 0))),
         "tmix" -> ((s: SparkSession, dir: String) =>

@@ -42,7 +42,10 @@ object ScaleSweep {
     // round 15: trained language ID — one (lang,gram) hash-agg over the
     // labeled side + a stateless scoring scan; expected ~linear.
     // Semantic decontamination — one broadcast anti-join, O(n·|eval|)
-    "q_lang_id_trained", "q_semantic_decontaminate")
+    "q_lang_id_trained", "q_semantic_decontaminate",
+    // paragraph-grain near-dup: unit-level banded MinHash (the doc-
+    // grain family's shuffle over ~#units rows)
+    "q_paragraph_neardup")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids
