@@ -77,6 +77,35 @@ class TranspilerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("no arm ever throws: garbage, truncations, unbalanced structure") {
+    // the repair loop feeds LLM output straight through the arms —
+    // a transpiler exception would kill the loop where a pass-through
+    // (Spark's parser rejects, error feeds the next repair turn) heals
+    val rng = new scala.util.Random(42L)
+    val seeds = Seq(
+      "", " ", ";", "--", "/*", "'", "''", "((", "))", "`", "\"",
+      "SELECT", "SELECT DATEADD(", "SELECT DATEADD(day, 1",
+      "SELECT TO_CHAR(d, 'YYYY", "SELECT 'unterminated",
+      "FROM t, UNNEST(", "LATERAL FLATTEN(input =>",
+      "SELECT x FROM t, UNNEST(arr) AS", "ARRAY_AGG(x) WITHIN GROUP (",
+      "SELECT a::", "a:b:", "x IN UNNEST", "STRING_AGG(x ORDER BY",
+      "REGEXP_SUBSTR(s, '(', 1, 1, 'e', 2)", "SPLIT(s, '\\')")
+    val alphabet = "SELECT FROM WHERE DATEADD UNNEST FLATTEN ( ) , ' ` \" -- /* */ :: : 1 a\n\t".split(' ')
+    val garbage = (0 until 200).map(_ =>
+      (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length)))
+        .mkString(" "))
+    (seeds ++ garbage).foreach { sql =>
+      arms.foreach { case (name, f) =>
+        try f(sql)
+        catch { case e: Throwable =>
+          fail(s"$name threw on input=[$sql] -> $e")
+        }
+      }
+      try Transpiler.transpileSqlite(sql)
+      catch { case e: Throwable => fail(s"sqlite arm threw on [$sql]: $e") }
+    }
+  }
+
   test("dialect-free SQL passes through unchanged") {
     val clean = Seq(
       "SELECT a, b FROM t WHERE a > 0 ORDER BY b",
