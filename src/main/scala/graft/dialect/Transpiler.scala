@@ -1143,6 +1143,23 @@ object Transpiler {
         fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_timestamp($e, '$sf')")
       case _ => None
     }
+    // error-tolerant conversions: 1-arg TRY_TO_DATE/TRY_TO_TIMESTAMP
+    // are native Spark; format-bearing forms map the format elements
+    out = rewriteCall(out, "TRY_TO_DATE") {
+      case Seq(e, f) =>
+        fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"try_to_date($e, '$sf')")
+      case _ => None
+    }
+    out = rewriteCall(out, "TRY_TO_TIMESTAMP") {
+      case Seq(e, f) =>
+        fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"try_to_timestamp($e, '$sf')")
+      case _ => None
+    }
+    // TO_DECIMAL/TO_NUMERIC alias TO_NUMBER's forms exactly
+    out = replaceToken(out, "TO_DECIMAL", "TO_NUMBER")
+    out = replaceToken(out, "TO_NUMERIC", "TO_NUMBER")
+    out = replaceToken(out, "TRY_TO_DECIMAL", "TRY_TO_NUMBER")
+    out = replaceToken(out, "TRY_TO_NUMERIC", "TRY_TO_NUMBER")
     out = rewriteCall(out, "TO_NUMBER") {
       case Seq(e) => Some(s"CAST($e AS DECIMAL(38,0))")
       case Seq(e, p, sc) => Some(s"CAST($e AS DECIMAL($p,$sc))")
@@ -1151,6 +1168,23 @@ object Transpiler {
     out = rewriteCall(out, "TRY_TO_NUMBER") {
       case Seq(e) => Some(s"TRY_CAST($e AS DECIMAL(38,0))")
       case Seq(e, p, sc) => Some(s"TRY_CAST($e AS DECIMAL($p,$sc))")
+      case _ => None
+    }
+    out = rewriteCall(out, "TO_DOUBLE") {
+      case Seq(e) => Some(s"CAST($e AS DOUBLE)")
+      case _ => None
+    }
+    out = rewriteCall(out, "TRY_TO_DOUBLE") {
+      case Seq(e) => Some(s"TRY_CAST($e AS DOUBLE)")
+      case _ => None
+    }
+    // Spark's boolean cast accepts the same y/n/t/f/0/1 token set
+    out = rewriteCall(out, "TO_BOOLEAN") {
+      case Seq(e) => Some(s"CAST($e AS BOOLEAN)")
+      case _ => None
+    }
+    out = rewriteCall(out, "TRY_TO_BOOLEAN") {
+      case Seq(e) => Some(s"TRY_CAST($e AS BOOLEAN)")
       case _ => None
     }
     out = rewriteCall(out, "ZEROIFNULL") {

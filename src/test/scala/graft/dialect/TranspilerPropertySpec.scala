@@ -39,7 +39,9 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "ARRAY_AGG(a) WITHIN GROUP (ORDER BY a)",
     "ARRAY_AGG(b ORDER BY col1 DESC)",
     "GET(a, 0)", "ARRAY_SLICE(a, 1, 3)", "OBJECT_CONSTRUCT('k', b)",
-    "ARRAY_TO_STRING(a, '-')", "GENERATE_ARRAY(1, 5)")
+    "ARRAY_TO_STRING(a, '-')", "GENERATE_ARRAY(1, 5)",
+    "TO_DOUBLE(a)", "TRY_TO_BOOLEAN(b)", "TO_DECIMAL(a, 10, 2)",
+    "TRY_TO_DATE(t.x, 'YYYY-MM-DD')")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

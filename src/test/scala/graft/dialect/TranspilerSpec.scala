@@ -207,6 +207,22 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT CAST(s AS DECIMAL(38,0)), CAST(s AS DECIMAL(10,2)) FROM t")
     assert(transpileSnowflake("SELECT TRY_TO_NUMBER(s) FROM t") ==
       "SELECT TRY_CAST(s AS DECIMAL(38,0)) FROM t")
+    // the conversion long-tail: DECIMAL/NUMERIC alias NUMBER's forms;
+    // DOUBLE/BOOLEAN go through (TRY_)CAST; format-bearing
+    // TRY_TO_DATE/TRY_TO_TIMESTAMP map format elements (1-arg forms
+    // are native Spark and pass through)
+    assert(transpileSnowflake("SELECT TO_DECIMAL(s, 10, 2), TRY_TO_NUMERIC(s) FROM t") ==
+      "SELECT CAST(s AS DECIMAL(10,2)), TRY_CAST(s AS DECIMAL(38,0)) FROM t")
+    assert(transpileSnowflake("SELECT TO_DOUBLE(s), TRY_TO_DOUBLE(s) FROM t") ==
+      "SELECT CAST(s AS DOUBLE), TRY_CAST(s AS DOUBLE) FROM t")
+    assert(transpileSnowflake("SELECT TO_BOOLEAN(s), TRY_TO_BOOLEAN(s) FROM t") ==
+      "SELECT CAST(s AS BOOLEAN), TRY_CAST(s AS BOOLEAN) FROM t")
+    assert(transpileSnowflake("SELECT TRY_TO_DATE(s, 'DD/MM/YYYY') FROM t") ==
+      "SELECT try_to_date(s, 'dd/MM/yyyy') FROM t")
+    assert(transpileSnowflake("SELECT TRY_TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS') FROM t") ==
+      "SELECT try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    assert(transpileSnowflake("SELECT TRY_TO_DATE(s) FROM t") ==
+      "SELECT TRY_TO_DATE(s) FROM t")
     assert(transpileSnowflake("SELECT ZEROIFNULL(x), NULLIFZERO(y) FROM t") ==
       "SELECT COALESCE(x, 0), NULLIF(y, 0) FROM t")
     // Snowflake DATE_TRUNC is part-first like Spark: untouched
