@@ -1240,6 +1240,12 @@ object Transpiler {
     }
     out = replaceToken(out, "ARRAY_CAT", "CONCAT")
     out = replaceToken(out, "ARRAY_TO_STRING", "ARRAY_JOIN")
+    // FROM t SAMPLE (10) — Snowflake's percent row sampling → Spark's
+    // TABLESAMPLE. Digit-only bodies only (a call named sample keeps
+    // its arguments); BERNOULLI/ROW spellings are the same default.
+    out = guarded(out,
+      """(?i)\b(?:SAMPLE|TABLESAMPLE)\s+(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)""".r)(
+      m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
     out = rewriteVariantPaths(out)
@@ -1476,6 +1482,8 @@ object Transpiler {
     out = replaceToken(out, "GENERATE_ARRAY", "SEQUENCE")
     out = replaceToken(out, "LOGICAL_AND", "BOOL_AND")
     out = replaceToken(out, "LOGICAL_OR", "BOOL_OR")
+    // TABLESAMPLE SYSTEM (10 PERCENT) → Spark's TABLESAMPLE
+    out = guarded(out, "(?i)\\bTABLESAMPLE\\s+SYSTEM\\b".r)(_ => "TABLESAMPLE")
     out = replaceToken(out, "CURRENT_DATETIME", "CURRENT_TIMESTAMP")
     out = rewriteBqTypes(out)
     transpile(out)

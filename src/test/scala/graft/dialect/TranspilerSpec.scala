@@ -533,6 +533,27 @@ class TranspilerSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L, 3L))
   }
 
+  test("row sampling: Snowflake SAMPLE (n) and BigQuery TABLESAMPLE SYSTEM") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    assert(transpileSnowflake("SELECT * FROM t SAMPLE (10)") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(transpileSnowflake("SELECT * FROM t TABLESAMPLE BERNOULLI (2.5)") ==
+      "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)")
+    // a call named sample keeps its arguments; literals stay literal
+    assert(transpileSnowflake("SELECT SAMPLE(a, b) FROM t") ==
+      "SELECT SAMPLE(a, b) FROM t")
+    assert(transpileSnowflake("SELECT 'SAMPLE (10)' FROM t") ==
+      "SELECT 'SAMPLE (10)' FROM t")
+    assert(transpileBigQuery("SELECT * FROM t TABLESAMPLE SYSTEM (10 PERCENT)") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    // executed: Spark accepts the emitted form
+    val spark = graft.core.GraftSession.build("graft-test", cores = 4)
+    graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(transpileSnowflake(
+      "SELECT COUNT(*) AS n FROM orders SAMPLE (100)")).head().getLong(0)
+    assert(n > 0)
+  }
+
   test("SqliteExec.sql applies sqlite integer-division on the analyzed plan") {
     val spark = graft.core.GraftSession.build("graft-test", cores = 4)
     graft.catalog.Tables.registerAll(spark, "/root/testdata/sf0.001")
