@@ -1056,9 +1056,19 @@ object Transpiler {
   /** Snowflake dialect arm (reference repair-prompt inventory:
     * `core/actor/generator/sql_debug.py:120-250`; executor surface
     * `core/db_connect.py:49-136`): DATEADD/DATEDIFF unit-first forms
-    * with boundary-counting semantics, TO_CHAR/TO_DATE/TO_TIMESTAMP
-    * format mapping, `::` cast types, IFF, ILIKE ANY — then the shared
-    * pipeline (QUALIFY, GROUP_CONCAT, type casts). Idempotent.
+    * with boundary-counting semantics (TIMESTAMPADD/DIFF + TIMEADD/DIFF
+    * aliases included — Spark's native timestampdiff counts elapsed
+    * units, not boundaries), time-of-day-preserving adds,
+    * TO_CHAR/TO_DATE/TO_TIMESTAMP format mapping (+ TRY_ and
+    * DOUBLE/BOOLEAN/DECIMAL conversion families), `::` cast types,
+    * IFF, ILIKE ANY, LATERAL FLATTEN / TABLE(FLATTEN) → LATERAL VIEW
+    * POSEXPLODE, single-colon VARIANT paths, ordered ARRAY_AGG WITHIN
+    * GROUP, GET/ARRAY_SLICE/OBJECT_CONSTRUCT, extended REGEXP_SUBSTR
+    * argument forms, DATE_PART/MONTHNAME/DAYNAME, literal-delimiter
+    * SPLIT, reversed-argument ARRAY_CONTAINS, SAMPLE (n) row sampling
+    * — then the shared pipeline (QUALIFY, GROUP_CONCAT, type casts).
+    * LISTAGG/NVL/NVL2/DECODE/SPLIT_PART pass through as native
+    * Spark 4 functions with matching semantics. Idempotent.
     */
   def transpileSnowflake(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
@@ -1298,10 +1308,17 @@ object Transpiler {
       .replaceAll("(?i)\\bAS\\s+BYTES\\b", "AS BINARY")
 
   /** BigQuery dialect arm (same reference inventory): backtick path
-    * identifiers, SAFE_DIVIDE/SAFE_CAST → try_*, DATE_DIFF/DATE_ADD
-    * argument order (unit LAST; INTERVAL literal), FORMAT_DATE/
-    * PARSE_DATE %-formats, FLOAT64/INT64/NUMERIC casts, COUNTIF,
-    * REGEXP_CONTAINS — then the shared pipeline. Idempotent.
+    * identifiers, FROM-clause UNNEST (WITH OFFSET, LEFT JOIN ... ON
+    * TRUE, `x IN UNNEST`), SAFE_DIVIDE/SAFE_CAST → try_*,
+    * DATE_DIFF/DATE_ADD argument order (unit LAST; INTERVAL literal)
+    * with time-of-day-preserving TIMESTAMP_/DATETIME_ adds and
+    * explicitly Sunday-aligned bare-WEEK trunc/diff, FORMAT_DATE/
+    * FORMAT_DATETIME/PARSE_* %-formats, FLOAT64/INT64/NUMERIC casts,
+    * COUNTIF, REGEXP_CONTAINS, group-aware REGEXP_EXTRACT/
+    * REGEXP_EXTRACT_ALL, STRING_AGG/ARRAY_AGG with in-call ORDER BY,
+    * UNIX_DATE pair, DIV, literal-delimiter SPLIT, array-function
+    * renames, TABLESAMPLE SYSTEM — then the shared pipeline.
+    * Idempotent.
     *
     * NOTE: BigQuery NUMERIC is DECIMAL(38,9); a bare rename to
     * Spark's default DECIMAL(10,0) would silently truncate.
