@@ -1240,14 +1240,26 @@ object Transpiler {
         Some(s"slice($arr, ($f) + 1, ($t) - ($f))")
       case _ => None
     }
-    // OBJECT_CONSTRUCT with literal keys → named_struct (Snowflake's
-    // NULL-dropping and '*' forms pass through)
-    out = rewriteCall(out, "OBJECT_CONSTRUCT") { args =>
-      val keysLiteral = args.size >= 2 && args.size % 2 == 0 &&
-        args.grouped(2).forall(p => fmtLit(p.head).isDefined)
-      if (keysLiteral) Some(s"named_struct(${args.mkString(", ")})")
-      else None
-    }
+    // OBJECT_CONSTRUCT(_KEEP_NULL) with literal keys → named_struct.
+    // Semantics caveat: Snowflake's plain OBJECT_CONSTRUCT DROPS pairs
+    // whose value is NULL while named_struct keeps them, so the mapping
+    // is exact only for OBJECT_CONSTRUCT_KEEP_NULL. For the plain
+    // spelling we still map when no value argument is a literal NULL
+    // (the statically-divergent case goes to the repair loop); values
+    // that are NULL only at runtime remain a documented divergence —
+    // the struct then carries a null field Snowflake would omit.
+    def objectConstructArm(name: String, keepNull: Boolean): Unit =
+      out = rewriteCall(out, name) { args =>
+        val keysLiteral = args.size >= 2 && args.size % 2 == 0 &&
+          args.grouped(2).forall(p => fmtLit(p.head).isDefined)
+        val noLiteralNullValue = keepNull ||
+          args.grouped(2).forall(p => !p(1).trim.equalsIgnoreCase("NULL"))
+        if (keysLiteral && noLiteralNullValue)
+          Some(s"named_struct(${args.mkString(", ")})")
+        else None
+      }
+    objectConstructArm("OBJECT_CONSTRUCT_KEEP_NULL", keepNull = true)
+    objectConstructArm("OBJECT_CONSTRUCT", keepNull = false)
     out = replaceToken(out, "ARRAY_CAT", "CONCAT")
     out = replaceToken(out, "ARRAY_TO_STRING", "ARRAY_JOIN")
     // FROM t SAMPLE (10) — Snowflake's percent row sampling → Spark's
@@ -1299,13 +1311,20 @@ object Transpiler {
     sb.toString
   }
 
+  private val bqTypeCasts: Seq[(scala.util.matching.Regex, String)] = Seq(
+    "(?i)\\bAS\\s+FLOAT64\\b".r -> "AS DOUBLE",
+    "(?i)\\bAS\\s+INT64\\b".r -> "AS BIGINT",
+    "(?i)\\bAS\\s+NUMERIC\\b".r -> "AS DECIMAL(38,9)",
+    "(?i)\\bAS\\s+BIGNUMERIC\\b".r -> "AS DECIMAL(38,18)",
+    "(?i)\\bAS\\s+BOOL\\b".r -> "AS BOOLEAN",
+    "(?i)\\bAS\\s+BYTES\\b".r -> "AS BINARY")
+
+  // literal-guarded like typeCastMaps: a string literal containing
+  // 'CAST(x AS INT64)' must NOT be rewritten inside the quotes
   private def rewriteBqTypes(sql: String): String =
-    sql.replaceAll("(?i)\\bAS\\s+FLOAT64\\b", "AS DOUBLE")
-      .replaceAll("(?i)\\bAS\\s+INT64\\b", "AS BIGINT")
-      .replaceAll("(?i)\\bAS\\s+NUMERIC\\b", "AS DECIMAL(38,9)")
-      .replaceAll("(?i)\\bAS\\s+BIGNUMERIC\\b", "AS DECIMAL(38,18)")
-      .replaceAll("(?i)\\bAS\\s+BOOL\\b", "AS BOOLEAN")
-      .replaceAll("(?i)\\bAS\\s+BYTES\\b", "AS BINARY")
+    bqTypeCasts.foldLeft(sql) { case (acc, (re, to)) =>
+      guarded(acc, re)(_ => to)
+    }
 
   /** BigQuery dialect arm (same reference inventory): backtick path
     * identifiers, FROM-clause UNNEST (WITH OFFSET, LEFT JOIN ... ON
@@ -1423,9 +1442,13 @@ object Transpiler {
     def bqExtract(name: String): Unit =
       out = rewriteCall(out, name) {
         case Seq(e, p) =>
+          // no nullif on the single-group form: BigQuery returns ''
+          // (not NULL) for a legitimately empty capture, and the 3-/4-
+          // arg forms below already return '' — wrapping only this
+          // arity in nullif made identical patterns arity-dependent
           fmtLit(p).map(captureGroups).flatMap {
             case 0 => Some(s"regexp_substr($e, $p)")
-            case 1 => Some(s"nullif(try_element_at(regexp_extract_all($e, $p, 1), 1), '')")
+            case 1 => Some(s"try_element_at(regexp_extract_all($e, $p, 1), 1)")
             case _ => None
           }
         case Seq(e, p, pos) =>

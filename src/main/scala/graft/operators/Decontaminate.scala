@@ -73,12 +73,19 @@ object Decontaminate {
       idCol: String, vecCol: String, threshold: Double,
       evalVecCol: String = "embedding"): DataFrame = {
     import graft.functions.FloatVec
+    // zero-norm guards: an all-zero eval vector would make the cosine
+    // NaN for EVERY corpus row, and Spark orders NaN above all doubles,
+    // so `NaN >= threshold` is TRUE — one degenerate eval row would
+    // silently drop the whole corpus. Filter zero-norm eval vectors out
+    // (they carry no semantic content to match) and nanvl the cosine so
+    // a zero-norm CORPUS row scores 0 (kept) instead of NaN (dropped).
     val ev = evalSet.select(col(evalVecCol).as("__evec"),
       FloatVec.normF(col(evalVecCol)).as("__enorm"))
+      .filter(col("__enorm") > lit(0.0))
     corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
       .join(broadcast(ev),
-        FloatVec.dotF(col(vecCol), col("__evec")) /
-          (col("__cnorm") * col("__enorm")) >= threshold,
+        nanvl(FloatVec.dotF(col(vecCol), col("__evec")) /
+          (col("__cnorm") * col("__enorm")), lit(0.0)) >= threshold,
         "left_anti")
       .drop("__cnorm")
   }

@@ -93,16 +93,42 @@ object LangIdTrain {
 
   /** Predicted language: max score, lexicographic language order on
     * ties (languages with zero evidence still rank — mirroring a SQL
-    * row_number over (score DESC, lang ASC) exactly).
+    * row_number over (score DESC, lang ASC) exactly); NULL text
+    * predicts NULL (so an `isin(allowlist)` admission gate drops
+    * NULL-text rows instead of silently labeling them).
+    *
+    * Production path: the model rides as ONE compact reference object
+    * inside a codegen [[org.apache.spark.sql.graftvec.LangIdPredict]]
+    * kernel — plan and task-binary size are independent of model
+    * dimension (the inlined-literal chain it replaced cost 1.45 MiB of
+    * task binary at a TOY 6x20 model; a fastText-class 176x200 model
+    * is only expressible this way). Pinned bit-identical to
+    * [[predictExprLiteral]] by LangIdKernelSpec.
     */
   def predictExpr(text: Column, profiles: Seq[Profile]): Column = {
+    require(profiles.nonEmpty, "empty language-ID model")
+    import org.apache.spark.sql.graftvec.{LangIdExpr, LangIdModel}
+    LangIdExpr.predictCol(text,
+      LangIdModel(profiles.map(p => (p.lang, p.grams))))
+  }
+
+  /** The literal `replace()`-chain form of [[predictExpr]] — the
+    * SQL-engine-mirrorable definition the kernel is pinned against.
+    * Plan size grows with #langs x topK; use only for small models,
+    * oracles, and the equivalence spec.
+    */
+  def predictExprLiteral(text: Column, profiles: Seq[Profile]): Column = {
     require(profiles.nonEmpty, "empty language-ID model")
     val ordered = profiles.sortBy(_.lang)
     val votes = ordered.map(p => p.lang -> scoreExpr(text, p))
     val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
     // first language in ASC order holding the max — foldRight so the
-    // earliest declaration wins
-    votes.foldRight(lit(ordered.last.lang): Column) { case ((lang, v), acc) =>
+    // earliest declaration wins; NULL text falls through every (NULL)
+    // comparison to the seed, which must therefore be NULL, not the
+    // lexicographically last language (the r15 advice hole)
+    val seed = when(text.isNull, lit(null).cast("string"))
+      .otherwise(lit(ordered.head.lang))
+    votes.foldRight(seed) { case ((lang, v), acc) =>
       when(v === best, lit(lang)).otherwise(acc)
     }
   }

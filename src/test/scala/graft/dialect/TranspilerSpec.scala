@@ -374,8 +374,10 @@ class TranspilerSpec extends AnyFunSuite {
     // no group → full match, >1 group → repair loop
     assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, 'a+') FROM t") ==
       "SELECT regexp_substr(s, 'a+') FROM t")
+    // no nullif: a legitimately empty capture returns '' in BigQuery,
+    // and the 3-/4-arg forms never wrapped — arity-uniform now
     assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, '([a-z]+)@') FROM t") ==
-      "SELECT nullif(try_element_at(regexp_extract_all(s, '([a-z]+)@', 1), 1), '') FROM t")
+      "SELECT try_element_at(regexp_extract_all(s, '([a-z]+)@', 1), 1) FROM t")
     assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t") ==
       "SELECT REGEXP_EXTRACT(s, '(a)(b)') FROM t")
     assert(transpileBigQuery("SELECT REGEXP_EXTRACT(s, 'a+', 2, 3) FROM t") ==
@@ -417,6 +419,33 @@ class TranspilerSpec extends AnyFunSuite {
     // and a comma inside a literal no longer splits call arguments
     assert(Transpiler.transpileSnowflake("SELECT DATEADD(day, 3, COALESCE(s, 'a,b')) FROM t") ==
       "SELECT timestampadd(DAY, (3), COALESCE(s, 'a,b')) FROM t")
+    // BigQuery type casts are guarded too (the r15 advice remnant):
+    // a literal containing 'CAST(x AS INT64)' / 'AS NUMERIC' survives
+    val bqHostile = Seq(
+      "SELECT 'CAST(x AS INT64)' FROM t",
+      "SELECT 'a AS NUMERIC' FROM t",
+      "SELECT 'CAST(y AS FLOAT64) AS BOOL' FROM t",
+      "SELECT a FROM t -- CAST(x AS INT64)")
+    bqHostile.foreach { q =>
+      assert(Transpiler.transpileBigQuery(q) == q,
+        s"bigquery arm rewrote inside a literal: $q -> ${Transpiler.transpileBigQuery(q)}")
+    }
+    // outside quotes the same text still rewrites
+    assert(Transpiler.transpileBigQuery("SELECT CAST(x AS INT64) FROM t") ==
+      "SELECT CAST(x AS BIGINT) FROM t")
+  }
+
+  test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
+      "SELECT named_struct('a', x, 'b', NULL) FROM t")
+    // plain OBJECT_CONSTRUCT drops NULL-valued pairs in Snowflake but
+    // named_struct keeps them → statically-NULL values go to the
+    // repair loop instead of silently diverging
+    assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT('a', x, 'b', NULL) FROM t") ==
+      "SELECT OBJECT_CONSTRUCT('a', x, 'b', NULL) FROM t")
+    assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT('a', x, 'b', y) FROM t") ==
+      "SELECT named_struct('a', x, 'b', y) FROM t")
   }
 
   test("dialect batch 2: aliases, DATE_PART, name funcs, SPLIT, DIV, unix-date") {
