@@ -1039,6 +1039,125 @@ object Transpiler {
       case u => s"timestampadd(${u.toUpperCase}, $n, $e)"
     }
 
+  /** Reads a Snowflake variant path starting at the ':' at `at`:
+    * `:elem(.elem | :elem | [idx])*`. Returns the JSONPath body (dots
+    * between elements, `[n]` indices appended) and the end position —
+    * ("", at) when no valid path starts here. Whitespace is allowed
+    * after the FIRST colon only; continuations must be adjacent so a
+    * trailing `.alias` or new clause never gets swallowed.
+    */
+  private def readVariantPath(sql: String, at: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = at
+    var first = true
+    var done = false
+    while (!done) {
+      i += 1 // past the ':' or '.' separator
+      if (first) { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
+      val s0 = i
+      if (i < sql.length &&
+          (Character.isLetter(sql.charAt(i)) || sql.charAt(i) == '_')) {
+        while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
+            sql.charAt(i) == '_')) i += 1
+        if (sb.nonEmpty) sb.append('.')
+        sb.append(sql.substring(s0, i))
+        first = false
+        // optional [n] array indices, digits only
+        var brkFail = false
+        while (!brkFail && i < sql.length && sql.charAt(i) == '[') {
+          val c2 = sql.indexOf(']', i)
+          val idx = if (c2 > 0) sql.substring(i + 1, c2).trim else ""
+          if (c2 > 0 && idx.nonEmpty && idx.forall(_.isDigit)) {
+            sb.append('[').append(idx).append(']'); i = c2 + 1
+          } else brkFail = true
+        }
+        if (brkFail) return ("", at)
+        // adjacent continuation: '.' or a single ':' (never '::')
+        val cont = i < sql.length && (sql.charAt(i) == '.' ||
+          (sql.charAt(i) == ':' && (i + 1 >= sql.length || sql.charAt(i + 1) != ':')))
+        if (!cont) done = true
+      } else return ("", at)
+    }
+    (sb.toString, i)
+  }
+
+  /** Reads an optional `::TYPE` cast at `at`, mapping the Snowflake
+    * type to the Spark type string `variant_get` accepts. Returns
+    * (None, at) when absent or unmappable.
+    */
+  private def readCastType(sql: String, at: Int): (Option[String], Int) = {
+    var i = at
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (i + 1 >= sql.length || sql.charAt(i) != ':' || sql.charAt(i + 1) != ':')
+      return (None, at)
+    i += 2
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    val s0 = i
+    while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
+        sql.charAt(i) == '_')) i += 1
+    if (i == s0) return (None, at)
+    val word = sql.substring(s0, i).toUpperCase
+    var k = i
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    if (k < sql.length && sql.charAt(k) == '(') {
+      val close = sql.indexOf(')', k) // type args never nest parens
+      if (close < 0) (None, at)
+      else (Some((SnowflakeParenTypes.getOrElse(word, word) +
+        sql.substring(k, close + 1)).toLowerCase), close + 1)
+    } else (Some(SnowflakeBareTypes.getOrElse(word, word).toLowerCase), i)
+  }
+
+  /** `[TRY_]PARSE_JSON(expr):path[::TYPE]` → `variant_get([try_]
+    * parse_json(expr), '$.path'[, 'type'])` — the JSON-TEXT variant
+    * access shape real Spider2-snow exports carry (VARIANT columns
+    * arrive as JSON strings, so the struct-typed `:`-path rewrite
+    * below never fires on them). A trailing `::TYPE` folds into
+    * variant_get's type argument; a bare `[TRY_]PARSE_JSON(x)` with no
+    * path passes through (Spark 4 has native parse_json /
+    * try_parse_json). Fixpoint: the output has no `:path` left.
+    */
+  private def rewriteParseJsonPaths(sql: String): String = {
+    val upper = sql.toUpperCase
+    val tagged = lex(sql)
+    var i = 0
+    while (i < sql.length) {
+      val isTry = upper.startsWith("TRY_PARSE_JSON", i)
+      val hit = isTry || upper.startsWith("PARSE_JSON", i)
+      val nameLen = if (isTry) "TRY_PARSE_JSON".length else "PARSE_JSON".length
+      if (hit && tagged(i)._2 == Code &&
+          (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+            sql.charAt(i - 1) != '_'))) {
+        var j = i + nameLen
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchParen(sql, tagged, j)
+          if (close > 0) {
+            var k = close + 1
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            if (k < sql.length && sql.charAt(k) == ':' &&
+                (k + 1 >= sql.length || sql.charAt(k + 1) != ':')) {
+              val (path, pEnd) = readVariantPath(sql, k)
+              if (path.nonEmpty) {
+                val fn = if (isTry) "try_parse_json" else "parse_json"
+                val inner = sql.substring(j + 1, close)
+                val (typeArg, tEnd) = readCastType(sql, pEnd)
+                val repl = typeArg match {
+                  case Some(t) => s"variant_get($fn($inner), '$$.$path', '$t')"
+                  case None => s"variant_get($fn($inner), '$$.$path')"
+                }
+                return rewriteParseJsonPaths(
+                  sql.substring(0, i) + repl +
+                    sql.substring(if (typeArg.isDefined) tEnd else pEnd))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** Snowflake single-colon VARIANT path access (`f.value:name`,
     * `v:a:b`) → dot field access. The `(?!:)` guard keeps `::` casts
     * out (a cast's first colon is followed by a colon; its second is
@@ -1062,7 +1181,10 @@ object Transpiler {
     * TO_CHAR/TO_DATE/TO_TIMESTAMP format mapping (+ TRY_ and
     * DOUBLE/BOOLEAN/DECIMAL conversion families), `::` cast types,
     * IFF, ILIKE ANY, LATERAL FLATTEN / TABLE(FLATTEN) → LATERAL VIEW
-    * POSEXPLODE, single-colon VARIANT paths, ordered ARRAY_AGG WITHIN
+    * POSEXPLODE, single-colon VARIANT paths (struct-typed) AND the
+    * JSON-text forms (PARSE_JSON/TRY_PARSE_JSON paths → variant_get,
+    * GET_PATH, JSON_EXTRACT_PATH_TEXT, OBJECT_AGG → sorted map),
+    * ordered ARRAY_AGG WITHIN
     * GROUP, GET/ARRAY_SLICE/OBJECT_CONSTRUCT, extended REGEXP_SUBSTR
     * argument forms, DATE_PART/MONTHNAME/DAYNAME, literal-delimiter
     * SPLIT, reversed-argument ARRAY_CONTAINS, SAMPLE (n) row sampling
@@ -1074,6 +1196,36 @@ object Transpiler {
     var out = sql.trim.stripSuffix(";")
     out = rewriteFlatten(out)
     out = rewriteArrayAggWithinGroup(out)
+    // JSON-text VARIANT family (Spider2-snow exports carry VARIANT as
+    // JSON strings): PARSE_JSON(x):p::T → variant_get, GET_PATH,
+    // JSON_EXTRACT_PATH_TEXT, OBJECT_AGG. Runs before the cast-colon
+    // and struct-path passes so the raw forms are still visible.
+    out = rewriteParseJsonPaths(out)
+    out = rewriteCall(out, "GET_PATH") {
+      case Seq(v, p) => fmtLit(p).map { path =>
+        val vt = v.trim
+        val u = vt.toUpperCase
+        // already-variant args (an inner PARSE_JSON / variant_get) pass
+        // straight in; anything else is assumed JSON text and wrapped
+        val base =
+          if (u.startsWith("PARSE_JSON") || u.startsWith("TRY_PARSE_JSON") ||
+            u.startsWith("VARIANT_GET")) vt
+          else s"parse_json($vt)"
+        s"variant_get($base, '$$.$path')"
+      }
+      case _ => None
+    }
+    out = rewriteCall(out, "JSON_EXTRACT_PATH_TEXT") {
+      case Seq(j, p) => fmtLit(p).map(path => s"get_json_object($j, '$$.$path')")
+      case _ => None
+    }
+    // OBJECT_AGG(k, v) → deterministic sorted map (Snowflake serializes
+    // OBJECT keys lexicographically); TO_JSON over it is Spark-native
+    out = rewriteCall(out, "OBJECT_AGG") {
+      case Seq(k, v) =>
+        Some(s"map_from_entries(array_sort(collect_list(struct($k, $v))))")
+      case _ => None
+    }
     out = replaceToken(out, "TO_VARCHAR", "TO_CHAR") // alias, same forms
     // DATEADD's input type is unknown at the string level; the
     // timestamp-preserving forms never truncate a time-of-day
@@ -1336,7 +1488,10 @@ object Transpiler {
     * COUNTIF, REGEXP_CONTAINS, group-aware REGEXP_EXTRACT/
     * REGEXP_EXTRACT_ALL, STRING_AGG/ARRAY_AGG with in-call ORDER BY,
     * UNIX_DATE pair, DIV, literal-delimiter SPLIT, array-function
-    * renames, TABLESAMPLE SYSTEM — then the shared pipeline.
+    * renames, TABLESAMPLE SYSTEM, JSON functions over JSON-text
+    * columns (JSON_VALUE/JSON_EXTRACT_SCALAR → get_json_object,
+    * JSON_EXTRACT/JSON_QUERY → to_json(variant_get(try_parse_json)),
+    * TO_JSON_STRING) — then the shared pipeline.
     * Idempotent.
     *
     * NOTE: BigQuery NUMERIC is DECIMAL(38,9); a bare rename to
@@ -1467,6 +1622,29 @@ object Transpiler {
         fmtLit(p).map(captureGroups).collect { case g @ (0 | 1) =>
           s"regexp_extract_all($e, $p, $g)"
         }
+      case _ => None
+    }
+    // JSON family over JSON-text columns. JSON_VALUE/JSON_EXTRACT_SCALAR
+    // return the unquoted scalar (get_json_object; the non-scalar edge —
+    // BigQuery returns NULL where get_json_object returns the JSON —
+    // is documented divergence). JSON_QUERY/JSON_EXTRACT return JSON
+    // text, quotes included: to_json over a variant_get probe.
+    Seq("JSON_EXTRACT_SCALAR", "JSON_VALUE").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(j) => Some(s"get_json_object($j, '$$')")
+        case Seq(j, p) if fmtLit(p).isDefined => Some(s"get_json_object($j, $p)")
+        case _ => None
+      }
+    }
+    Seq("JSON_EXTRACT", "JSON_QUERY").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(j, p) if fmtLit(p).isDefined =>
+          Some(s"to_json(variant_get(try_parse_json($j), $p))")
+        case _ => None
+      }
+    }
+    out = rewriteCall(out, "TO_JSON_STRING") {
+      case Seq(e) => Some(s"to_json($e)")
       case _ => None
     }
     // BigQuery ARRAY_AGG(x ORDER BY k): the ordering sits INSIDE the

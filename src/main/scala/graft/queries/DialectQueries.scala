@@ -41,6 +41,29 @@ object DialectQueries extends QueryPack {
       body(spark)
     }
 
+  /** JSON-TEXT fixture (the Spider2-snow export shape: VARIANT columns
+    * arrive as JSON strings): one JSON document per nation, built with
+    * identical string concatenation on both engines.
+    */
+  private def withJson(s: org.apache.spark.sql.SparkSession, dir: String)(
+      body: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
+    QueryPack.withTables(s, dir) { spark =>
+      spark.sql(
+        """SELECT n_nationkey, n_name,
+          |       concat('{"name":"', n_name, '","region":', n_regionkey,
+          |              ',"tags":["t', n_nationkey % 3, '","x"]}') AS j
+          |FROM nation""".stripMargin)
+        .createOrReplaceTempView("nation_json")
+      body(spark)
+    }
+
+  private val oracleJson =
+    """nation_json AS (
+      |  SELECT n_nationkey, n_name,
+      |         '{"name":"' || n_name || '","region":' || n_regionkey ||
+      |         ',"tags":["t' || (n_nationkey % 3) || '","x"]}' AS j
+      |  FROM nation)""".stripMargin
+
   /** The same fixture as a DuckDB CTE (sorted lists, zip-unnest). */
   private val oracleNested =
     """nation_arrays AS (
@@ -286,5 +309,84 @@ object DialectQueries extends QueryPack {
              |       strftime(ts + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS t1mo
              |FROM events
              |WHERE event_id < 500
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "q_transpile_snow_json",
+      "Snowflake JSON-text VARIANT access (the Spider2-snow export " +
+        "shape — VARIANT columns arrive as JSON strings): " +
+        "PARSE_JSON(col):path::TYPE → variant_get with the cast " +
+        "folded into the type argument, GET_PATH with array index, " +
+        "::VARCHAR scalar extraction from a variant, and " +
+        "JSON_EXTRACT_PATH_TEXT → get_json_object, all verified " +
+        "against DuckDB's json_extract mirrors.",
+      (s, dir) =>
+        withJson(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT n_nationkey,
+              |       PARSE_JSON(j):name::VARCHAR AS nm,
+              |       PARSE_JSON(j):region::INT AS reg,
+              |       GET_PATH(PARSE_JSON(j), 'tags[0]')::VARCHAR AS tag0,
+              |       JSON_EXTRACT_PATH_TEXT(j, 'name') AS nm2
+              |FROM nation_json
+              |ORDER BY n_nationkey""".stripMargin))
+        },
+      Some(s"""WITH $oracleJson
+              |SELECT n_nationkey,
+              |       json_extract_string(j, '$$.name') AS nm,
+              |       CAST(json_extract_string(j, '$$.region') AS BIGINT) AS reg,
+              |       json_extract_string(j, '$$.tags[0]') AS tag0,
+              |       json_extract_string(j, '$$.name') AS nm2
+              |FROM nation_json
+              |ORDER BY n_nationkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_bq_json",
+      "BigQuery JSON functions over JSON-text columns: JSON_VALUE/" +
+        "JSON_EXTRACT_SCALAR → get_json_object (unquoted scalars), " +
+        "JSON_EXTRACT/JSON_QUERY → to_json(variant_get(try_parse_json)) " +
+        "(JSON text, quotes included), TO_JSON_STRING over a STRUCT — " +
+        "mirrored by DuckDB json_extract/json_extract_string/to_json.",
+      (s, dir) =>
+        withJson(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT n_nationkey,
+              |       JSON_VALUE(j, '$.name') AS nm,
+              |       CAST(JSON_EXTRACT_SCALAR(j, '$.region') AS INT64) AS reg,
+              |       JSON_QUERY(j, '$.tags') AS tags_json,
+              |       JSON_EXTRACT(j, '$.name') AS nm_json,
+              |       TO_JSON_STRING(STRUCT(n_nationkey AS k, n_name AS v)) AS sj
+              |FROM nation_json
+              |ORDER BY n_nationkey""".stripMargin))
+        },
+      Some(s"""WITH $oracleJson
+              |SELECT n_nationkey,
+              |       json_extract_string(j, '$$.name') AS nm,
+              |       CAST(json_extract_string(j, '$$.region') AS BIGINT) AS reg,
+              |       CAST(json_extract(j, '$$.tags') AS VARCHAR) AS tags_json,
+              |       CAST(json_extract(j, '$$.name') AS VARCHAR) AS nm_json,
+              |       CAST(to_json(struct_pack(k := n_nationkey, v := n_name)) AS VARCHAR) AS sj
+              |FROM nation_json
+              |ORDER BY n_nationkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_object_agg",
+      "Snowflake OBJECT_AGG under TO_JSON: the aggregate becomes a " +
+        "deterministic sorted map (Snowflake serializes OBJECT keys " +
+        "lexicographically) and TO_JSON renders it — mirrored by a " +
+        "DuckDB ordered string_agg building the same JSON text.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT n_regionkey, TO_JSON(OBJECT_AGG(n_name, n_nationkey)) AS obj
+              |FROM nation
+              |GROUP BY n_regionkey
+              |ORDER BY n_regionkey""".stripMargin))
+        },
+      Some("""SELECT n_regionkey,
+             |       '{' || string_agg('"' || n_name || '":' || n_nationkey,
+             |                         ',' ORDER BY n_name) || '}' AS obj
+             |FROM nation
+             |GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin)))
 }

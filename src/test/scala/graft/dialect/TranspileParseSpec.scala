@@ -38,7 +38,11 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT MONTHNAME(d), DAYNAME(d), ARRAY_CONTAINS(x, arr) FROM t",
     "SELECT SPLIT(s, '.')[0], SPLIT(s, ',') FROM t",
     "SELECT CHARINDEX(LOWER(a), CONCAT(b, c), 3) FROM t",
-    "SELECT o_custkey FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) <= 2 ORDER BY o_custkey LIMIT 5")
+    "SELECT o_custkey FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) <= 2 ORDER BY o_custkey LIMIT 5",
+    "SELECT PARSE_JSON(j):a.b::INT, TRY_PARSE_JSON(j):tags[0]::VARCHAR FROM t",
+    "SELECT GET_PATH(PARSE_JSON(j), 'a.b[1]'), JSON_EXTRACT_PATH_TEXT(j, 'name') FROM t",
+    "SELECT TO_JSON(OBJECT_AGG(k, v)) FROM t GROUP BY g",
+    "SELECT PARSE_JSON(j):x:y, v:a.b FROM t")
 
   private val bigquery = Seq(
     "SELECT DATE_DIFF(b, a, WEEK), DATE_TRUNC(d, WEEK), TIMESTAMP_TRUNC(ts, WEEK) FROM t",
@@ -50,7 +54,10 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT REGEXP_EXTRACT(s, '([a-z]+)@'), REGEXP_EXTRACT_ALL(s, '[0-9]+') FROM t",
     "SELECT STRING_AGG(x, ';' ORDER BY k), ARRAY_AGG(v ORDER BY k) FROM t GROUP BY g",
     "SELECT UNIX_DATE(d), DATE_FROM_UNIX_DATE(n), DIV(a, b), SPLIT(s, '|') FROM `p.d.t`",
-    "SELECT ARRAY_LENGTH(REGEXP_EXTRACT_ALL(s, 'x+')) FROM t WHERE REGEXP_CONTAINS(s, 'a|b')")
+    "SELECT ARRAY_LENGTH(REGEXP_EXTRACT_ALL(s, 'x+')) FROM t WHERE REGEXP_CONTAINS(s, 'a|b')",
+    "SELECT JSON_VALUE(j, '$.name'), JSON_EXTRACT_SCALAR(j, '$.a') FROM t",
+    "SELECT JSON_EXTRACT(j, '$.a'), JSON_QUERY(j, '$.t') FROM t",
+    "SELECT TO_JSON_STRING(STRUCT(a AS k, b AS v)) FROM t")
 
   private val shared = Seq(
     "SELECT strftime('%Y-%m', d), IIF(a > 1, 'x', 'y'), LEN(s) FROM t",

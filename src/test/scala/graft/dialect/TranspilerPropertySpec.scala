@@ -20,7 +20,10 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "'CAST(a AS TEXT)'", "'strftime(''%Y'', x)'", "'GROUP_CONCAT(a)'",
     "'CHARINDEX(a, b)'", "'julianday(x)'", "'a, UNNEST(arr) AS x'",
     "', LATERAL FLATTEN(input => v) f'", "'LISTAGG(x)'",
-    "'REGEXP_SUBSTR(s, p, 1, 2)'", "'CAST(b AS REAL)'")
+    "'REGEXP_SUBSTR(s, p, 1, 2)'", "'CAST(b AS REAL)'",
+    // r16: JSON/variant family + BigQuery type-cast literal safety
+    "'PARSE_JSON(j):a.b::INT'", "'GET_PATH(v, ''a'')'",
+    "'JSON_EXTRACT(j, ''$.a'')'", "'CAST(x AS INT64)'", "'AS NUMERIC'")
   private val calls = Vector(
     "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
     "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
@@ -41,7 +44,13 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "GET(a, 0)", "ARRAY_SLICE(a, 1, 3)", "OBJECT_CONSTRUCT('k', b)",
     "ARRAY_TO_STRING(a, '-')", "GENERATE_ARRAY(1, 5)",
     "TO_DOUBLE(a)", "TRY_TO_BOOLEAN(b)", "TO_DECIMAL(a, 10, 2)",
-    "TRY_TO_DATE(t.x, 'YYYY-MM-DD')")
+    "TRY_TO_DATE(t.x, 'YYYY-MM-DD')",
+    // r16: JSON/variant family
+    "PARSE_JSON(t.x):a.b::INT", "TRY_PARSE_JSON(t.x):tags[0]::VARCHAR",
+    "GET_PATH(a, 'k.m')", "JSON_EXTRACT_PATH_TEXT(t.x, 'name')",
+    "OBJECT_AGG(a, b)", "JSON_VALUE(t.x, '$.a')",
+    "JSON_EXTRACT(t.x, '$.a')", "JSON_QUERY(t.x, '$.t')",
+    "TO_JSON_STRING(a)", "OBJECT_CONSTRUCT_KEEP_NULL('k', b)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 
@@ -91,7 +100,9 @@ class TranspilerPropertySpec extends AnyFunSuite {
       "FROM t, UNNEST(", "LATERAL FLATTEN(input =>",
       "SELECT x FROM t, UNNEST(arr) AS", "ARRAY_AGG(x) WITHIN GROUP (",
       "SELECT a::", "a:b:", "x IN UNNEST", "STRING_AGG(x ORDER BY",
-      "REGEXP_SUBSTR(s, '(', 1, 1, 'e', 2)", "SPLIT(s, '\\')")
+      "REGEXP_SUBSTR(s, '(', 1, 1, 'e', 2)", "SPLIT(s, '\\')",
+      "PARSE_JSON(", "PARSE_JSON(x):", "PARSE_JSON(x):a[", "PARSE_JSON(x):a::",
+      "GET_PATH(v,", "TRY_PARSE_JSON(x):a[zz]", "OBJECT_AGG(k")
     val alphabet = "SELECT FROM WHERE DATEADD UNNEST FLATTEN ( ) , ' ` \" -- /* */ :: : 1 a\n\t".split(' ')
     val garbage = (0 until 200).map(_ =>
       (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length)))

@@ -435,6 +435,54 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT CAST(x AS BIGINT) FROM t")
   }
 
+  test("JSON-text VARIANT family: PARSE_JSON paths, GET_PATH, JSON_EXTRACT_*") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // Snowflake: PARSE_JSON(col):path::TYPE → variant_get with the
+    // cast folded into the type argument
+    assert(transpileSnowflake("SELECT PARSE_JSON(j):a.b::INT AS x FROM t") ==
+      "SELECT variant_get(parse_json(j), '$.a.b', 'bigint') AS x FROM t")
+    assert(transpileSnowflake("SELECT TRY_PARSE_JSON(j):tags[0]::VARCHAR FROM t") ==
+      "SELECT variant_get(try_parse_json(j), '$.tags[0]', 'string') FROM t")
+    assert(transpileSnowflake("SELECT PARSE_JSON(j):a:b FROM t") ==
+      "SELECT variant_get(parse_json(j), '$.a.b') FROM t")
+    assert(transpileSnowflake("SELECT PARSE_JSON(j):n::NUMBER(10,2) FROM t") ==
+      "SELECT variant_get(parse_json(j), '$.n', 'decimal(10,2)') FROM t")
+    // bare PARSE_JSON / TRY_PARSE_JSON are native Spark 4 — untouched
+    assert(transpileSnowflake("SELECT PARSE_JSON(j) FROM t") ==
+      "SELECT PARSE_JSON(j) FROM t")
+    // GET_PATH: JSON-text arg wraps in parse_json; an already-variant
+    // arg passes straight in
+    assert(transpileSnowflake("SELECT GET_PATH(v, 'a.b') FROM t") ==
+      "SELECT variant_get(parse_json(v), '$.a.b') FROM t")
+    assert(transpileSnowflake("SELECT GET_PATH(PARSE_JSON(j), 'tags[1]') FROM t") ==
+      "SELECT variant_get(PARSE_JSON(j), '$.tags[1]') FROM t")
+    assert(transpileSnowflake("SELECT JSON_EXTRACT_PATH_TEXT(j, 'name') FROM t") ==
+      "SELECT get_json_object(j, '$.name') FROM t")
+    // OBJECT_AGG → deterministic sorted map; TO_JSON over it is native
+    assert(transpileSnowflake("SELECT TO_JSON(OBJECT_AGG(k, v)) FROM t GROUP BY g") ==
+      "SELECT TO_JSON(map_from_entries(array_sort(collect_list(struct(k, v))))) FROM t GROUP BY g")
+    // literal-guarded: path syntax inside a string survives
+    assert(transpileSnowflake("SELECT 'PARSE_JSON(j):a' FROM t") ==
+      "SELECT 'PARSE_JSON(j):a' FROM t")
+    // idempotent under re-transpile
+    val once = transpileSnowflake("SELECT PARSE_JSON(j):a.b::INT FROM t")
+    assert(transpileSnowflake(once) == once)
+    // BigQuery: scalar vs JSON-returning forms
+    assert(transpileBigQuery("SELECT JSON_VALUE(j, '$.name') FROM t") ==
+      "SELECT get_json_object(j, '$.name') FROM t")
+    assert(transpileBigQuery("SELECT JSON_EXTRACT_SCALAR(j, '$.a') FROM t") ==
+      "SELECT get_json_object(j, '$.a') FROM t")
+    assert(transpileBigQuery("SELECT JSON_EXTRACT(j, '$.a') FROM t") ==
+      "SELECT to_json(variant_get(try_parse_json(j), '$.a')) FROM t")
+    assert(transpileBigQuery("SELECT JSON_QUERY(j, '$.t') FROM t") ==
+      "SELECT to_json(variant_get(try_parse_json(j), '$.t')) FROM t")
+    assert(transpileBigQuery("SELECT TO_JSON_STRING(STRUCT(a AS k)) FROM t") ==
+      "SELECT to_json(STRUCT(a AS k)) FROM t")
+    // non-literal path → repair loop
+    assert(transpileBigQuery("SELECT JSON_EXTRACT(j, p) FROM t") ==
+      "SELECT JSON_EXTRACT(j, p) FROM t")
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
