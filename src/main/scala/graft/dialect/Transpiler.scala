@@ -1417,6 +1417,18 @@ object Transpiler {
     // FROM t SAMPLE (10) — Snowflake's percent row sampling → Spark's
     // TABLESAMPLE. Digit-only bodies only (a call named sample keeps
     // its arguments); BERNOULLI/ROW spellings are the same default.
+    // Snowflake star-minus: `* EXCLUDE (a, b)` / `* EXCLUDE a` →
+    // Spark's `* EXCEPT (...)` (parens required in Spark)
+    out = guarded(out, """(?i)\*\s*EXCLUDE\s*\(""".r)(_ => "* EXCEPT (")
+    out = guarded(out,
+      """(?i)\*\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)""".r)(
+      m => s"* EXCEPT (${m.group(1)})")
+    // The fixed-size form SAMPLE (n ROWS) maps first — Spark's
+    // TABLESAMPLE (n ROWS) is the same contract (exactly n rows,
+    // arbitrary choice).
+    out = guarded(out,
+      """(?i)\b(?:SAMPLE|TABLESAMPLE)\s+(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+)\s+ROWS?\s*\)""".r)(
+      m => s"TABLESAMPLE (${m.group(1)} ROWS)")
     out = guarded(out,
       """(?i)\b(?:SAMPLE|TABLESAMPLE)\s+(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)""".r)(
       m => s"TABLESAMPLE (${m.group(1)} PERCENT)")

@@ -388,5 +388,47 @@ object DialectQueries extends QueryPack {
              |                         ',' ORDER BY n_name) || '}' AS obj
              |FROM nation
              |GROUP BY n_regionkey
-             |ORDER BY n_regionkey""".stripMargin)))
+             |ORDER BY n_regionkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch3",
+      "Dialect batch 3: Snowflake SAMPLE (n ROWS) fixed-size sampling " +
+        "→ TABLESAMPLE (n ROWS) (verified via its exact count), " +
+        "LAG/NTH_VALUE ... IGNORE NULLS (Snowflake's outer spelling is " +
+        "native Spark — verified against DuckDB's in-call spelling), " +
+        "and SELECT * EXCEPT(cols) (native in both Spark and BigQuery, " +
+        "passes through the arm untouched).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """WITH samp AS (
+              |  SELECT COUNT(*) AS n_samp
+              |  FROM (SELECT * FROM nation SAMPLE (7 ROWS))),
+              |base AS (
+              |  SELECT * EXCEPT (o_totalprice, o_orderpriority)
+              |  FROM orders WHERE o_orderkey < 400)
+              |SELECT b.*,
+              |       LAG(NULLIF(b.o_orderkey % 3, 0)) IGNORE NULLS
+              |         OVER (ORDER BY b.o_orderkey) AS prev_nz,
+              |       NTH_VALUE(NULLIF(b.o_custkey % 5, 0), 2) IGNORE NULLS
+              |         OVER (ORDER BY b.o_orderkey
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |         AS second_nz,
+              |       s.n_samp
+              |FROM base b CROSS JOIN samp s
+              |ORDER BY b.o_orderkey""".stripMargin))
+        },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+             |  FROM orders WHERE o_orderkey < 400)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+             |       lag(nullif(o_orderkey % 3, 0) ignore nulls)
+             |         OVER (ORDER BY o_orderkey) AS prev_nz,
+             |       nth_value(nullif(o_custkey % 5, 0), 2 ignore nulls)
+             |         OVER (ORDER BY o_orderkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         AS second_nz,
+             |       CAST(7 AS BIGINT) AS n_samp
+             |FROM base
+             |ORDER BY o_orderkey""".stripMargin)))
 }

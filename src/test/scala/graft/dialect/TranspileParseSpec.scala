@@ -42,7 +42,10 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT PARSE_JSON(j):a.b::INT, TRY_PARSE_JSON(j):tags[0]::VARCHAR FROM t",
     "SELECT GET_PATH(PARSE_JSON(j), 'a.b[1]'), JSON_EXTRACT_PATH_TEXT(j, 'name') FROM t",
     "SELECT TO_JSON(OBJECT_AGG(k, v)) FROM t GROUP BY g",
-    "SELECT PARSE_JSON(j):x:y, v:a.b FROM t")
+    "SELECT PARSE_JSON(j):x:y, v:a.b FROM t",
+    "SELECT * FROM t SAMPLE (7 ROWS)",
+    "SELECT * EXCLUDE (a, b) FROM t",
+    "SELECT LAG(x) IGNORE NULLS OVER (ORDER BY k), NTH_VALUE(x, 2) IGNORE NULLS OVER (ORDER BY k) FROM t")
 
   private val bigquery = Seq(
     "SELECT DATE_DIFF(b, a, WEEK), DATE_TRUNC(d, WEEK), TIMESTAMP_TRUNC(ts, WEEK) FROM t",

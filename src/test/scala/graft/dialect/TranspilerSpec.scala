@@ -483,6 +483,33 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT JSON_EXTRACT(j, p) FROM t")
   }
 
+  test("dialect batch 3: SAMPLE (n ROWS), IGNORE NULLS, SELECT * EXCEPT") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // fixed-size row sampling (the r15 digit-only percent rule passed
+    // this to the repair loop)
+    assert(transpileSnowflake("SELECT * FROM t SAMPLE (7 ROWS)") ==
+      "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    assert(transpileSnowflake("SELECT * FROM t SAMPLE ROW (25 ROWS)") ==
+      "SELECT * FROM t TABLESAMPLE (25 ROWS)")
+    // percent form still maps
+    assert(transpileSnowflake("SELECT * FROM t SAMPLE (10)") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    // Snowflake's outer IGNORE NULLS spelling is native Spark syntax —
+    // deliberate passthrough (executed semantics pinned by
+    // q_transpile_batch3 against DuckDB's in-call spelling)
+    val ig = "SELECT LAG(x) IGNORE NULLS OVER (ORDER BY k) FROM t"
+    assert(transpileSnowflake(ig) == ig)
+    // SELECT * EXCEPT is native in both Spark and BigQuery — untouched
+    val ex = "SELECT * EXCEPT (a, b) FROM t"
+    assert(transpileBigQuery(ex) == ex)
+    assert(transpileSnowflake("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    // BigQuery * REPLACE needs schema knowledge a string rewriter
+    // lacks → repair loop
+    val rep = "SELECT * REPLACE (a + 1 AS a) FROM t"
+    assert(transpileBigQuery(rep) == rep)
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
