@@ -277,8 +277,22 @@ object Bench {
     val subtotalsJson = (subtotals.map { case (k, v, m, e) =>
       s""""$k":${num(v, 3)},"${k.stripSuffix("_set")}_matched":$m,"${k.stripSuffix("_set")}_expected":$e"""
     } :+ s""""all":${num(total, 3)}""").mkString("{", ",", "}")
+    // contention gate (the r15 lesson: a 0.628-vs-0.348 end/start probe
+    // made every committed subtotal a hot-machine sample, +7% uniform
+    // and unfalsifiable). A probe spread beyond 1.3x means the machine
+    // sped up or slowed down mid-run — the totals are then samples of
+    // DIFFERENT machines and cross-round comparison must quote the
+    // flag (scripts/bench_retry.sh re-runs once on it).
+    val calProbes = Seq(calStart, calMid, calEnd).filter(_ > 0)
+    val calSpread =
+      if (calProbes.isEmpty) -1.0 else calProbes.max / calProbes.min
+    val contended = calSpread > 1.3
     val calibrationJson =
-      s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)},"cache_cold_sec":${num(cacheCold, 4)},"cache_warm_sec":${num(cacheWarm, 4)},"cache_ratio":${num(if (cacheWarm > 0) cacheCold / cacheWarm else -1.0, 2)},"stage_cache_ratio":${num(if (stageCacheWarm > 0) stageCacheCold / stageCacheWarm else -1.0, 2)}}"""
+      s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)},"spread":${num(calSpread, 3)},"contended":$contended,"cache_cold_sec":${num(cacheCold, 4)},"cache_warm_sec":${num(cacheWarm, 4)},"cache_ratio":${num(if (cacheWarm > 0) cacheCold / cacheWarm else -1.0, 2)},"stage_cache_ratio":${num(if (stageCacheWarm > 0) stageCacheCold / stageCacheWarm else -1.0, 2)}}"""
+    if (contended) System.err.println(
+      f"[bench] CONTENDED: calibration probe spread $calSpread%.2fx " +
+        "(start/mid/end " + f"$calStart%.3f/$calMid%.3f/$calEnd%.3f s) " +
+        "exceeds 1.3x - totals are not comparable across rounds; re-run")
     val loads = loadSamples.values.toSeq
     val loadJson = loadSamples
       .map { case (k, v) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
