@@ -201,6 +201,66 @@ object LineCuration {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Paragraph-grain near-dup screen AGAINST a reference corpus — the
+    * batch ground-truth twin of the streaming
+    * [[ParagraphIndex.stripParagraphsExpr]] probe: every incoming
+    * paragraph that is a verified near-dup (banded MinHash candidates,
+    * exact shingle Jaccard >= `threshold`) of ANY reference paragraph
+    * is removed, and each incoming document's text is rebuilt from its
+    * survivors. Blank paragraphs and paragraphs too short to shingle
+    * never participate and never drop. Output contract matches
+    * [[stripNearDupParagraphs]]: one row per incoming doc,
+    * `(idCol, n_units, n_removed, clean_text)`.
+    *
+    * 100 TB shape: one-sided banded join — incoming unit band rows
+    * only ever meet reference unit band rows keyed on (band, value),
+    * never a growing pair space (the [[TextDedup.minhashDedupAgainst]]
+    * shape at unit grain).
+    */
+  def stripNearDupParagraphsAgainst(incoming: DataFrame,
+      reference: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3, h: Int = 16,
+      bands: Int = 0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graftvec.TextHashExpr
+    val b = if (bands > 0) bands else TextDedup.bandsFor(threshold)
+    val K = 1L << 20
+    val units = incoming
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n"))
+        .as(Seq("__pos", "__u")))
+      .filter(assert_true(col("__pos") < lit(K),
+        lit(s"document with >= $K paragraphs")).isNull)
+      .withColumn("__uid", col(idCol) * K + col("__pos"))
+    val inUnits = units.filter(length(trim(col("__u"))) > 0)
+      .select(col("__uid").as("doc_id"), col("__u").as("text"))
+    val refUnits = reference
+      .select(posexplode(split(col(textCol), "\n\n")).as(Seq("__rp", "__ru")))
+      .filter(length(trim(col("__ru"))) > 0)
+      .select(monotonically_increasing_id().as("doc_id"),
+        col("__ru").as("text"))
+    val survivors = TextDedup.minhashDedupAgainst(
+      inUnits, refUnits, "doc_id", "text", threshold, n, h, b, seed)
+      .select(col("doc_id").as("__uid"))
+    // units that never participated (blank / unshingleable) survive by
+    // construction: they are absent from inUnits but present in units
+    val dropped = inUnits.select(col("doc_id").as("__uid"))
+      .join(survivors, Seq("__uid"), "left_anti")
+    val surviving = units.join(dropped, Seq("__uid"), "left_anti")
+    val rebuilt = surviving
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws("\n\n",
+          transform(
+            sort_array(collect_list(struct(
+              col("__pos").as("p"), col("__u").as("u")))),
+            s => s("u"))).as("clean_text"))
+    val totals = incoming.select(col(idCol),
+      size(split(col(textCol), "\n\n")).cast("long").as("n_units"))
+    totals.join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_units"),
+        (col("n_units") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   private def stripDuplicateUnits(docs: DataFrame, idCol: String,
       textCol: String, minDocFreq: Int, sep: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

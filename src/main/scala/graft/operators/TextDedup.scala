@@ -64,8 +64,11 @@ object TextDedup {
         TextAnalysis.tokens(col(textCol)), n)).as("__shh"))
       .filter(size(col("__shh")) > 0)
 
-  /** Band value: 31-chain fold over one signature band (r entries). */
-  private def bandValue(sig: Column, j: Int, r: Int): Column =
+  /** Band value: 31-chain fold over one signature band (r entries).
+    * Public so [[ParagraphIndex]]'s per-row stream probe computes the
+    * SAME band keys as the batch banding — one home, in lockstep.
+    */
+  def bandValue(sig: Column, j: Int, r: Int): Column =
     aggregate(slice(sig, j * r + 1, r), lit(0L), (acc, x) => acc * 31 + x)
 
   /** Shared band explode over a frame carrying `__sig`: ONE home for

@@ -203,6 +203,17 @@ object IngestDedup {
     * stream start into a broadcast Bloom bitset and flagged lines are
     * stripped by a stateless scan expression (the blocklist pattern);
     * periodic batch re-index refreshes it on the next (re)start.
+    *
+    * `paragraphIndexPath` installs the FUZZY grain of the same
+    * pattern — corpus-level paragraph NEAR-dup screening via a
+    * batch-built [[graft.operators.ParagraphIndex]] MinHash band-key
+    * artifact: the stream recomputes each incoming paragraph's
+    * signature per row (same coefficients and banding as the batch
+    * side) and strips on any Bloom band-key hit. A hit is an LSH
+    * candidate (no in-stream Jaccard verify), so the screen
+    * over-strips at the banding's false-candidate rate — the batch
+    * twin [[graft.operators.LineCuration.stripNearDupParagraphsAgainst]]
+    * is the verified ground truth.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
@@ -220,6 +231,15 @@ object IngestDedup {
       c4MinKeptLines: Int =
         graft.operators.LineCuration.DefaultMinKeptLines,
       lineIndexPath: Option[String] = None,
+      // corpus-level FUZZY paragraph screen (the LineIndex pattern at
+      // near-dup grain): a batch-built ParagraphIndex band-key
+      // artifact compiles once to a broadcast Bloom; each incoming
+      // paragraph recomputes its MinHash banding per row and is
+      // stripped on any hit — stateless, zero joins. LSH-candidate
+      // strip (no in-stream Jaccard verify): over-strips at the
+      // banding + Bloom false-positive rate; batch twin
+      // LineCuration.stripNearDupParagraphsAgainst is ground truth
+      paragraphIndexPath: Option[String] = None,
       // saved LangIdTrain model + allowlist: language admission as a
       // stateless scan predicate (the batch pipeline's langIdModelPath
       // + langs pair) — for streams without trusted language labels
@@ -284,17 +304,28 @@ object IngestDedup {
         lined.withColumn(textCol,
           graft.operators.LineIndex.stripLinesExpr(col(textCol), f))
     }
+    // corpus-level fuzzy paragraph screen: the batch-built band-key
+    // index compiles ONCE; each paragraph's MinHash banding is
+    // recomputed per row and flagged paragraphs are stripped — zero
+    // joins, zero state (the LineIndex pattern at near-dup grain)
+    val paraScreened = paragraphIndexPath match {
+      case None => lineScreened
+      case Some(p) =>
+        val f = graft.operators.ParagraphIndex.loadFilter(spark, p)
+        lineScreened.withColumn(textCol,
+          graft.operators.ParagraphIndex.stripParagraphsExpr(col(textCol), f))
+    }
     // trained language-ID admission: the model compiles once to a
     // per-row scoring expression (zero joins, zero state)
     val langGated = langIdModelPath match {
-      case None => lineScreened
+      case None => paraScreened
       case Some(p) =>
         require(allowedLangs.nonEmpty,
           "langIdModelPath needs allowedLangs: an admission gate with " +
             "an empty allowlist would drop every document")
         val profiles = graft.operators.LangIdTrain.profilesOf(
           graft.operators.LangIdTrain.load(spark, p))
-        lineScreened.filter(graft.operators.LangIdTrain
+        paraScreened.filter(graft.operators.LangIdTrain
           .predictExpr(col(textCol), profiles).isin(allowedLangs: _*))
     }
     val quality = qualityModelPath match {

@@ -531,6 +531,91 @@ class IngestDedupSpec extends SparkSpec {
         s"stream=${admitted.toMap}\ntwin=$twin")
   }
 
+  test("batch-built paragraph band index strips near-dup paragraphs in-stream; admission equals the batch twin, restart included") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idxPara") + "/index"
+    val pidx = freshDir("paraIdx") + "/paraindex"
+    val out = freshDir("outPara") + "/corpus"
+    val ckp = freshDir("ckpPara")
+    val template =
+      "please subscribe to our weekly newsletter for updates offers and community news every single week"
+    val template2 =
+      "all rights reserved contact the site administrator for takedown requests and licensing questions anytime"
+    // reference corpus: the templated paragraphs repeat across pages
+    val ref = Seq(
+      IngestDoc(101L, s"reference page one body content\n\n$template"),
+      IngestDoc(102L, s"$template2\n\nreference second page story"),
+      IngestDoc(103L, s"reference third page article\n\n$template"))
+      .toDF()
+    val n = graft.operators.ParagraphIndex.writeParagraphIndex(
+      ref, "doc_id", "text", pidx, threshold = 0.5)
+    assert(n > 0L, "paragraph index wrote no band keys")
+    graft.core.CacheBin.drain()
+    // incoming docs: LIGHTLY-EDITED template copies (one-word edits —
+    // the fuzzy grain exact paragraph dedup misses) plus unique prose
+    val edited =
+      "please subscribe to our weekly newsletter for updates offers and community news every single month"
+    val edited2 =
+      "all rights reserved contact the site administrator for takedown requests and licensing details anytime"
+    val incoming = Seq(
+      IngestDoc(1L, s"completely original alpha essay opening\n\n$edited"),
+      IngestDoc(2L, s"$edited2\n\nsecond original beta travel report"),
+      IngestDoc(3L, s"third unique gamma cooking recipe\n\n$template"))
+      .toDF()
+    // ---- the batch ground-truth twin over the same reference ----
+    val twin = graft.operators.LineCuration
+      .stripNearDupParagraphsAgainst(incoming, ref, "doc_id", "text",
+        threshold = 0.5)
+      .select($"doc_id", $"clean_text", $"n_removed").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    graft.core.CacheBin.drain()
+    assert(twin.values.forall(_._2 == 1L),
+      s"every incoming doc carries exactly one templated paragraph: $twin")
+    assert(twin.values.forall(t => !t._1.contains("newsletter") &&
+      !t._1.contains("takedown")), s"twin kept a template: $twin")
+
+    TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    def startQuery(src: MemoryStream[IngestDoc]) =
+      IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+        threshold = 0.5, paragraphIndexPath = Some(pidx))
+
+    val src = MemoryStream[IngestDoc]
+    val docs = incoming.as[IngestDoc].collect().sortBy(_.doc_id)
+    val q1 = startQuery(src)
+    try {
+      src.addData(docs(0), docs(1))
+      q1.processAllAvailable()
+      assert(q1.lastProgress.stateOperators.isEmpty,
+        "the paragraph screen must add no streaming state")
+    } finally q1.stop()
+
+    // ---- CRASH between offsets and commit: replay batch 0 ----
+    val commits = new java.io.File(s"$ckp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "no commit markers written")
+    assert(commits.last.delete(), "could not simulate the crash")
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+
+    val q2 = startQuery(src)
+    try {
+      q2.processAllAvailable() // idempotent replay
+      src.addData(docs(2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val admitted = spark.read.parquet(out)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(admitted.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L),
+      s"exactly-once admission violated: ${admitted.toSeq}")
+    assert(admitted.toMap === twin.view.mapValues(_._1).toMap,
+      s"stream admission diverged from the batch twin:\n" +
+        s"stream=${admitted.toMap}\ntwin=${twin.view.mapValues(_._1).toMap}")
+  }
+
   test("trained language-ID gate admits only allowed languages, stateless") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
