@@ -24,6 +24,17 @@ object BenchStages {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  private val deltaBenchCfg = graft.operators.CorpusPipeline.Config(
+    langs = Seq("en", "de", "fr"), minChars = 100,
+    jaccardThreshold = 0.5, lineDedupMinDocFreq = 2)
+
+  // one artifact dir per sf dir, reused by the bootstrap + delta stages
+  private val deltaBenchDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deltaBenchPath(dir: String): String =
+    deltaBenchDirs.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft_bench_delta").toString)
+
   /** query name → ordered (stage name, prefix builder). */
   val stages: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
 
@@ -176,7 +187,33 @@ object BenchStages {
           "doc_id", "text", 8)),
       "full_pipeline" -> ((s, dir) =>
         SparkEntry.allQueries.find(_.name == "q_corpus_pipeline_full").get
-          .build(s, dir))),
+          .build(s, dir)),
+      // ---- delta-vs-full cost telemetry (SCALE.md "incremental
+      // curation"): curate_all is the full recompute of the curation
+      // half; delta_bootstrap writes the day-0 artifacts from 90% of
+      // the corpus (paid once, amortized across deltas);
+      // delta_tenth curates only the remaining 10% against them —
+      // the steady-state daily cost a real pipeline pays ----
+      "curate_all" -> ((s, dir) =>
+        graft.operators.CorpusPipeline.curate(docs(s, dir),
+          docs(s, dir).limit(0), deltaBenchCfg)),
+      "delta_bootstrap" -> { (s, dir) =>
+        val path = deltaBenchPath(dir)
+        val old = docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        TextDedup.writeDedupIndex(old, "doc_id", "text",
+          s"$path/dedupindex", bands = 8)
+        graft.operators.LineIndex.writeLineIndex(old, "doc_id", "text",
+          s"$path/lineindex", minDocFreq = 2)
+        s.read.parquet(s"$path/dedupindex/shingles")
+      },
+      "delta_tenth" -> ((s, dir) =>
+        graft.operators.CorpusPipeline.prepareDelta(
+          docs(s, dir).filter(col("doc_id") % 10 === 0),
+          docs(s, dir).limit(0), deltaBenchCfg,
+          graft.operators.CorpusPipeline.DeltaArtifacts(
+            dedupIndexPath = s"${deltaBenchPath(dir)}/dedupindex",
+            lineIndexPath = Some(s"${deltaBenchPath(dir)}/lineindex"),
+            appendAccepted = false)))),
 
     "q_corpus_pipeline_modern" -> {
       // the modern-tail stages share every cleaning stage with the

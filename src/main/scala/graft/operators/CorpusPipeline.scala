@@ -200,10 +200,191 @@ object CorpusPipeline {
     (out, buf.toList)
   }
 
-  private def prepareImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
-      idCol: String, textCol: String, srcCol: String,
-      blocklist: Option[DataFrame],
-      report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
+  /** Stages 0-4 only — the CURATION half of the pipeline (URL stage,
+    * byte repair, C4, language ID, dedup, line dedup, boilerplate,
+    * quality gates, decontamination) WITHOUT the training-run tail
+    * (split/mix/pack). This is the granularity the daily-delta mode
+    * ([[prepareDelta]]) contracts against: `prepareDelta(new, arts)`
+    * must equal `curate(old ++ new).filter(id > maxOldId)` under the
+    * pinned keep-first rule. Output: the surviving docs with their
+    * cleaned text, original columns preserved.
+    */
+  def curate(docs: DataFrame, evalSet: DataFrame, cfg: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      blocklist: Option[DataFrame] = None): DataFrame =
+    curateImpl(docs, evalSet, cfg, idCol, textCol, blocklist, report = None)
+
+  private def noteFn(
+      report: Option[scala.collection.mutable.ListBuffer[StageRows]])(
+      name: String, df: DataFrame): DataFrame = {
+    report.foreach(_ += StageRows(name, df.count()))
+    df
+  }
+
+  /** The materialized artifacts a daily-delta run reuses instead of
+    * recomputing the corpus: the accepted-corpus dedup index
+    * ([[TextDedup.writeDedupIndex]] / appended by each delta), the
+    * corpus-level line-hash index ([[LineIndex]]), the optional fuzzy
+    * paragraph band index ([[ParagraphIndex]]), and the frozen quality
+    * model ([[QualityClassifier]] artifact — the delta twin of the
+    * full run's train-on-survivors gate).
+    */
+  final case class DeltaArtifacts(
+      dedupIndexPath: String,
+      lineIndexPath: Option[String] = None,
+      paragraphIndexPath: Option[String] = None,
+      qualityModelPath: Option[String] = None,
+      // append this delta's accepted docs to the dedup index so the
+      // NEXT delta screens against them (the ingest-loop contract)
+      appendAccepted: Boolean = true)
+
+  /** Daily-DELTA curation: process only `newDocs` against the
+    * materialized artifacts of the already-curated corpus instead of
+    * recomputing everything — the shape a real 100 TB pipeline runs
+    * (one full bootstrap, then deltas). Stages mirror [[curate]] in
+    * the same order; the corpus-level stages read the artifacts:
+    *
+    *  - head stages (URL, byte repair, C4, language ID) — identical
+    *    per-row work;
+    *  - exact/near dedup WITHIN the delta first (keep-first by id),
+    *    THEN the screen against the accepted corpus
+    *    ([[TextDedup.dedupAgainstIndex]]) — this order matters: a
+    *    delta doc that near-dups an old doc must still block its own
+    *    later delta near-dups, exactly as it would in a full run;
+    *  - line dedup within the delta plus the [[LineIndex]] strip;
+    *    optional [[ParagraphIndex]] fuzzy strip (no full-run
+    *    counterpart — production option);
+    *  - boilerplate/span/quality/repetition gates within the delta,
+    *    with the LEARNED gate scoring through the FROZEN
+    *    `qualityModelPath` model instead of retraining;
+    *  - decontamination against `evalSet` (per-row, identical);
+    *  - accepted docs appended to the dedup index.
+    *
+    * CORRECTNESS CONTRACT (pinned by CorpusPipelineSpec): with ids
+    * assigned monotonically across deltas (every new id > every old
+    * id — the keep-first pin: an old doc never loses to a new one),
+    * `prepareDelta(new, artifacts(old))` equals
+    * `curate(old ++ new).filter(id > maxOldId)`. Documented residual
+    * divergences, each the standard incremental-freshness corner:
+    *  (a) cross-batch THRESHOLD STRADDLE — a line/boilerplate window
+    *      whose doc-frequency reaches the removal floor only when old
+    *      and new counts are SUMMED (each side alone below floor) is
+    *      removed by the full run but not the delta (the index stores
+    *      only at-floor units; refreshed on the next re-index);
+    *  (b) LOSER CHAINS — a new doc whose only near-dup link is to an
+    *      old doc that was itself dropped (the index holds accepted
+    *      docs only);
+    *  (c) corpus-relative gates (bigram LM floor, span keep-first)
+    *      score within the delta;
+    *  (d) the frozen quality model vs the full run's retrained one.
+    */
+  def prepareDelta(newDocs: DataFrame, evalSet: DataFrame,
+      cfg: Config, artifacts: DeltaArtifacts,
+      idCol: String = "doc_id", textCol: String = "text",
+      blocklist: Option[DataFrame] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    def stage(df: DataFrame): DataFrame =
+      graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
+    val note = (_: String, df: DataFrame) => df
+    // 0-0d. identical per-row head
+    val (langed, _) = headStages(newDocs, cfg, idCol, textCol, blocklist, note)
+    // 1. exact/near dedup within the delta FIRST (see ordering note)
+    val inDelta = CorpusClean.clean(stage(langed), cfg.langs, cfg.minChars,
+      cfg.jaccardThreshold, idCol = idCol, textCol = textCol)
+    // ...then the accepted-corpus screen
+    val screened = stage(TextDedup.dedupAgainstIndex(spark,
+      artifacts.dedupIndexPath, stage(inDelta), idCol, textCol,
+      cfg.jaccardThreshold))
+    // 1b. line dedup: within-delta df floor, then the corpus index
+    val lindedDelta =
+      if (cfg.lineDedupMinDocFreq <= 0) screened
+      else screened
+        .join(LineCuration.stripDuplicateLines(screened, idCol, textCol,
+          cfg.lineDedupMinDocFreq)
+          .select(col(idCol), col("clean_text")), idCol)
+        .drop(textCol)
+        .withColumnRenamed("clean_text", textCol)
+    val linded = artifacts.lineIndexPath match {
+      case None => lindedDelta
+      case Some(p) =>
+        val f = LineIndex.loadFilter(spark, p)
+        lindedDelta.withColumn(textCol,
+          LineIndex.stripLinesExpr(col(textCol), f))
+    }
+    val paraed = artifacts.paragraphIndexPath match {
+      case None => linded
+      case Some(p) =>
+        val f = ParagraphIndex.loadFilter(spark, p)
+        linded.withColumn(textCol,
+          ParagraphIndex.stripParagraphsExpr(col(textCol), f))
+    }
+    // 2-2b. boilerplate + span dedup within the delta
+    val boilIn = stage(paraed)
+    val boiled = boilIn
+      .join(Boilerplate.strip(boilIn, idCol, textCol,
+        cfg.boilerWindow, cfg.boilerMinDocFreq)
+        .select(col(idCol), col("clean_text")), idCol)
+      .drop(textCol)
+      .withColumnRenamed("clean_text", textCol)
+    val stripped =
+      if (cfg.spanDedupWindow <= 0) boiled
+      else {
+        val in = stage(boiled)
+        in.join(Boilerplate.dedupSpans(in, idCol, textCol,
+            cfg.spanDedupWindow, cfg.spanDedupMinCount)
+            .select(col(idCol), col("clean_text")), idCol)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol)
+      }
+    // 3. quality gates — heuristic floor; bigram floor scores within
+    // the delta; repetition gate; FROZEN learned gate
+    val q1 = stripped.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality)
+    val q2 =
+      if (cfg.minAvgLogProb == Double.NegativeInfinity) q1
+      else {
+        val in = stage(q1)
+        in.join(
+          TextScore.bigramLogProb(in, idCol, textCol)
+            .filter(col("avg_logprob") >= cfg.minAvgLogProb)
+            .select(col(idCol)), idCol)
+      }
+    val q2r =
+      if (!cfg.repetitionGate) q2
+      else RepetitionRules.gate(q2, idCol, textCol, cfg.repetitionMinWords)
+    val q3 = artifacts.qualityModelPath match {
+      case None => q2r
+      case Some(p) =>
+        val model = QualityClassifier.loadModel(spark, p)
+        q2r.filter(QualityClassifier.scoreExpr(col(textCol), model) >=
+          lit(cfg.minQualityMicro))
+    }
+    // 4. decontamination — identical per-row work
+    val decon =
+      if (evalSet.isEmpty) q3
+      else {
+        val in = stage(q3)
+        if (cfg.bloomDecontaminationBits > 0)
+          BloomDecontaminate.decontaminate(in, evalSet, idCol, textCol,
+            cfg.decontaminationNgram, mBits = cfg.bloomDecontaminationBits)
+        else Decontaminate.decontaminate(in, evalSet, idCol, textCol,
+          cfg.decontaminationNgram)
+      }
+    val accepted = stage(decon)
+    if (artifacts.appendAccepted)
+      TextDedup.appendToDedupIndex(spark, artifacts.dedupIndexPath,
+        accepted, idCol, textCol)
+    accepted
+  }
+
+  /** Stage 0 + 0b + 0c + 0d: URL curation, byte repair + PII, C4 line
+    * curation, trained language ID — the per-batch HEAD every mode
+    * (full, curate-only, delta) runs identically. Returns (frame,
+    * isFlat).
+    */
+  private def headStages(docs: DataFrame, cfg: Config, idCol: String,
+      textCol: String, blocklist: Option[DataFrame],
+      note: (String, DataFrame) => DataFrame): (DataFrame, Boolean) = {
     // the whole URL stage is gated on urlCol — a domain cap or a
     // blocklist configured without it would be silently ignored
     require(cfg.domainCap <= 0 || cfg.urlCol.nonEmpty,
@@ -212,10 +393,61 @@ object CorpusPipeline {
     require(blocklist.isEmpty || cfg.urlCol.nonEmpty,
       "a domain blocklist requires urlCol: blocklist filtering is part " +
         "of the URL curation stage and is only applied when urlCol is set")
-    def note(name: String, df: DataFrame): DataFrame = {
-      report.foreach(_ += StageRows(name, df.count()))
-      df
+    def stage(df: DataFrame): DataFrame =
+      graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
+    def flatten(df: DataFrame, isFlat: Boolean): DataFrame =
+      if (isFlat) df else stage(df)
+    // 0. URL/domain curation (optional crawl-first stage)
+    val (urled, urledFlat): (DataFrame, Boolean) = cfg.urlCol match {
+      case None => (docs, true)
+      case Some(u) =>
+        val unblocked = blocklist
+          .map(bl => UrlOps.dropBlockedDomains(docs, u, idCol, bl))
+          .getOrElse(docs)
+        val scored = unblocked.withColumn("__uscore", length(col(textCol)))
+        val urlDeduped = UrlOps.dedupByUrl(scored, u, "__uscore", idCol)
+        val capped =
+          if (cfg.domainCap <= 0) urlDeduped.drop("url_canon")
+          else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
+            cfg.domainCap).drop("url_canon", "domain")
+        (note("url_curation", capped.drop("__uscore")), false)
     }
+    // 0b. byte repair + PII scrub: per-row, flatness preserved
+    val repaired0 =
+      if (!cfg.fixText) urled
+      else urled.withColumn(textCol, TextAnalysis.fixText(col(textCol)))
+    val repaired =
+      if (!cfg.redactPii) repaired0
+      else repaired0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    // 0c. C4 line curation
+    val (c4ed, c4Flat): (DataFrame, Boolean) =
+      if (cfg.c4MinWords <= 0) (repaired, urledFlat)
+      else {
+        val in = flatten(repaired, urledFlat)
+        (note("c4_gate", in
+          .join(LineCuration.c4Clean(in, idCol, textCol,
+            minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
+            .select(col(idCol), col("clean_text")), idCol)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol)), false)
+      }
+    // 0d. trained language ID: per-row scan expression
+    val langed = cfg.langIdModelPath match {
+      case None => c4ed
+      case Some(p) =>
+        val profiles = LangIdTrain.profilesOf(
+          LangIdTrain.load(docs.sparkSession, p))
+        c4ed.withColumn("lang",
+          LangIdTrain.predictExpr(col(textCol), profiles))
+    }
+    (langed, c4Flat)
+  }
+
+  private def curateImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
+      idCol: String, textCol: String,
+      blocklist: Option[DataFrame],
+      report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
+    def note(name: String, df: DataFrame): DataFrame = noteFn(report)(name, df)
     // Stage boundaries are materialized (eager localCheckpoint) ON
     // DEMAND: every join-back stage consumes its input >= 2 times (the
     // left side plus the operator output DERIVED FROM that same
@@ -247,67 +479,9 @@ object CorpusPipeline {
     def flatten(df: DataFrame, isFlat: Boolean): DataFrame =
       if (isFlat) df else stage(df)
 
-    // 0. URL/domain curation (optional crawl-first stage): canonical-
-    // URL exact dedup keep-longest (ties to the smallest id), then the
-    // per-domain cap — runs BEFORE any content hashing because its
-    // shuffle key is the ~100-byte canonical URL, not the text
     note("input", docs)
-    // The caller's input is a scan — already flat.
-    val (urled, urledFlat): (DataFrame, Boolean) = cfg.urlCol match {
-      case None => (docs, true)
-      case Some(u) =>
-        // blocklist first — the cheapest cut, and dropBlockedDomains
-        // leaves url_canon on the frame for dedupByUrl to reuse
-        val unblocked = blocklist
-          .map(bl => UrlOps.dropBlockedDomains(docs, u, idCol, bl))
-          .getOrElse(docs)
-        val scored = unblocked.withColumn("__uscore", length(col(textCol)))
-        // url_canon stays on the frame between the two UrlOps calls so
-        // capPerDomain reuses it instead of re-canonicalizing per row
-        val urlDeduped = UrlOps.dedupByUrl(scored, u, "__uscore", idCol)
-        val capped =
-          if (cfg.domainCap <= 0) urlDeduped.drop("url_canon")
-          else UrlOps.capPerDomain(urlDeduped, u, "__uscore", idCol,
-            cfg.domainCap).drop("url_canon", "domain")
-        (note("url_curation", capped.drop("__uscore")), false)
-    }
-
-    // 0b. byte repair + PII scrub (optional): per-row scalar rewrites
-    // of the text column — fold into the scan, preserve flatness
-    val repaired0 =
-      if (!cfg.fixText) urled
-      else urled.withColumn(textCol, TextAnalysis.fixText(col(textCol)))
-    val repaired =
-      if (!cfg.redactPii) repaired0
-      else repaired0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
-
-    // 0c. C4 line curation (optional): line rules rebuild the text,
-    // the document gate drops thin/blocked docs. Inner join keeps the
-    // caller's other columns (lang, source, labels). Two consumers of
-    // the input (join left + c4Clean derivation) -> flatten it.
-    val (c4ed, c4Flat): (DataFrame, Boolean) =
-      if (cfg.c4MinWords <= 0) (repaired, urledFlat)
-      else {
-        val in = flatten(repaired, urledFlat)
-        (note("c4_gate", in
-          .join(LineCuration.c4Clean(in, idCol, textCol,
-            minWords = cfg.c4MinWords, minKeptLines = cfg.c4MinKeptLines)
-            .select(col(idCol), col("clean_text")), idCol)
-          .drop(textCol)
-          .withColumnRenamed("clean_text", textCol)), false)
-      }
-
-    // 0d. trained language ID (optional): corpora without trusted
-    // labels re-derive the lang column from the saved char-gram model
-    // — a per-row scan expression, flatness preserved
-    val langed = cfg.langIdModelPath match {
-      case None => c4ed
-      case Some(p) =>
-        val profiles = LangIdTrain.profilesOf(
-          LangIdTrain.load(docs.sparkSession, p))
-        c4ed.withColumn("lang",
-          LangIdTrain.predictExpr(col(textCol), profiles))
-    }
+    // 0-0d. URL curation, byte repair, C4, language ID (shared head)
+    val (langed, c4Flat) = headStages(docs, cfg, idCol, textCol, blocklist, note)
 
     // 1. allowlist + floors + exact/near dedup (keeps original
     // columns). clean's exact-dedup frame feeds BOTH the pair
@@ -412,6 +586,19 @@ object CorpusPipeline {
         else Decontaminate.decontaminate(in, evalSet, idCol, textCol,
           cfg.decontaminationNgram)
       })
+    decon
+  }
+
+  private def prepareImpl(docs: DataFrame, evalSet: DataFrame, cfg: Config,
+      idCol: String, textCol: String, srcCol: String,
+      blocklist: Option[DataFrame],
+      report: Option[scala.collection.mutable.ListBuffer[StageRows]]): DataFrame = {
+    def note(name: String, df: DataFrame): DataFrame = noteFn(report)(name, df)
+    def stage(df: DataFrame): DataFrame =
+      graft.core.CacheBin.trackCheckpoint(df.localCheckpoint(true))
+    def flatten(df: DataFrame, isFlat: Boolean): DataFrame =
+      if (isFlat) df else stage(df)
+    val decon = curateImpl(docs, evalSet, cfg, idCol, textCol, blocklist, report)
 
     // 5. leakage-safe split; n_tokens feeds every budget downstream —
     // model-accurate (scan-time Viterbi kernel, zero joins) when a

@@ -73,19 +73,20 @@ object Decontaminate {
       idCol: String, vecCol: String, threshold: Double,
       evalVecCol: String = "embedding"): DataFrame = {
     import graft.functions.FloatVec
-    // zero-norm guards: an all-zero eval vector would make the cosine
-    // NaN for EVERY corpus row, and Spark orders NaN above all doubles,
-    // so `NaN >= threshold` is TRUE — one degenerate eval row would
-    // silently drop the whole corpus. Filter zero-norm eval vectors out
-    // (they carry no semantic content to match) and nanvl the cosine so
-    // a zero-norm CORPUS row scores 0 (kept) instead of NaN (dropped).
+    // zero-norm guards: a zero-norm vector on either side makes the
+    // cosine denominator 0 — an ANSI divide-by-zero error (or, with
+    // ANSI off, a NaN that Spark orders ABOVE every double, so
+    // `NaN >= threshold` is TRUE and one degenerate eval row silently
+    // drops the whole corpus). Filter zero-norm eval vectors out (no
+    // semantic content to match) and try_divide the cosine so a
+    // zero-norm CORPUS row compares as NULL (kept) in both ANSI modes.
     val ev = evalSet.select(col(evalVecCol).as("__evec"),
       FloatVec.normF(col(evalVecCol)).as("__enorm"))
       .filter(col("__enorm") > lit(0.0))
     corpus.withColumn("__cnorm", FloatVec.normF(col(vecCol)))
       .join(broadcast(ev),
-        nanvl(FloatVec.dotF(col(vecCol), col("__evec")) /
-          (col("__cnorm") * col("__enorm")), lit(0.0)) >= threshold,
+        nanvl(try_divide(FloatVec.dotF(col(vecCol), col("__evec")),
+          col("__cnorm") * col("__enorm")), lit(0.0)) >= threshold,
         "left_anti")
       .drop("__cnorm")
   }

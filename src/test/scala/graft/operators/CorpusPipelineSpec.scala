@@ -390,4 +390,89 @@ class CorpusPipelineSpec extends SparkSpec {
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(run(2) == run(9))
   }
+
+  test("delta run equals a full curate over the combined corpus (keep-first pinned)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    val idx = s"$base/dedupindex"
+    val lidx = s"$base/lineindex"
+    val oldChrome = "visit our generous sponsor page today for deals"
+    val newChrome = "download our mobile application from the store now"
+    val bodyA = "the quick brown fox jumps over the lazy dog near the river bank today morning"
+    val bodyF = "fourteenth unique travel journal describing long caravan routes across vast desert landscapes and oases"
+    val olds = Seq(
+      (1L, "en", bodyA),
+      (2L, "en", "completely different second document about mountain hiking and alpine trail maps for summer"),
+      (3L, "en", s"third document body text about cooking pasta recipes with garlic and olive oil\n$oldChrome"),
+      (4L, "en", s"fourth document discusses astronomy telescopes and detailed star charts for northern skies\n$oldChrome"))
+    val news = Seq(
+      // unique, chrome-free: admitted verbatim (cleaned == original)
+      (11L, "en", "eleventh fresh essay on underwater photography techniques with coral reefs and ambient natural light"),
+      // one-word edit of old 1: dropped (near-dup of the accepted corpus)
+      (12L, "en", bodyA.replace("morning", "evening")),
+      // exact copy of old 2: dropped (J = 1 via the index screen)
+      (13L, "en", "completely different second document about mountain hiking and alpine trail maps for summer"),
+      // admitted; NEWCHROME stripped by the WITHIN-delta line dedup
+      (14L, "en", s"$bodyF\n$newChrome"),
+      // one-word edit of 14: dropped (within-delta near-dup, keep-first)
+      (15L, "en", s"${bodyF.replace("oases", "canyons")}\n$newChrome"),
+      // admitted; OLDCHROME stripped via the index, NEWCHROME within-delta
+      (16L, "en", s"sixteenth report on municipal recycling programs and seasonal collection schedules for residents\n$oldChrome\n$newChrome"),
+      // below the char floor: dropped
+      (17L, "en", "too short to keep"),
+      // near-dup of 12 ONLY (two words from old 1): the loser-chain
+      // ordering pin — in-delta clean must see 12 BEFORE the index
+      // screen drops it, so 18 still loses to 12 exactly as in a full
+      // run's direct-pair rule
+      (18L, "en", bodyA.replace("morning", "evening").replace("quick", "swift")))
+    val oldDf = olds.toDF("doc_id", "lang", "text")
+    val newDf = news.toDF("doc_id", "lang", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minChars = 40,
+      jaccardThreshold = 0.5, lineDedupMinDocFreq = 2,
+      boilerMinDocFreq = 99)
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+      .withColumn("text", lit("")).limit(0)
+    // ---- bootstrap artifacts from the day-0 corpus (bands must match
+    // CorpusClean's in-pipeline banding: threshold 0.5 -> 8 bands) ----
+    TextDedup.writeDedupIndex(oldDf, "doc_id", "text", idx, bands = 8)
+    LineIndex.writeLineIndex(oldDf, "doc_id", "text", lidx, minDocFreq = 2)
+    graft.core.CacheBin.drain()
+    val arts = CorpusPipeline.DeltaArtifacts(
+      dedupIndexPath = idx, lineIndexPath = Some(lidx))
+    val delta = CorpusPipeline.prepareDelta(newDf, empty, cfg, arts)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    // ---- the full-run twin over the combined corpus ----
+    val full = CorpusPipeline.curate(oldDf.unionByName(newDf), empty, cfg)
+      .filter(col("doc_id") > 10L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(delta.keySet === Set(11L, 14L, 16L),
+      s"delta admission set: ${delta.keySet}")
+    assert(delta === full,
+      s"delta diverged from the full twin:\ndelta=$delta\nfull=$full")
+    assert(!delta(16L).contains("sponsor") && !delta(16L).contains("mobile"),
+      s"both chrome grains must be stripped: ${delta(16L)}")
+    // ---- delta 2 screens against delta 1's APPENDED admissions ----
+    val delta2 = CorpusPipeline.prepareDelta(Seq(
+        (21L, "en", news.head._3), // exact copy of accepted 11
+        (22L, "en", "twentysecond brand new chronicle of harbor renovations and ferry schedule changes this autumn"))
+        .toDF("doc_id", "lang", "text"),
+      empty, cfg, arts)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.core.CacheBin.drain()
+    val full2 = CorpusPipeline.curate(
+      oldDf.unionByName(newDf).unionByName(Seq(
+        (21L, "en", news.head._3),
+        (22L, "en", "twentysecond brand new chronicle of harbor renovations and ferry schedule changes this autumn"))
+        .toDF("doc_id", "lang", "text")),
+      empty, cfg)
+      .filter(col("doc_id") > 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.core.CacheBin.drain()
+    assert(delta2 === Set(22L), s"delta2 admission: $delta2")
+    assert(delta2 === full2, s"delta2=$delta2 full2=$full2")
+  }
 }

@@ -75,6 +75,32 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("semanticDecontaminate survives zero-norm vectors on either side") {
+    // r15 advice: an all-zero eval vector made the cosine NaN for EVERY
+    // corpus row, and NaN >= threshold is TRUE under Spark's NaN
+    // ordering — one degenerate eval row silently dropped the corpus;
+    // a zero-norm corpus row was likewise always dropped
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // matches eval direction -> dropped
+      (2L, Array(0.0f, 1.0f)),   // orthogonal -> kept
+      (3L, Array(0.0f, 0.0f)))   // zero-norm corpus row -> kept (cos := 0)
+      .toDF("doc_id", "vec")
+    val evalSet = Seq(
+      Tuple1(Array(0.0f, 0.0f)), // degenerate eval row: must be ignored
+      Tuple1(Array(2.0f, 0.0f)))
+      .toDF("embedding")
+    val kept = Decontaminate.semanticDecontaminate(
+      corpus, evalSet, "doc_id", "vec", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L), s"kept: $kept")
+    // all-degenerate eval set: nothing can match, corpus unchanged
+    val keptAll = Decontaminate.semanticDecontaminate(
+      corpus, Seq(Tuple1(Array(0.0f, 0.0f))).toDF("embedding"),
+      "doc_id", "vec", threshold = 0.9)
+      .count()
+    assert(keptAll === 3L, "a zero-norm-only eval set must drop nothing")
+  }
+
   test("maxOverlap = 0 is rejected (that is the any-hit rule's job)") {
     intercept[IllegalArgumentException] {
       Decontaminate.decontaminateByFraction(
