@@ -263,6 +263,94 @@ object LineQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_paragraph_neardup_against",
+      "Paragraph near-dup screen AGAINST a reference corpus — the " +
+        "batch ground-truth twin of the streaming ParagraphIndex " +
+        "probe: incoming docs (doc_id >= 400) lose every paragraph " +
+        "that is a verified near-dup (one-sided banded MinHash + " +
+        "exact Jaccard >= 0.5) of ANY reference paragraph " +
+        "(doc_id < 400), and rebuild from survivors. The oracle " +
+        "replays both corpora's signatures and the one-sided join.",
+      (s, dir) => {
+        val synth = concat(
+          regexp_replace(col("text"), " stream ", "\n\n"),
+          when(col("doc_id") % 37 === 1, concat(
+            lit("\n\nthis templated welcome passage appears on page variant "),
+            (col("doc_id") % 2).cast("string"))).otherwise(lit("")),
+          lit("\n\nunique closing paragraph "), col("doc_id").cast("string"))
+        val synthDocs = Tables.load(s, dir, "documents")
+          .withColumn("synth", synth)
+        LineCuration.stripNearDupParagraphsAgainst(
+          synthDocs.filter(col("doc_id") >= 400),
+          synthDocs.filter(col("doc_id") < 400),
+          "doc_id", "synth", threshold = 0.5, bands = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bandCond = (0 until 4).map(j => s"i.band$j = c.band$j").mkString(" OR ")
+        s"""WITH s0 AS (
+           |  SELECT doc_id AS odoc,
+           |    regexp_replace(text, ' stream ', chr(10) || chr(10), 'g') ||
+           |    (CASE WHEN doc_id % 37 = 1
+           |          THEN chr(10) || chr(10) ||
+           |            'this templated welcome passage appears on page variant ' ||
+           |            CAST(doc_id % 2 AS VARCHAR)
+           |          ELSE '' END) ||
+           |    chr(10) || chr(10) || 'unique closing paragraph ' ||
+           |    CAST(doc_id AS VARCHAR) AS t
+           |  FROM documents),
+           |pin AS (
+           |  SELECT odoc,
+           |         unnest(string_split(t, chr(10) || chr(10))) AS para,
+           |         unnest(range(len(string_split(t, chr(10) || chr(10))))) AS pos
+           |  FROM s0 WHERE odoc >= 400),
+           |pref AS (
+           |  SELECT odoc,
+           |         unnest(string_split(t, chr(10) || chr(10))) AS para,
+           |         unnest(range(len(string_split(t, chr(10) || chr(10))))) AS pos
+           |  FROM s0 WHERE odoc < 400),
+           |unitsin AS (
+           |  SELECT odoc * 1048576 + pos AS doc_id, para AS text
+           |  FROM pin WHERE length(trim(para)) > 0),
+           |unitsref AS (
+           |  SELECT odoc * 1048576 + pos AS doc_id, para AS text
+           |  FROM pref WHERE length(trim(para)) > 0),
+           |${DedupOracles.baseSfx("unitsin", "i")},
+           |${DedupOracles.minhashBandCtesSfx(16, 4, 42L, "i")},
+           |${DedupOracles.baseSfx("unitsref", "r")},
+           |${DedupOracles.minhashBandCtesSfx(16, 4, 42L, "r")},
+           |pr AS (
+           |  SELECT DISTINCT i.doc_id AS inc, c.doc_id AS co
+           |  FROM bndi i JOIN bndr c ON ($bandCond)),
+           |ver AS (
+           |  SELECT p.inc
+           |  FROM pr p
+           |  JOIN si a ON a.doc_id = p.inc
+           |  JOIN sr b ON b.doc_id = p.co AND b.h = a.h
+           |  JOIN sizesi na ON na.doc_id = p.inc
+           |  JOIN sizesr nb ON nb.doc_id = p.co
+           |  GROUP BY p.inc, p.co, na.n, nb.n
+           |  HAVING CAST(count(*) AS DOUBLE) /
+           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5),
+           |kept AS (
+           |  SELECT p.odoc, p.pos, p.para FROM pin p
+           |  WHERE NOT EXISTS (SELECT 1 FROM ver v
+           |                    WHERE v.inc = p.odoc * 1048576 + p.pos)),
+           |tot AS (
+           |  SELECT odoc, CAST(count(*) AS BIGINT) AS n_units
+           |  FROM pin GROUP BY odoc),
+           |reb AS (
+           |  SELECT odoc, CAST(count(*) AS BIGINT) AS kept_n,
+           |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+           |  FROM kept GROUP BY odoc)
+           |SELECT t.odoc AS doc_id, t.n_units,
+           |       t.n_units - COALESCE(r.kept_n, 0) AS n_removed,
+           |       COALESCE(r.clean_text, '') AS clean_text
+           |FROM tot t LEFT JOIN reb r ON r.odoc = t.odoc
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_paragraph_dedup",
       "Corpus-level exact PARAGRAPH dedup (RefinedWeb's other exact " +
         "grain): units split on blank lines; a paragraph in >= 2 " +
