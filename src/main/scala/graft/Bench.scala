@@ -279,18 +279,25 @@ object Bench {
     } :+ s""""all":${num(total, 3)}""").mkString("{", ",", "}")
     // contention gate (the r15 lesson: a 0.628-vs-0.348 end/start probe
     // made every committed subtotal a hot-machine sample, +7% uniform
-    // and unfalsifiable). A probe spread beyond 1.3x means the machine
-    // sped up or slowed down mid-run — the totals are then samples of
-    // DIFFERENT machines and cross-round comparison must quote the
-    // flag (scripts/bench_retry.sh re-runs once on it).
-    val calProbes = Seq(calStart, calMid, calEnd).filter(_ > 0)
+    // and unfalsifiable). The gate compares the two WARMED probes
+    // (mid vs end): two r16 back-to-back runs measured start ~0.31 vs
+    // mid/end ~0.43 BOTH times with totals 147.2/144.7 s — the
+    // start→mid step is reproducible JVM aging (GC pressure, code
+    // cache), not machine contention, so including start in the
+    // spread would cry wolf on every flat run. A mid/end spread
+    // beyond 1.3x means the machine's speed changed across the run's
+    // second half — totals are then samples of DIFFERENT machines and
+    // cross-round comparison must quote the flag
+    // (scripts/bench_retry.sh re-runs once on it). start stays in the
+    // JSON for cross-round machine-state comparison.
+    val warmProbes = Seq(calMid, calEnd).filter(_ > 0)
     val calSpread =
-      if (calProbes.isEmpty) -1.0 else calProbes.max / calProbes.min
+      if (warmProbes.isEmpty) -1.0 else warmProbes.max / warmProbes.min
     val contended = calSpread > 1.3
     val calibrationJson =
       s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)},"spread":${num(calSpread, 3)},"contended":$contended,"cache_cold_sec":${num(cacheCold, 4)},"cache_warm_sec":${num(cacheWarm, 4)},"cache_ratio":${num(if (cacheWarm > 0) cacheCold / cacheWarm else -1.0, 2)},"stage_cache_ratio":${num(if (stageCacheWarm > 0) stageCacheCold / stageCacheWarm else -1.0, 2)}}"""
     if (contended) System.err.println(
-      f"[bench] CONTENDED: calibration probe spread $calSpread%.2fx " +
+      f"[bench] CONTENDED: warmed calibration probe spread $calSpread%.2fx " +
         "(start/mid/end " + f"$calStart%.3f/$calMid%.3f/$calEnd%.3f s) " +
         "exceeds 1.3x - totals are not comparable across rounds; re-run")
     val loads = loadSamples.values.toSeq
