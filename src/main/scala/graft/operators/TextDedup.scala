@@ -251,7 +251,13 @@ object TextDedup {
         TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
       explodeBands(sig, Seq(idCol), h, bands)
         .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-      sh.write.mode(mode).parquet(s"$path/shingles")
+      // id-sorted, range-partitioned layout: every shingle row group
+      // covers a TIGHT id range, so the screen's candidate-id pushdown
+      // (dedupAgainstIndex) skips row groups on parquet min/max stats
+      // instead of scanning the whole corpus per delta. Appends keep
+      // the property per file generation (daily ids are monotone).
+      sh.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+        .write.mode(mode).parquet(s"$path/shingles")
     } finally sh.unpersist()
   }
 
@@ -671,6 +677,15 @@ object TextDedup {
     * re-ingest of an existing id is not dropped by its previous
     * version — id-identity dedup is a different, upstream concern.)
     */
+  /** Largest candidate-id set the screen ships to the driver for the
+    * verify-scan pushdown; above it the full-scan join runs unchanged.
+    * Bounds BOTH driver traffic (~160 KB of longs) and the literal-set
+    * size the filter plants in the plan (an isin this size becomes one
+    * InSet probe at eval and a min/max range at the parquet layer —
+    * never 20k codegen branches).
+    */
+  val CandidatePushdownCap: Int = 20000
+
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double, excludeSelf: Boolean = false): DataFrame = {
@@ -701,11 +716,32 @@ object TextDedup {
       .select(col(idCol).as("__co"), col("band"), col("val"))
     val candsAll = inBands.join(idxBands, Seq("band", "val"))
       .select(col("__in"), col("__co"))
-    val cands = (if (excludeSelf) candsAll.filter(col("__in") =!= col("__co"))
+    val cands0 = (if (excludeSelf) candsAll.filter(col("__in") =!= col("__co"))
       else candsAll).distinct()
+    // consumed by the id-pushdown probe below AND the verify joins —
+    // persist so the banded join runs once
+    val cands = graft.core.CacheBin.trackEager(
+      cands0.persist(StorageLevel.MEMORY_AND_DISK))
+    // Candidate-bounded verify read: the verify only ever needs the
+    // CANDIDATES' corpus shingle rows, but a plain join still scans
+    // every corpus row group. The candidate id set is bounded by the
+    // banded-candidate count — for a daily delta against a big corpus
+    // |cands| << |corpus| — so when it is small enough to ship, it
+    // collects and pushes an id predicate into the corpus shingle
+    // scan; with the index's id-sorted row groups (writeIndexRows),
+    // parquet min/max stats skip everything outside the candidates'
+    // id ranges and the read becomes candidate-bounded instead of
+    // corpus-bounded. Past the cap the full-scan join runs unchanged
+    // (driver traffic stays bounded by construction).
+    val candIds = cands.select(col("__co")).distinct()
+      .limit(CandidatePushdownCap + 1).collect().map(_.get(0))
+    val idxShUsed =
+      if (candIds.length <= CandidatePushdownCap)
+        idxSh.filter(col("__co").isin(candIds.toSeq: _*))
+      else idxSh
     val drops = cands
       .join(inSh.select(col(idCol).as("__in"), col("__shh").as("__s1")), "__in")
-      .join(idxSh, "__co")
+      .join(idxShUsed, "__co")
       .withColumn("__i", size(array_intersect(col("__s1"), col("__s2"))))
       .filter(col("__i").cast("double") /
         (size(col("__s1")) + size(col("__s2")) - col("__i")).cast("double") >= threshold)
