@@ -43,9 +43,21 @@ object ScaleSweep {
     // labeled side + a stateless scoring scan; expected ~linear.
     // Semantic decontamination — one broadcast anti-join, O(n·|eval|)
     "q_lang_id_trained", "q_semantic_decontaminate",
-    // paragraph-grain near-dup: unit-level banded MinHash (the doc-
-    // grain family's shuffle over ~#units rows)
-    "q_paragraph_neardup")
+    // round 16: the against-form paragraph screen — one-sided banded
+    // unit join, expected ~linear in incoming units (the reference
+    // side is the fixed doc_id < 400 slice).
+    //
+    // q_paragraph_neardup itself is deliberately NOT swept: its
+    // registered fixture injects IDENTICAL template paragraphs keyed
+    // on doc_id % 2, so the sweep's id-shifted copies multiply
+    // identical units and the within-corpus pair set grows
+    // QUADRATICALLY by fixture construction (~13.5k copies of one
+    // template at 100x → ~90M verified pairs on one skewed band
+    // value) — the sweep would measure duplication pathology, not the
+    // operator (the same reason the derive perturbs content). The
+    // operator's scaling is covered by the unit-grain band shuffle it
+    // shares with q_minhash_dedup and by the swept against-form.
+    "q_paragraph_neardup_against")
 
   /** Derived tables: copy 0 is the base bytes; copy i shifts ids (by a
     * data-derived stride, so deriving FROM a derived corpus keeps ids

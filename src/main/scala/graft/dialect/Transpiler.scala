@@ -1503,7 +1503,8 @@ object Transpiler {
     * renames, TABLESAMPLE SYSTEM, JSON functions over JSON-text
     * columns (JSON_VALUE/JSON_EXTRACT_SCALAR → get_json_object,
     * JSON_EXTRACT/JSON_QUERY → to_json(variant_get(try_parse_json)),
-    * TO_JSON_STRING) — then the shared pipeline.
+    * TO_JSON_STRING), the SAFE. function prefix, printf-style FORMAT,
+    * GENERATE_DATE_ARRAY → date sequence() — then the shared pipeline.
     * Idempotent.
     *
     * NOTE: BigQuery NUMERIC is DECIMAL(38,9); a bare rename to
@@ -1512,6 +1513,15 @@ object Transpiler {
   def transpileBigQuery(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
     out = rewriteBacktickPaths(out)
+    // the `SAFE.` FUNCTION PREFIX is BigQuery's general NULL-on-error
+    // spelling: normalize `SAFE.FN(` to `SAFE_FN(` FIRST — before any
+    // function map runs, so a dotted SAFE.PARSE_DATE cannot be
+    // half-rewritten by the PARSE_DATE arm (a '.' passes the word
+    // boundary where a '_' does not). Known SAFE_ forms then map to
+    // try_*; an unknown SAFE_X survives to the repair loop (dropping
+    // the prefix outright would silently change error semantics).
+    out = guarded(out, """(?i)\bSAFE\.([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r)(
+      m => s"SAFE_${m.group(1)}(")
     out = rewriteInUnnest(out)
     out = rewriteFromUnnest(out)
     def diffArm(name: String): Unit =
@@ -1701,6 +1711,22 @@ object Transpiler {
     out = replaceToken(out, "SAFE_SUBTRACT", "TRY_SUBTRACT")
     out = replaceToken(out, "SAFE_MULTIPLY", "TRY_MULTIPLY")
     out = replaceToken(out, "SAFE_CAST", "TRY_CAST")
+    // printf-style FORMAT → format_string (literal format only: FORMAT
+    // with date parts etc. goes to the repair loop)
+    out = rewriteCall(out, "FORMAT") {
+      case args @ (fmt +: _) if fmtLit(fmt).exists(_.contains("%")) =>
+        Some(s"format_string(${args.mkString(", ")})")
+      case _ => None
+    }
+    // GENERATE_DATE_ARRAY(start, end[, INTERVAL n unit]) → sequence
+    // over dates (Spark sequence steps dates by interval; default 1 day)
+    out = rewriteCall(out, "GENERATE_DATE_ARRAY") {
+      case Seq(a, b) => Some(s"sequence(CAST($a AS DATE), CAST($b AS DATE))")
+      case Seq(a, b, iv) if parseInterval(iv).isDefined =>
+        val (nIv, unit) = parseInterval(iv).get
+        Some(s"sequence(CAST($a AS DATE), CAST($b AS DATE), INTERVAL $nIv ${unit.toUpperCase})")
+      case _ => None
+    }
     out = replaceToken(out, "COUNTIF", "COUNT_IF")
     out = replaceToken(out, "REGEXP_CONTAINS", "REGEXP_LIKE")
     out = replaceToken(out, "STARTS_WITH", "STARTSWITH")

@@ -430,5 +430,40 @@ object DialectQueries extends QueryPack {
              |         AS second_nz,
              |       CAST(7 AS BIGINT) AS n_samp
              |FROM base
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch4",
+      "Dialect batch 4 (BigQuery): the SAFE. function prefix " +
+        "(NULL-on-error) normalizes to the SAFE_/try_* maps, " +
+        "printf-style FORMAT becomes format_string, and " +
+        "GENERATE_DATE_ARRAY (default and INTERVAL-stepped) becomes " +
+        "date sequence() — verified against DuckDB printf and " +
+        "generate_series.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT o_orderkey,
+              |       SAFE.DIVIDE(CAST(o_orderkey AS FLOAT64), 0) AS div0,
+              |       SAFE.DIVIDE(CAST(o_orderkey AS FLOAT64), 2.0) AS halfk,
+              |       FORMAT('%d-%s', o_orderkey, o_orderstatus) AS tag,
+              |       CAST(ARRAY_LENGTH(GENERATE_DATE_ARRAY(
+              |         DATE '2024-01-01', DATE '2024-01-10')) AS INT64) AS ndays,
+              |       CAST(ARRAY_LENGTH(GENERATE_DATE_ARRAY(
+              |         DATE '2024-01-01', DATE '2024-03-01', INTERVAL 1 WEEK)) AS INT64) AS nweeks
+              |FROM orders
+              |WHERE o_orderkey < 200
+              |ORDER BY o_orderkey""".stripMargin))
+        },
+      Some("""SELECT o_orderkey,
+             |       CAST(NULL AS DOUBLE) AS div0,
+             |       CAST(o_orderkey AS DOUBLE) / 2.0 AS halfk,
+             |       printf('%d-%s', o_orderkey, o_orderstatus) AS tag,
+             |       CAST(len(generate_series(DATE '2024-01-01',
+             |         DATE '2024-01-10', INTERVAL 1 DAY)) AS BIGINT) AS ndays,
+             |       CAST(len(generate_series(DATE '2024-01-01',
+             |         DATE '2024-03-01', INTERVAL 7 DAY)) AS BIGINT) AS nweeks
+             |FROM orders
+             |WHERE o_orderkey < 200
              |ORDER BY o_orderkey""".stripMargin)))
 }

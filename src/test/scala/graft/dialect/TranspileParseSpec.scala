@@ -60,7 +60,9 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT ARRAY_LENGTH(REGEXP_EXTRACT_ALL(s, 'x+')) FROM t WHERE REGEXP_CONTAINS(s, 'a|b')",
     "SELECT JSON_VALUE(j, '$.name'), JSON_EXTRACT_SCALAR(j, '$.a') FROM t",
     "SELECT JSON_EXTRACT(j, '$.a'), JSON_QUERY(j, '$.t') FROM t",
-    "SELECT TO_JSON_STRING(STRUCT(a AS k, b AS v)) FROM t")
+    "SELECT TO_JSON_STRING(STRUCT(a AS k, b AS v)) FROM t",
+    "SELECT SAFE.DIVIDE(a, b), FORMAT('%d', a) FROM t",
+    "SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', d, INTERVAL 2 MONTH) FROM t")
 
   private val shared = Seq(
     "SELECT strftime('%Y-%m', d), IIF(a > 1, 'x', 'y'), LEN(s) FROM t",

@@ -23,7 +23,8 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "'REGEXP_SUBSTR(s, p, 1, 2)'", "'CAST(b AS REAL)'",
     // r16: JSON/variant family + BigQuery type-cast literal safety
     "'PARSE_JSON(j):a.b::INT'", "'GET_PATH(v, ''a'')'",
-    "'JSON_EXTRACT(j, ''$.a'')'", "'CAST(x AS INT64)'", "'AS NUMERIC'")
+    "'JSON_EXTRACT(j, ''$.a'')'", "'CAST(x AS INT64)'", "'AS NUMERIC'",
+    "'SAFE.DIVIDE(a, b)'", "'FORMAT(''%d'', a)'")
   private val calls = Vector(
     "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
     "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
@@ -50,7 +51,9 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "GET_PATH(a, 'k.m')", "JSON_EXTRACT_PATH_TEXT(t.x, 'name')",
     "OBJECT_AGG(a, b)", "JSON_VALUE(t.x, '$.a')",
     "JSON_EXTRACT(t.x, '$.a')", "JSON_QUERY(t.x, '$.t')",
-    "TO_JSON_STRING(a)", "OBJECT_CONSTRUCT_KEEP_NULL('k', b)")
+    "TO_JSON_STRING(a)", "OBJECT_CONSTRUCT_KEEP_NULL('k', b)",
+    "SAFE.DIVIDE(a, b)", "FORMAT('%d', a)",
+    "GENERATE_DATE_ARRAY(a, b, INTERVAL 1 WEEK)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

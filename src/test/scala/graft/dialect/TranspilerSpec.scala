@@ -510,6 +510,32 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileBigQuery(rep) == rep)
   }
 
+  test("dialect batch 4: SAFE. prefix, FORMAT, GENERATE_DATE_ARRAY") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT SAFE.DIVIDE(a, b) FROM t") ==
+      "SELECT TRY_DIVIDE(a, b) FROM t")
+    assert(transpileBigQuery("SELECT SAFE.CAST(x AS INT64) FROM t") ==
+      "SELECT TRY_CAST(x AS BIGINT) FROM t")
+    // unknown SAFE.fn keeps NULL-on-error semantics visible for the
+    // repair loop instead of silently dropping the prefix
+    assert(transpileBigQuery("SELECT SAFE.PARSE_DATE('%Y', s) FROM t") ==
+      "SELECT SAFE_PARSE_DATE('%Y', s) FROM t")
+    // a literal containing SAFE. survives
+    assert(transpileBigQuery("SELECT 'SAFE.DIVIDE(a, b)' FROM t") ==
+      "SELECT 'SAFE.DIVIDE(a, b)' FROM t")
+    assert(transpileBigQuery("SELECT FORMAT('%d-%s', k, s) FROM t") ==
+      "SELECT format_string('%d-%s', k, s) FROM t")
+    // FORMAT without a %-literal first arg → repair loop
+    assert(transpileBigQuery("SELECT FORMAT(f, k) FROM t") ==
+      "SELECT FORMAT(f, k) FROM t")
+    assert(transpileBigQuery(
+      "SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-10') FROM t") ==
+      "SELECT sequence(CAST(DATE '2024-01-01' AS DATE), CAST(DATE '2024-01-10' AS DATE)) FROM t")
+    assert(transpileBigQuery(
+      "SELECT GENERATE_DATE_ARRAY(a, b, INTERVAL 1 WEEK) FROM t") ==
+      "SELECT sequence(CAST(a AS DATE), CAST(b AS DATE), INTERVAL 1 WEEK) FROM t")
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
