@@ -1504,7 +1504,9 @@ object Transpiler {
     * columns (JSON_VALUE/JSON_EXTRACT_SCALAR → get_json_object,
     * JSON_EXTRACT/JSON_QUERY → to_json(variant_get(try_parse_json)),
     * TO_JSON_STRING), the SAFE. function prefix, printf-style FORMAT,
-    * GENERATE_DATE_ARRAY → date sequence() — then the shared pipeline.
+    * GENERATE_DATE_ARRAY → date sequence(), value-first LOG →
+    * ln-division, OFFSET/ORDINAL/SAFE_* array access,
+    * CONTAINS_SUBSTR — then the shared pipeline.
     * Idempotent.
     *
     * NOTE: BigQuery NUMERIC is DECIMAL(38,9); a bare rename to
@@ -1738,6 +1740,37 @@ object Transpiler {
     out = replaceToken(out, "GENERATE_ARRAY", "SEQUENCE")
     out = replaceToken(out, "LOGICAL_AND", "BOOL_AND")
     out = replaceToken(out, "LOGICAL_OR", "BOOL_OR")
+    // BigQuery LOG(x, base) is VALUE-FIRST; Spark's log(base, x) is
+    // base-first — a pass-through would silently compute the wrong
+    // logarithm. Emitted as ln(x)/ln(base) (Spark's own Logarithm is
+    // exactly this division) so the output cannot re-match this arm —
+    // `log(b, x)` would swap again on every re-transpile. 1-arg LOG
+    // (natural log) matches Spark and passes through.
+    out = rewriteCall(out, "LOG") {
+      case Seq(x, b) => Some(s"(ln($x) / ln($b))")
+      case _ => None
+    }
+    // array element access: [OFFSET(i)] is 0-based like Spark's [] —
+    // unwrap; [ORDINAL(i)] is 1-based — shift; the SAFE_ forms return
+    // NULL out of range → try_element_at (1-based), captured with a
+    // simple base expression (identifier/dotted path; anything fancier
+    // goes to the repair loop)
+    out = guarded(out, """(?i)\[\s*OFFSET\s*\(([^()]*)\)\s*\]""".r)(
+      m => s"[(${m.group(1)})]")
+    out = guarded(out, """(?i)\[\s*ORDINAL\s*\(([^()]*)\)\s*\]""".r)(
+      m => s"[(${m.group(1)}) - 1]")
+    out = guarded(out,
+      """(?i)([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*SAFE_OFFSET\s*\(([^()]*)\)\s*\]""".r)(
+      m => s"try_element_at(${m.group(1)}, (${m.group(2)}) + 1)")
+    out = guarded(out,
+      """(?i)([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*SAFE_ORDINAL\s*\(([^()]*)\)\s*\]""".r)(
+      m => s"try_element_at(${m.group(1)}, (${m.group(2)}))")
+    // CONTAINS_SUBSTR: case-insensitive containment (BigQuery also
+    // NFKC-normalizes — divergence only on exotic codepoints)
+    out = rewriteCall(out, "CONTAINS_SUBSTR") {
+      case Seq(a, b) => Some(s"(instr(lower($a), lower($b)) > 0)")
+      case _ => None
+    }
     // TABLESAMPLE SYSTEM (10 PERCENT) → Spark's TABLESAMPLE
     out = guarded(out, "(?i)\\bTABLESAMPLE\\s+SYSTEM\\b".r)(_ => "TABLESAMPLE")
     out = replaceToken(out, "CURRENT_DATETIME", "CURRENT_TIMESTAMP")

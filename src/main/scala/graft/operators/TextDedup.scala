@@ -249,7 +249,14 @@ object TextDedup {
       sh.count() // pin before the two writes below both consume it
       val sig = sh.withColumn("__sig",
         TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+      // value-sorted band layout: each band directory's row groups
+      // cover tight `val` ranges, so the screen's probe-value pushdown
+      // skips row groups whose band-value range contains no incoming
+      // signature (the shingle table's id-sorted discipline, applied
+      // to the candidate side)
       explodeBands(sig, Seq(idCol), h, bands)
+        .repartitionByRange(col("band"), col("val"))
+        .sortWithinPartitions(col("band"), col("val"))
         .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
       // id-sorted, range-partitioned layout: every shingle row group
       // covers a TIGHT id range, so the screen's candidate-id pushdown
@@ -712,9 +719,25 @@ object TextDedup {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("band",
         org.apache.spark.sql.types.IntegerType)))
-    val idxBands = spark.read.schema(bandsSchema).parquet(s"$path/bands")
+    val idxBands0 = spark.read.schema(bandsSchema).parquet(s"$path/bands")
       .select(col(idCol).as("__co"), col("band"), col("val"))
-    val candsAll = inBands.join(idxBands, Seq("band", "val"))
+    // Probe-value pushdown (the candidate-side twin of the shingle id
+    // pushdown below): the incoming batch's distinct band VALUES are
+    // bounded by |incoming| x bands, so when small enough to ship they
+    // push into the band scan — with the value-sorted band layout,
+    // row groups whose value range holds no incoming signature are
+    // skipped on parquet stats. Past the cap the full band join runs
+    // unchanged. inBands feeds this probe AND the candidate join —
+    // persist it so signatures compute once.
+    val inB = graft.core.CacheBin.trackEager(
+      inBands.persist(StorageLevel.MEMORY_AND_DISK))
+    val probeVals = inB.select(col("val")).distinct()
+      .limit(CandidatePushdownCap + 1).collect().map(_.get(0))
+    val idxBands =
+      if (probeVals.length <= CandidatePushdownCap)
+        idxBands0.filter(col("val").isin(probeVals.toSeq: _*))
+      else idxBands0
+    val candsAll = inB.join(idxBands, Seq("band", "val"))
       .select(col("__in"), col("__co"))
     val cands0 = (if (excludeSelf) candsAll.filter(col("__in") =!= col("__co"))
       else candsAll).distinct()

@@ -465,5 +465,37 @@ object DialectQueries extends QueryPack {
              |         DATE '2024-03-01', INTERVAL 7 DAY)) AS BIGINT) AS nweeks
              |FROM orders
              |WHERE o_orderkey < 200
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch5",
+      "Dialect batch 5 (BigQuery): LOG's value-first argument order " +
+        "maps to an ln-division (Spark's log is base-first — a " +
+        "pass-through computes the wrong logarithm), array access via " +
+        "OFFSET (0-based) / ORDINAL (1-based) / SAFE_OFFSET past the " +
+        "end, and case-insensitive CONTAINS_SUBSTR — all over the " +
+        "genuinely nested nation_arrays fixture.",
+      (s, dir) =>
+        withNested(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT n_regionkey,
+              |       names[OFFSET(0)] AS first_name,
+              |       names[ORDINAL(2)] AS second_name,
+              |       names[SAFE_OFFSET(999)] AS beyond,
+              |       LOG(CAST(ARRAY_LENGTH(names) AS FLOAT64), 2) AS log2_n,
+              |       CONTAINS_SUBSTR(names[OFFSET(0)], 'NATION_') AS has_tag
+              |FROM nation_arrays
+              |ORDER BY n_regionkey""".stripMargin))
+        },
+      Some("""WITH nation_arrays AS (
+             |  SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+             |  FROM nation GROUP BY n_regionkey)
+             |SELECT n_regionkey,
+             |       names[1] AS first_name,
+             |       names[2] AS second_name,
+             |       names[1000] AS beyond,
+             |       ln(CAST(len(names) AS DOUBLE)) / ln(2) AS log2_n,
+             |       (instr(lower(names[1]), lower('NATION_')) > 0) AS has_tag
+             |FROM nation_arrays
+             |ORDER BY n_regionkey""".stripMargin)))
 }

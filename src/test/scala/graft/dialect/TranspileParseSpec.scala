@@ -62,7 +62,9 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT JSON_EXTRACT(j, '$.a'), JSON_QUERY(j, '$.t') FROM t",
     "SELECT TO_JSON_STRING(STRUCT(a AS k, b AS v)) FROM t",
     "SELECT SAFE.DIVIDE(a, b), FORMAT('%d', a) FROM t",
-    "SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', d, INTERVAL 2 MONTH) FROM t")
+    "SELECT GENERATE_DATE_ARRAY(DATE '2024-01-01', d, INTERVAL 2 MONTH) FROM t",
+    "SELECT LOG(x, 2), arr[OFFSET(0)], arr[ORDINAL(2)], arr[SAFE_OFFSET(9)] FROM t",
+    "SELECT CONTAINS_SUBSTR(name, 'abc') FROM t")
 
   private val shared = Seq(
     "SELECT strftime('%Y-%m', d), IIF(a > 1, 'x', 'y'), LEN(s) FROM t",

@@ -53,7 +53,9 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "JSON_EXTRACT(t.x, '$.a')", "JSON_QUERY(t.x, '$.t')",
     "TO_JSON_STRING(a)", "OBJECT_CONSTRUCT_KEEP_NULL('k', b)",
     "SAFE.DIVIDE(a, b)", "FORMAT('%d', a)",
-    "GENERATE_DATE_ARRAY(a, b, INTERVAL 1 WEEK)")
+    "GENERATE_DATE_ARRAY(a, b, INTERVAL 1 WEEK)",
+    "LOG(a, 2)", "t.x[OFFSET(0)]", "t.x[SAFE_ORDINAL(b)]",
+    "CONTAINS_SUBSTR(a, 'zz')")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

@@ -536,6 +536,33 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT sequence(CAST(a AS DATE), CAST(b AS DATE), INTERVAL 1 WEEK) FROM t")
   }
 
+  test("dialect batch 5: LOG argument order, OFFSET/ORDINAL, CONTAINS_SUBSTR") {
+    import Transpiler.transpileBigQuery
+    // BigQuery LOG is value-first; Spark is base-first — ln-division
+    // output cannot re-swap on re-transpile
+    assert(transpileBigQuery("SELECT LOG(x, 2) FROM t") ==
+      "SELECT (ln(x) / ln(2)) FROM t")
+    val once = transpileBigQuery("SELECT LOG(x, 2) FROM t")
+    assert(transpileBigQuery(once) == once)
+    // 1-arg natural log passes through
+    assert(transpileBigQuery("SELECT LOG(x) FROM t") == "SELECT LOG(x) FROM t")
+    // array access: OFFSET 0-based (Spark-native), ORDINAL 1-based,
+    // SAFE_ forms -> try_element_at
+    assert(transpileBigQuery("SELECT arr[OFFSET(2)] FROM t") ==
+      "SELECT arr[(2)] FROM t")
+    assert(transpileBigQuery("SELECT arr[ORDINAL(i + 1)] FROM t") ==
+      "SELECT arr[(i + 1) - 1] FROM t")
+    assert(transpileBigQuery("SELECT t.arr[SAFE_OFFSET(5)] FROM t") ==
+      "SELECT try_element_at(t.arr, (5) + 1) FROM t")
+    assert(transpileBigQuery("SELECT arr[SAFE_ORDINAL(n)] FROM t") ==
+      "SELECT try_element_at(arr, (n)) FROM t")
+    assert(transpileBigQuery("SELECT CONTAINS_SUBSTR(name, 'ABC') FROM t") ==
+      "SELECT (instr(lower(name), lower('ABC')) > 0) FROM t")
+    // literal safety
+    assert(transpileBigQuery("SELECT 'LOG(x, 2) arr[OFFSET(1)]' FROM t") ==
+      "SELECT 'LOG(x, 2) arr[OFFSET(1)]' FROM t")
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==

@@ -49,6 +49,11 @@ class DedupIndexPushdownSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(doc_id") ||
       plan.contains("PushedFilters: [GreaterThanOrEqual(doc_id"),
       s"candidate ids not pushed into the verify scan:\n$plan")
+    // ...and the candidate-side twin: incoming band VALUES pushed into
+    // the (value-sorted) band scan
+    assert(plan.contains("PushedFilters: [In(val") ||
+      plan.contains("PushedFilters: [GreaterThanOrEqual(val"),
+      s"probe values not pushed into the band scan:\n$plan")
     // equality with the direct (index-free) one-sided screen
     val direct = TextDedup.minhashDedupAgainst(
       incoming, corpusDocs, "doc_id", "text", threshold = 0.5,
