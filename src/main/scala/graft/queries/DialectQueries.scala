@@ -497,5 +497,46 @@ object DialectQueries extends QueryPack {
              |       ln(CAST(len(names) AS DOUBLE)) / ln(2) AS log2_n,
              |       (instr(lower(names[1]), lower('NATION_')) > 0) AS has_tag
              |FROM nation_arrays
-             |ORDER BY n_regionkey""".stripMargin)))
+             |ORDER BY n_regionkey""".stripMargin)),
+
+    GQuery(
+      "q_transpile_pivot",
+      "Snowflake-style PIVOT is native Spark syntax (same aggregate-" +
+        "FOR-IN shape, aliases pinning the output column names) — a " +
+        "deliberate passthrough, executed end-to-end and mirrored by " +
+        "DuckDB conditional aggregation.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT * FROM (SELECT n_regionkey AS rk, n_nationkey FROM nation)
+              |PIVOT (COUNT(n_nationkey)
+              |       FOR rk IN (0 AS r0, 1 AS r1, 2 AS r2, 3 AS r3, 4 AS r4))""".stripMargin))
+        },
+      Some("""SELECT COUNT(CASE WHEN n_regionkey = 0 THEN 1 END) AS r0,
+             |       COUNT(CASE WHEN n_regionkey = 1 THEN 1 END) AS r1,
+             |       COUNT(CASE WHEN n_regionkey = 2 THEN 1 END) AS r2,
+             |       COUNT(CASE WHEN n_regionkey = 3 THEN 1 END) AS r3,
+             |       COUNT(CASE WHEN n_regionkey = 4 THEN 1 END) AS r4
+             |FROM nation""".stripMargin)),
+
+    GQuery(
+      "q_transpile_unpivot",
+      "Snowflake-style UNPIVOT is native Spark 4 syntax (val FOR key " +
+        "IN (cols)) — a deliberate passthrough, executed over an " +
+        "aggregate-derived wide row and mirrored by a DuckDB UNION.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT key, val FROM (
+              |  SELECT CAST(MIN(n_nationkey) AS BIGINT) AS c_min,
+              |         CAST(MAX(n_nationkey) AS BIGINT) AS c_max
+              |  FROM nation)
+              |UNPIVOT (val FOR key IN (c_min, c_max))
+              |ORDER BY key""".stripMargin))
+        },
+      Some("""SELECT 'c_min' AS key, CAST(MIN(n_nationkey) AS BIGINT) AS val
+             |FROM nation
+             |UNION ALL
+             |SELECT 'c_max', CAST(MAX(n_nationkey) AS BIGINT) FROM nation
+             |ORDER BY key""".stripMargin)))
 }

@@ -45,7 +45,9 @@ class TranspileParseSpec extends SparkSpec {
     "SELECT PARSE_JSON(j):x:y, v:a.b FROM t",
     "SELECT * FROM t SAMPLE (7 ROWS)",
     "SELECT * EXCLUDE (a, b) FROM t",
-    "SELECT LAG(x) IGNORE NULLS OVER (ORDER BY k), NTH_VALUE(x, 2) IGNORE NULLS OVER (ORDER BY k) FROM t")
+    "SELECT LAG(x) IGNORE NULLS OVER (ORDER BY k), NTH_VALUE(x, 2) IGNORE NULLS OVER (ORDER BY k) FROM t",
+    "SELECT * FROM (SELECT k, v FROM t) PIVOT (SUM(v) FOR k IN ('a' AS a, 'b' AS b))",
+    "SELECT * FROM t UNPIVOT (val FOR key IN (c1, c2))")
 
   private val bigquery = Seq(
     "SELECT DATE_DIFF(b, a, WEEK), DATE_TRUNC(d, WEEK), TIMESTAMP_TRUNC(ts, WEEK) FROM t",

@@ -112,6 +112,27 @@ class EvaluatorSpec extends SparkSpec {
     assert(l.score == Some(1), s"listagg must evaluate: $l")
   }
 
+  test("JSON-text variant access evaluates end-to-end in both dialects") {
+    // the r16 JSON family threaded through the evaluation core: gold
+    // SQL in warehouse JSON spelling vs a plain-Spark prediction, EX=1
+    val snowEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "snowflake")
+    val sj = snowEv.evalOne(ExItem("snj",
+      Some("SELECT PARSE_JSON(j):a.b::INT AS v, " +
+        "JSON_EXTRACT_PATH_TEXT(j, 'name') AS nm " +
+        "FROM (SELECT '{\"a\":{\"b\":7},\"name\":\"x\"}' AS j) t"),
+      Some("SELECT CAST(7 AS BIGINT) AS v, 'x' AS nm")))
+    assert(sj.score == Some(1), s"snowflake JSON path must evaluate: $sj")
+    val bqEv0 = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
+      dialect = "bigquery")
+    val bj = bqEv0.evalOne(ExItem("bqj",
+      Some("SELECT JSON_VALUE(j, '$.name') AS nm, " +
+        "JSON_QUERY(j, '$.tags') AS tags " +
+        "FROM (SELECT '{\"name\":\"y\",\"tags\":[\"p\",\"q\"]}' AS j) t"),
+      Some("SELECT 'y' AS nm, '[\"p\",\"q\"]' AS tags")))
+    assert(bj.score == Some(1), s"bigquery JSON functions must evaluate: $bj")
+  }
+
   test("bigquery dialect evaluates UNNEST WITH OFFSET end-to-end") {
     val bqEv = new Evaluator(spark, timeoutSec = 60, parallelism = 2,
       dialect = "bigquery")
