@@ -48,9 +48,15 @@ object Compaction {
     */
   def compactFrame(df: DataFrame, n: Int, outPath: String,
       clusterBy: Seq[String] = Nil): Int = {
+    // clusterBy also sorts WITHIN partitions: range partitioning alone
+    // leaves rows task-unordered, so every row group's min/max spans
+    // the task's whole range and stat-based pushdown pruning
+    // (dedupAgainstIndex's candidate-bounded reads) loses its teeth
+    // right after the compaction that was supposed to help the scan
     val shaped =
       if (clusterBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
     n
   }

@@ -654,8 +654,11 @@ object TextDedup {
     // through the shared compactor's write half
     val bands = spark.read.parquet(s"$path/bands")
     val nb = Compaction.targetFileCount(bands, targetBytesPerFile)
+    // value-sorted within partitions so compacted row groups keep the
+    // tight `val` ranges the screen's probe-value pushdown prunes on
     bands.dropDuplicates()
       .repartitionByRange(nb, col("band"), col("val"))
+      .sortWithinPartitions(col("band"), col("val"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands__compact")
     swap(s"$path/bands", s"$path/bands__compact")
     // exact-ROW distinct, like the band rows: an id re-ingested with
@@ -665,9 +668,11 @@ object TextDedup {
     // version and change admit decisions post-compaction. Only replay
     // duplicates (identical rows) fold.
     val sh = spark.read.parquet(s"$path/shingles")
+    // cluster on the id (first column) so the compacted layout keeps
+    // writeIndexRows' id-sorted row groups for the candidate pushdown
     Compaction.compactFrame(sh.dropDuplicates(),
       Compaction.targetFileCount(sh, targetBytesPerFile),
-      s"$path/shingles__compact")
+      s"$path/shingles__compact", clusterBy = Seq(sh.columns.head))
     swap(s"$path/shingles", s"$path/shingles__compact")
   }
 
