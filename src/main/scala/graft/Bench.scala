@@ -15,6 +15,13 @@ object Bench {
     // contention; everything later includes this process's own
     // decaying 1-min contribution
     val loadBaseline = graft.core.MachineProbe.loadAvg()
+    // environment snapshot BEFORE any work: the r16 committed artifact
+    // read ~20% over two clean same-code runs while every IN-RUN probe
+    // (calibration spread, load, cache marker) was flat — a constant
+    // environment offset is invisible mid-run, so the machine itself is
+    // sampled (sibling JVMs outside our parent chain, available memory)
+    val sibStart = graft.core.MachineProbe.siblingJvms()
+    val memStart = graft.core.MachineProbe.memAvailableMb()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(java.lang.Runtime.getRuntime.availableProcessors(), 4).toString)
@@ -105,6 +112,37 @@ object Bench {
       if (f.isFile) (readOnce(), readOnce()) else (-1.0, -1.0)
     }
     val (cacheCold, cacheWarm) = cacheMarker()
+    // ---- sentinel subset (the r16 attribution gap): a FIXED ~20 s
+    // query subset timed once at the very front and once at the very
+    // back of the run. The two sums measure the same code on the same
+    // data — disagreement beyond 1.1x means the MACHINE changed between
+    // them, the exact constant-offset state the probe spread (which
+    // only compares sub-second CPU probes mid-run) is blind to. Each
+    // pass is min-of-2 per query with the main loop's GC leveling, so
+    // JIT/page-cache warming (front pass is colder by construction)
+    // doesn't read as phantom drift.
+    val sentinelNames = Seq("q_leak_safe_split", "q_range_join",
+      "q_keepbest_dedup", "q_semantic_dedup", "q_bucketed_join",
+      "q_jaccard_neardup")
+    def sentinelPass(): Double = sentinelNames.flatMap { n =>
+      SparkEntry.allQueries.find(_.name == n).map { q =>
+        def once(): Double = {
+          System.gc()
+          val t0 = System.nanoTime()
+          try ScanMetrics.buildExecAndMeasure(spark)(q.build(spark, sfDir))._3
+          catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
+          finally graft.core.CacheBin.drain()
+        }
+        math.min(once(), once())
+      }
+    }.sum
+    // the front pass must not be charged the JIT/codegen compilation
+    // the back pass gets for free (an sf0.01 probe of exactly this
+    // read 1.31x front-over-back on an IDLE machine — the gate would
+    // cry wolf on every run): one untimed pass compiles the sentinel
+    // plans, then both timed passes measure warm code
+    sentinelPass()
+    val sentinelFront = sentinelPass()
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
     var calMid = -1.0
     val nQueries = SparkEntry.allQueries.size
@@ -290,12 +328,34 @@ object Bench {
     // cross-round comparison must quote the flag
     // (scripts/bench_retry.sh re-runs once on it). start stays in the
     // JSON for cross-round machine-state comparison.
+    // sentinel BACK pass + environment end-state (see sentinelFront):
+    // runs after everything timed so it brackets the whole run
+    val sentinelBack = sentinelPass()
+    val sibEnd = graft.core.MachineProbe.siblingJvms()
+    val memEnd = graft.core.MachineProbe.memAvailableMb()
+    val loadEnd = graft.core.MachineProbe.loadAvg()
+    val sentinelRatio =
+      if (math.min(sentinelFront, sentinelBack) > 0)
+        math.max(sentinelFront, sentinelBack) /
+          math.min(sentinelFront, sentinelBack)
+      else -1.0
+    // env_suspect: the committed totals are NOT comparable across
+    // rounds without a caveat — either the same code measured >1.1x
+    // apart front-vs-back, or another JVM shared the machine
+    val envSuspect = sentinelRatio > 1.1 || sibStart > 0 || sibEnd > 0
     val warmProbes = Seq(calMid, calEnd).filter(_ > 0)
     val calSpread =
       if (warmProbes.isEmpty) -1.0 else warmProbes.max / warmProbes.min
     val contended = calSpread > 1.3
     val calibrationJson =
       s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)},"spread":${num(calSpread, 3)},"contended":$contended,"cache_cold_sec":${num(cacheCold, 4)},"cache_warm_sec":${num(cacheWarm, 4)},"cache_ratio":${num(if (cacheWarm > 0) cacheCold / cacheWarm else -1.0, 2)},"stage_cache_ratio":${num(if (stageCacheWarm > 0) stageCacheCold / stageCacheWarm else -1.0, 2)}}"""
+    val envJson =
+      s"""{"siblings_start":$sibStart,"siblings_end":$sibEnd,"load_start":${num(loadBaseline, 2)},"load_end":${num(loadEnd, 2)},"mem_avail_mb_start":$memStart,"mem_avail_mb_end":$memEnd,"sentinel_front":${num(sentinelFront, 3)},"sentinel_back":${num(sentinelBack, 3)},"sentinel_ratio":${num(sentinelRatio, 3)},"env_suspect":$envSuspect}"""
+    if (envSuspect) System.err.println(
+      f"[bench] ENV_SUSPECT: sentinel front/back $sentinelFront%.2f/" +
+        f"$sentinelBack%.2f s (ratio $sentinelRatio%.3fx, gate 1.1x), " +
+        s"sibling JVMs start/end $sibStart/$sibEnd - totals carry the " +
+        "flag; cross-round comparison must quote it")
     if (contended) System.err.println(
       f"[bench] CONTENDED: warmed calibration probe spread $calSpread%.2fx " +
         "(start/mid/end " + f"$calStart%.3f/$calMid%.3f/$calEnd%.3f s) " +
@@ -311,13 +371,25 @@ object Bench {
     val dedupRecallJson = dedupRecall
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"gc":$gcJson,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"calibration":$calibrationJson,"load":$loadJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"gc":$gcJson,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"calibration":$calibrationJson,"env":$envJson,"load":$loadJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$top10,"calibration":$calibrationJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$top10,"calibration":$calibrationJson,"env":$envJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    // machine-checkable per-run history (append-only): the sentinel
+    // ratio and env block per bench run, so cross-round perf claims can
+    // be verified from one file instead of re-derived from SCALE.md
+    // prose. Best-effort — a read-only cwd must not fail the bench.
+    try {
+      val histLine =
+        s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","n":${results.size},"total":${num(total, 3)},"calibration":$calibrationJson,"env":$envJson}""" + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), histLine.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -86,6 +86,16 @@ object Transpiler {
     -1
   }
 
+  /** Clause-opening reserved words that can NEVER be a column name in
+    * an un-quoted reference — used to reject false identifier captures
+    * (e.g. the word after `* EXCLUDE` when the `*` was multiplication).
+    */
+  private val SqlClauseKeywords: Set[String] = Set(
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "ON", "USING", "AS", "AND", "OR", "NOT", "WHEN",
+    "THEN", "ELSE", "END", "OVER", "WINDOW", "FETCH", "OFFSET")
+
   /** Case-insensitive, literal-safe function-name / token replacement. */
   private def replaceToken(sql: String, from: String, to: String): String = {
     val tagged = lex(sql)
@@ -1204,13 +1214,15 @@ object Transpiler {
     out = rewriteCall(out, "GET_PATH") {
       case Seq(v, p) => fmtLit(p).map { path =>
         val vt = v.trim
-        val u = vt.toUpperCase
-        // already-variant args (an inner PARSE_JSON / variant_get) pass
-        // straight in; anything else is assumed JSON text and wrapped
+        // already-variant args (an inner PARSE_JSON / variant_get CALL)
+        // pass straight in; anything else is assumed JSON text and
+        // wrapped. The '(' is required: a bare prefix test would
+        // misclassify a COLUMN named e.g. parse_json_raw as a variant
+        // expression and pass it unwrapped into variant_get.
+        val variantCall =
+          "(?is)^(?:TRY_)?(?:PARSE_JSON|VARIANT_GET)\\s*\\(.*".r
         val base =
-          if (u.startsWith("PARSE_JSON") || u.startsWith("TRY_PARSE_JSON") ||
-            u.startsWith("VARIANT_GET")) vt
-          else s"parse_json($vt)"
+          if (variantCall.matches(vt)) vt else s"parse_json($vt)"
         s"variant_get($base, '$$.$path')"
       }
       case _ => None
@@ -1220,10 +1232,17 @@ object Transpiler {
       case _ => None
     }
     // OBJECT_AGG(k, v) → deterministic sorted map (Snowflake serializes
-    // OBJECT keys lexicographically); TO_JSON over it is Spark-native
+    // OBJECT keys lexicographically); TO_JSON over it is Spark-native.
+    // Snowflake OMITS pairs whose key or value is NULL — Spark's
+    // map_from_entries THROWS on a NULL key — so null pairs are
+    // filtered out before the map is built. Remaining divergence: the
+    // result is a MAP, so only serialization-shaped consumers
+    // (TO_JSON) match; OBJECT path access on it would not transpile.
     out = rewriteCall(out, "OBJECT_AGG") {
       case Seq(k, v) =>
-        Some(s"map_from_entries(array_sort(collect_list(struct($k, $v))))")
+        Some("map_from_entries(filter(array_sort(collect_list(" +
+          s"named_struct('k', $k, 'v', $v))), " +
+          "e -> e.k IS NOT NULL AND e.v IS NOT NULL))")
       case _ => None
     }
     out = replaceToken(out, "TO_VARCHAR", "TO_CHAR") // alias, same forms
@@ -1420,9 +1439,14 @@ object Transpiler {
     // Snowflake star-minus: `* EXCLUDE (a, b)` / `* EXCLUDE a` →
     // Spark's `* EXCEPT (...)` (parens required in Spark)
     out = guarded(out, """(?i)\*\s*EXCLUDE\s*\(""".r)(_ => "* EXCEPT (")
+    // The bare-identifier form must not fire on a MULTIPLICATION by a
+    // column literally named `exclude` (SELECT price * exclude FROM t):
+    // there the "identifier" the regex grabs is the next clause keyword,
+    // so reserved words are rejected and the match passes through.
     out = guarded(out,
-      """(?i)\*\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)""".r)(
-      m => s"* EXCEPT (${m.group(1)})")
+      """(?i)\*\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)""".r)(m =>
+      if (SqlClauseKeywords.contains(m.group(1).toUpperCase)) m.matched
+      else s"* EXCEPT (${m.group(1)})")
     // The fixed-size form SAMPLE (n ROWS) maps first — Spark's
     // TABLESAMPLE (n ROWS) is the same contract (exactly n rows,
     // arbitrary choice).
@@ -1651,7 +1675,11 @@ object Transpiler {
     // JSON family over JSON-text columns. JSON_VALUE/JSON_EXTRACT_SCALAR
     // return the unquoted scalar (get_json_object; the non-scalar edge —
     // BigQuery returns NULL where get_json_object returns the JSON —
-    // is documented divergence). JSON_QUERY/JSON_EXTRACT return JSON
+    // is documented divergence, and it applies to BOTH argument forms:
+    // the 1-arg JSON_VALUE(j) → get_json_object(j, '$') returns the
+    // whole document text for a non-scalar j where BigQuery returns
+    // NULL, exactly like a 2-arg path landing on an object/array).
+    // JSON_QUERY/JSON_EXTRACT return JSON
     // text, quotes included: to_json over a variant_get probe.
     Seq("JSON_EXTRACT_SCALAR", "JSON_VALUE").foreach { name =>
       out = rewriteCall(out, name) {

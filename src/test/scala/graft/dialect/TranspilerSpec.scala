@@ -456,11 +456,19 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT variant_get(parse_json(v), '$.a.b') FROM t")
     assert(transpileSnowflake("SELECT GET_PATH(PARSE_JSON(j), 'tags[1]') FROM t") ==
       "SELECT variant_get(PARSE_JSON(j), '$.tags[1]') FROM t")
+    // already-variant detection requires a CALL, not a name prefix: a
+    // COLUMN named parse_json_raw is JSON text and must be wrapped
+    assert(transpileSnowflake("SELECT GET_PATH(parse_json_raw, 'a') FROM t") ==
+      "SELECT variant_get(parse_json(parse_json_raw), '$.a') FROM t")
     assert(transpileSnowflake("SELECT JSON_EXTRACT_PATH_TEXT(j, 'name') FROM t") ==
       "SELECT get_json_object(j, '$.name') FROM t")
-    // OBJECT_AGG → deterministic sorted map; TO_JSON over it is native
+    // OBJECT_AGG → deterministic sorted map; TO_JSON over it is native.
+    // NULL-key/value pairs are filtered (Snowflake omits them; Spark's
+    // map_from_entries throws on a NULL key)
     assert(transpileSnowflake("SELECT TO_JSON(OBJECT_AGG(k, v)) FROM t GROUP BY g") ==
-      "SELECT TO_JSON(map_from_entries(array_sort(collect_list(struct(k, v))))) FROM t GROUP BY g")
+      "SELECT TO_JSON(map_from_entries(filter(array_sort(collect_list(" +
+        "named_struct('k', k, 'v', v))), " +
+        "e -> e.k IS NOT NULL AND e.v IS NOT NULL))) FROM t GROUP BY g")
     // literal-guarded: path syntax inside a string survives
     assert(transpileSnowflake("SELECT 'PARSE_JSON(j):a' FROM t") ==
       "SELECT 'PARSE_JSON(j):a' FROM t")
@@ -504,6 +512,13 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileBigQuery(ex) == ex)
     assert(transpileSnowflake("SELECT * EXCLUDE (a, b) FROM t") ==
       "SELECT * EXCEPT (a, b) FROM t")
+    assert(transpileSnowflake("SELECT * EXCLUDE a FROM t") ==
+      "SELECT * EXCEPT (a) FROM t")
+    // a MULTIPLICATION by a column literally named exclude is not a
+    // star-minus: the captured "identifier" is the FROM keyword, which
+    // is reserved — the query passes through unchanged
+    val mult = "SELECT price * exclude FROM t"
+    assert(transpileSnowflake(mult) == mult)
     // BigQuery * REPLACE needs schema knowledge a string rewriter
     // lacks → repair loop
     val rep = "SELECT * REPLACE (a + 1 AS a) FROM t"
