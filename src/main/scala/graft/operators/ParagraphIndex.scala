@@ -33,13 +33,35 @@ import graft.functions.TextAnalysis
   * same acceptable-over-strip contract as [[LineIndex]]'s Bloom, with
   * the batch twin as ground truth. Tune `bands` (fewer bands = longer
   * rows = fewer false candidates) for precision.
+  *
+  * Precision hybrid (`headK > 0`): the top-K hottest reference
+  * paragraphs' exact shingle sets ARE broadcastable (model-sized), so
+  * the artifact carries them plus a tail-only Bloom — the stream then
+  * runs the exact verify for head collisions (precision 1.0 against
+  * the head, where templated corpora concentrate their collisions)
+  * and keeps the screen for the tail. [[ParagraphIndexSpec]] pins the
+  * measured false-positive budget both ways.
   */
 object ParagraphIndex {
 
   private val Family = "paragraph-band-index"
 
+  /** Compiled probe state. `headSets`/`tailWords` are the optional
+    * precision hybrid (headK > 0 at build time): the top-K hottest
+    * reference paragraphs' EXACT shingle sets ride along (model-sized:
+    * K × ~200 longs), and the Bloom splits in two — `tailWords` holds
+    * band keys belonging ONLY to non-head paragraphs. A tail hit
+    * strips on the screen contract; a head-only hit gets the exact
+    * Jaccard >= threshold verify the batch twin runs, so the gray band
+    * (Jaccard just below threshold) keeps its paragraphs whenever the
+    * collision came from the head — which on templated corpora is
+    * where almost all collisions come from.
+    */
   final case class ParagraphFilter(words: Array[Long], kHashes: Int,
-      n: Int, h: Int, bands: Int, seed: Long)
+      n: Int, h: Int, bands: Int, seed: Long,
+      threshold: Double = 0.5,
+      headSets: Array[Array[Long]] = Array.empty,
+      tailWords: Array[Long] = Array.empty)
 
   /** (band, value) → one Bloom-probe key, reduced into fingerprint
     * space: the shared [[BloomDecontaminate.position]] double hash
@@ -57,28 +79,79 @@ object ParagraphIndex {
         posexplode(split(col(textCol), "\n\n")).as(Seq("__pos", "__u")))
       .filter(length(trim(col("__u"))) > 0)
 
+  /** Keys beyond this and [[UrlOps.domainFilterBits]]'s 1<<30-bit
+    * (128 MiB) broadcast ceiling caps the bitset at FEWER than its
+    * target 10 bits/key — the screen's false-positive rate would then
+    * degrade SILENTLY with corpus growth, over-stripping clean
+    * paragraphs at an unbounded rate. The build fails loudly instead
+    * (the RangeJoin / doc·2^20 guard discipline: an actionable error
+    * beats a quietly-wrong artifact).
+    */
+  val MaxIndexKeys: Long = (1L << 30) / 10
+
   /** Batch (re-)build: writes `path/meta` (family + signature scheme)
     * and `path/hashes` (distinct xxhash64(band, val) keys). Returns
     * the key count. The signature scheme rides in the meta so a
-    * stream can never probe with mismatched hashing.
+    * stream can never probe with mismatched hashing. The distinct-key
+    * count is checked against [[MaxIndexKeys]] BEFORE anything is
+    * written: an over-budget corpus must not leave a half-built
+    * artifact behind.
     */
   def writeParagraphIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.5, n: Int = 3, h: Int = 16,
-      bands: Int = 0, seed: Long = 42L): Long = {
+      bands: Int = 0, seed: Long = 42L,
+      maxKeys: Long = MaxIndexKeys, headK: Int = 0): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = if (bands > 0) bands else TextDedup.bandsFor(threshold)
+    // distinct unit texts with their corpus occurrence count (the
+    // "hotness" that picks the head) — templated corpora dedup heavily
+    // here, so this is the model-sized grain everything downstream
+    // hangs off
+    val unitCounts = units(docs, idCol, textCol)
+      .groupBy(col("__u")).agg(count(lit(1)).as("__hot"))
     val banded = TextDedup.bandedSignatures(
-      units(docs, idCol, textCol)
-        .select(col(idCol).as("__doc"), col("__u").as("__text")),
-      "__doc", "__text", n, h, b, seed)
-    banded.select(bandKey(col("band"), col("val")).as("hash"))
-      .distinct()
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/hashes")
-    Seq((Family, n, h, b, seed))
-      .toDF("family", "n", "h", "bands", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    spark.read.parquet(s"$path/hashes").count()
+      unitCounts.select(col("__u").as("__text"), col("__hot")),
+      "__text", "__text", n, h, b, seed, carry = Seq("__hot"))
+    // persisted: the guard's count() and the writes below must not
+    // each pay the full tokenize+shingle+minhash pass over the corpus
+    val keyed = banded
+      .select(col("__text"), col("__hot"),
+        bandKey(col("band"), col("val")).as("hash"))
+      .persist()
+    try {
+      val nKeys = keyed.select("hash").distinct().count()
+      require(nKeys <= maxKeys,
+        s"paragraph index over the broadcast-Bloom budget: $nKeys distinct " +
+          s"band keys > $maxKeys (10 bits/key inside the 128 MiB bitset " +
+          "ceiling). Beyond it the false-positive rate degrades silently " +
+          "and the stream over-strips clean paragraphs. Shard the corpus " +
+          "into per-partition indexes, raise `threshold` (fewer bands), " +
+          "or index only the head of the reference corpus.")
+      keyed.select("hash").distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/hashes")
+      if (headK > 0) {
+        // head = the headK hottest distinct paragraphs (deterministic
+        // tiebreak on the text hash); their EXACT shingle sets ship in
+        // the artifact for stream-side verify, and the tail-only Bloom
+        // keys let the probe tell which regime a collision came from
+        val headTexts = unitCounts
+          .orderBy(desc("__hot"), xxhash64(col("__u")))
+          .limit(headK).select(col("__u"))
+        TextDedup.withShingleHashes(
+          headTexts.withColumn("__id", lit(0L)), "__id", "__u", n)
+          .select(sort_array(col("__shh")).as("shingles"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
+        keyed.join(broadcast(headTexts.select(col("__u").as("__text"))),
+            Seq("__text"), "left_anti")
+          .select("hash").distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/hashes_tail")
+      }
+      Seq((Family, n, h, b, seed, threshold, headK))
+        .toDF("family", "n", "h", "bands", "seed", "threshold", "head_k")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      nKeys
+    } finally keyed.unpersist()
   }
 
   /** Compile the artifact to a broadcast-ready Bloom bitset carrying
@@ -90,12 +163,22 @@ object ParagraphIndex {
     require(meta.length == 1 && meta(0).getString(0) == Family,
       s"not a $Family artifact at $path " +
         s"(found ${meta.headOption.map(_.getString(0))})")
-    val hashes = spark.read.parquet(s"$path/hashes")
-    val bits = UrlOps.domainFilterBits(hashes.count())
-    val words = BloomDecontaminate.buildFilterFromHashes(
-      hashes.select(col("hash").as("__h")), bits, kHashes)
+    def bloomOf(dir: String): Array[Long] = {
+      val hashes = spark.read.parquet(dir)
+      val bits = UrlOps.domainFilterBits(hashes.count())
+      BloomDecontaminate.buildFilterFromHashes(
+        hashes.select(col("hash").as("__h")), bits, kHashes)
+    }
+    val words = bloomOf(s"$path/hashes")
+    val headK = meta(0).getInt(6)
+    val (headSets, tailWords) =
+      if (headK <= 0) (Array.empty[Array[Long]], Array.empty[Long])
+      else (spark.read.parquet(s"$path/head").collect()
+          .map(_.getSeq[Long](0).toArray),
+        bloomOf(s"$path/hashes_tail"))
     ParagraphFilter(words, kHashes, meta(0).getInt(1), meta(0).getInt(2),
-      meta(0).getInt(3), meta(0).getLong(4))
+      meta(0).getInt(3), meta(0).getLong(4), meta(0).getDouble(5),
+      headSets, tailWords)
   }
 
   /** Rebuild `text` without the paragraphs whose MinHash banding
@@ -103,11 +186,19 @@ object ParagraphIndex {
     * signature recomputation is the same codegen kernels the batch
     * side uses). Blank paragraphs and paragraphs too short to shingle
     * never participate and never drop (the batch-twin contract).
+    *
+    * With the precision hybrid compiled in (`headSets` non-empty), the
+    * drop rule refines: a TAIL-bloom hit keeps the screen contract
+    * (strip on candidacy), while a head-only hit runs the EXACT
+    * shingle-Jaccard verify against the broadcast head sets and strips
+    * only at >= threshold — the gray band (Jaccard just below
+    * threshold) keeps its paragraphs wherever the collision came from
+    * the head. The verify is gated behind the all-keys Bloom hit, so
+    * clean paragraphs (the overwhelming majority) never pay it.
     */
   def stripParagraphsExpr(text: Column, f: ParagraphFilter): Column = {
     val coeffs = TextDedup.minhashCoeffs(f.h, f.seed)
     val r = f.h / f.bands
-    val mBits = f.words.length * 64
     // two staged transforms MATERIALIZE the shingle set and signature
     // per paragraph — HOF lambdas get no common-subexpression
     // elimination, so probing `bands` band keys against an inline
@@ -117,15 +208,34 @@ object ParagraphIndex {
       struct(p.as("u"), array_distinct(
         TextHashExpr.shingleHashes(TextAnalysis.tokens(p), f.n)).as("shh")))
     val withSig = transform(withShh, s =>
-      struct(s.getField("u").as("u"), size(s.getField("shh")).as("nsh"),
+      struct(s.getField("u").as("u"), s.getField("shh").as("shh"),
+        size(s.getField("shh")).as("nsh"),
         TextHashExpr.minhashSignature(s.getField("shh"), coeffs).as("sig")))
-    val kept = filter(withSig, s => {
-      val hit = (0 until f.bands).map { j =>
-        BloomDecontaminate.mightContain(f.words,
-          bandKey(lit(j), TextDedup.bandValue(s.getField("sig"), j, r)),
-          mBits, f.kHashes)
+    def anyBand(sig: Column, words: Array[Long]): Column =
+      if (words.isEmpty) lit(false)
+      else (0 until f.bands).map { j =>
+        BloomDecontaminate.mightContain(words,
+          bandKey(lit(j), TextDedup.bandValue(sig, j, r)),
+          words.length * 64, f.kHashes)
       }.reduce(_ || _)
-      length(trim(s.getField("u"))) === 0 || s.getField("nsh") === 0 || !hit
+    val kept = filter(withSig, s => {
+      val hitAll = anyBand(s.getField("sig"), f.words)
+      val drop =
+        if (f.headSets.isEmpty) hitAll
+        else {
+          // head sets ship sorted+distinct; exists() short-circuits so
+          // the Jaccard loop runs only for Bloom-candidate paragraphs
+          val headLit = typedLit(f.headSets.map(_.toSeq).toSeq)
+          val verifyHead = exists(headLit, hs => {
+            val inter = size(array_intersect(s.getField("shh"), hs))
+              .cast("double")
+            // J = |∩|/|∪| >= t  ⟺  |∩|·(1+t) >= t·(|a|+|b|)
+            inter * (1.0 + f.threshold) >=
+              (s.getField("nsh") + size(hs)).cast("double") * f.threshold
+          })
+          anyBand(s.getField("sig"), f.tailWords) || (hitAll && verifyHead)
+        }
+      length(trim(s.getField("u"))) === 0 || s.getField("nsh") === 0 || !drop
     })
     concat_ws("\n\n", transform(kept, s => s.getField("u")))
   }

@@ -71,6 +71,125 @@ class ParagraphIndexSpec extends SparkSpec {
     assert(!stream(10L).contains("newsletter"))
   }
 
+  test("over-budget corpus fails the build loudly, writes nothing") {
+    val dir = freshDir("budget")
+    val ref = (1L to 20L).map(i =>
+      (i, s"page $i body with plenty of distinct running words " +
+        s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ParagraphIndex.writeParagraphIndex(
+        ref, "doc_id", "text", s"$dir/idx", maxKeys = 5)
+    }
+    graft.core.CacheBin.drain()
+    assert(e.getMessage.contains("broadcast-Bloom budget"),
+      s"guard message must size the failure: ${e.getMessage}")
+    // an over-budget build must not leave a half-built artifact a
+    // stream could load
+    assert(!new java.io.File(s"$dir/idx/meta").exists())
+    assert(intercept[Exception] {
+      ParagraphIndex.loadFilter(spark, s"$dir/idx")
+    } != null)
+  }
+
+  /** Measured precision of the in-stream screen (VERDICT r16 #2): the
+    * screen strips on band-key candidacy without the exact-Jaccard
+    * verify, so its false-positive rate is a CONTRACT — this pins it.
+    * Fixture: 20-word templates duplicated across the reference (hot
+    * head) and, incoming, (a) true near-dups (exact + keep-16-of-20
+    * edits, Jaccard ≈ 0.64), (b) near-MISSES (keep-13-of-20, Jaccard
+    * ≈ 0.44 — just under the 0.5 threshold; self-validated below),
+    * (c) wholly unrelated paragraphs. Stated FP budget at the default
+    * banding (threshold 0.5 → 8 bands × 2 rows):
+    *   - unrelated (J ≈ 0):       <= 5% over-strip;
+    *   - gray band (J just below t): the screen over-strips these by
+    *     DESIGN (S-curve midpoint sits at J ≈ 0.29) — unbounded here,
+    *     measured and reported, bounded instead by the HEAD-VERIFY
+    *     hybrid, which this spec pins at ZERO false strips for
+    *     head-covered references while keeping every true dup.
+    */
+  test("precision floor: FP budget at default banding; hybrid gray band") {
+    def words(tag: String, m: Int): Seq[String] =
+      (1 to m).map(i => s"${tag}w$i")
+    val template1 = (words("tpl1", 20)).mkString(" ")
+    val template2 = (words("tpl2", 20)).mkString(" ")
+    def variant(tpl: String, keep: Int, tag: String): String = {
+      val ws = tpl.split(" ")
+      (ws.take(keep) ++ (1 to (ws.length - keep)).map(i => s"${tag}x$i"))
+        .mkString(" ")
+    }
+    // reference: both templates hot (3 docs each) + one unique tail
+    // paragraph per doc
+    val ref = (1L to 3L).map(i =>
+      (i, s"$template1\n\nunique ref tail ${words(s"rt$i", 12).mkString(" ")}")) ++
+      (4L to 6L).map(i => (i, s"$template2\n\nref body ${words(s"rb$i", 12).mkString(" ")}"))
+    val refDf = ref.toDF("doc_id", "text")
+    // incoming, one paragraph per doc so strip == empty clean text
+    val trueDups = Seq(template1, template2,
+      variant(template1, 16, "td1"), variant(template2, 16, "td2"))
+    val nearMisses = (1 to 10).map(i =>
+      variant(if (i % 2 == 0) template1 else template2, 13, s"nm$i"))
+    val unrelated = (1 to 40).map(i => words(s"un$i", 20).mkString(" "))
+    // fixture self-check: near-misses sit JUST BELOW threshold, true
+    // dups at or above it (exact shingle Jaccard, the verify's metric)
+    def jacc(a: String, b: String): Double = {
+      def sh(t: String) = TextDedup.withShingleHashes(
+        Seq((1L, t)).toDF("id", "t"), "id", "t", 3)
+        .collect()(0).getSeq[Long](1).toSet
+      val (x, y) = (sh(a), sh(b))
+      (x & y).size.toDouble / (x | y).size
+    }
+    nearMisses.take(2).foreach { nm =>
+      val j = jacc(nm, if (nearMisses.indexOf(nm) % 2 == 0) template2 else template1)
+      val jBest = math.max(jacc(nm, template1), jacc(nm, template2))
+      assert(jBest > 0.3 && jBest < 0.5,
+        f"near-miss fixture drifted: best Jaccard $jBest%.3f not in (0.3, 0.5)")
+    }
+    assert(jacc(variant(template1, 16, "td1"), template1) >= 0.5,
+      "true-dup fixture drifted below threshold")
+
+    def stripRate(f: ParagraphIndex.ParagraphFilter, ps: Seq[String]): Double = {
+      val in = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("doc_id", "text")
+      val kept = in.withColumn("c",
+          ParagraphIndex.stripParagraphsExpr(col("text"), f))
+        .collect().map(_.getString(2))
+      kept.count(_.isEmpty).toDouble / ps.size
+    }
+
+    // pure screen at default banding
+    val screenIdx = freshDir("prec_screen") + "/idx"
+    ParagraphIndex.writeParagraphIndex(refDf, "doc_id", "text", screenIdx)
+    graft.core.CacheBin.drain()
+    val screen = ParagraphIndex.loadFilter(spark, screenIdx)
+    assert(stripRate(screen, trueDups) == 1.0,
+      "every true near-dup must strip under the screen")
+    val fpUnrelated = stripRate(screen, unrelated)
+    assert(fpUnrelated <= 0.05,
+      f"unrelated over-strip $fpUnrelated%.3f blew the 5%% FP budget")
+    val fpGrayScreen = stripRate(screen, nearMisses)
+
+    // head-verify hybrid: head covers the hot templates, so the gray
+    // band gets the exact verify — zero false strips, full recall
+    val hybridIdx = freshDir("prec_hybrid") + "/idx"
+    ParagraphIndex.writeParagraphIndex(
+      refDf, "doc_id", "text", hybridIdx, headK = 2)
+    graft.core.CacheBin.drain()
+    val hybrid = ParagraphIndex.loadFilter(spark, hybridIdx)
+    assert(hybrid.headSets.length == 2 && hybrid.tailWords.nonEmpty)
+    assert(stripRate(hybrid, trueDups) == 1.0,
+      "hybrid must keep full recall on true near-dups")
+    val fpGrayHybrid = stripRate(hybrid, nearMisses)
+    assert(fpGrayHybrid == 0.0,
+      f"hybrid gray-band false strips $fpGrayHybrid%.3f (must be 0: " +
+        "head collisions get the exact verify)")
+    assert(stripRate(hybrid, unrelated) <= 0.05)
+    // and the hybrid is never worse than the screen it refines
+    assert(fpGrayHybrid <= fpGrayScreen)
+    info(f"gray-band over-strip: screen $fpGrayScreen%.2f -> hybrid $fpGrayHybrid%.2f " +
+      f"(unrelated FP $fpUnrelated%.3f, budget 0.05)")
+  }
+
   test("loadFilter rejects a foreign artifact") {
     val dir = freshDir("meta")
     // a LineIndex artifact is NOT a paragraph index
