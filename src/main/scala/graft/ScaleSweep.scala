@@ -122,6 +122,84 @@ object ScaleSweep {
     Files.writeString(marker, s"$baseDir x$copies")
   }
 
+  /** Delta-vs-CORPUS-growth mode (`SPARK_GRAFT_SWEEP_MODE=delta`): the
+    * 100 TB claim for [[graft.operators.CorpusPipeline.prepareDelta]]
+    * is "cost scales with the DELTA, not the corpus" — this measures
+    * it directly by holding the delta FIXED (500 base docs, ids
+    * shifted far above every tier, every token perturbed so nothing
+    * exact/near-dups the corpus) while the bootstrapped old corpus
+    * scales 1×/N×/N²×. Artifact bootstraps (dedup index, line index)
+    * are UNTIMED — they are the one-time re-index cost a production
+    * pipeline amortizes across deltas; the timed quantity is one
+    * delta curation wall-clock, min-of-2 per tier. The structural
+    * expectation: near-flat (the screen's band join reads the index
+    * through candidate-bounded pushdown), with the residual linear
+    * term being the index parquet scan + the line-index Bloom compile
+    * (hash count grows with at-floor corpus lines).
+    */
+  private def deltaSweep(spark: SparkSession, baseDir: String,
+      copies: Int, outDir: String, outDir2: Option[String]): Unit = {
+    import graft.operators.{CorpusPipeline, LineIndex, TextDedup}
+    val docs = Tables.load(spark, baseDir, "documents")
+    // the FIXED delta, materialized once so every tier reads the same
+    // bytes: perturbed content (admitted path dominates — the screen
+    // still scans the index for candidates), far-shifted ids
+    val deltaPath = "target/tmp/deltasweep_fixed.parquet"
+    docs.filter(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), w => concat(w, lit("_dl")))))
+      .write.mode("overwrite").parquet(deltaPath)
+    val delta = spark.read.parquet(deltaPath)
+    val nDelta = delta.count()
+    val cfg = CorpusPipeline.Config(langs = Seq("en", "de", "fr"),
+      minChars = 100, jaccardThreshold = 0.5,
+      lineDedupMinDocFreq = 2, boilerMinDocFreq = 999)
+    val tiers = Seq(("t1x", baseDir, 1)) ++
+      Seq(("tNx", outDir, copies)) ++
+      outDir2.map(d2 => ("tN2x", d2, copies * copies))
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val timed = tiers.map { case (tag, dir, mult) =>
+      val corpus = Tables.load(spark, dir, "documents")
+      val idx = s"target/tmp/deltasweep_${tag}_index"
+      val lidx = s"target/tmp/deltasweep_${tag}_lineindex"
+      // UNTIMED bootstrap (the amortized re-index)
+      TextDedup.writeDedupIndex(corpus, "doc_id", "text", idx,
+        n = 3, h = 16, bands = 8)
+      LineIndex.writeLineIndex(corpus, "doc_id", "text", lidx,
+        minDocFreq = 2)
+      graft.core.CacheBin.drain()
+      val arts = CorpusPipeline.DeltaArtifacts(dedupIndexPath = idx,
+        lineIndexPath = Some(lidx), appendAccepted = false)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
+          .queryExecution.toRdd.count(): Unit
+        finally graft.core.CacheBin.drain()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cal = calibrate(spark)
+      val t = math.min(once(), once())
+      // scalastyle:off println
+      println(s"""{"mode":"delta_vs_corpus","tier":"$tag","corpus_mult":$mult,"delta_docs":$nDelta,"sec":${num(t)},"cal":${num(cal)},"load":${num(loadAvg())}}""")
+      // scalastyle:on println
+      (tag, mult, t)
+    }
+    val exps = timed.sliding(2).collect {
+      case Seq((_, m1, t1), (tag2, m2, t2)) =>
+        s""""exp_to_$tag2":${num(math.log(t2 / t1) / math.log(m2.toDouble / m1))}"""
+    }.toSeq
+    val tiersJson = timed.map { case (tag, m, t) =>
+      s""""$tag":{"corpus_mult":$m,"sec":${num(t)}}""" }.mkString(",")
+    val json = s"""{"mode":"delta_vs_corpus","delta_docs":$nDelta,"copies":$copies,$tiersJson,${exps.mkString(",")}}"""
+    // scalastyle:off println
+    println(json)
+    // scalastyle:on println
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target", "delta_sweep.json"), json)
+  }
+
   private def time(spark: SparkSession, q: GQuery, dir: String): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -156,6 +234,12 @@ object ScaleSweep {
 
     derive(spark, baseDir, outDir, copies)
     outDir2.foreach(d2 => derive(spark, outDir, d2, copies))
+
+    if (sys.env.get("SPARK_GRAFT_SWEEP_MODE").contains("delta")) {
+      deltaSweep(spark, baseDir, copies, outDir, outDir2)
+      spark.stop()
+      return
+    }
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, DialectQueries, EvalQueries, LineQueries, PqQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
+import graft.queries.{BpeQueries, CoverageQueries, DedupQueries, DialectQueries, EvalQueries, LineQueries, PqQueries, ReferenceExQueries, Relational, RelationalExt, RowOpsQueries, SimilarityQueries, SketchQueries, StreamQueries, TemporalQueries, TextQueries, UnigramQueries, UrlQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,8 @@ object SparkEntry {
     TemporalQueries,
     SketchQueries,
     CoverageQueries,
-    DialectQueries)
+    DialectQueries,
+    ReferenceExQueries)
 
   def allQueries: Seq[GQuery] = packs.flatMap(_.queries)
 

@@ -377,6 +377,116 @@ object CorpusPipeline {
     accepted
   }
 
+  /** Re-index TRUE-UP — closes [[prepareDelta]]'s documented corner
+    * (a), the cross-batch THRESHOLD STRADDLE: a line whose document
+    * frequency reaches the removal floor only when old and new counts
+    * are SUMMED (each side alone below floor) is removed by the full
+    * run but admitted by the delta, and "the next re-index" that would
+    * catch it was never scheduled by anything. This IS that re-index,
+    * composed with the catch-up:
+    *
+    *  1. recompute line-df over old ++ delta (the same single scan the
+    *     [[LineIndex]] rebuild needs anyway);
+    *  2. diff against the artifact's stored at-floor set — the lines
+    *     that JUST crossed the floor (1 old + 1 new at floor 2);
+    *  3. refresh the artifact in place (next delta screens at full
+    *     freshness), and
+    *  4. re-screen the most recent delta's accepted docs against
+    *     exactly the newly-at-floor units — an EXACT anti-join strip
+    *     (no Bloom: the diff is model-sized, so precision is free).
+    *
+    * Returns the trued-up delta docs (all columns preserved, `textCol`
+    * rebuilt). 100 TB shape: one df aggregation over old ++ delta (the
+    * rebuild's own scan), a broadcast anti-join of the tiny floor-diff
+    * against the DELTA only — cost scales with the delta plus one
+    * corpus line-df pass, which is the re-index's own price, not a new
+    * one. Old-corpus docs are NOT rewritten: the full-run twin would
+    * strip the straddled line from old docs too, but those shipped in
+    * earlier batches — the contract trues up the CURRENT delta (the
+    * only batch not yet delivered).
+    */
+  /** Loud bound on the strip list a single true-up may carry: the
+    * newly-at-floor DIFF is model-sized by construction (only units
+    * whose df crossed the floor during ONE delta), so a blow-past
+    * means the artifact and corpus diverged wholesale (wrong index
+    * path, floor change) — fail with the sizing, don't broadcast a
+    * corpus.
+    */
+  val MaxTrueUpUnits: Int = 100000
+
+  def trueUpDelta(oldDocs: DataFrame, deltaRaw: DataFrame,
+      deltaAccepted: DataFrame, artifacts: DeltaArtifacts,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = oldDocs.sparkSession
+    val p = artifacts.lineIndexPath.getOrElse(throw new IllegalArgumentException(
+      "trueUpDelta needs DeltaArtifacts.lineIndexPath: the straddle " +
+        "corner exists only where a line index screens deltas"))
+    val meta = spark.read.parquet(s"$p/meta").collect()
+    require(meta.length == 1 && meta(0).getString(0) == "line-hash-index",
+      s"not a line-hash-index artifact at $p")
+    val sep = meta(0).getString(1)
+    val floor = meta(0).getInt(2)
+    // the stored at-floor set, SNAPSHOTTED eagerly — the overwrite in
+    // step 3 would otherwise yank the parquet out from under the plan
+    val prior = spark.read.parquet(s"$p/hashes").select(col("hash"))
+      .localCheckpoint(true)
+    // 1. line-df over RAW old ++ RAW accepted-delta text — the grain
+    // the full run's line-dedup sees. (The accepted OUTPUT text can't
+    // be used here: the boilerplate stage rebuilds documents as
+    // space-joined tokens, so line structure only exists upstream.)
+    val acceptedRaw = deltaRaw
+      .join(deltaAccepted.select(col(idCol)), Seq(idCol), "left_semi")
+    val combined = oldDocs.select(col(idCol), col(textCol))
+      .unionByName(acceptedRaw.select(col(idCol), col(textCol)))
+    val flaggedNow = graft.core.CacheBin.trackEager(
+      combined
+        .select(col(idCol), explode(split(col(textCol), sep)).as("__l"))
+        .filter(length(trim(col("__l"))) > 0)
+        .select(col(idCol), trim(col("__l")).as("__u"))
+        .groupBy(col("__u"))
+        .agg(countDistinct(col(idCol)).as("doc_freq"))
+        .filter(col("doc_freq") >= floor)
+        .persist())
+    // 2. the units that JUST crossed the floor (1 old + 1 new at
+    // floor 2 — each side alone below it)
+    val newly = flaggedNow
+      .withColumn("hash", TextAnalysis.polyHash(col("__u")))
+      .join(prior, Seq("hash"), "left_anti")
+    // 3. refresh the artifact in place (meta unchanged: same family,
+    // sep and floor — only the at-floor set moved), same (hash,
+    // doc_freq) schema writeLineIndex produces
+    flaggedNow
+      .select(TextAnalysis.polyHash(col("__u")).as("hash"), col("doc_freq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/hashes")
+    // 4. re-screen the delta's ACCEPTED docs. Their text is the
+    // pipeline's token-joined output, so each newly-at-floor unit is
+    // removed as its lowercased TOKEN RUN — the exact residue the
+    // full-run twin never emits (it drops the line before
+    // tokenization). "(?: run(?= ))+" collapses consecutive repeats
+    // in one pass; the strip only ever REMOVES text, so upstream
+    // scrubs are never resurrected. Residual corner, documented: a
+    // doc that passed a quality gate only thanks to the straddled
+    // unit stays accepted (the gates ran before the true-up).
+    val runs = newly
+      .select(concat_ws(" ", TextAnalysis.tokens(col("__u"))).as("__run"))
+      .filter(length(col("__run")) > 0)
+      .limit(MaxTrueUpUnits + 1).collect().map(_.getString(0))
+    require(runs.length <= MaxTrueUpUnits,
+      s"true-up diff exceeds $MaxTrueUpUnits units — the newly-at-floor " +
+        "set should be one delta's floor crossings; a corpus-sized diff " +
+        "means the artifact does not match the corpus (wrong index " +
+        "path or a floor change). Rebuild the index instead.")
+    if (runs.isEmpty) deltaAccepted
+    else {
+      val padded = concat(lit(" "), col(textCol), lit(" "))
+      val strippedPad = runs.foldLeft(padded) { (c, run) =>
+        regexp_replace(c,
+          "(?: " + java.util.regex.Pattern.quote(run) + "(?= ))+", "")
+      }
+      deltaAccepted.withColumn(textCol, trim(strippedPad))
+    }
+  }
+
   /** Stage 0 + 0b + 0c + 0d: URL curation, byte repair + PII, C4 line
     * curation, trained language ID — the per-batch HEAD every mode
     * (full, curate-only, delta) runs identically. Returns (frame,

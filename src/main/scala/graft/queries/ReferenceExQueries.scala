@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GQuery, QueryPack}
+import graft.dialect.Transpiler
+
+/** EXECUTION-accuracy net over the reference's own prompt SQL — the
+  * round-16 verdict's "execute the corpus, don't just parse it":
+  * [[graft.dialect.ReferencePromptSqlSpec]] proves 30+ harvested
+  * statements PARSE through the sqlite arm; this pack EXECUTES 31 of
+  * them end-to-end on a registered Spider-style fixture (the college
+  * schema that covers the DIN-SQL prompt pool, plus the small
+  * city/accounts/singer/cards satellites), with DuckDB executing the
+  * SAME statements over the SAME inline fixture as the oracle.
+  *
+  * Statement sources (reference file:line): DIN-SQL easy/non-nested/
+  * nested prompt examples (core/actor/generator/DINSQLGenerate.py:
+  * 234-449), MAC-SQL backtick example (MACSQLGenerate.py:416),
+  * OpenSearch cards example (OpenSearchSQLGenerate.py:124). Two
+  * DIN-SQL medium statements (bare non-grouped SELECT columns, a
+  * SQLite-ism Spark's and DuckDB's analyzers both reject) and the
+  * OpenSearch style-aligner pair with unresolvable columns stay
+  * parse-only in the spec — the repair loop's territory, not the
+  * transpiler's.
+  *
+  * Comparison canon: each statement's result reduces to one row
+  * `(stmt, n_rows, fp)` where `fp` is the '|'-joined SORTED list of
+  * canonical row texts — strings verbatim, integers as decimal text,
+  * doubles as round(x·10⁴) (the fixture makes every AVG exact, so the
+  * scaling never meets an ulp boundary). Engine-specific result
+  * column names disappear behind positional c0..cn aliases.
+  */
+object ReferenceExQueries extends QueryPack {
+
+  private val NullTok = "<null>"
+
+  /** One fixture table: name, columns as (name, kind) with kind
+    * 'S' (varchar) or 'I' (int), and rows of matching literals.
+    */
+  private final case class Tbl(name: String, cols: Seq[(String, Char)],
+      rows: Seq[Seq[Any]])
+
+  // Spider college-2 style fixture. Shape constraints that keep the
+  // EX comparison engine-deterministic:
+  //  - every ORDER BY ... LIMIT key is UNIQUE at the cut (tot_cred,
+  //    budgets, per-building capacities, course counts 4/2/1, section
+  //    year counts 3/2, card spends);
+  //  - every AVG is exact in binary (per-group sums divisible by
+  //    group sizes; instructor total 420000 / 7 = 60000).
+  private val tables: Seq[Tbl] = Seq(
+    Tbl("classroom",
+      Seq("building" -> 'S', "room_number" -> 'S', "capacity" -> 'I'),
+      Seq(Seq("Watson", "100", 70), Seq("Watson", "120", 50),
+        Seq("Painter", "514", 10), Seq("Painter", "515", 30),
+        Seq("Taylor", "3128", 100), Seq("Taylor", "3130", 80))),
+    Tbl("department",
+      Seq("dept_name" -> 'S', "building" -> 'S', "budget" -> 'I'),
+      Seq(Seq("History", "Watson", 50000), Seq("Marketing", "Taylor", 70000),
+        Seq("Finance", "Painter", 120000), Seq("Physics", "Watson", 90000),
+        Seq("math", "Taylor", 60000))),
+    Tbl("course",
+      Seq("course_id" -> 'S', "title" -> 'S', "dept_name" -> 'S',
+        "credits" -> 'I'),
+      Seq(Seq("CS-101", "Intro Systems", "Finance", 4),
+        Seq("CS-201", "Data Structures", "Finance", 3),
+        Seq("CS-315", "Robotics", "Finance", 3),
+        Seq("CS-319", "Mobile Computing", "Finance", 3),
+        Seq("HIS-101", "World History", "History", 3),
+        Seq("HIS-201", "World History", "History", 4),
+        Seq("PHY-101", "Mechanics", "Physics", 4))),
+    Tbl("instructor",
+      Seq("id" -> 'I', "name" -> 'S', "dept_name" -> 'S', "salary" -> 'I'),
+      Seq(Seq(1, "Srinivasan", "History", 61000), Seq(2, "Wu", "History", 65000),
+        Seq(3, "Mozart", "Marketing", 40000),
+        Seq(4, "Einstein", "Marketing", 46000),
+        Seq(5, "ElSaid", "Finance", 80000), Seq(6, "Gold", "Physics", 68000),
+        Seq(7, "Soisalon-Soininen", "math", 60000))),
+    Tbl("section",
+      Seq("course_id" -> 'S', "sec_id" -> 'S', "semester" -> 'S',
+        "year" -> 'I', "building" -> 'S', "room_number" -> 'S'),
+      Seq(Seq("CS-101", "1", "Fall", 2009, "Taylor", "3128"),
+        Seq("CS-101", "2", "Spring", 2010, "Watson", "100"),
+        Seq("CS-319", "1", "Spring", 2010, "Taylor", "3130"),
+        Seq("HIS-101", "1", "Fall", 2009, "Painter", "514"),
+        Seq("PHY-101", "1", "Spring", 2010, "Watson", "120"))),
+    Tbl("teaches",
+      Seq("id" -> 'I', "course_id" -> 'S', "sec_id" -> 'S',
+        "semester" -> 'S', "year" -> 'I'),
+      Seq(Seq(1, "CS-101", "1", "Fall", 2009),
+        Seq(2, "CS-101", "2", "Spring", 2010),
+        Seq(3, "CS-319", "1", "Spring", 2010),
+        Seq(4, "HIS-101", "1", "Fall", 2009),
+        Seq(5, "PHY-101", "1", "Spring", 2010),
+        Seq(6, "CS-201", "1", "Fall", 2008))),
+    Tbl("student",
+      Seq("id" -> 'I', "name" -> 'S', "dept_name" -> 'S', "tot_cred" -> 'I'),
+      Seq(Seq(101, "Zhang", "History", 102), Seq(102, "Shankar", "Finance", 32),
+        Seq(103, "Brown", "History", 80), Seq(104, "Chavez", "math", 110),
+        Seq(105, "Peltier", "Physics", 56))),
+    Tbl("takes",
+      Seq("id" -> 'I', "course_id" -> 'S', "sec_id" -> 'S',
+        "semester" -> 'S', "year" -> 'I', "grade" -> 'S'),
+      Seq(Seq(101, "CS-101", "1", "Fall", 2009, "A"),
+        Seq(102, "CS-101", "2", "Spring", 2010, "B"),
+        Seq(103, "HIS-101", "1", "Fall", 2009, "C"),
+        Seq(104, "CS-319", "1", "Spring", 2010, "A"),
+        Seq(105, "PHY-101", "1", "Spring", 2010, "B"),
+        Seq(102, "HIS-101", "1", "Fall", 2003, "B"))),
+    Tbl("advisor", Seq("s_id" -> 'I', "i_id" -> 'I'),
+      Seq(Seq(101, 1), Seq(102, 5), Seq(103, 2), Seq(104, 7), Seq(105, 6))),
+    Tbl("prereq", Seq("course_id" -> 'S', "prereq_id" -> 'S'),
+      Seq(Seq("CS-319", "CS-101"), Seq("CS-319", "CS-201"),
+        Seq("HIS-201", "HIS-101"))),
+    Tbl("city", Seq("status" -> 'S', "population" -> 'I'),
+      Seq(Seq("Village", 1000), Seq("Town", 2000))),
+    Tbl("accounts",
+      Seq("account_id" -> 'I', "date_account_opened" -> 'S',
+        "account_name" -> 'S', "other_account_details" -> 'S'),
+      Seq(Seq(1, "2003-06-30", "338", "Regular"), Seq(2, "2005-02-15", "562", "VIP"))),
+    Tbl("singer",
+      Seq("song_name" -> 'S', "song_release_year" -> 'S', "age" -> 'I'),
+      Seq(Seq("Sun", "2008", 27), Seq("Gentle", "2010", 32))),
+    Tbl("cards", Seq("id" -> 'I', "spend" -> 'I'),
+      Seq(Seq(1, 50), Seq(2, 120), Seq(3, 130), Seq(4, 140), Seq(5, 150),
+        Seq(6, 160), Seq(7, 99))))
+
+  /** One executed statement: id, the VERBATIM harvested SQL, and the
+    * declared result-column kinds ('S' string, 'I' integer-like,
+    * 'D' double) driving the canonicalization on both engines.
+    */
+  private final case class Stmt(id: String, sql: String, kinds: Seq[Char])
+
+  private val stmts: Seq[Stmt] = Seq(
+    // DINSQLGenerate.py:234-294 (easy)
+    Stmt("e01", "SELECT DISTINCT building FROM classroom WHERE capacity  >  50", Seq('S')),
+    Stmt("e02", "SELECT building ,  room_number FROM classroom WHERE capacity BETWEEN 50 AND 100", Seq('S', 'S')),
+    Stmt("e03", "SELECT name FROM student WHERE dept_name  =  'History' ORDER BY tot_cred DESC LIMIT 1", Seq('S')),
+    Stmt("e04", "SELECT sum(budget) FROM department WHERE dept_name  =  'Marketing' OR dept_name  =  'Finance'", Seq('I')),
+    Stmt("e05", "SELECT dept_name FROM instructor WHERE name LIKE '%Soisalon%'", Seq('S')),
+    Stmt("e06", "SELECT dept_name FROM course GROUP BY dept_name ORDER BY sum(credits) DESC LIMIT 1", Seq('S')),
+    Stmt("e07", "SELECT COUNT (DISTINCT ID) FROM teaches WHERE semester  =  'Spring' AND YEAR  =  2010", Seq('I')),
+    Stmt("e08", "SELECT name ,  dept_name FROM student ORDER BY tot_cred", Seq('S', 'S')),
+    Stmt("e09", "SELECT YEAR FROM SECTION GROUP BY YEAR ORDER BY count(*) DESC LIMIT 1", Seq('I')),
+    Stmt("e10", "SELECT dept_name ,  AVG (salary) FROM instructor GROUP BY dept_name HAVING AVG (salary)  >  42000", Seq('S', 'D')),
+    Stmt("e11", "SELECT count(*) ,  building FROM classroom WHERE capacity  >  50 GROUP BY building", Seq('I', 'S')),
+    Stmt("e12", "SELECT dept_name FROM course GROUP BY dept_name ORDER BY count(*) DESC LIMIT 3", Seq('S')),
+    Stmt("e13", "SELECT max(capacity) ,  avg(capacity) ,  building FROM classroom GROUP BY building", Seq('I', 'D', 'S')),
+    Stmt("e14", "SELECT title FROM course GROUP BY title HAVING count(*)  >  1", Seq('S')),
+    Stmt("e15", "SELECT DISTINCT Status FROM city WHERE Population > 1500 AND Population < 500", Seq('S')),
+    Stmt("e16", "SELECT account_id, date_account_opened, account_name, other_account_details FROM Accounts", Seq('I', 'S', 'S', 'S')),
+    // DINSQLGenerate.py:300-357 (non-nested medium; the two bare
+    // non-grouped-column statements stay parse-only)
+    Stmt("m01", "SELECT dept_name ,  building FROM department ORDER BY budget DESC LIMIT 1", Seq('S', 'S')),
+    Stmt("m02", "SELECT dept_name ,  building FROM department WHERE budget  >  (SELECT avg(budget) FROM department)", Seq('S', 'S')),
+    Stmt("m03", "SELECT count(DISTINCT T2.id) ,  count(DISTINCT T3.id) ,  T3.dept_name FROM department AS T1 JOIN student AS T2 ON T1.dept_name  =  T2.dept_name JOIN instructor AS T3 ON T1.dept_name  =  T3.dept_name GROUP BY T3.dept_name", Seq('I', 'I', 'S')),
+    Stmt("m05", "SELECT DISTINCT T1.name FROM student AS T1 JOIN takes AS T2 ON T1.id  =  T2.id WHERE T2.YEAR  =  2009 OR T2.YEAR  =  2010", Seq('S')),
+    Stmt("m06", "SELECT T1.title ,  T3.name FROM course AS T1 JOIN teaches AS T2 ON T1.course_id  =  T2.course_id JOIN instructor AS T3 ON T2.id  =  T3.id WHERE T2.YEAR  =  2008 ORDER BY T1.title", Seq('S', 'S')),
+    Stmt("m07", "SELECT T1.name FROM instructor AS T1 JOIN advisor AS T2 ON T1.ID = T2.i_ID JOIN student AS T3 ON T2.s_ID = T3.ID WHERE T3.dept_name = 'math' ORDER BY T3.tot_cred", Seq('S')),
+    // DINSQLGenerate.py:366-449 (nested)
+    Stmt("n01", "SELECT id FROM teaches WHERE semester  =  'Fall' AND YEAR  =  2009 EXCEPT SELECT id FROM teaches WHERE semester  =  'Spring' AND YEAR  =  2010", Seq('I')),
+    Stmt("n02", "SELECT title FROM course WHERE course_id NOT IN (SELECT course_id FROM prereq)", Seq('S')),
+    Stmt("n03", "SELECT DISTINCT salary FROM instructor WHERE salary  <  (SELECT max(salary) FROM instructor)", Seq('I')),
+    Stmt("n04", "SELECT name FROM student WHERE id IN (SELECT id FROM takes WHERE semester  =  'Fall' AND YEAR  =  2003)", Seq('S')),
+    Stmt("n05", "SELECT min(salary) ,  dept_name FROM instructor GROUP BY dept_name HAVING avg(salary)  >  (SELECT avg(salary) FROM instructor)", Seq('I', 'S')),
+    Stmt("n06", "SELECT title FROM course WHERE course_id IN (SELECT T1.prereq_id FROM prereq AS T1 JOIN course AS T2 ON T1.course_id  =  T2.course_id WHERE T2.title  =  'Mobile Computing')", Seq('S')),
+    Stmt("n07", "SELECT T3.title ,  T3.credits FROM classroom AS T1 JOIN SECTION AS T2 ON T1.building  =  T2.building AND T1.room_number  =  T2.room_number JOIN course AS T3 ON T2.course_id  =  T3.course_id WHERE T1.capacity  =  (SELECT max(capacity) FROM classroom)", Seq('S', 'I')),
+    // MACSQLGenerate.py:416 (backtick identifiers)
+    Stmt("mc2", "SELECT `Song_Name`, `Song_release_year` FROM singer WHERE Age = (SELECT MIN(Age) FROM singer)", Seq('S', 'S')),
+    // OpenSearchSQLGenerate.py:124
+    Stmt("os1", "SELECT id FROM cards WHERE spend > 100 ORDER BY spend LIMIT 5", Seq('I')))
+
+  // ---- Spark side ---------------------------------------------------
+
+  private def registerFixture(spark: SparkSession): Unit =
+    tables.foreach { t =>
+      val schema = org.apache.spark.sql.types.StructType(t.cols.map {
+        case (n, 'I') => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.IntegerType)
+        case (n, _) => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)
+      })
+      val rows = t.rows.map(r => org.apache.spark.sql.Row(r: _*))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .createOrReplaceTempView(t.name)
+    }
+
+  private def sparkCanon(i: Int, kind: Char): org.apache.spark.sql.Column =
+    kind match {
+      case 'S' => coalesce(col(s"c$i"), lit(NullTok))
+      case 'I' => coalesce(col(s"c$i").cast("string"), lit(NullTok))
+      case _ => coalesce(
+        round(col(s"c$i") * 10000).cast("bigint").cast("string"),
+        lit(NullTok))
+    }
+
+  private def sparkStmtRow(spark: SparkSession, st: Stmt): DataFrame = {
+    val raw = spark.sql(Transpiler.transpileSqlite(st.sql))
+    val df = raw.toDF(st.kinds.indices.map(i => s"c$i"): _*)
+    df.select(concat_ws(",",
+        st.kinds.zipWithIndex.map { case (k, i) => sparkCanon(i, k) }: _*)
+      .as("rowtext"))
+      .agg(count(lit(1)).as("n_rows"),
+        array_join(sort_array(collect_list(col("rowtext"))), "|").as("fp"))
+      .select(lit(st.id).as("stmt"), col("n_rows"), col("fp"))
+  }
+
+  // ---- DuckDB side --------------------------------------------------
+
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
+  }
+
+  private def duckFixtureCtes: String =
+    tables.map { t =>
+      val colList = t.cols.map(_._1).mkString(", ")
+      val rows = t.rows
+        .map(r => "(" + r.map(sqlLit).mkString(", ") + ")").mkString(",\n    ")
+      s"${t.name}($colList) AS (VALUES\n    $rows)"
+    }.mkString(",\n")
+
+  private def duckCanon(i: Int, kind: Char): String = kind match {
+    case 'S' => s"coalesce(c$i, '$NullTok')"
+    case 'I' => s"coalesce(CAST(c$i AS VARCHAR), '$NullTok')"
+    case _ =>
+      s"coalesce(CAST(CAST(round(c$i * 10000) AS BIGINT) AS VARCHAR), '$NullTok')"
+  }
+
+  private def duckStmtRow(st: Stmt): String = {
+    // DuckDB quotes identifiers with double quotes, not backticks
+    val sql = st.sql.replace('`', '"')
+    val cols = st.kinds.indices.map(i => s"c$i").mkString(", ")
+    val canon = st.kinds.zipWithIndex
+      .map { case (k, i) => duckCanon(i, k) }.mkString(", ")
+    s"""SELECT '${st.id}' AS stmt, count(*) AS n_rows,
+       |       coalesce(string_agg(rowtext, '|' ORDER BY rowtext), '') AS fp
+       |FROM (SELECT concat_ws(',', $canon) AS rowtext
+       |      FROM ($sql) AS t($cols))""".stripMargin
+  }
+
+  def queries: Seq[GQuery] = Seq(
+    GQuery(
+      "q_reference_prompt_ex",
+      "Execution-accuracy net over 31 harvested reference-prompt SQLs " +
+        "(DIN-SQL easy/medium/nested pools, MAC-SQL backticks, " +
+        "OpenSearch cards): each statement runs through the sqlite " +
+        "arm on a registered Spider-style college fixture and reduces " +
+        "to (stmt, n_rows, sorted-canonical-rows fingerprint); DuckDB " +
+        "executes the same statements over the same inline fixture.",
+      (s, dir) => {
+        registerFixture(s)
+        stmts.map(st => sparkStmtRow(s, st))
+          .reduce(_ unionAll _)
+          .orderBy(col("stmt"))
+      },
+      Some {
+        val rows = stmts.map(duckStmtRow).mkString("\nUNION ALL\n")
+        s"WITH\n$duckFixtureCtes\n$rows\nORDER BY stmt"
+      }))
+}

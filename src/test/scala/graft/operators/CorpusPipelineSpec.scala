@@ -475,4 +475,73 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(delta2 === Set(22L), s"delta2 admission: $delta2")
     assert(delta2 === full2, s"delta2=$delta2 full2=$full2")
   }
+
+  test("threshold straddle: delta admits it, the true-up removes it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trueup").toString
+    val idx = s"$base/dedupindex"
+    val lidx = s"$base/lineindex"
+    // the straddle: df 1 in the old corpus + 1 in the delta, at the
+    // floor of 2 only when SUMMED — each side alone is below floor
+    val straddle = "limited time offer subscribe now for exclusive member benefits"
+    val olds = Seq(
+      (1L, "en", "first long unique document about volcanic geology and basalt column formations in iceland\n" + straddle),
+      (2L, "en", "second unique document describing medieval manuscript preservation and vellum restoration techniques"))
+    val news = Seq(
+      (11L, "en", "eleventh wholly distinct piece on urban beekeeping rooftop hives and pollinator corridors\n" + straddle),
+      (12L, "en", "twelfth separate article about tidal energy turbines and estuary environmental assessments"))
+    val oldDf = olds.toDF("doc_id", "lang", "text")
+    val newDf = news.toDF("doc_id", "lang", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minChars = 40,
+      jaccardThreshold = 0.5, lineDedupMinDocFreq = 2,
+      boilerMinDocFreq = 99)
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+      .withColumn("text", lit("")).limit(0)
+    TextDedup.writeDedupIndex(oldDf, "doc_id", "text", idx, bands = 8)
+    LineIndex.writeLineIndex(oldDf, "doc_id", "text", lidx, minDocFreq = 2)
+    graft.core.CacheBin.drain()
+    val arts = CorpusPipeline.DeltaArtifacts(
+      dedupIndexPath = idx, lineIndexPath = Some(lidx))
+    // materialize the delta output before draining the pipeline's
+    // checkpoints — production shape too: the accepted delta is
+    // written out long before a later re-index trues it up
+    val deltaRows = CorpusPipeline.prepareDelta(newDf, empty, cfg, arts)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.core.CacheBin.drain()
+    val delta = deltaRows.toSeq.toDF("doc_id", "lang", "text")
+    val deltaTexts = deltaRows.map(r => r._1 -> r._3).toMap
+    // corner (a) as documented: the delta ADMITS the straddled line
+    // (old df 1 is below the index floor, delta df 1 below the
+    // within-delta floor)...
+    assert(deltaTexts(11L).contains("exclusive member benefits"),
+      s"fixture no longer straddles: ${deltaTexts(11L)}")
+    // ...where the full-run twin removes it (combined df 2 = floor)
+    val full = CorpusPipeline.curate(oldDf.unionByName(newDf), empty, cfg)
+      .filter(col("doc_id") > 10L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(!full(11L).contains("exclusive member benefits"))
+    // the true-up closes it: recompute df over old ++ delta, diff the
+    // at-floor set, re-screen the delta's accepted docs
+    val trued = CorpusPipeline.trueUpDelta(oldDf, newDf, delta, arts)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(trued === full,
+      s"true-up must land on the full twin:\ntrued=$trued\nfull=$full")
+    // and the artifact was refreshed IN PLACE: the next delta carrying
+    // the same line screens it at ingest, no true-up needed
+    val delta2 = CorpusPipeline.prepareDelta(Seq(
+        (21L, "en", "twentyfirst fresh chronicle of alpine observatory construction and winter logistics\n" + straddle))
+        .toDF("doc_id", "lang", "text"),
+      empty, cfg, arts)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(delta2.contains(21L) &&
+      !delta2(21L).contains("exclusive member benefits"),
+      s"refreshed index must screen the straddled line: $delta2")
+  }
 }
