@@ -1204,6 +1204,17 @@ object Transpiler {
     */
   def transpileSnowflake(sql: String): String = {
     var out = sql.trim.stripSuffix(";")
+    // SPLIT_TO_TABLE(s, d) is FLATTEN over a split — rewrite into the
+    // FLATTEN form BEFORE the flatten pass so one machinery handles
+    // TABLE(...)/LATERAL/comma connectors and aliases for both. The
+    // emitted SPLIT then flows through the literal-delimiter escape
+    // pass further down. Divergence, documented: Snowflake's INDEX
+    // column is 1-based, the POSEXPLODE index is 0-based (VALUE — the
+    // overwhelmingly-consumed column — matches exactly).
+    out = rewriteCall(out, "SPLIT_TO_TABLE") {
+      case Seq(s0, d) => Some(s"FLATTEN(input => SPLIT($s0, $d))")
+      case _ => None
+    }
     out = rewriteFlatten(out)
     out = rewriteArrayAggWithinGroup(out)
     // JSON-text VARIANT family (Spider2-snow exports carry VARIANT as
@@ -1374,6 +1385,16 @@ object Transpiler {
     }
     out = rewriteCall(out, "NULLIFZERO") {
       case Seq(e) => Some(s"NULLIF($e, 0)")
+      case _ => None
+    }
+    // REGEXP_SUBSTR_ALL(subject, pattern[, position[, occurrence...]]):
+    // every match as an array — regexp_extract_all with group 0 (the
+    // full match, Snowflake's default without the 'e' param); the
+    // position form slices the subject first, like REGEXP_SUBSTR's.
+    out = rewriteCall(out, "REGEXP_SUBSTR_ALL") {
+      case Seq(e, p) => Some(s"regexp_extract_all($e, $p, 0)")
+      case Seq(e, p, pos) =>
+        Some(s"regexp_extract_all(${subjFrom(e, pos)}, $p, 0)")
       case _ => None
     }
     // REGEXP_SUBSTR(subject, pattern[, position[, occurrence[, params
@@ -1685,6 +1706,21 @@ object Transpiler {
       out = rewriteCall(out, name) {
         case Seq(j) => Some(s"get_json_object($j, '$$')")
         case Seq(j, p) if fmtLit(p).isDefined => Some(s"get_json_object($j, $p)")
+        case _ => None
+      }
+    }
+    // Array forms FIRST (their names embed the scalar names, but
+    // rewriteCall's name(-paren boundary keeps them distinct): each
+    // element comes back as JSON text, exactly BigQuery's ARRAY<JSON>
+    // serialization (strings keep their quotes). try_cast nulls the
+    // non-array case like BigQuery does.
+    Seq("JSON_EXTRACT_ARRAY", "JSON_QUERY_ARRAY").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(j) => Some("transform(try_cast(variant_get(" +
+          s"try_parse_json($j), '$$') AS array<variant>), x -> to_json(x))")
+        case Seq(j, p) if fmtLit(p).isDefined =>
+          Some("transform(try_cast(variant_get(" +
+            s"try_parse_json($j), $p) AS array<variant>), x -> to_json(x))")
         case _ => None
       }
     }

@@ -538,5 +538,65 @@ object DialectQueries extends QueryPack {
              |FROM nation
              |UNION ALL
              |SELECT 'c_max', CAST(MAX(n_nationkey) AS BIGINT) FROM nation
-             |ORDER BY key""".stripMargin)))
+             |ORDER BY key""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch6",
+      "Dialect batch 6 (Snowflake): SPLIT_TO_TABLE rides the FLATTEN " +
+        "machinery into LATERAL VIEW POSEXPLODE(SPLIT(...)) — here " +
+        "with a regex-metachar '.' delimiter exercising the literal-" +
+        "escape pass — and REGEXP_SUBSTR_ALL becomes " +
+        "regexp_extract_all group 0; DuckDB mirrors with " +
+        "unnest(string_split) and regexp_extract_all.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT n.n_nationkey AS k, s.value AS part,
+              |       ARRAY_TO_STRING(REGEXP_SUBSTR_ALL(n.n_name, '[AEIOU]'), '') AS vowels
+              |FROM nation n, LATERAL SPLIT_TO_TABLE(n.n_name || '.' || TO_VARCHAR(n.n_regionkey), '.') s
+              |ORDER BY k, part""".stripMargin))
+        },
+      Some("""SELECT n_nationkey AS k,
+             |       unnest(string_split(n_name || '.' || CAST(n_regionkey AS VARCHAR), '.')) AS part,
+             |       array_to_string(regexp_extract_all(n_name, '[AEIOU]'), '') AS vowels
+             |FROM nation
+             |ORDER BY k, part""".stripMargin)),
+
+    GQuery(
+      "q_transpile_json_array",
+      "Dialect batch 6 (BigQuery): JSON_EXTRACT_ARRAY / " +
+        "JSON_QUERY_ARRAY over a JSON-text column — elements come " +
+        "back as JSON text (strings keep their quotes), a non-array " +
+        "path nulls out like BigQuery — consumed through the batch-5 " +
+        "OFFSET access and ARRAY_LENGTH; DuckDB mirrors with " +
+        "json_array_length / json_extract.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(
+            """SELECT n_nationkey AS k,
+              |       to_json(named_struct(
+              |         'tags', array(n_name, CAST(n_regionkey AS STRING)),
+              |         'n', n_nationkey)) AS j
+              |FROM nation""".stripMargin)
+            .createOrReplaceTempView("jdocs")
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT k,
+              |       CAST(ARRAY_LENGTH(JSON_EXTRACT_ARRAY(j, '$.tags')) AS INT64) AS ntags,
+              |       JSON_QUERY_ARRAY(j, '$.tags')[OFFSET(0)] AS first_tag,
+              |       JSON_EXTRACT_ARRAY(j, '$.n') IS NULL AS scalar_nulls
+              |FROM jdocs
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""WITH jdocs AS (
+             |  SELECT n_nationkey AS k,
+             |         to_json(struct_pack(
+             |           tags := [n_name, CAST(n_regionkey AS VARCHAR)],
+             |           n := n_nationkey)) AS j
+             |  FROM nation)
+             |SELECT k,
+             |       CAST(json_array_length(j, '$.tags') AS BIGINT) AS ntags,
+             |       CAST(json_extract(j, '$.tags[0]') AS VARCHAR) AS first_tag,
+             |       json_extract(j, '$.n[0]') IS NULL AS scalar_nulls
+             |FROM jdocs
+             |ORDER BY k""".stripMargin)))
 }

@@ -578,6 +578,42 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT 'LOG(x, 2) arr[OFFSET(1)]' FROM t")
   }
 
+  test("dialect batch 6: SPLIT_TO_TABLE, REGEXP_SUBSTR_ALL, JSON_*_ARRAY") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // SPLIT_TO_TABLE rides the FLATTEN machinery (comma-lateral,
+    // TABLE(...) wrapper, aliases); VALUE matches exactly, INDEX is
+    // 0-based vs Snowflake's 1-based (documented divergence)
+    assert(transpileSnowflake(
+      "SELECT s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s") ==
+      "SELECT s.value FROM t LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+    // metachar delimiter flows through the literal-escape SPLIT pass
+    assert(transpileSnowflake(
+      "SELECT s.value FROM t, TABLE(SPLIT_TO_TABLE(x, '.')) s") ==
+      "SELECT s.value FROM t LATERAL VIEW POSEXPLODE(split(x, '\\\\.')) s AS index, value")
+    assert(transpileSnowflake("SELECT REGEXP_SUBSTR_ALL(n, '[0-9]+') FROM t") ==
+      "SELECT regexp_extract_all(n, '[0-9]+', 0) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_SUBSTR_ALL(n, '[0-9]+', 3) FROM t") ==
+      "SELECT regexp_extract_all(substr(n, 3), '[0-9]+', 0) FROM t")
+    // BigQuery ARRAY<JSON> forms: elements come back as JSON text
+    // (strings keep quotes); try_cast nulls the non-array case
+    assert(transpileBigQuery("SELECT JSON_EXTRACT_ARRAY(j, '$.tags') FROM t") ==
+      "SELECT transform(try_cast(variant_get(try_parse_json(j), '$.tags') " +
+        "AS array<variant>), x -> to_json(x)) FROM t")
+    assert(transpileBigQuery("SELECT JSON_QUERY_ARRAY(j) FROM t") ==
+      "SELECT transform(try_cast(variant_get(try_parse_json(j), '$') " +
+        "AS array<variant>), x -> to_json(x)) FROM t")
+    // non-literal path → repair loop; idempotence under re-transpile
+    assert(transpileBigQuery("SELECT JSON_EXTRACT_ARRAY(j, p) FROM t") ==
+      "SELECT JSON_EXTRACT_ARRAY(j, p) FROM t")
+    Seq(
+      transpileSnowflake("SELECT s.value FROM t, LATERAL SPLIT_TO_TABLE(x, '.') s"),
+      transpileSnowflake("SELECT REGEXP_SUBSTR_ALL(n, '[0-9]+') FROM t"),
+      transpileBigQuery("SELECT JSON_EXTRACT_ARRAY(j, '$.tags') FROM t")
+    ).foreach { once =>
+      assert(transpileSnowflake(once) == once, s"snow not idempotent: $once")
+    }
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
