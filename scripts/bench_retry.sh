@@ -61,7 +61,9 @@ run_once() {
   rc=$?
   line="$(grep '"metric"' "$log" | tail -1 || true)"
   if [ "$rc" -ne 0 ] || [ -z "$line" ]; then
-    echo "[bench_retry] bench run failed (rc=$rc, metric-line ${line:+present}${line:-MISSING}); last output:" >&2
+    local state="MISSING"
+    [ -n "$line" ] && state="present"
+    echo "[bench_retry] bench run failed (rc=$rc, metric-line $state); last output:" >&2
     tail -20 "$log" >&2
     rm -f "$log"
     return 1

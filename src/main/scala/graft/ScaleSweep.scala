@@ -172,27 +172,38 @@ object ScaleSweep {
       graft.core.CacheBin.drain()
       val arts = CorpusPipeline.DeltaArtifacts(dedupIndexPath = idx,
         lineIndexPath = Some(lidx), appendAccepted = false)
-      def once(): Double = {
+      def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        try CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
-          .queryExecution.toRdd.count(): Unit
-        finally graft.core.CacheBin.drain()
-        (System.nanoTime() - t0) / 1e9
+        val n =
+          try CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
+            .queryExecution.toRdd.count()
+          finally graft.core.CacheBin.drain()
+        ((System.nanoTime() - t0) / 1e9, n)
       }
       val cal = calibrate(spark)
-      val t = math.min(once(), once())
+      val (r1, r2) = (once(), once())
+      val t = math.min(r1._1, r2._1)
+      val accepted = r2._2
+      // a delta the pipeline REJECTS times the cheap rejection path —
+      // the exponent would then certify the scaling of nothing
+      require(accepted > 0,
+        s"delta sweep tier $tag accepted 0 of $nDelta docs — the fixed " +
+          "delta no longer passes curation; the timing measures the " +
+          "rejection path, not delta cost. Fix the fixture.")
       // scalastyle:off println
-      println(s"""{"mode":"delta_vs_corpus","tier":"$tag","corpus_mult":$mult,"delta_docs":$nDelta,"sec":${num(t)},"cal":${num(cal)},"load":${num(loadAvg())}}""")
+      println(s"""{"mode":"delta_vs_corpus","tier":"$tag","corpus_mult":$mult,"delta_docs":$nDelta,"accepted":$accepted,"sec":${num(t)},"cal":${num(cal)},"load":${num(loadAvg())}}""")
       // scalastyle:on println
-      (tag, mult, t)
+      (tag, mult, t, accepted)
     }
     val exps = timed.sliding(2).collect {
-      case Seq((_, m1, t1), (tag2, m2, t2)) =>
+      case Seq((_, m1, t1, _), (tag2, m2, t2, _)) if m2 != m1 =>
         s""""exp_to_$tag2":${num(math.log(t2 / t1) / math.log(m2.toDouble / m1))}"""
     }.toSeq
-    val tiersJson = timed.map { case (tag, m, t) =>
-      s""""$tag":{"corpus_mult":$m,"sec":${num(t)}}""" }.mkString(",")
-    val json = s"""{"mode":"delta_vs_corpus","delta_docs":$nDelta,"copies":$copies,$tiersJson,${exps.mkString(",")}}"""
+    val tiersJson = timed.map { case (tag, m, t, acc) =>
+      s""""$tag":{"corpus_mult":$m,"sec":${num(t)},"accepted":$acc}""" }.mkString(",")
+    val json = (Seq(s""""mode":"delta_vs_corpus"""",
+      s""""delta_docs":$nDelta""", s""""copies":$copies""", tiersJson) ++
+      exps).mkString("{", ",", "}")
     // scalastyle:off println
     println(json)
     // scalastyle:on println

@@ -94,7 +94,11 @@ object Transpiler {
     "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY",
     "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
     "FULL", "CROSS", "ON", "USING", "AS", "AND", "OR", "NOT", "WHEN",
-    "THEN", "ELSE", "END", "OVER", "WINDOW", "FETCH", "OFFSET")
+    "THEN", "ELSE", "END", "OVER", "WINDOW", "FETCH", "OFFSET",
+    // expression-tail words: `ORDER BY price * exclude DESC` captures
+    // DESC, `a * exclude IS NOT NULL` captures IS — reserved too
+    "DESC", "ASC", "NULLS", "IS", "IN", "LIKE", "ILIKE", "BETWEEN",
+    "CASE", "SAMPLE", "TABLESAMPLE")
 
   /** Case-insensitive, literal-safe function-name / token replacement. */
   private def replaceToken(sql: String, from: String, to: String): String = {

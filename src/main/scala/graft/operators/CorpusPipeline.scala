@@ -410,9 +410,20 @@ object CorpusPipeline {
     * whose df crossed the floor during ONE delta), so a blow-past
     * means the artifact and corpus diverged wholesale (wrong index
     * path, floor change) — fail with the sizing, don't broadcast a
-    * corpus.
+    * corpus. The bound is what the strip IMPLEMENTATION honestly
+    * supports: units fold into alternation patterns of
+    * [[TrueUpAlternationChunk]] runs per regexp_replace, so the plan
+    * carries at most MaxTrueUpUnits/chunk (= 20) sequential replaces —
+    * flat expression depth, each a single scan.
     */
-  val MaxTrueUpUnits: Int = 100000
+  val MaxTrueUpUnits: Int = 10000
+
+  /** Runs per alternation pattern in the true-up strip (one
+    * regexp_replace each). One-regex-per-run foldLeft nesting would
+    * build a runs-deep expression tree — Catalyst's recursive walks
+    * stack-overflow in the low thousands, far under [[MaxTrueUpUnits]].
+    */
+  val TrueUpAlternationChunk: Int = 500
 
   def trueUpDelta(oldDocs: DataFrame, deltaRaw: DataFrame,
       deltaAccepted: DataFrame, artifacts: DeltaArtifacts,
@@ -479,10 +490,15 @@ object CorpusPipeline {
     if (runs.isEmpty) deltaAccepted
     else {
       val padded = concat(lit(" "), col(textCol), lit(" "))
-      val strippedPad = runs.foldLeft(padded) { (c, run) =>
-        regexp_replace(c,
-          "(?: " + java.util.regex.Pattern.quote(run) + "(?= ))+", "")
-      }
+      // longest-first: regex alternation is ordered, so a run that is
+      // a prefix of a longer run must not shadow it mid-match
+      val strippedPad = runs.distinct.sortBy(-_.length)
+        .grouped(TrueUpAlternationChunk)
+        .foldLeft(padded) { (c, chunk) =>
+          val alt = chunk.map(java.util.regex.Pattern.quote)
+            .mkString("(?:", "|", ")")
+          regexp_replace(c, s"(?: $alt(?= ))+", "")
+        }
       deltaAccepted.withColumn(textCol, trim(strippedPad))
     }
   }

@@ -170,14 +170,19 @@ object ParagraphIndex {
         hashes.select(col("hash").as("__h")), bits, kHashes)
     }
     val words = bloomOf(s"$path/hashes")
-    val headK = meta(0).getInt(6)
+    // artifacts written before the hybrid carry a 5-column meta
+    // (family, n, h, bands, seed) — they load as a pure screen with
+    // the default threshold instead of crashing a running ingest
+    val hasHybridMeta = meta(0).length > 6
+    val headK = if (hasHybridMeta) meta(0).getInt(6) else 0
+    val threshold = if (hasHybridMeta) meta(0).getDouble(5) else 0.5
     val (headSets, tailWords) =
       if (headK <= 0) (Array.empty[Array[Long]], Array.empty[Long])
       else (spark.read.parquet(s"$path/head").collect()
           .map(_.getSeq[Long](0).toArray),
         bloomOf(s"$path/hashes_tail"))
     ParagraphFilter(words, kHashes, meta(0).getInt(1), meta(0).getInt(2),
-      meta(0).getInt(3), meta(0).getLong(4), meta(0).getDouble(5),
+      meta(0).getInt(3), meta(0).getLong(4), threshold,
       headSets, tailWords)
   }
 
