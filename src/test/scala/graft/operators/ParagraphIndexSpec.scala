@@ -190,6 +190,53 @@ class ParagraphIndexSpec extends SparkSpec {
       f"(unrelated FP $fpUnrelated%.3f, budget 0.05)")
   }
 
+  test("pre-hybrid 5-column meta artifact loads as a pure screen") {
+    val dir = freshDir("backcompat")
+    val ref = Seq((1L, s"some page body here\n\n$template"),
+      (2L, s"$template\n\nother body there")).toDF("doc_id", "text")
+    // build a CURRENT artifact, then rewrite its meta in the
+    // pre-hybrid 5-column shape (family, n, h, bands, seed)
+    ParagraphIndex.writeParagraphIndex(ref, "doc_id", "text", s"$dir/idx")
+    graft.core.CacheBin.drain()
+    Seq(("paragraph-band-index", 3, 16, 8, 42L))
+      .toDF("family", "n", "h", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/idx/meta")
+    val f = ParagraphIndex.loadFilter(spark, s"$dir/idx")
+    assert(f.headSets.isEmpty && f.tailWords.isEmpty && f.threshold == 0.5)
+    // and it still screens: an exact template copy strips entirely
+    val got = Seq((10L, template)).toDF("doc_id", "text")
+      .withColumn("clean", ParagraphIndex.stripParagraphsExpr(col("text"), f))
+      .collect()(0).getString(2)
+    assert(got === "")
+  }
+
+  test("hybrid tail regime keeps the screen contract") {
+    val pidx = freshDir("tailscreen") + "/idx"
+    // template is HOT (head at K=1); the tail paragraph appears once
+    val tailPara = "rare appendix paragraph about maritime signal flag etiquette aboard vessels"
+    val ref = Seq(
+      (1L, s"$template\n\n$tailPara"),
+      (2L, s"$template\n\nsecond body entirely different here today"),
+      (3L, s"$template\n\nthird body other words flowing onward"))
+      .toDF("doc_id", "text")
+    ParagraphIndex.writeParagraphIndex(
+      ref, "doc_id", "text", pidx, headK = 1)
+    graft.core.CacheBin.drain()
+    val f = ParagraphIndex.loadFilter(spark, pidx)
+    assert(f.headSets.length == 1 && f.tailWords.nonEmpty)
+    val incoming = Seq(
+      (10L, tailPara), // exact copy of a TAIL paragraph: screen strips
+      (11L, template), // exact copy of the HEAD template: verify strips
+      (12L, "wholly unrelated essay on alpine meadow pollination cycles"))
+      .toDF("doc_id", "text")
+    val got = incoming
+      .withColumn("clean", ParagraphIndex.stripParagraphsExpr(col("text"), f))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(10L) === "", "tail hit must strip on the screen contract")
+    assert(got(11L) === "", "head exact copy must verify and strip")
+    assert(got(12L).nonEmpty, "unrelated text must survive")
+  }
+
   test("loadFilter rejects a foreign artifact") {
     val dir = freshDir("meta")
     // a LineIndex artifact is NOT a paragraph index
