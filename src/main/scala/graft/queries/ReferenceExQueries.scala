@@ -259,5 +259,64 @@ object ReferenceExQueries extends QueryPack {
       Some {
         val rows = stmts.map(duckStmtRow).mkString("\nUNION ALL\n")
         s"WITH\n$duckFixtureCtes\n$rows\nORDER BY stmt"
+      }),
+
+    GQuery(
+      "q_reference_prompt_evalx",
+      "The reference's CENTRAL metric (eval_generate_execute_accuracy) " +
+        "run over its own harvested prompt SQL: gold/pred pairs " +
+        "through the sqlite-dialect Evaluator on the college fixture. " +
+        "DuckDB COMPUTES the executable pairs' scores by running both " +
+        "statements over the same inline fixture and comparing " +
+        "multisets (EXCEPT ALL both ways); only the failure branches " +
+        "(broken pred -> 0, broken gold -> excluded null) are declared, " +
+        "their semantics being pinned by q_eval_ex.",
+      (s, dir) => {
+        import s.implicits._
+        registerFixture(s)
+        val g1 = "SELECT name FROM student WHERE dept_name  =  'History' ORDER BY tot_cred DESC LIMIT 1"
+        val g2 = "SELECT sum(budget) FROM department WHERE dept_name  =  'Marketing' OR dept_name  =  'Finance'"
+        val g3 = "SELECT DISTINCT salary FROM instructor WHERE salary  <  (SELECT max(salary) FROM instructor)"
+        val g4 = "SELECT COUNT (DISTINCT ID) FROM teaches WHERE semester  =  'Spring' AND YEAR  =  2010"
+        val items = Seq(
+          // textually different, same result → 1
+          ("p1", g1, "SELECT student.name FROM student WHERE student.dept_name = 'History' ORDER BY tot_cred DESC LIMIT 1"),
+          // wrong predicate, different aggregate → 0
+          ("p2", g2, "SELECT sum(budget) FROM department WHERE dept_name = 'Marketing'"),
+          // identical text → 1 (same plan, stable order)
+          ("p3", g3, g3),
+          // different but equivalent predicate → 1
+          ("p4", g4, "SELECT COUNT(DISTINCT id) FROM teaches WHERE year = 2010 AND semester = 'Spring'"),
+          // pred does not execute → 0
+          ("p5", g4, "SELECT no_such_column FROM teaches"),
+          // gold does not execute → excluded (null)
+          ("p6", "SELECT broken FROM teaches", g4))
+          .toDF("instance_id", "gold_sql", "pred_sql")
+        new graft.evalx.Evaluator(s, dialect = "sqlite").evalDataFrame(items)
+          .select(col("instance_id"), col("score"))
+          .orderBy(col("instance_id"))
+      },
+      Some {
+        def cmp(id: String, gold: String, pred: String): String =
+          s"""SELECT '$id' AS instance_id,
+             |  CASE WHEN (SELECT count(*) FROM (($gold) EXCEPT ALL ($pred)) tx) = 0
+             |        AND (SELECT count(*) FROM (($pred) EXCEPT ALL ($gold)) ty) = 0
+             |       THEN 1 ELSE 0 END AS score""".stripMargin
+        val g1 = "SELECT name FROM student WHERE dept_name = 'History' ORDER BY tot_cred DESC LIMIT 1"
+        val g2 = "SELECT sum(budget) FROM department WHERE dept_name = 'Marketing' OR dept_name = 'Finance'"
+        val g3 = "SELECT DISTINCT salary FROM instructor WHERE salary < (SELECT max(salary) FROM instructor)"
+        val g4 = "SELECT COUNT(DISTINCT ID) FROM teaches WHERE semester = 'Spring' AND YEAR = 2010"
+        val computed = Seq(
+          cmp("p1", g1, "SELECT student.name FROM student WHERE student.dept_name = 'History' ORDER BY tot_cred DESC LIMIT 1"),
+          cmp("p2", g2, "SELECT sum(budget) FROM department WHERE dept_name = 'Marketing'"),
+          cmp("p3", g3, g3),
+          cmp("p4", g4, "SELECT COUNT(DISTINCT id) FROM teaches WHERE year = 2010 AND semester = 'Spring'"))
+          .mkString("\nUNION ALL\n")
+        s"""WITH
+           |$duckFixtureCtes
+           |$computed
+           |UNION ALL SELECT 'p5', 0
+           |UNION ALL SELECT 'p6', CAST(NULL AS INT)
+           |ORDER BY instance_id""".stripMargin
       }))
 }
