@@ -616,6 +616,57 @@ class IngestDedupSpec extends SparkSpec {
         s"stream=${admitted.toMap}\ntwin=${twin.view.mapValues(_._1).toMap}")
   }
 
+  test("hybrid paragraph index in-stream: gray band survives, both strip regimes hold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = freshDir("idxHyb") + "/index"
+    val pidx = freshDir("hybIdx") + "/paraindex"
+    val out = freshDir("outHyb") + "/corpus"
+    val ckp = freshDir("ckpHyb")
+    val template =
+      "please subscribe to our weekly newsletter for updates offers and community news every single week"
+    val tailPara =
+      "rare appendix paragraph describing maritime signal flag etiquette aboard sailing vessels"
+    // template is HOT (3 pages) → head at K=1; tailPara appears once
+    val ref = Seq(
+      IngestDoc(101L, s"reference page one body content\n\n$template"),
+      IngestDoc(102L, s"$template\n\nreference second page story"),
+      IngestDoc(103L, s"reference third page article\n\n$template\n\n$tailPara"))
+      .toDF()
+    graft.operators.ParagraphIndex.writeParagraphIndex(
+      ref, "doc_id", "text", pidx, threshold = 0.5, headK = 1)
+    graft.core.CacheBin.drain()
+    // gray band: keep the template's first 13 of 14 content words, then
+    // diverge — Jaccard lands under 0.5, so the HEAD VERIFY must keep
+    // it where the pure screen (r16 behavior) would have stripped it
+    val grayMiss = template.split(" ").take(9).mkString(" ") +
+      " entirely different closing clause about glacier moraines"
+    val incoming = Seq(
+      IngestDoc(1L, s"original alpha essay opening\n\n$grayMiss"),
+      IngestDoc(2L, s"$template\n\nsecond original beta report"),
+      IngestDoc(3L, s"third unique gamma recipe\n\n$tailPara"))
+      .toDF()
+    graft.operators.TextDedup.writeDedupIndex(
+      spark.emptyDataset[IngestDoc].toDF(), "doc_id", "text", idx)
+    val src = MemoryStream[IngestDoc]
+    val q = IngestDedup.start(src.toDF(), "doc_id", "text", idx, out, ckp,
+      threshold = 0.5, paragraphIndexPath = Some(pidx))
+    try {
+      src.addData(incoming.as[IngestDoc].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the hybrid screen must add no streaming state")
+    } finally q.stop()
+    val got = spark.read.parquet(out).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L).contains("glacier moraines"),
+      s"gray-band near-miss must SURVIVE the head verify: ${got(1L)}")
+    assert(!got(2L).contains("newsletter"),
+      s"exact head template must verify and strip: ${got(2L)}")
+    assert(!got(3L).contains("maritime"),
+      s"tail copy must strip on the screen contract: ${got(3L)}")
+  }
+
   test("trained language-ID gate admits only allowed languages, stateless") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
