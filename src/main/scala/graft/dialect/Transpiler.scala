@@ -1334,6 +1334,41 @@ object Transpiler {
         fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_date($e, '$sf')")
       case _ => None // 1-arg to_date is already Spark
     }
+    // TO_TIMESTAMP_NTZ/LTZ/TZ collapse onto TO_TIMESTAMP before its
+    // arm runs: graft sessions pin UTC, where Snowflake's three
+    // timestamp flavors coincide (the divergence — a non-UTC session
+    // with wallclock-vs-instant semantics — is documented here, not
+    // silently wrong: LTZ/TZ then shift, NTZ does not). TRY_ forms
+    // ride the same collapse onto TRY_TO_TIMESTAMP.
+    Seq("TO_TIMESTAMP_NTZ", "TO_TIMESTAMP_LTZ", "TO_TIMESTAMP_TZ")
+      .foreach(n => out = replaceToken(out, n, "TO_TIMESTAMP"))
+    Seq("TRY_TO_TIMESTAMP_NTZ", "TRY_TO_TIMESTAMP_LTZ",
+      "TRY_TO_TIMESTAMP_TZ")
+      .foreach(n => out = replaceToken(out, n, "TRY_TO_TIMESTAMP"))
+    // STRTOK(s[, delimSET[, part]]): every CHARACTER of the delimiter
+    // is a separator and EMPTY tokens are skipped (split_part counts
+    // them) — so tokens are the maximal NON-delimiter runs:
+    // regexp_extract_all over a negated character class +
+    // try_element_at (NULL past the last token, like Snowflake).
+    // Deliberately NOT a split(): the emitted literal would be
+    // re-escaped by the literal-delimiter SPLIT pass below. Literal
+    // delimiters only; defaults: delim ' ', part 1.
+    out = rewriteCall(out, "STRTOK") {
+      def tok(s0: String, chars: String, part: String): String = {
+        val cls = chars.flatMap {
+          case c if "[]^\\-&".contains(c) => s"\\\\$c"
+          case '\'' => "''"
+          case c => c.toString
+        }
+        s"try_element_at(regexp_extract_all($s0, '[^$cls]+', 0), CAST($part AS INT))"
+      }
+      {
+        case Seq(s0) => Some(tok(s0, " ", "1"))
+        case Seq(s0, d) => fmtLit(d).map(tok(s0, _, "1"))
+        case Seq(s0, d, p) => fmtLit(d).map(tok(s0, _, p))
+        case _ => None
+      }
+    }
     out = rewriteCall(out, "TO_TIMESTAMP") {
       case Seq(e, f) =>
         fmtLit(f).flatMap(snowFmtToSpark).map(sf => s"to_timestamp($e, '$sf')")

@@ -598,5 +598,40 @@ object DialectQueries extends QueryPack {
              |       CAST(json_extract(j, '$.tags[0]') AS VARCHAR) AS first_tag,
              |       json_extract(j, '$.n[0]') IS NULL AS scalar_nulls
              |FROM jdocs
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch7",
+      "Dialect batch 7 (Snowflake): TO_TIMESTAMP_NTZ/LTZ/TZ collapse " +
+        "onto TO_TIMESTAMP (UTC session — the flavors coincide), " +
+        "TRY_ forms null bad inputs, and STRTOK tokenizes on every " +
+        "delimiter CHARACTER skipping empty tokens (non-delimiter-run " +
+        "extraction, NULL past the last token) — mirrored by DuckDB " +
+        "CAST/TRY_CAST/strptime and regexp_extract_all indexing.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT o_orderkey AS k,
+              |       TO_TIMESTAMP_NTZ(TO_VARCHAR(o_orderdate, 'YYYY-MM-DD') || ' 07:30:00') AS ts1,
+              |       TRY_TO_TIMESTAMP_NTZ('2024-13-99 00:00:00') AS bad_ts,
+              |       TO_TIMESTAMP_LTZ('15/03/2024 07:30:00', 'DD/MM/YYYY HH24:MI:SS') AS ts2,
+              |       STRTOK(o_orderpriority, '-') AS tok1,
+              |       STRTOK(o_orderpriority, '-', 2) AS tok2,
+              |       STRTOK('a,,b;;c', ',;', 2) AS tok3,
+              |       STRTOK(o_orderpriority, '-', 9) AS tok_oob
+              |FROM orders
+              |WHERE o_orderkey < 100
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""SELECT o_orderkey AS k,
+             |       CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 07:30:00' AS TIMESTAMP) AS ts1,
+             |       TRY_CAST('2024-13-99 00:00:00' AS TIMESTAMP) AS bad_ts,
+             |       strptime('15/03/2024 07:30:00', '%d/%m/%Y %H:%M:%S') AS ts2,
+             |       regexp_extract_all(o_orderpriority, '[^-]+')[1] AS tok1,
+             |       regexp_extract_all(o_orderpriority, '[^-]+')[2] AS tok2,
+             |       regexp_extract_all('a,,b;;c', '[^,;]+')[2] AS tok3,
+             |       regexp_extract_all(o_orderpriority, '[^-]+')[9] AS tok_oob
+             |FROM orders
+             |WHERE o_orderkey < 100
              |ORDER BY k""".stripMargin)))
 }

@@ -614,6 +614,36 @@ class TranspilerSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect batch 7: TO_TIMESTAMP_NTZ family, STRTOK") {
+    import Transpiler.transpileSnowflake
+    // NTZ/LTZ/TZ collapse onto TO_TIMESTAMP (UTC sessions — flavors
+    // coincide); 1-arg is native Spark, format-bearing maps elements
+    assert(transpileSnowflake("SELECT TO_TIMESTAMP_NTZ(ts) FROM t") ==
+      "SELECT TO_TIMESTAMP(ts) FROM t")
+    assert(transpileSnowflake(
+      "SELECT TO_TIMESTAMP_LTZ(s, 'DD/MM/YYYY HH24:MI:SS') FROM t") ==
+      "SELECT to_timestamp(s, 'dd/MM/yyyy HH:mm:ss') FROM t")
+    assert(transpileSnowflake("SELECT TRY_TO_TIMESTAMP_NTZ(s) FROM t") ==
+      "SELECT TRY_TO_TIMESTAMP(s) FROM t")
+    // STRTOK: every delimiter CHARACTER separates, empty tokens skip,
+    // out-of-range part is NULL — non-delimiter-run extraction
+    assert(transpileSnowflake("SELECT STRTOK(s) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '[^ ]+', 0), CAST(1 AS INT)) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, ',;', 2) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '[^,;]+', 0), CAST(2 AS INT)) FROM t")
+    // class-metachar delimiter escapes; non-literal delim → repair loop
+    assert(transpileSnowflake("SELECT STRTOK(s, '-') FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '[^\\\\-]+', 0), CAST(1 AS INT)) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, d, 2) FROM t") ==
+      "SELECT STRTOK(s, d, 2) FROM t")
+    // idempotent under re-transpile
+    Seq("SELECT STRTOK(s, ',;', 2) FROM t",
+      "SELECT TO_TIMESTAMP_NTZ(s, 'YYYY-MM-DD') FROM t").foreach { sql =>
+      val once = transpileSnowflake(sql)
+      assert(transpileSnowflake(once) == once, s"not idempotent: $once")
+    }
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
