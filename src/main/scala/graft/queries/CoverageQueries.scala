@@ -1486,6 +1486,136 @@ object CoverageQueries extends QueryPack {
       }),
 
     GQuery(
+      "q_corpus_trueup",
+      "Delta curation COMPOSED with the re-index true-up " +
+        "(CorpusPipeline.trueUpDelta): a straddle line is injected " +
+        "into exactly one old doc (7) and one delta doc (401) — each " +
+        "side alone under the df-2 floor, so prepareDelta admits it — " +
+        "then the true-up recomputes line-df over raw old ++ raw " +
+        "accepted delta, diffs the old index's at-floor set, and " +
+        "strips the newly-at-floor token runs from the accepted " +
+        "output. The DuckDB oracle replays the whole delta pipeline " +
+        "with the line-strip extended by the combined-df diff " +
+        "(fl1 UNION flo UNION (flc minus flo)) — the full-run twin's " +
+        "line grain.",
+      (s, dir) => {
+        import graft.operators.{CorpusPipeline, LineIndex, TextDedup}
+        val straddle =
+          "limited time promotional banner for premium member rewards enrollment today only"
+        val docs = t(s, dir, "documents")
+          .withColumn("text", when(col("doc_id").isin(7L, 401L),
+            concat(col("text"), lit("\n" + straddle)))
+            .otherwise(col("text")))
+        val old = docs.filter(col("doc_id") < 400)
+        val delta = docs.filter(col("doc_id") >= 400)
+        val idx = "/root/repo/target/tmp/trueup_q_index"
+        val lidx = "/root/repo/target/tmp/trueup_q_lineindex"
+        TextDedup.writeDedupIndex(old, "doc_id", "text", idx,
+          n = 3, h = 16, bands = 8)
+        LineIndex.writeLineIndex(old, "doc_id", "text", lidx, minDocFreq = 2)
+        val arts = CorpusPipeline.DeltaArtifacts(dedupIndexPath = idx,
+          lineIndexPath = Some(lidx), appendAccepted = false)
+        val accepted = CorpusPipeline.prepareDelta(delta, delta.limit(0),
+          CorpusPipeline.Config(langs = Seq("en", "de", "fr"),
+            minChars = 100, jaccardThreshold = 0.5,
+            lineDedupMinDocFreq = 2, boilerMinDocFreq = 999),
+          arts)
+        CorpusPipeline.trueUpDelta(old, delta, accepted, arts)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("text").as("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+        val bandCondO = (0 until 8).map(j => s"x.band$j = y.band${j}_o").mkString(" OR ")
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, lang, source,
+           |         CASE WHEN doc_id IN (7, 401)
+           |              THEN text || chr(10) ||
+           |                'limited time promotional banner for premium member rewards enrollment today only'
+           |              ELSE text END AS text
+           |  FROM documents),
+           |nw AS (
+           |  SELECT doc_id, text, lang, source FROM docs2
+           |  WHERE doc_id >= 400 AND lang IN ('en', 'de', 'fr')
+           |    AND length(text) >= 100),
+           |old AS (SELECT doc_id, text FROM docs2 WHERE doc_id < 400),
+           |fp AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM nw),
+           |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+           |d1 AS MATERIALIZED (SELECT nw.* FROM nw JOIN k1 USING (doc_id)),
+           |${DedupOracles.base("d1")},
+           |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
+           |${DedupOracles.interJac},
+           |drp AS (SELECT DISTINCT j.id2 FROM j
+           |        JOIN bnd x ON x.doc_id = j.id1
+           |        JOIN bnd y ON y.doc_id = j.id2
+           |        WHERE j.jaccard >= 0.5 AND ($bandCond8)),
+           |d2 AS MATERIALIZED (
+           |  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM drp)),
+           |${DedupOracles.baseSfx("old", "_o")},
+           |${DedupOracles.minhashBandCtesSfx(16, 8, 42L, "_o")},
+           |prx AS (
+           |  SELECT DISTINCT x.doc_id AS inc, y.doc_id AS co
+           |  FROM (SELECT * FROM bnd
+           |        WHERE doc_id IN (SELECT doc_id FROM d2)) x
+           |  JOIN (SELECT doc_id, band0 AS band0_o, band1 AS band1_o,
+           |               band2 AS band2_o, band3 AS band3_o,
+           |               band4 AS band4_o, band5 AS band5_o,
+           |               band6 AS band6_o, band7 AS band7_o
+           |        FROM bnd_o) y
+           |    ON ($bandCondO)),
+           |iver AS (
+           |  SELECT p.inc
+           |  FROM prx p
+           |  JOIN s a ON a.doc_id = p.inc
+           |  JOIN s_o b ON b.doc_id = p.co AND b.h = a.h
+           |  JOIN sizes na ON na.doc_id = p.inc
+           |  JOIN sizes_o nb ON nb.doc_id = p.co
+           |  GROUP BY p.inc, p.co, na.n, nb.n
+           |  HAVING CAST(count(*) AS DOUBLE) /
+           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5),
+           |d3 AS MATERIALIZED (
+           |  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT inc FROM iver)),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d3),
+           |w AS (SELECT doc_id, unnest(l) AS line,
+           |             unnest(generate_series(1, len(l))) AS pos
+           |      FROM ls),
+           |k AS (SELECT doc_id, pos, ${DedupOracles.polyHash("trim(line)")} AS hv
+           |      FROM w WHERE length(trim(line)) > 0),
+           |fl1 AS (SELECT hv FROM k GROUP BY hv
+           |        HAVING COUNT(DISTINCT doc_id) >= 2),
+           |wo AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           |       FROM old),
+           |ko AS (SELECT doc_id, ${DedupOracles.polyHash("trim(line)")} AS hv
+           |       FROM wo WHERE length(trim(line)) > 0),
+           |flo AS (SELECT hv FROM ko GROUP BY hv
+           |        HAVING COUNT(DISTINCT doc_id) >= 2),
+           |cmb AS (SELECT doc_id, hv FROM ko
+           |        UNION
+           |        SELECT doc_id, hv FROM k),
+           |flc AS (SELECT hv FROM cmb GROUP BY hv
+           |        HAVING COUNT(DISTINCT doc_id) >= 2),
+           |fl AS (SELECT hv FROM fl1 UNION SELECT hv FROM flo
+           |       UNION SELECT hv FROM flc),
+           |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
+           |keep AS (SELECT w.doc_id, w.pos, w.line
+           |         FROM w ANTI JOIN cov USING (doc_id, pos)),
+           |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+           |        FROM keep GROUP BY doc_id),
+           |d4 AS (SELECT d3.doc_id, d3.lang, d3.source,
+           |              COALESCE(agg.ct, '') AS text
+           |       FROM d3 LEFT JOIN agg USING (doc_id)),
+           |tb AS (SELECT doc_id, lang, source,
+           |              list_filter(string_split_regex(lower(text), '\\s+'),
+           |                          t -> length(t) > 0) AS tk
+           |       FROM d4)
+           |SELECT doc_id, lang, source,
+           |       array_to_string(tk, ' ') AS clean_text
+           |FROM tb
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    GQuery(
       "q_corpus_pipeline_full",
       "The corpus pipeline with EVERY stage enabled end-to-end: lang " +
         "allowlist -> length floor -> exact dedup -> banded MinHash " +
