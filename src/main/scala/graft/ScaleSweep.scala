@@ -172,16 +172,22 @@ object ScaleSweep {
       graft.core.CacheBin.drain()
       val arts = CorpusPipeline.DeltaArtifacts(dedupIndexPath = idx,
         lineIndexPath = Some(lidx), appendAccepted = false)
-      def once(): (Double, Long) = {
+      // the second timed pass KEEPS its frame alive (drain deferred
+      // until after the true-up below reuses it — a third full
+      // prepareDelta per tier would otherwise run just to rebuild the
+      // same accepted set). The deferred drain costs the second
+      // timing a few ms of unpersist the first one includes; noise
+      // next to multi-second curations.
+      def once(keep: Boolean): (Double, Long, Option[DataFrame]) = {
         val t0 = System.nanoTime()
+        val df = CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
         val n =
-          try CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
-            .queryExecution.toRdd.count()
-          finally graft.core.CacheBin.drain()
-        ((System.nanoTime() - t0) / 1e9, n)
+          try df.queryExecution.toRdd.count()
+          finally if (!keep) graft.core.CacheBin.drain()
+        ((System.nanoTime() - t0) / 1e9, n, if (keep) Some(df) else None)
       }
       val cal = calibrate(spark)
-      val (r1, r2) = (once(), once())
+      val (r1, r2) = (once(keep = false), once(keep = true))
       val t = math.min(r1._1, r2._1)
       val accepted = r2._2
       // a delta the pipeline REJECTS times the cheap rejection path —
@@ -197,7 +203,7 @@ object ScaleSweep {
       // price the delta mode amortizes, reported so the claim stays
       // honest rather than structural).
       val trueUpSec = {
-        val acc = CorpusPipeline.prepareDelta(delta, delta.limit(0), cfg, arts)
+        val acc = r2._3.get
         val t0 = System.nanoTime()
         try CorpusPipeline.trueUpDelta(corpus, delta, acc, arts)
           .queryExecution.toRdd.count(): Unit

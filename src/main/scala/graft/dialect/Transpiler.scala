@@ -1335,11 +1335,14 @@ object Transpiler {
       case _ => None // 1-arg to_date is already Spark
     }
     // TO_TIMESTAMP_NTZ/LTZ/TZ collapse onto TO_TIMESTAMP before its
-    // arm runs: graft sessions pin UTC, where Snowflake's three
-    // timestamp flavors coincide (the divergence — a non-UTC session
-    // with wallclock-vs-instant semantics — is documented here, not
-    // silently wrong: LTZ/TZ then shift, NTZ does not). TRY_ forms
-    // ride the same collapse onto TRY_TO_TIMESTAMP.
+    // arm runs: graft sessions pin UTC, where the flavors coincide
+    // for OFFSET-FREE input (the Spider2-snow shape). Documented
+    // divergences, not silent claims: (a) a non-UTC session shifts
+    // LTZ/TZ where NTZ would not; (b) an offset-BEARING string
+    // ('... 07:30:00-08:00') diverges even in UTC — Snowflake's NTZ
+    // keeps the wallclock (strips the offset) while Spark's
+    // to_timestamp honors it. TRY_ forms ride the same collapse onto
+    // TRY_TO_TIMESTAMP.
     Seq("TO_TIMESTAMP_NTZ", "TO_TIMESTAMP_LTZ", "TO_TIMESTAMP_TZ")
       .foreach(n => out = replaceToken(out, n, "TO_TIMESTAMP"))
     Seq("TRY_TO_TIMESTAMP_NTZ", "TRY_TO_TIMESTAMP_LTZ",
@@ -1362,12 +1365,20 @@ object Transpiler {
         }
         s"try_element_at(regexp_extract_all($s0, '[^$cls]+', 0), CAST($part AS INT))"
       }
-      {
+      // empty delimiter would emit the INVALID regex '[^]+' (Snowflake
+      // returns the whole string as one token), and a backslash in the
+      // delimiter set cannot survive the double unescape (SQL literal
+      // then regex — the splitDelimiter convention): both pass through
+      // for the repair loop
+      def usable(d: String): Option[String] =
+        fmtLit(d).filter(l => l.nonEmpty && !l.contains("\\"))
+      val arms: Seq[String] => Option[String] = {
         case Seq(s0) => Some(tok(s0, " ", "1"))
-        case Seq(s0, d) => fmtLit(d).map(tok(s0, _, "1"))
-        case Seq(s0, d, p) => fmtLit(d).map(tok(s0, _, p))
+        case Seq(s0, d) => usable(d).map(tok(s0, _, "1"))
+        case Seq(s0, d, p) => usable(d).map(tok(s0, _, p))
         case _ => None
       }
+      arms
     }
     out = rewriteCall(out, "TO_TIMESTAMP") {
       case Seq(e, f) =>

@@ -303,6 +303,94 @@ object CoverageQueries extends QueryPack {
     * stage consuming the previous stage's relation instead of
     * `documents`.
     */
+  /** One DuckDB replay of the daily-delta pipeline (allowlist/floor →
+    * keep-first exact dedup → within-delta near-dup → one-sided index
+    * screen → line grain → boilerplate flatten), SHARED by
+    * q_corpus_delta and its true-up composition so any future fix to
+    * the delta replay lands in both twins at once. Parameters carry
+    * the only differences: `prefix` (an optional source CTE),
+    * `src` (the documents relation), `deltaBound` (extra delta-slice
+    * restriction), `flCtes` + `flSelect` (the line-strip set — the
+    * true-up extends it with the combined-df floor diff).
+    */
+  private def deltaPipelineOracle(prefix: String, src: String,
+      deltaBound: String, flCtes: String, flSelect: String): String = {
+    val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
+    val bandCondO = (0 until 8).map(j => s"x.band$j = y.band${j}_o").mkString(" OR ")
+    s"""WITH ${prefix}nw AS (
+       |  SELECT doc_id, text, lang, source FROM $src
+       |  WHERE doc_id >= 400$deltaBound AND lang IN ('en', 'de', 'fr')
+       |    AND length(text) >= 100),
+       |old AS (SELECT doc_id, text FROM $src WHERE doc_id < 400),
+       |fp AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM nw),
+       |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |d1 AS MATERIALIZED (SELECT nw.* FROM nw JOIN k1 USING (doc_id)),
+       |${DedupOracles.base("d1")},
+       |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
+       |${DedupOracles.interJac},
+       |drp AS (SELECT DISTINCT j.id2 FROM j
+       |        JOIN bnd x ON x.doc_id = j.id1
+       |        JOIN bnd y ON y.doc_id = j.id2
+       |        WHERE j.jaccard >= 0.5 AND ($bandCond8)),
+       |d2 AS MATERIALIZED (
+       |  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM drp)),
+       |${DedupOracles.baseSfx("old", "_o")},
+       |${DedupOracles.minhashBandCtesSfx(16, 8, 42L, "_o")},
+       |prx AS (
+       |  SELECT DISTINCT x.doc_id AS inc, y.doc_id AS co
+       |  FROM (SELECT * FROM bnd
+       |        WHERE doc_id IN (SELECT doc_id FROM d2)) x
+       |  JOIN (SELECT doc_id, band0 AS band0_o, band1 AS band1_o,
+       |               band2 AS band2_o, band3 AS band3_o,
+       |               band4 AS band4_o, band5 AS band5_o,
+       |               band6 AS band6_o, band7 AS band7_o
+       |        FROM bnd_o) y
+       |    ON ($bandCondO)),
+       |iver AS (
+       |  SELECT p.inc
+       |  FROM prx p
+       |  JOIN s a ON a.doc_id = p.inc
+       |  JOIN s_o b ON b.doc_id = p.co AND b.h = a.h
+       |  JOIN sizes na ON na.doc_id = p.inc
+       |  JOIN sizes_o nb ON nb.doc_id = p.co
+       |  GROUP BY p.inc, p.co, na.n, nb.n
+       |  HAVING CAST(count(*) AS DOUBLE) /
+       |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5),
+       |d3 AS MATERIALIZED (
+       |  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT inc FROM iver)),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d3),
+       |w AS (SELECT doc_id, unnest(l) AS line,
+       |             unnest(generate_series(1, len(l))) AS pos
+       |      FROM ls),
+       |k AS (SELECT doc_id, pos, ${DedupOracles.polyHash("trim(line)")} AS hv
+       |      FROM w WHERE length(trim(line)) > 0),
+       |fl1 AS (SELECT hv FROM k GROUP BY hv
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |wo AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+       |       FROM old),
+       |ko AS (SELECT doc_id, ${DedupOracles.polyHash("trim(line)")} AS hv
+       |       FROM wo WHERE length(trim(line)) > 0),
+       |flo AS (SELECT hv FROM ko GROUP BY hv
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |${flCtes}fl AS ($flSelect),
+       |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
+       |keep AS (SELECT w.doc_id, w.pos, w.line
+       |         FROM w ANTI JOIN cov USING (doc_id, pos)),
+       |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+       |        FROM keep GROUP BY doc_id),
+       |d4 AS (SELECT d3.doc_id, d3.lang, d3.source,
+       |              COALESCE(agg.ct, '') AS text
+       |       FROM d3 LEFT JOIN agg USING (doc_id)),
+       |tb AS (SELECT doc_id, lang, source,
+       |              list_filter(string_split_regex(lower(text), '\\s+'),
+       |                          t -> length(t) > 0) AS tk
+       |       FROM d4)
+       |SELECT doc_id, lang, source,
+       |       array_to_string(tk, ' ') AS clean_text
+       |FROM tb
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def corpusPipelineOracle(modernTail: Boolean): String = {
     val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
     val bandCond16 = (0 until 16).map(j => s"x.band$j = y.band$j").mkString(" OR ")
@@ -1408,82 +1496,9 @@ object CoverageQueries extends QueryPack {
             col("text").as("clean_text"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
-        val bandCondO = (0 until 8).map(j => s"x.band$j = y.band${j}_o").mkString(" OR ")
-        s"""WITH nw AS (
-           |  SELECT doc_id, text, lang, source FROM documents
-           |  WHERE doc_id >= 400 AND lang IN ('en', 'de', 'fr')
-           |    AND length(text) >= 100),
-           |old AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-           |fp AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM nw),
-           |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-           |d1 AS MATERIALIZED (SELECT nw.* FROM nw JOIN k1 USING (doc_id)),
-           |${DedupOracles.base("d1")},
-           |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
-           |${DedupOracles.interJac},
-           |drp AS (SELECT DISTINCT j.id2 FROM j
-           |        JOIN bnd x ON x.doc_id = j.id1
-           |        JOIN bnd y ON y.doc_id = j.id2
-           |        WHERE j.jaccard >= 0.5 AND ($bandCond8)),
-           |d2 AS MATERIALIZED (
-           |  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM drp)),
-           |${DedupOracles.baseSfx("old", "_o")},
-           |${DedupOracles.minhashBandCtesSfx(16, 8, 42L, "_o")},
-           |prx AS (
-           |  SELECT DISTINCT x.doc_id AS inc, y.doc_id AS co
-           |  FROM (SELECT * FROM bnd
-           |        WHERE doc_id IN (SELECT doc_id FROM d2)) x
-           |  JOIN (SELECT doc_id, band0 AS band0_o, band1 AS band1_o,
-           |               band2 AS band2_o, band3 AS band3_o,
-           |               band4 AS band4_o, band5 AS band5_o,
-           |               band6 AS band6_o, band7 AS band7_o
-           |        FROM bnd_o) y
-           |    ON ($bandCondO)),
-           |iver AS (
-           |  SELECT p.inc
-           |  FROM prx p
-           |  JOIN s a ON a.doc_id = p.inc
-           |  JOIN s_o b ON b.doc_id = p.co AND b.h = a.h
-           |  JOIN sizes na ON na.doc_id = p.inc
-           |  JOIN sizes_o nb ON nb.doc_id = p.co
-           |  GROUP BY p.inc, p.co, na.n, nb.n
-           |  HAVING CAST(count(*) AS DOUBLE) /
-           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5),
-           |d3 AS MATERIALIZED (
-           |  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT inc FROM iver)),
-           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d3),
-           |w AS (SELECT doc_id, unnest(l) AS line,
-           |             unnest(generate_series(1, len(l))) AS pos
-           |      FROM ls),
-           |k AS (SELECT doc_id, pos, ${DedupOracles.polyHash("trim(line)")} AS hv
-           |      FROM w WHERE length(trim(line)) > 0),
-           |fl1 AS (SELECT hv FROM k GROUP BY hv
-           |        HAVING COUNT(DISTINCT doc_id) >= 2),
-           |wo AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-           |       FROM old),
-           |ko AS (SELECT doc_id, ${DedupOracles.polyHash("trim(line)")} AS hv
-           |       FROM wo WHERE length(trim(line)) > 0),
-           |flo AS (SELECT hv FROM ko GROUP BY hv
-           |        HAVING COUNT(DISTINCT doc_id) >= 2),
-           |fl AS (SELECT hv FROM fl1 UNION SELECT hv FROM flo),
-           |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
-           |keep AS (SELECT w.doc_id, w.pos, w.line
-           |         FROM w ANTI JOIN cov USING (doc_id, pos)),
-           |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
-           |        FROM keep GROUP BY doc_id),
-           |d4 AS (SELECT d3.doc_id, d3.lang, d3.source,
-           |              COALESCE(agg.ct, '') AS text
-           |       FROM d3 LEFT JOIN agg USING (doc_id)),
-           |tb AS (SELECT doc_id, lang, source,
-           |              list_filter(string_split_regex(lower(text), '\\s+'),
-           |                          t -> length(t) > 0) AS tk
-           |       FROM d4)
-           |SELECT doc_id, lang, source,
-           |       array_to_string(tk, ' ') AS clean_text
-           |FROM tb
-           |ORDER BY doc_id""".stripMargin
-      }),
+      Some(deltaPipelineOracle(prefix = "", src = "documents",
+        deltaBound = "", flCtes = "",
+        flSelect = "SELECT hv FROM fl1 UNION SELECT hv FROM flo"))),
 
     GQuery(
       "q_corpus_trueup",
@@ -1531,93 +1546,26 @@ object CoverageQueries extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some {
-        val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
-        val bandCondO = (0 until 8).map(j => s"x.band$j = y.band${j}_o").mkString(" OR ")
-        s"""WITH docs2 AS (
-           |  SELECT doc_id, lang, source,
-           |         CASE WHEN doc_id IN (7, 401)
-           |              THEN text || chr(10) ||
-           |                'limited time promotional banner for premium member rewards enrollment today only'
-           |              ELSE text END AS text
-           |  FROM documents),
-           |nw AS (
-           |  SELECT doc_id, text, lang, source FROM docs2
-           |  WHERE doc_id >= 400 AND doc_id < 1400 AND lang IN ('en', 'de', 'fr')
-           |    AND length(text) >= 100),
-           |old AS (SELECT doc_id, text FROM docs2 WHERE doc_id < 400),
-           |fp AS (SELECT doc_id, ${DedupOracles.polyHash("text")} AS f FROM nw),
-           |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-           |d1 AS MATERIALIZED (SELECT nw.* FROM nw JOIN k1 USING (doc_id)),
-           |${DedupOracles.base("d1")},
-           |${DedupOracles.minhashBandCtes(h = 16, bands = 8)},
-           |${DedupOracles.interJac},
-           |drp AS (SELECT DISTINCT j.id2 FROM j
-           |        JOIN bnd x ON x.doc_id = j.id1
-           |        JOIN bnd y ON y.doc_id = j.id2
-           |        WHERE j.jaccard >= 0.5 AND ($bandCond8)),
-           |d2 AS MATERIALIZED (
-           |  SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id2 FROM drp)),
-           |${DedupOracles.baseSfx("old", "_o")},
-           |${DedupOracles.minhashBandCtesSfx(16, 8, 42L, "_o")},
-           |prx AS (
-           |  SELECT DISTINCT x.doc_id AS inc, y.doc_id AS co
-           |  FROM (SELECT * FROM bnd
-           |        WHERE doc_id IN (SELECT doc_id FROM d2)) x
-           |  JOIN (SELECT doc_id, band0 AS band0_o, band1 AS band1_o,
-           |               band2 AS band2_o, band3 AS band3_o,
-           |               band4 AS band4_o, band5 AS band5_o,
-           |               band6 AS band6_o, band7 AS band7_o
-           |        FROM bnd_o) y
-           |    ON ($bandCondO)),
-           |iver AS (
-           |  SELECT p.inc
-           |  FROM prx p
-           |  JOIN s a ON a.doc_id = p.inc
-           |  JOIN s_o b ON b.doc_id = p.co AND b.h = a.h
-           |  JOIN sizes na ON na.doc_id = p.inc
-           |  JOIN sizes_o nb ON nb.doc_id = p.co
-           |  GROUP BY p.inc, p.co, na.n, nb.n
-           |  HAVING CAST(count(*) AS DOUBLE) /
-           |         CAST(na.n + nb.n - count(*) AS DOUBLE) >= 0.5),
-           |d3 AS MATERIALIZED (
-           |  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT inc FROM iver)),
-           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d3),
-           |w AS (SELECT doc_id, unnest(l) AS line,
-           |             unnest(generate_series(1, len(l))) AS pos
-           |      FROM ls),
-           |k AS (SELECT doc_id, pos, ${DedupOracles.polyHash("trim(line)")} AS hv
-           |      FROM w WHERE length(trim(line)) > 0),
-           |fl1 AS (SELECT hv FROM k GROUP BY hv
-           |        HAVING COUNT(DISTINCT doc_id) >= 2),
-           |wo AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-           |       FROM old),
-           |ko AS (SELECT doc_id, ${DedupOracles.polyHash("trim(line)")} AS hv
-           |       FROM wo WHERE length(trim(line)) > 0),
-           |flo AS (SELECT hv FROM ko GROUP BY hv
-           |        HAVING COUNT(DISTINCT doc_id) >= 2),
-           |cmb AS (SELECT doc_id, hv FROM ko
-           |        UNION
-           |        SELECT doc_id, hv FROM k),
-           |flc AS (SELECT hv FROM cmb GROUP BY hv
-           |        HAVING COUNT(DISTINCT doc_id) >= 2),
-           |fl AS (SELECT hv FROM fl1 UNION SELECT hv FROM flo
-           |       UNION SELECT hv FROM flc),
-           |cov AS (SELECT doc_id, pos FROM k JOIN fl USING (hv)),
-           |keep AS (SELECT w.doc_id, w.pos, w.line
-           |         FROM w ANTI JOIN cov USING (doc_id, pos)),
-           |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
-           |        FROM keep GROUP BY doc_id),
-           |d4 AS (SELECT d3.doc_id, d3.lang, d3.source,
-           |              COALESCE(agg.ct, '') AS text
-           |       FROM d3 LEFT JOIN agg USING (doc_id)),
-           |tb AS (SELECT doc_id, lang, source,
-           |              list_filter(string_split_regex(lower(text), '\\s+'),
-           |                          t -> length(t) > 0) AS tk
-           |       FROM d4)
-           |SELECT doc_id, lang, source,
-           |       array_to_string(tk, ' ') AS clean_text
-           |FROM tb
-           |ORDER BY doc_id""".stripMargin
+        val straddleCte =
+          """docs2 AS (
+            |  SELECT doc_id, lang, source,
+            |         CASE WHEN doc_id IN (7, 401)
+            |              THEN text || chr(10) ||
+            |                'limited time promotional banner for premium member rewards enrollment today only'
+            |              ELSE text END AS text
+            |  FROM documents),
+            |""".stripMargin
+        val floorDiff =
+          """cmb AS (SELECT doc_id, hv FROM ko
+            |        UNION
+            |        SELECT doc_id, hv FROM k),
+            |flc AS (SELECT hv FROM cmb GROUP BY hv
+            |        HAVING COUNT(DISTINCT doc_id) >= 2),
+            |""".stripMargin
+        deltaPipelineOracle(prefix = straddleCte, src = "docs2",
+          deltaBound = " AND doc_id < 1400", flCtes = floorDiff,
+          flSelect = "SELECT hv FROM fl1 UNION SELECT hv FROM flo" +
+            " UNION SELECT hv FROM flc")
       }),
 
     GQuery(

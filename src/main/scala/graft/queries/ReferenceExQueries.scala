@@ -276,7 +276,10 @@ object ReferenceExQueries extends QueryPack {
         registerFixture(s)
         val g1 = "SELECT name FROM student WHERE dept_name  =  'History' ORDER BY tot_cred DESC LIMIT 1"
         val g2 = "SELECT sum(budget) FROM department WHERE dept_name  =  'Marketing' OR dept_name  =  'Finance'"
-        val g3 = "SELECT DISTINCT salary FROM instructor WHERE salary  <  (SELECT max(salary) FROM instructor)"
+        // single-row by fixture construction: the Evaluator compares
+        // ordered (reference default), and a multi-row DISTINCT with no
+        // ORDER BY could legally reorder between two executions
+        val g3 = "SELECT dept_name FROM instructor WHERE name LIKE '%Soisalon%'"
         val g4 = "SELECT COUNT (DISTINCT ID) FROM teaches WHERE semester  =  'Spring' AND YEAR  =  2010"
         val items = Seq(
           // textually different, same result → 1
@@ -304,7 +307,7 @@ object ReferenceExQueries extends QueryPack {
              |       THEN 1 ELSE 0 END AS score""".stripMargin
         val g1 = "SELECT name FROM student WHERE dept_name = 'History' ORDER BY tot_cred DESC LIMIT 1"
         val g2 = "SELECT sum(budget) FROM department WHERE dept_name = 'Marketing' OR dept_name = 'Finance'"
-        val g3 = "SELECT DISTINCT salary FROM instructor WHERE salary < (SELECT max(salary) FROM instructor)"
+        val g3 = "SELECT dept_name FROM instructor WHERE name LIKE '%Soisalon%'"
         val g4 = "SELECT COUNT(DISTINCT ID) FROM teaches WHERE semester = 'Spring' AND YEAR = 2010"
         val computed = Seq(
           cmp("p1", g1, "SELECT student.name FROM student WHERE student.dept_name = 'History' ORDER BY tot_cred DESC LIMIT 1"),

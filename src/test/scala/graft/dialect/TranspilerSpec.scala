@@ -636,6 +636,12 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT try_element_at(regexp_extract_all(s, '[^\\\\-]+', 0), CAST(1 AS INT)) FROM t")
     assert(transpileSnowflake("SELECT STRTOK(s, d, 2) FROM t") ==
       "SELECT STRTOK(s, d, 2) FROM t")
+    // empty delimiter (whole-string token) would emit invalid '[^]+';
+    // a backslash cannot survive the double unescape — repair loop
+    assert(transpileSnowflake("SELECT STRTOK(s, '', 1) FROM t") ==
+      "SELECT STRTOK(s, '', 1) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, '\\', 1) FROM t") ==
+      "SELECT STRTOK(s, '\\', 1) FROM t")
     // idempotent under re-transpile
     Seq("SELECT STRTOK(s, ',;', 2) FROM t",
       "SELECT TO_TIMESTAMP_NTZ(s, 'YYYY-MM-DD') FROM t").foreach { sql =>

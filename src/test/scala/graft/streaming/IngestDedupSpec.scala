@@ -635,10 +635,20 @@ class IngestDedupSpec extends SparkSpec {
       .toDF()
     graft.operators.ParagraphIndex.writeParagraphIndex(
       ref, "doc_id", "text", pidx, threshold = 0.5, headK = 1)
+    // screen-only twin from the same reference: proves the gray-band
+    // paragraph DOES band-collide at this seed (so the hybrid's keep
+    // below is the verify's doing, not a missed collision)
+    val sidx = freshDir("screenIdx") + "/paraindex"
+    graft.operators.ParagraphIndex.writeParagraphIndex(
+      ref, "doc_id", "text", sidx, threshold = 0.5)
     graft.core.CacheBin.drain()
-    // gray band: keep the template's first 13 of 14 content words, then
+    // gray band: keep the template's first 9 of 15 words, then
     // diverge — Jaccard lands under 0.5, so the HEAD VERIFY must keep
-    // it where the pure screen (r16 behavior) would have stripped it
+    // it where the pure screen (r16 behavior) strips it. That claim
+    // is proven below, not assumed: a screen-only index built from
+    // the SAME reference must band-flag and strip this exact
+    // paragraph (band collision at this Jaccard is probabilistic in
+    // general — the assertion pins it for the fixed seed/banding)
     val grayMiss = template.split(" ").take(9).mkString(" ") +
       " entirely different closing clause about glacier moraines"
     val incoming = Seq(
@@ -659,6 +669,15 @@ class IngestDedupSpec extends SparkSpec {
     } finally q.stop()
     val got = spark.read.parquet(out).select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // not vacuous: the pure screen strips the gray paragraph
+    val screenF = graft.operators.ParagraphIndex.loadFilter(spark, sidx)
+    val screened = Seq(IngestDoc(99L, grayMiss)).toDF()
+      .withColumn("c", graft.operators.ParagraphIndex
+        .stripParagraphsExpr($"text", screenF))
+      .collect()(0).getString(2)
+    assert(screened === "",
+      "fixture drifted: the gray-band paragraph no longer band-collides " +
+        "under the pure screen, so the hybrid keep below proves nothing")
     assert(got(1L).contains("glacier moraines"),
       s"gray-band near-miss must SURVIVE the head verify: ${got(1L)}")
     assert(!got(2L).contains("newsletter"),
