@@ -124,7 +124,12 @@ object Bench {
     val sentinelNames = Seq("q_leak_safe_split", "q_range_join",
       "q_keepbest_dedup", "q_semantic_dedup", "q_bucketed_join",
       "q_jaccard_neardup")
-    def sentinelPass(): Double = sentinelNames.flatMap { n =>
+    // per-query, not just the sum: a drifting sentinel SUM cannot say
+    // WHICH query drifted (the r17 residual — the ~25% clean-to-clean
+    // long-tail rise had no per-query history to attribute it against),
+    // so each pass returns (name, sec) pairs and BENCH_HISTORY.jsonl
+    // carries both maps per run
+    def sentinelPass(): Seq[(String, Double)] = sentinelNames.flatMap { n =>
       SparkEntry.allQueries.find(_.name == n).map { q =>
         def once(): Double = {
           System.gc()
@@ -133,20 +138,50 @@ object Bench {
           catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
           finally graft.core.CacheBin.drain()
         }
-        math.min(once(), once())
+        n -> math.min(once(), once())
       }
-    }.sum
+    }
     // the front pass must not be charged the JIT/codegen compilation
     // the back pass gets for free (an sf0.01 probe of exactly this
     // read 1.31x front-over-back on an IDLE machine — the gate would
     // cry wolf on every run): one untimed pass compiles the sentinel
     // plans, then both timed passes measure warm code
     sentinelPass()
-    val sentinelFront = sentinelPass()
+    val sentinelFrontQs = sentinelPass()
+    val sentinelFront = sentinelFrontQs.map(_._2).sum
+    // ---- tare (the r17 attribution residual): N trivial queries timed
+    // through the EXACT harness path of a real query — buildExecAndMeasure,
+    // untimed GC before each, min-of-2 — so the per-query FIXED overhead
+    // (plan compile, job scheduling, metrics collection) is a committed
+    // number instead of a prose attribution. Distinct column aliases keep
+    // the five plans from sharing one codegen cache entry. Untimed in the
+    // total; subtract n_queries x tare_per_query to compare tare-corrected
+    // subtotals across rounds.
+    def tareOnce(i: Int): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try ScanMetrics.buildExecAndMeasure(spark)(
+        spark.range(1).selectExpr(s"count(*) as tare_c$i"))._3
+      catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
+      finally graft.core.CacheBin.drain()
+    }
+    // one untimed warm pass (same reason as the sentinel), then min-of-2
+    (0 until 5).foreach(tareOnce)
+    val tareTimes = (0 until 5).map(i => math.min(tareOnce(i), tareOnce(i)))
+    val tarePerQuery = tareTimes.sorted.apply(tareTimes.size / 2) // median
+    // SPARK_GRAFT_ONLY (same convention as Verify): bound the main loop
+    // to a comma-separated subset for fast JSON/harness smokes. Partial
+    // runs skip the stage pass and NEVER append to BENCH_HISTORY.jsonl —
+    // a 3-query total must not pollute the cross-round history.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryList = onlyFilter
+      .map(s => SparkEntry.allQueries.filter(q => s(q.name)))
+      .getOrElse(SparkEntry.allQueries)
     val loadSamples = scala.collection.mutable.LinkedHashMap[String, Double]()
     var calMid = -1.0
-    val nQueries = SparkEntry.allQueries.size
-    val results = SparkEntry.allQueries.zipWithIndex.map { case (q, qi) =>
+    val nQueries = queryList.size
+    val results = queryList.zipWithIndex.map { case (q, qi) =>
       if (qi == nQueries / 2) calMid = calibrate()
       loadSamples(q.name) = loadAvg()
       System.gc() // untimed: collect the previous query's garbage here
@@ -264,7 +299,10 @@ object Bench {
     // stage pass also carries its OWN cache marker so any residual gap
     // is attributable in-artifact.
     val (stageCacheCold, stageCacheWarm) = cacheMarker()
-    val stageTimings = BenchStages.stages.map { case (qname, sts) =>
+    val stagesToRun =
+      if (onlyFilter.isEmpty) BenchStages.stages
+      else Seq.empty[(String, Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)])]
+    val stageTimings = stagesToRun.map { case (qname, sts) =>
       val timed = sts.flatMap { case (sname, build) =>
         System.gc() // untimed: previous stage's garbage
         def onceStage(): Option[Double] = {
@@ -330,7 +368,8 @@ object Bench {
     // JSON for cross-round machine-state comparison.
     // sentinel BACK pass + environment end-state (see sentinelFront):
     // runs after everything timed so it brackets the whole run
-    val sentinelBack = sentinelPass()
+    val sentinelBackQs = sentinelPass()
+    val sentinelBack = sentinelBackQs.map(_._2).sum
     val sibEnd = graft.core.MachineProbe.siblingJvms()
     val memEnd = graft.core.MachineProbe.memAvailableMb()
     val loadEnd = graft.core.MachineProbe.loadAvg()
@@ -349,8 +388,22 @@ object Bench {
     val contended = calSpread > 1.3
     val calibrationJson =
       s"""{"start":${num(calStart, 3)},"mid":${num(calMid, 3)},"end":${num(calEnd, 3)},"spread":${num(calSpread, 3)},"contended":$contended,"cache_cold_sec":${num(cacheCold, 4)},"cache_warm_sec":${num(cacheWarm, 4)},"cache_ratio":${num(if (cacheWarm > 0) cacheCold / cacheWarm else -1.0, 2)},"stage_cache_ratio":${num(if (stageCacheWarm > 0) stageCacheCold / stageCacheWarm else -1.0, 2)}}"""
+    def qMap(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => s""""$k":${num(v, 3)}""" }.mkString("{", ",", "}")
     val envJson =
-      s"""{"siblings_start":$sibStart,"siblings_end":$sibEnd,"load_start":${num(loadBaseline, 2)},"load_end":${num(loadEnd, 2)},"mem_avail_mb_start":$memStart,"mem_avail_mb_end":$memEnd,"sentinel_front":${num(sentinelFront, 3)},"sentinel_back":${num(sentinelBack, 3)},"sentinel_ratio":${num(sentinelRatio, 3)},"env_suspect":$envSuspect}"""
+      s"""{"siblings_start":$sibStart,"siblings_end":$sibEnd,"load_start":${num(loadBaseline, 2)},"load_end":${num(loadEnd, 2)},"mem_avail_mb_start":$memStart,"mem_avail_mb_end":$memEnd,"sentinel_front":${num(sentinelFront, 3)},"sentinel_back":${num(sentinelBack, 3)},"sentinel_ratio":${num(sentinelRatio, 3)},"sentinel_front_queries":${qMap(sentinelFrontQs)},"sentinel_back_queries":${qMap(sentinelBackQs)},"env_suspect":$envSuspect}"""
+    // tare block: median fixed overhead per harness-path query, the five
+    // raw samples, and the product over this run's query count — the
+    // number to SUBTRACT before comparing subtotals across rounds whose
+    // per-query fixed overhead may have moved (harness changes, JVM
+    // aging patterns). Methodology version stamps every artifact so
+    // totals are only compared within a version (the sentinel warm-up
+    // added in v3 warms 6 main-loop queries; v4 adds this tare):
+    //   v3 = r17 (sentinel gate, warmed subset), v4 = r18 (tare +
+    //   per-sentinel-query history + flagged-artifact caveat).
+    val benchVersion = 4
+    val tareJson =
+      s"""{"per_query_median":${num(tarePerQuery, 4)},"samples":[${tareTimes.map(num(_, 4)).mkString(",")}],"n_queries":${results.size},"total_est":${num(tarePerQuery * results.size, 3)}}"""
     if (envSuspect) System.err.println(
       f"[bench] ENV_SUSPECT: sentinel front/back $sentinelFront%.2f/" +
         f"$sentinelBack%.2f s (ratio $sentinelRatio%.3fx, gate 1.1x), " +
@@ -370,21 +423,35 @@ object Bench {
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
     val dedupRecallJson = dedupRecall
       .map { case (k, r) => s""""$k":${num(r, 4)}""" }.mkString("{", ",", "}")
+    // flagged artifacts must not be readable as per-query evidence (the
+    // r17 lesson: a +48% per-query phantom in an env_suspect artifact
+    // was quotable with nothing adjacent saying "don't") — a caveat key
+    // is emitted DIRECTLY BEFORE every per-query map when either gate
+    // fired, so no excerpt of the map can omit it
+    val flagged = envSuspect || contended
+    val caveat = if (!flagged) "" else
+      "\"queries_caveat\":\"ENV-TAINTED SAMPLE (env_suspect=" + envSuspect +
+        " contended=" + contended + "): per-query values and the total " +
+        "are machine noise, not code signals; compare only clean-env " +
+        "runs in BENCH_HISTORY.jsonl\","
     val fullJson =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$fullQs,"gc":$gcJson,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"calibration":$calibrationJson,"env":$envJson,"load":$loadJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","bench_version":$benchVersion,"n":${results.size},$caveat"queries":$fullQs,"gc":$gcJson,"tare":$tareJson,"recall_at_k":$recallJson,"dedup_pair_recall":$dedupRecallJson,"stages":$stagesJson,"calibration":$calibrationJson,"env":$envJson,"load":$loadJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => s""""$k":${num(v, 2)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"queries":$top10,"calibration":$calibrationJson,"env":$envJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","bench_version":$benchVersion,"n":${results.size},$caveat"queries":$top10,"tare":$tareJson,"calibration":$calibrationJson,"env":$envJson,"load_summary":$loadSummaryJson,"subtotals":$subtotalsJson,"bytes_read":$bytesTotal,"sf":"$sfDir","full":"target/bench_full.json"}""")
     // machine-checkable per-run history (append-only): the sentinel
     // ratio and env block per bench run, so cross-round perf claims can
     // be verified from one file instead of re-derived from SCALE.md
     // prose. Best-effort — a read-only cwd must not fail the bench.
-    try {
+    // ... and never from a dying JVM: a SIGTERM mid-run makes the
+    // remaining queries fail in ~0s (Spark context already stopping),
+    // which would append a nonsense total with zeroed sentinels
+    if (onlyFilter.isEmpty && !spark.sparkContext.isStopped) try {
       val histLine =
-        s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","n":${results.size},"total":${num(total, 3)},"calibration":$calibrationJson,"env":$envJson}""" + "\n"
+        s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","bench_version":$benchVersion,"n":${results.size},"total":${num(total, 3)},"tare":$tareJson,"calibration":$calibrationJson,"env":$envJson}""" + "\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), histLine.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

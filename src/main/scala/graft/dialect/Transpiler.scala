@@ -100,6 +100,22 @@ object Transpiler {
     "DESC", "ASC", "NULLS", "IS", "IN", "LIKE", "ILIKE", "BETWEEN",
     "CASE", "SAMPLE", "TABLESAMPLE")
 
+  /** Word-bounded, literal-safe token presence test (code region only). */
+  private def containsToken(sql: String, tok: String): Boolean = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    val target = tok.toUpperCase
+    var i = upper.indexOf(target)
+    while (i >= 0) {
+      val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
+      val r = i + target.length
+      val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
+      if (leftOk && rightOk && tagged(i)._2 == Code) return true
+      i = upper.indexOf(target, i + 1)
+    }
+    false
+  }
+
   /** Case-insensitive, literal-safe function-name / token replacement. */
   private def replaceToken(sql: String, from: String, to: String): String = {
     val tagged = lex(sql)
@@ -333,6 +349,180 @@ object Transpiler {
       .takeWhile(ch => Character.isLetterOrDigit(ch) || ch == '_')
       .reverse.toUpperCase
     Set("FROM", "JOIN", "AS", "INTO", "UPDATE", "TABLE").contains(kw)
+  }
+
+  /** SQLite's bare non-grouped SELECT columns: `SELECT T1.title FROM
+    * course AS T1 JOIN prereq AS T2 ON ... GROUP BY T2.course_id`
+    * is legal SQLite (the bare column takes a value from an arbitrary
+    * row of the group — in the reference's prompt pools always a
+    * functionally-determined one, `core/actor/generator/
+    * DINSQLGenerate.py:329,357`, `MACSQLGenerate.py:378`) but is
+    * rejected by Spark's and DuckDB's analyzers. Rewrite each
+    * select-list item that is a PLAIN column reference (identifier /
+    * dotted path, optionally backticked segments) and is in NO group
+    * key to `any_value(col) AS <name>` — SQLite's arbitrary-row pick,
+    * with the output name the bare column would have had.
+    *
+    * Scope, deliberately bounded: only items that are provably simple
+    * columns are wrapped (expressions, `*`, subqueries pass through to
+    * the analyzer / repair loop); a select item matches a group key on
+    * the full dotted text OR on the last segment (SQLite resolves
+    * `dept_name` against `T1.dept_name` and vice versa through the
+    * join's single namespace); an integer group key marks that select
+    * ordinal as grouped. Applies to every SELECT block (any depth)
+    * that has its own GROUP BY; wrapped items contain `(` so the pass
+    * is idempotent.
+    */
+  private def rewriteBareGroupBy(sql: String): String = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    val n = sql.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def tokenAt(i: Int, kw: String): Boolean =
+      i < n && upper.startsWith(kw, i) && tagged(i)._2 == Code &&
+        (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+        (i + kw.length >= n || !isWordChar(sql.charAt(i + kw.length)))
+    // next occurrence of any keyword in `kws` at exactly depth d, in
+    // code region, scanning [from, until); stops at a close paren
+    // dropping below d (the enclosing scope ended)
+    def findKw(kws: Seq[String], d: Int, from: Int, until: Int): Int = {
+      var i = from
+      while (i < until) {
+        if (tagged(i)._3 == d && kws.exists(tokenAt(i, _))) return i
+        if (sql.charAt(i) == ')' && tagged(i)._2 == Code && tagged(i)._3 < d)
+          return -1
+        i += 1
+      }
+      -1
+    }
+    def splitAtDepth(from: Int, until: Int, d: Int): Seq[(Int, Int)] = {
+      val parts = Seq.newBuilder[(Int, Int)]
+      var s = from
+      var i = from
+      while (i < until) {
+        if (sql.charAt(i) == ',' && tagged(i)._2 == Code && tagged(i)._3 == d) {
+          parts += ((s, i)); s = i + 1
+        }
+        i += 1
+      }
+      parts += ((s, until))
+      parts.result()
+    }
+    val seg = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    val simpleCol = s"^$seg(?:\\s*\\.\\s*$seg)*$$".r
+    val aliased = s"(?is)^($seg(?:\\s*\\.\\s*$seg)*)\\s+AS\\s+($seg)$$".r
+    def norm(e: String): String =
+      e.replace("`", "").replaceAll("\\s*\\.\\s*", ".").trim.toLowerCase
+    def lastSeg(e: String): String = {
+      val t = e.trim
+      // split on dots OUTSIDE backticks
+      var depthTick = false
+      var cut = -1
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '`') depthTick = !depthTick
+        else if (c == '.' && !depthTick) cut = i
+        i += 1
+      }
+      t.substring(cut + 1).trim
+    }
+    // collected (start, end, replacement) item spans — item-level spans
+    // never overlap (an item containing a nested SELECT has parens and
+    // is never wrapped)
+    val repl = Seq.newBuilder[(Int, Int, String)]
+    var i = 0
+    while (i < n) {
+      if (tokenAt(i, "SELECT")) {
+        val d = tagged(i)._3
+        var listStart = i + "SELECT".length
+        // skip DISTINCT / ALL
+        while (listStart < n && sql.charAt(listStart).isWhitespace) listStart += 1
+        if (tokenAt(listStart, "DISTINCT")) listStart += "DISTINCT".length
+        else if (tokenAt(listStart, "ALL")) listStart += "ALL".length
+        val fromIdx = findKw(Seq("FROM"), d, listStart, n)
+        if (fromIdx > 0) {
+          // end of this select block: depth drop below d, or a set-op /
+          // end of string at depth d
+          var blockEnd = n
+          var j = fromIdx
+          var done = false
+          while (j < n && !done) {
+            if (sql.charAt(j) == ')' && tagged(j)._2 == Code && tagged(j)._3 < d) {
+              blockEnd = j; done = true
+            } else if (tagged(j)._3 == d &&
+                (tokenAt(j, "UNION") || tokenAt(j, "INTERSECT") ||
+                  tokenAt(j, "EXCEPT"))) {
+              blockEnd = j; done = true
+            } else j += 1
+          }
+          val grpIdx = findKw(Seq("GROUP"), d, fromIdx, blockEnd)
+          if (grpIdx > 0) {
+            val byIdx = findKw(Seq("BY"), d, grpIdx + 5, blockEnd)
+            if (byIdx > 0) {
+              val grpEnd = {
+                val k = findKw(Seq("HAVING", "ORDER", "LIMIT", "WINDOW",
+                  "QUALIFY"), d, byIdx + 2, blockEnd)
+                if (k > 0) k else blockEnd
+              }
+              val keys = splitAtDepth(byIdx + 2, grpEnd, d)
+                .map { case (a, b) => sql.substring(a, b).trim }
+                .filter(_.nonEmpty)
+              val keyNorms = keys.map(norm).toSet
+              val keyLastSegs = keys.filter(simpleCol.matches(_))
+                .map(k => norm(lastSeg(k))).toSet
+              val ordinals = keys.flatMap(k =>
+                scala.util.Try(k.trim.toInt).toOption).toSet
+              val items = splitAtDepth(listStart, fromIdx, d)
+              items.zipWithIndex.foreach { case ((a0, b0), idx) =>
+                var a = a0; var b = b0
+                while (a < b && sql.charAt(a).isWhitespace) a += 1
+                while (b > a && sql.charAt(b - 1).isWhitespace) b -= 1
+                val item = sql.substring(a, b)
+                val (expr, aliasOpt) = item match {
+                  case aliased(e, al) => (e, Some(al))
+                  case _ => (item, None)
+                }
+                // word-shaped literals/niladics are not columns — a
+                // wrap would emit `AS NULL` (reserved) or change
+                // volatile-function semantics
+                val literalWords = Set("null", "true", "false",
+                  "current_date", "current_timestamp", "current_time")
+                val isSimple = simpleCol.matches(expr.trim) &&
+                  !literalWords.contains(norm(expr))
+                val grouped = !isSimple ||
+                  ordinals.contains(idx + 1) || {
+                    val ne = norm(expr)
+                    keyNorms.contains(ne) || keyNorms.contains(norm(lastSeg(expr))) ||
+                      keyLastSegs.contains(norm(lastSeg(expr)))
+                  }
+                if (isSimple && !grouped) {
+                  val outName = aliasOpt.getOrElse {
+                    val s0 = lastSeg(expr)
+                    if (s0.startsWith("`")) s0
+                    else if (s0.forall(isWordChar)) s0
+                    else s"`${s0.replace("`", "``")}`"
+                  }
+                  repl += ((a, b, s"any_value(${expr.trim}) AS $outName"))
+                }
+              }
+            }
+          }
+        }
+        i += "SELECT".length
+      } else i += 1
+    }
+    val spans = repl.result().sortBy(_._1)
+    if (spans.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var cur = 0
+      spans.foreach { case (a, b, r) =>
+        sb.append(sql.substring(cur, a)).append(r); cur = b
+      }
+      sb.append(sql.substring(cur, n))
+      sb.toString
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -1212,13 +1402,16 @@ object Transpiler {
     // FLATTEN form BEFORE the flatten pass so one machinery handles
     // TABLE(...)/LATERAL/comma connectors and aliases for both. The
     // emitted SPLIT then flows through the literal-delimiter escape
-    // pass further down. Divergence, documented: Snowflake's INDEX
-    // column is 1-based, the POSEXPLODE index is 0-based (VALUE — the
-    // overwhelmingly-consumed column — matches exactly).
-    out = rewriteCall(out, "SPLIT_TO_TABLE") {
-      case Seq(s0, d) => Some(s"FLATTEN(input => SPLIT($s0, $d))")
-      case _ => None
-    }
+    // pass further down. Snowflake's INDEX column is 1-based where the
+    // POSEXPLODE index is 0-based (VALUE — the overwhelmingly-consumed
+    // column — matches exactly), so a statement that references an
+    // INDEX token anywhere is left UNTRANSPILED: the repair loop gets
+    // a loud failure instead of silently off-by-one results.
+    if (!containsToken(out, "INDEX"))
+      out = rewriteCall(out, "SPLIT_TO_TABLE") {
+        case Seq(s0, d) => Some(s"FLATTEN(input => SPLIT($s0, $d))")
+        case _ => None
+      }
     out = rewriteFlatten(out)
     out = rewriteArrayAggWithinGroup(out)
     // JSON-text VARIANT family (Spider2-snow exports carry VARIANT as
@@ -1372,10 +1565,24 @@ object Transpiler {
       // for the repair loop
       def usable(d: String): Option[String] =
         fmtLit(d).filter(l => l.nonEmpty && !l.contains("\\"))
+      // part must be a POSITIVE integer literal: try_element_at counts
+      // a negative part from the END of the array where Snowflake
+      // RAISES on part < 1 — a non-positive or non-literal part passes
+      // through so the repair loop gets a loud failure instead of a
+      // silent wrong value
+      def positivePart(p: String): Option[String] = {
+        val t = p.trim
+        if (t.matches("\\+?\\d+") && t.dropWhile(_ == '+').dropWhile(_ == '0').nonEmpty)
+          Some(t)
+        else None
+      }
       val arms: Seq[String] => Option[String] = {
         case Seq(s0) => Some(tok(s0, " ", "1"))
         case Seq(s0, d) => usable(d).map(tok(s0, _, "1"))
-        case Seq(s0, d, p) => usable(d).map(tok(s0, _, p))
+        case Seq(s0, d, p) => for {
+          cls <- usable(d)
+          pp <- positivePart(p)
+        } yield tok(s0, cls, pp)
         case _ => None
       }
       arms
@@ -1904,7 +2111,9 @@ object Transpiler {
   def transpileSqlite(sql: String): String = transpileSqlite(sql, Set.empty)
 
   def transpileSqlite(sql: String, identifiers: Set[String]): String =
-    replaceToken(transpile(rewriteDoubleQuoted(sql, identifiers)), "LIKE", "ILIKE")
+    replaceToken(
+      transpile(rewriteBareGroupBy(rewriteDoubleQuoted(sql, identifiers))),
+      "LIKE", "ILIKE")
 
   /** Dialect name → rewrite (the reference Engine.dialect values the
     * executors target, `core/db_connect.py:49-136`). sqlite's

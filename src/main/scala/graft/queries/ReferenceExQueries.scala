@@ -9,21 +9,26 @@ import graft.dialect.Transpiler
 /** EXECUTION-accuracy net over the reference's own prompt SQL — the
   * round-16 verdict's "execute the corpus, don't just parse it":
   * [[graft.dialect.ReferencePromptSqlSpec]] proves 30+ harvested
-  * statements PARSE through the sqlite arm; this pack EXECUTES 31 of
-  * them end-to-end on a registered Spider-style fixture (the college
-  * schema that covers the DIN-SQL prompt pool, plus the small
-  * city/accounts/singer/cards satellites), with DuckDB executing the
-  * SAME statements over the SAME inline fixture as the oracle.
+  * statements PARSE through the sqlite arm; this pack EXECUTES 46 of
+  * them end-to-end on registered Spider/BIRD-style fixtures spanning
+  * THREE schema pools — the college schema covering the DIN-SQL
+  * prompt pool (plus city/accounts/singer/cards satellites), the
+  * BIRD-style frpm/satscores + financial pools from the MAC-SQL
+  * decompose templates, and the Spider concert_singer + academic
+  * Paper/PaperAuthor pools — with DuckDB executing the SAME
+  * statements over the SAME inline fixtures as the oracle.
   *
   * Statement sources (reference file:line): DIN-SQL easy/non-nested/
-  * nested prompt examples (core/actor/generator/DINSQLGenerate.py:
-  * 234-449), MAC-SQL backtick example (MACSQLGenerate.py:416),
-  * OpenSearch cards example (OpenSearchSQLGenerate.py:124). Two
-  * DIN-SQL medium statements (bare non-grouped SELECT columns, a
-  * SQLite-ism Spark's and DuckDB's analyzers both reject) and the
-  * OpenSearch style-aligner pair with unresolvable columns stay
-  * parse-only in the spec — the repair loop's territory, not the
-  * transpiler's.
+  * nested prompt examples incl. the decomposition-step statements
+  * (core/actor/generator/DINSQLGenerate.py:234-449), MAC-SQL decompose
+  * pools (MACSQLGenerate.py:243-331,378,416), OpenSearch examples
+  * (OpenSearchSQLGenerate.py:124-127). The two DIN-SQL bare
+  * non-grouped-column statements execute through the sqlite arm's
+  * any_value rewrite since round 18 (the fixture keeps every bare
+  * column functionally determined by its group key, so the
+  * arbitrary-row pick is deterministic); only the OpenSearch
+  * style-aligner pair with unresolvable columns stays parse-only —
+  * the repair loop's territory, not the transpiler's.
   *
   * Comparison canon: each statement's result reduces to one row
   * `(stmt, n_rows, fp)` where `fp` is the '|'-joined SORTED list of
@@ -124,13 +129,53 @@ object ReferenceExQueries extends QueryPack {
       Seq(Seq("Sun", "2008", 27), Seq("Gentle", "2010", 32))),
     Tbl("cards", Seq("id" -> 'I', "spend" -> 'I'),
       Seq(Seq(1, 50), Seq(2, 120), Seq(3, 130), Seq(4, 140), Seq(5, 150),
-        Seq(6, 160), Seq(7, 99))))
+        Seq(6, 160), Seq(7, 99))),
+    // ---- second/third schema pools (round-18 EX-net growth) ----
+    // BIRD frpm/satscores (MACSQLGenerate.py:216-266 decompose pool).
+    // Rates are binary-exact (25/100, 75/100, 50/200) so the charter
+    // average (0.5) and the > comparison never meet an ulp boundary.
+    Tbl("frpm", Seq("CDSCode" -> 'S', "Charter School (Y/N)" -> 'I'),
+      Seq(Seq("C1", 1), Seq("C2", 1), Seq("C3", 0))),
+    Tbl("satscores",
+      Seq("cds" -> 'S', "sname" -> 'S', "NumGE1500" -> 'I',
+        "NumTstTakr" -> 'I'),
+      Seq(Seq("C1", "Alpha Charter", 25, 100),
+        Seq("C2", "Beta Charter", 75, 100),
+        Seq("C3", "Gamma Public", 50, 200))),
+    // BIRD financial (MACSQLGenerate.py:275-335): lowest-A11 district
+    // unique, birth_dates globally distinct -> the ORDER BY ... LIMIT 1
+    // statements are engine-deterministic
+    Tbl("district", Seq("district_id" -> 'I', "A4" -> 'S', "A11" -> 'I'),
+      Seq(Seq(1, "95907", 12541), Seq(2, "95616", 11277),
+        Seq(3, "94812", 8114))),
+    Tbl("client",
+      Seq("client_id" -> 'I', "gender" -> 'S', "birth_date" -> 'S',
+        "district_id" -> 'I'),
+      Seq(Seq(10, "F", "1987-09-27", 3), Seq(11, "M", "1986-08-13", 3),
+        Seq(12, "F", "1990-01-01", 1))),
+    // Spider concert_singer (MACSQLGenerate.py:352-390): stadium 3 has
+    // no concerts (inner-join drop); counts 2/1 distinct
+    Tbl("stadium", Seq("Stadium_ID" -> 'I', "Name" -> 'S'),
+      Seq(Seq(1, "Stark's Park"), Seq(2, "Somerset Park"),
+        Seq(3, "Recreation Park"))),
+    Tbl("concert", Seq("concert_ID" -> 'I', "Stadium_ID" -> 'I'),
+      Seq(Seq(1, 1), Seq(2, 1), Seq(3, 2))),
+    // academic Paper/PaperAuthor (OpenSearchSQLGenerate.py:127)
+    Tbl("Paper", Seq("Id" -> 'I', "Year" -> 'I'),
+      Seq(Seq(1, 0), Seq(2, 0), Seq(3, 1995))),
+    Tbl("PaperAuthor", Seq("PaperId" -> 'I', "Name" -> 'S'),
+      Seq(Seq(1, "A"), Seq(1, "B"), Seq(2, "C"), Seq(3, "D"))))
 
   /** One executed statement: id, the VERBATIM harvested SQL, and the
     * declared result-column kinds ('S' string, 'I' integer-like,
     * 'D' double) driving the canonicalization on both engines.
+    * `duckSql` overrides the oracle-side text where DuckDB cannot run
+    * the SQLite-ism verbatim (bare non-grouped SELECT columns — the
+    * Spark side heals those through the sqlite arm's any_value
+    * rewrite, the oracle mirrors it by hand).
     */
-  private final case class Stmt(id: String, sql: String, kinds: Seq[Char])
+  private final case class Stmt(id: String, sql: String, kinds: Seq[Char],
+      duckSql: Option[String] = None)
 
   private val stmts: Seq[Stmt] = Seq(
     // DINSQLGenerate.py:234-294 (easy)
@@ -166,10 +211,44 @@ object ReferenceExQueries extends QueryPack {
     Stmt("n05", "SELECT min(salary) ,  dept_name FROM instructor GROUP BY dept_name HAVING avg(salary)  >  (SELECT avg(salary) FROM instructor)", Seq('I', 'S')),
     Stmt("n06", "SELECT title FROM course WHERE course_id IN (SELECT T1.prereq_id FROM prereq AS T1 JOIN course AS T2 ON T1.course_id  =  T2.course_id WHERE T2.title  =  'Mobile Computing')", Seq('S')),
     Stmt("n07", "SELECT T3.title ,  T3.credits FROM classroom AS T1 JOIN SECTION AS T2 ON T1.building  =  T2.building AND T1.room_number  =  T2.room_number JOIN course AS T3 ON T2.course_id  =  T3.course_id WHERE T1.capacity  =  (SELECT max(capacity) FROM classroom)", Seq('S', 'I')),
+    // DINSQLGenerate.py:329,357 — SQLite's bare non-grouped SELECT
+    // columns (parse-only until round 18): the sqlite arm rewrites
+    // them to any_value, the oracle mirrors by hand; the fixture keeps
+    // title/credits/dept_name functionally determined by course_id
+    Stmt("m04a", "SELECT T1.title FROM course AS T1 JOIN prereq AS T2 ON T1.course_id  =  T2.course_id GROUP BY T2.course_id HAVING count(*)  =  2", Seq('S'),
+      duckSql = Some("SELECT any_value(T1.title) FROM course AS T1 JOIN prereq AS T2 ON T1.course_id = T2.course_id GROUP BY T2.course_id HAVING count(*) = 2")),
+    Stmt("m04b", "SELECT T1.title , T1.credits , T1.dept_name FROM course AS T1 JOIN prereq AS T2 ON T1.course_id = T2.course_id GROUP BY T2.course_id HAVING count(*) > 1", Seq('S', 'I', 'S'),
+      duckSql = Some("SELECT any_value(T1.title), any_value(T1.credits), any_value(T1.dept_name) FROM course AS T1 JOIN prereq AS T2 ON T1.course_id = T2.course_id GROUP BY T2.course_id HAVING count(*) > 1")),
+    // DINSQLGenerate.py:390-441 — the nested pool's decomposition-step
+    // statements, verbatim ("The SQL query for the sub-question ...")
+    Stmt("d01", "SELECT avg(budget) FROM department", Seq('D')),
+    Stmt("d02", "SELECT avg(salary) FROM instructor", Seq('D')),
+    Stmt("d03", "SELECT max(salary) FROM instructor", Seq('I')),
+    Stmt("d04", "SELECT course_id FROM prereq", Seq('S')),
+    Stmt("d05", "SELECT id FROM takes WHERE semester  =  'Fall' AND YEAR  =  2003", Seq('I')),
+    Stmt("d06", "SELECT T1.prereq_id FROM prereq AS T1 JOIN course AS T2 ON T1.course_id  =  T2.course_id WHERE T2.title  =  'Mobile Computing'", Seq('S')),
     // MACSQLGenerate.py:416 (backtick identifiers)
     Stmt("mc2", "SELECT `Song_Name`, `Song_release_year` FROM singer WHERE Age = (SELECT MIN(Age) FROM singer)", Seq('S', 'S')),
-    // OpenSearchSQLGenerate.py:124
-    Stmt("os1", "SELECT id FROM cards WHERE spend > 100 ORDER BY spend LIMIT 5", Seq('I')))
+    // MACSQLGenerate.py:378 — Spider concert_singer, bare Name under
+    // GROUP BY Stadium_ID (the second schema pool's any_value case)
+    Stmt("mcs", "SELECT T1.`Name`, COUNT(*) FROM stadium AS T1 JOIN concert AS T2 ON T1.`Stadium_ID` = T2.`Stadium_ID` GROUP BY T1.`Stadium_ID`", Seq('S', 'I'),
+      duckSql = Some("SELECT any_value(T1.\"Name\"), COUNT(*) FROM stadium AS T1 JOIN concert AS T2 ON T1.\"Stadium_ID\" = T2.\"Stadium_ID\" GROUP BY T1.\"Stadium_ID\"")),
+    // MACSQLGenerate.py:243-248 — BIRD frpm/satscores decompose pool,
+    // verbatim including the prompt's indentation
+    Stmt("ms1",
+      "SELECT AVG(CAST(T2.`NumGE1500` AS REAL) / T2.`NumTstTakr`)\n    FROM frpm AS T1\n    INNER JOIN satscores AS T2\n    ON T1.`CDSCode` = T2.`cds`\n    WHERE T1.`Charter School (Y/N)` = 1",
+      Seq('D')),
+    // MACSQLGenerate.py:253-264 — the nested excellence-rate statement
+    Stmt("ms2",
+      "SELECT T2.`sname`\n  FROM frpm AS T1\n  INNER JOIN satscores AS T2\n  ON T1.`CDSCode` = T2.`cds`\n  WHERE T2.`sname` IS NOT NULL\n  AND T1.`Charter School (Y/N)` = 1\n  AND CAST(T2.`NumGE1500` AS REAL) / T2.`NumTstTakr` > (\n    SELECT AVG(CAST(T4.`NumGE1500` AS REAL) / T4.`NumTstTakr`)\n    FROM frpm AS T3\n    INNER JOIN satscores AS T4\n    ON T3.`CDSCode` = T4.`cds`\n    WHERE T3.`Charter School (Y/N)` = 1\n  )",
+      Seq('S')),
+    // MACSQLGenerate.py:305-331 — BIRD financial decompose steps
+    Stmt("mf1", "SELECT `district_id`\n  FROM district\n  ORDER BY `A11` ASC\n  LIMIT 1", Seq('I')),
+    Stmt("mf2", "SELECT T1.`client_id`\n  FROM client AS T1\n  INNER JOIN district AS T2\n  ON T1.`district_id` = T2.`district_id`\n  ORDER BY T2.`A11` ASC, T1.`birth_date` DESC \n  LIMIT 1", Seq('I')),
+    Stmt("mf3", "SELECT T1.`gender`\n  FROM client AS T1\n  INNER JOIN district AS T2\n  ON T1.`district_id` = T2.`district_id`\n  ORDER BY T2.`A11` ASC, T1.`birth_date` DESC \n  LIMIT 1", Seq('S')),
+    // OpenSearchSQLGenerate.py:124,127
+    Stmt("os1", "SELECT id FROM cards WHERE spend > 100 ORDER BY spend LIMIT 5", Seq('I')),
+    Stmt("os2", "SELECT COUNT(T2.Name) FROM Paper AS T1 INNER JOIN PaperAuthor AS T2 ON T1.Id = T2.PaperId WHERE T1.Year = 0", Seq('I')))
 
   // ---- Spark side ---------------------------------------------------
 
@@ -216,7 +295,11 @@ object ReferenceExQueries extends QueryPack {
 
   private def duckFixtureCtes: String =
     tables.map { t =>
-      val colList = t.cols.map(_._1).mkString(", ")
+      // quoted column names: the frpm pool carries `Charter School
+      // (Y/N)` — spaces and parens; DuckDB matches identifiers
+      // case-insensitively whether or not they were quoted at definition
+      val colList = t.cols.map(c => "\"" + c._1.replace("\"", "\"\"") + "\"")
+        .mkString(", ")
       val rows = t.rows
         .map(r => "(" + r.map(sqlLit).mkString(", ") + ")").mkString(",\n    ")
       s"${t.name}($colList) AS (VALUES\n    $rows)"
@@ -230,8 +313,9 @@ object ReferenceExQueries extends QueryPack {
   }
 
   private def duckStmtRow(st: Stmt): String = {
-    // DuckDB quotes identifiers with double quotes, not backticks
-    val sql = st.sql.replace('`', '"')
+    // DuckDB quotes identifiers with double quotes, not backticks;
+    // bare-GROUP-BY SQLite-isms carry a hand-mirrored any_value form
+    val sql = st.duckSql.getOrElse(st.sql).replace('`', '"')
     val cols = st.kinds.indices.map(i => s"c$i").mkString(", ")
     val canon = st.kinds.zipWithIndex
       .map { case (k, i) => duckCanon(i, k) }.mkString(", ")
@@ -244,12 +328,15 @@ object ReferenceExQueries extends QueryPack {
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "q_reference_prompt_ex",
-      "Execution-accuracy net over 31 harvested reference-prompt SQLs " +
-        "(DIN-SQL easy/medium/nested pools, MAC-SQL backticks, " +
-        "OpenSearch cards): each statement runs through the sqlite " +
-        "arm on a registered Spider-style college fixture and reduces " +
-        "to (stmt, n_rows, sorted-canonical-rows fingerprint); DuckDB " +
-        "executes the same statements over the same inline fixture.",
+      "Execution-accuracy net over 46 harvested reference-prompt SQLs " +
+        "across three schema pools (DIN-SQL easy/medium/nested incl. " +
+        "bare-GROUP-BY + decomposition steps on the college fixture; " +
+        "MAC-SQL BIRD frpm/satscores + financial and Spider " +
+        "concert_singer; OpenSearch cards + academic): each statement " +
+        "runs through the sqlite arm and reduces to (stmt, n_rows, " +
+        "sorted-canonical-rows fingerprint); DuckDB executes the same " +
+        "statements (bare-column SQLite-isms hand-mirrored with " +
+        "any_value) over the same inline fixtures.",
       (s, dir) => {
         registerFixture(s)
         stmts.map(st => sparkStmtRow(s, st))

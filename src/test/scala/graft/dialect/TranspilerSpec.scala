@@ -77,6 +77,58 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpile("SELECT CHARINDEX('a', name) FROM t") == "SELECT INSTR(name, 'a') FROM t")
   }
 
+  test("sqlite bare non-grouped SELECT columns wrap in any_value") {
+    import Transpiler.transpileSqlite
+    // the two DIN-SQL medium prompt statements that were parse-only
+    // (core/actor/generator/DINSQLGenerate.py:329,357): SQLite's bare
+    // column under GROUP BY — arbitrary-row pick, here functionally
+    // determined by the group key
+    assert(transpileSqlite(
+      "SELECT T1.title FROM course AS T1 JOIN prereq AS T2 ON " +
+        "T1.course_id  =  T2.course_id GROUP BY T2.course_id HAVING count(*)  =  2") ==
+      "SELECT any_value(T1.title) AS title FROM course AS T1 JOIN prereq AS T2 ON " +
+        "T1.course_id  =  T2.course_id GROUP BY T2.course_id HAVING count(*)  =  2")
+    assert(transpileSqlite(
+      "SELECT T1.title ,  T1.credits , T1.dept_name FROM course AS T1 JOIN " +
+        "prereq AS T2 ON T1.course_id = T2.course_id GROUP BY T2.course_id HAVING count(*) > 1") ==
+      "SELECT any_value(T1.title) AS title ,  any_value(T1.credits) AS credits , " +
+        "any_value(T1.dept_name) AS dept_name FROM course AS T1 JOIN " +
+        "prereq AS T2 ON T1.course_id = T2.course_id GROUP BY T2.course_id HAVING count(*) > 1")
+    // grouped columns (full text or last-segment match) stay bare
+    assert(transpileSqlite(
+      "SELECT dept_name FROM course GROUP BY dept_name ORDER BY count(*) DESC") ==
+      "SELECT dept_name FROM course GROUP BY dept_name ORDER BY count(*) DESC")
+    assert(transpileSqlite(
+      "SELECT T3.dept_name FROM instructor AS T3 GROUP BY T3.dept_name") ==
+      "SELECT T3.dept_name FROM instructor AS T3 GROUP BY T3.dept_name")
+    // unqualified select vs qualified group key resolves by last segment
+    assert(transpileSqlite(
+      "SELECT dept_name, count(*) FROM instructor AS T3 GROUP BY T3.dept_name") ==
+      "SELECT dept_name, count(*) FROM instructor AS T3 GROUP BY T3.dept_name")
+    // backticked segments (MACSQLGenerate.py:378 shape)
+    assert(transpileSqlite(
+      "SELECT T1.`Name`, COUNT(*) FROM stadium AS T1 JOIN concert AS T2 ON " +
+        "T1.`Stadium_ID` = T2.`Stadium_ID` GROUP BY T1.`Stadium_ID`") ==
+      "SELECT any_value(T1.`Name`) AS `Name`, COUNT(*) FROM stadium AS T1 JOIN concert AS T2 ON " +
+        "T1.`Stadium_ID` = T2.`Stadium_ID` GROUP BY T1.`Stadium_ID`")
+    // ordinal group keys mark that select position as grouped
+    assert(transpileSqlite("SELECT name, count(*) FROM t GROUP BY 1") ==
+      "SELECT name, count(*) FROM t GROUP BY 1")
+    // expressions / subqueries / * are never wrapped; a statement
+    // without GROUP BY is untouched; inner blocks rewrite independently
+    assert(transpileSqlite("SELECT a + b, k FROM t GROUP BY k") ==
+      "SELECT a + b, k FROM t GROUP BY k")
+    assert(transpileSqlite("SELECT name FROM student") == "SELECT name FROM student")
+    assert(transpileSqlite(
+      "SELECT x FROM (SELECT T1.name AS x FROM a T1 JOIN b T2 ON T1.id = T2.id GROUP BY T2.k) q") ==
+      "SELECT x FROM (SELECT any_value(T1.name) AS x FROM a T1 JOIN b T2 ON T1.id = T2.id GROUP BY T2.k) q")
+    // idempotent: the wrapped form contains '(' and never re-matches
+    val once = transpileSqlite(
+      "SELECT T1.title FROM course AS T1 JOIN prereq AS T2 ON " +
+        "T1.course_id = T2.course_id GROUP BY T2.course_id")
+    assert(transpileSqlite(once) == once)
+  }
+
   test("sqlite-strict mode maps case-insensitive LIKE to ILIKE") {
     import Transpiler.transpileSqlite
     assert(transpileSqlite("SELECT a FROM t WHERE name LIKE '%x%'") ==
@@ -612,6 +664,12 @@ class TranspilerSpec extends AnyFunSuite {
     ).foreach { once =>
       assert(transpileSnowflake(once) == once, s"snow not idempotent: $once")
     }
+    // a statement CONSUMING the lateral INDEX column is left
+    // untranspiled: Snowflake's SPLIT_TO_TABLE INDEX is 1-based where
+    // the posexplode index is 0-based — the repair loop gets a loud
+    // failure instead of silently off-by-one results
+    val idxSql = "SELECT s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s"
+    assert(transpileSnowflake(idxSql) == idxSql)
   }
 
   test("dialect batch 7: TO_TIMESTAMP_NTZ family, STRTOK") {
@@ -642,6 +700,18 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT STRTOK(s, '', 1) FROM t")
     assert(transpileSnowflake("SELECT STRTOK(s, '\\', 1) FROM t") ==
       "SELECT STRTOK(s, '\\', 1) FROM t")
+    // non-positive part: Snowflake RAISES on part < 1 where
+    // try_element_at would count a negative part from the END of the
+    // array — only a positive integer literal part is rewritten, the
+    // rest fall through to the repair loop
+    assert(transpileSnowflake("SELECT STRTOK(s, ',', -1) FROM t") ==
+      "SELECT STRTOK(s, ',', -1) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, ',', 0) FROM t") ==
+      "SELECT STRTOK(s, ',', 0) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, ',', p) FROM t") ==
+      "SELECT STRTOK(s, ',', p) FROM t")
+    assert(transpileSnowflake("SELECT STRTOK(s, ',', +2) FROM t") ==
+      "SELECT try_element_at(regexp_extract_all(s, '[^,]+', 0), CAST(+2 AS INT)) FROM t")
     // idempotent under re-transpile
     Seq("SELECT STRTOK(s, ',;', 2) FROM t",
       "SELECT TO_TIMESTAMP_NTZ(s, 'YYYY-MM-DD') FROM t").foreach { sql =>
