@@ -404,30 +404,46 @@ object CorpusPipeline {
     * strip the straddled line from old docs too, but those shipped in
     * earlier batches — the contract trues up the CURRENT delta (the
     * only batch not yet delivered).
+    *
+    * Strip grain: each newly-at-floor unit is removed only from docs
+    * where the unit appeared as a WHOLE (trimmed) RAW LINE — line
+    * provenance carried from `deltaRaw` — matching the full-run twin's
+    * line-dedup grain instead of stripping the token run anywhere it
+    * occurs in any accepted doc. The one residual over-strip corner,
+    * documented: a doc carrying the unit BOTH as a whole line and
+    * embedded inside a longer line loses both occurrences (the
+    * accepted text is boilerplate-flattened, so position within the
+    * doc is gone — only doc-level provenance survives the flatten).
+    *
+    * `regate`: when a [[Config]] is passed, docs whose text the strip
+    * MODIFIED are re-checked against the doc-level gates the config
+    * enables (`minChars`, and the heuristic quality floor when
+    * `minQuality` > 0) and dropped when they no longer pass —
+    * deliberately STRICTER than the full-run twin, whose gates run
+    * before line dedup and never see the shrunken text: a doc that
+    * passed a gate only thanks to a straddled unit does not stay
+    * accepted on the strength of text it no longer has. The re-check
+    * runs on the post-strip flattened text and touches ONLY modified
+    * docs.
     */
   /** Loud bound on the strip list a single true-up may carry: the
     * newly-at-floor DIFF is model-sized by construction (only units
     * whose df crossed the floor during ONE delta), so a blow-past
     * means the artifact and corpus diverged wholesale (wrong index
-    * path, floor change) — fail with the sizing, don't broadcast a
-    * corpus. The bound is what the strip IMPLEMENTATION honestly
-    * supports: units fold into alternation patterns of
-    * [[TrueUpAlternationChunk]] runs per regexp_replace, so the plan
-    * carries at most MaxTrueUpUnits/chunk (= 20) sequential replaces —
-    * flat expression depth, each a single scan.
+    * path, floor change) — fail with the sizing, don't build a
+    * corpus-sized strip. The strip itself is a PER-ROW regex (each
+    * doc's provenance runs, longest-first alternation, built as DATA
+    * with array functions) so the Catalyst expression tree stays flat
+    * regardless of unit count — the bound exists to keep per-doc
+    * pattern strings and the distributed provenance join honest, not
+    * to protect a foldLeft.
     */
   val MaxTrueUpUnits: Int = 10000
 
-  /** Runs per alternation pattern in the true-up strip (one
-    * regexp_replace each). One-regex-per-run foldLeft nesting would
-    * build a runs-deep expression tree — Catalyst's recursive walks
-    * stack-overflow in the low thousands, far under [[MaxTrueUpUnits]].
-    */
-  val TrueUpAlternationChunk: Int = 500
-
   def trueUpDelta(oldDocs: DataFrame, deltaRaw: DataFrame,
       deltaAccepted: DataFrame, artifacts: DeltaArtifacts,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      regate: Option[Config] = None): DataFrame = {
     val spark = oldDocs.sparkSession
     val p = artifacts.lineIndexPath.getOrElse(throw new IllegalArgumentException(
       "trueUpDelta needs DeltaArtifacts.lineIndexPath: the straddle " +
@@ -469,37 +485,66 @@ object CorpusPipeline {
     flaggedNow
       .select(TextAnalysis.polyHash(col("__u")).as("hash"), col("doc_freq"))
       .coalesce(1).write.mode("overwrite").parquet(s"$p/hashes")
-    // 4. re-screen the delta's ACCEPTED docs. Their text is the
-    // pipeline's token-joined output, so each newly-at-floor unit is
-    // removed as its lowercased TOKEN RUN — the exact residue the
-    // full-run twin never emits (it drops the line before
-    // tokenization). "(?: run(?= ))+" collapses consecutive repeats
-    // in one pass; the strip only ever REMOVES text, so upstream
-    // scrubs are never resurrected. Residual corner, documented: a
-    // doc that passed a quality gate only thanks to the straddled
-    // unit stays accepted (the gates ran before the true-up).
-    val runs = newly
-      .select(concat_ws(" ", TextAnalysis.tokens(col("__u"))).as("__run"))
-      .filter(length(col("__run")) > 0)
-      .limit(MaxTrueUpUnits + 1).collect().map(_.getString(0))
-    require(runs.length <= MaxTrueUpUnits,
+    // 4. re-screen the delta's ACCEPTED docs at the full-run twin's
+    // grain. The accepted text is the pipeline's token-joined output
+    // (line structure flattened away), so the strip needs LINE
+    // PROVENANCE from the raw delta: each newly-at-floor unit is
+    // removed — as its lowercased TOKEN RUN — only from docs where the
+    // unit appeared as a whole trimmed raw line, exactly the docs the
+    // full-run twin's line dedup touches. "(?: run(?= ))+" collapses
+    // consecutive repeats in one pass; the strip only ever REMOVES
+    // text, so upstream scrubs are never resurrected.
+    val nNew = newly.limit(MaxTrueUpUnits + 1).count()
+    require(nNew <= MaxTrueUpUnits,
       s"true-up diff exceeds $MaxTrueUpUnits units — the newly-at-floor " +
         "set should be one delta's floor crossings; a corpus-sized diff " +
         "means the artifact does not match the corpus (wrong index " +
         "path or a floor change). Rebuild the index instead.")
-    if (runs.isEmpty) deltaAccepted
+    if (nNew == 0) deltaAccepted
     else {
+      val newlyRuns = newly
+        .select(col("__u"),
+          concat_ws(" ", TextAnalysis.tokens(col("__u"))).as("__run"))
+        .filter(length(col("__run")) > 0)
+      // per-doc provenance: (doc, set of runs that were whole raw
+      // lines of it). Model-sized build side (<= MaxTrueUpUnits units,
+      // each matching the handful of docs that straddled the floor).
+      val prov = acceptedRaw
+        .select(col(idCol), explode(split(col(textCol), sep)).as("__l"))
+        .select(col(idCol), trim(col("__l")).as("__u"))
+        .join(broadcast(newlyRuns), Seq("__u"))
+        .groupBy(col(idCol))
+        .agg(collect_set(col("__run")).as("__runs"))
+      // per-row pattern, built as DATA: regex-quote each run (escape
+      // every non-alnum-nonspace char), order longest-first (regex
+      // alternation is ordered — a run that is a prefix of a longer
+      // run must not shadow it mid-match), join into one alternation
+      val quoted = transform(col("__runs"),
+        r => regexp_replace(r, lit("([^a-zA-Z0-9 ])"), lit("\\\\$1")))
+      val ordered = array_sort(quoted, (l, r) =>
+        when(length(l) > length(r), -1)
+          .when(length(l) < length(r), 1)
+          .when(l < r, -1).when(l > r, 1).otherwise(0))
+      val pattern = concat(lit("(?: (?:"), array_join(ordered, "|"),
+        lit(")(?= ))+"))
       val padded = concat(lit(" "), col(textCol), lit(" "))
-      // longest-first: regex alternation is ordered, so a run that is
-      // a prefix of a longer run must not shadow it mid-match
-      val strippedPad = runs.distinct.sortBy(-_.length)
-        .grouped(TrueUpAlternationChunk)
-        .foldLeft(padded) { (c, chunk) =>
-          val alt = chunk.map(java.util.regex.Pattern.quote)
-            .mkString("(?:", "|", ")")
-          regexp_replace(c, s"(?: $alt(?= ))+", "")
-        }
-      deltaAccepted.withColumn(textCol, trim(strippedPad))
+      val joined = deltaAccepted.join(prov, Seq(idCol), "left")
+        .withColumn("__trued",
+          when(col("__runs").isNull, col(textCol))
+            .otherwise(trim(regexp_replace(padded, pattern, lit("")))))
+      // doc-gate re-check on MODIFIED docs only (see Scaladoc)
+      val regated = regate match {
+        case None => joined
+        case Some(cfg) =>
+          val modified = col("__trued") =!= col(textCol)
+          val passes = (length(col("__trued")) >= cfg.minChars) &&
+            (if (cfg.minQuality > 0)
+              TextAnalysis.qualityScore(col("__trued")) >= cfg.minQuality
+            else lit(true))
+          joined.filter(!modified || passes)
+      }
+      regated.withColumn(textCol, col("__trued"))
+        .select(deltaAccepted.columns.map(col).toIndexedSeq: _*)
     }
   }
 

@@ -314,9 +314,34 @@ object CoverageQueries extends QueryPack {
     * true-up extends it with the combined-df floor diff).
     */
   private def deltaPipelineOracle(prefix: String, src: String,
-      deltaBound: String, flCtes: String, flSelect: String): String = {
+      deltaBound: String, flCtes: String, flSelect: String,
+      flSelectSmall: String = "", regateMinChars: Int = 0): String = {
     val bandCond8 = (0 until 8).map(j => s"x.band$j = y.band$j").mkString(" OR ")
     val bandCondO = (0 until 8).map(j => s"x.band$j = y.band${j}_o").mkString(" OR ")
+    // true-up doc-gate re-check (trueUpDelta's `regate`): a doc whose
+    // text the true-up strip MODIFIED (full strip set vs the
+    // prepareDelta-only set `flSelectSmall`) and whose post-strip
+    // flattened text is under the char floor is dropped
+    val regateCtes = if (flSelectSmall.isEmpty) "" else
+      s"""flS AS ($flSelectSmall),
+         |covS AS (SELECT doc_id, pos FROM k JOIN flS USING (hv)),
+         |keepS AS (SELECT w.doc_id, w.pos, w.line
+         |          FROM w ANTI JOIN covS USING (doc_id, pos)),
+         |aggS AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+         |         FROM keepS GROUP BY doc_id),
+         |d4S AS (SELECT d3.doc_id, COALESCE(aggS.ct, '') AS text
+         |        FROM d3 LEFT JOIN aggS USING (doc_id)),
+         |tbS AS (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(text), '\\s+'),
+         |                           t -> length(t) > 0) AS tk
+         |        FROM d4S),
+         |""".stripMargin
+    val regateWhere = if (flSelectSmall.isEmpty) "" else
+      s"""
+         |JOIN tbS ON tb.doc_id = tbS.doc_id
+         |WHERE NOT (array_to_string(tb.tk, ' ') <> array_to_string(tbS.tk, ' ')
+         |           AND length(array_to_string(tb.tk, ' ')) < $regateMinChars)"""
+        .stripMargin
     s"""WITH ${prefix}nw AS (
        |  SELECT doc_id, text, lang, source FROM $src
        |  WHERE doc_id >= 400$deltaBound AND lang IN ('en', 'de', 'fr')
@@ -381,14 +406,14 @@ object CoverageQueries extends QueryPack {
        |d4 AS (SELECT d3.doc_id, d3.lang, d3.source,
        |              COALESCE(agg.ct, '') AS text
        |       FROM d3 LEFT JOIN agg USING (doc_id)),
-       |tb AS (SELECT doc_id, lang, source,
+       |${regateCtes}tb AS (SELECT doc_id, lang, source,
        |              list_filter(string_split_regex(lower(text), '\\s+'),
        |                          t -> length(t) > 0) AS tk
        |       FROM d4)
-       |SELECT doc_id, lang, source,
-       |       array_to_string(tk, ' ') AS clean_text
-       |FROM tb
-       |ORDER BY doc_id""".stripMargin
+       |SELECT tb.doc_id, lang, source,
+       |       array_to_string(tb.tk, ' ') AS clean_text
+       |FROM tb$regateWhere
+       |ORDER BY tb.doc_id""".stripMargin
   }
 
   private def corpusPipelineOracle(modernTail: Boolean): String = {
@@ -1535,12 +1560,15 @@ object CoverageQueries extends QueryPack {
         LineIndex.writeLineIndex(old, "doc_id", "text", lidx, minDocFreq = 2)
         val arts = CorpusPipeline.DeltaArtifacts(dedupIndexPath = idx,
           lineIndexPath = Some(lidx), appendAccepted = false)
+        val cfg = CorpusPipeline.Config(langs = Seq("en", "de", "fr"),
+          minChars = 100, jaccardThreshold = 0.5,
+          lineDedupMinDocFreq = 2, boilerMinDocFreq = 999)
         val accepted = CorpusPipeline.prepareDelta(delta, delta.limit(0),
-          CorpusPipeline.Config(langs = Seq("en", "de", "fr"),
-            minChars = 100, jaccardThreshold = 0.5,
-            lineDedupMinDocFreq = 2, boilerMinDocFreq = 999),
-          arts)
-        CorpusPipeline.trueUpDelta(old, delta, accepted, arts)
+          cfg, arts)
+        // regate: docs the strip modified are re-checked against the
+        // config's doc gates (minChars here) on post-strip text
+        CorpusPipeline.trueUpDelta(old, delta, accepted, arts,
+          regate = Some(cfg))
           .select(col("doc_id"), col("lang"), col("source"),
             col("text").as("clean_text"))
           .orderBy(col("doc_id"))
@@ -1565,7 +1593,9 @@ object CoverageQueries extends QueryPack {
         deltaPipelineOracle(prefix = straddleCte, src = "docs2",
           deltaBound = " AND doc_id < 1400", flCtes = floorDiff,
           flSelect = "SELECT hv FROM fl1 UNION SELECT hv FROM flo" +
-            " UNION SELECT hv FROM flc")
+            " UNION SELECT hv FROM flc",
+          flSelectSmall = "SELECT hv FROM fl1 UNION SELECT hv FROM flo",
+          regateMinChars = 100)
       }),
 
     GQuery(

@@ -544,4 +544,114 @@ class CorpusPipelineSpec extends SparkSpec {
       !delta2(21L).contains("exclusive member benefits"),
       s"refreshed index must screen the straddled line: $delta2")
   }
+
+  test("true-up strips only whole-line provenance; embedded runs survive") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trueup2").toString
+    val idx = s"$base/dedupindex"
+    val lidx = s"$base/lineindex"
+    val straddle = "seasonal clearance announcement for loyal patrons"
+    val olds = Seq(
+      (1L, "en", "opening standalone essay on glacial moraine stratigraphy and sediment dating\n" + straddle),
+      (2L, "en", "second standalone study of coastal erosion management and dune restoration"))
+    val news = Seq(
+      // 11 carries the unit as a WHOLE line -> the full twin strips it
+      (11L, "en", "eleventh independent report on geothermal district heating economics\n" + straddle),
+      // 12 carries the SAME TOKEN RUN only EMBEDDED inside a longer
+      // line -> the full twin's line dedup does NOT touch it (the long
+      // line's own df is 1), so the true-up must not either
+      (12L, "en", "twelfth distinct piece quoting the " + straddle +
+        " banner while analyzing retail messaging strategies"))
+    val oldDf = olds.toDF("doc_id", "lang", "text")
+    val newDf = news.toDF("doc_id", "lang", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minChars = 40,
+      jaccardThreshold = 0.5, lineDedupMinDocFreq = 2,
+      boilerMinDocFreq = 99)
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+      .withColumn("text", lit("")).limit(0)
+    TextDedup.writeDedupIndex(oldDf, "doc_id", "text", idx, bands = 8)
+    LineIndex.writeLineIndex(oldDf, "doc_id", "text", lidx, minDocFreq = 2)
+    graft.core.CacheBin.drain()
+    val arts = CorpusPipeline.DeltaArtifacts(
+      dedupIndexPath = idx, lineIndexPath = Some(lidx))
+    val deltaRows = CorpusPipeline.prepareDelta(newDf, empty, cfg, arts)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.core.CacheBin.drain()
+    val delta = deltaRows.toSeq.toDF("doc_id", "lang", "text")
+    val full = CorpusPipeline.curate(oldDf.unionByName(newDf), empty, cfg)
+      .filter(col("doc_id") > 10L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    // ground truth: the full twin strips 11's whole line, keeps 12's
+    // embedded occurrence
+    assert(!full(11L).contains("loyal patrons"), s"full kept 11: $full")
+    assert(full(12L).contains("loyal patrons"), s"full stripped 12: $full")
+    val trued = CorpusPipeline.trueUpDelta(oldDf, newDf, delta, arts,
+      regate = Some(cfg))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(trued === full,
+      s"line-provenance strip must land on the full twin:\ntrued=$trued\nfull=$full")
+  }
+
+  test("true-up re-gates modified docs: strip below minChars drops the doc") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_trueup3").toString
+    val idx = s"$base/dedupindex"
+    val lidx = s"$base/lineindex"
+    val straddle = "weekly digest subscription reminder for registered readers"
+    val olds = Seq(
+      (1L, "en", "first standalone treatise on orchard grafting compatibility and rootstock vigor\n" + straddle),
+      (2L, "en", "second standalone account of river delta sediment transport and channel migration"))
+    val news = Seq(
+      // 11 passes minChars=40 ONLY with the straddled line: base text
+      // is 21 chars, the line brings raw length past the gate; after
+      // the strip its flattened text is back under 40
+      (11L, "en", "tiny beekeeping note\n" + straddle),
+      (12L, "en", "twelfth unrelated survey of tram network electrification and depot siting"))
+    val oldDf = olds.toDF("doc_id", "lang", "text")
+    val newDf = news.toDF("doc_id", "lang", "text")
+    val cfg = CorpusPipeline.Config(langs = Seq("en"), minChars = 40,
+      jaccardThreshold = 0.5, lineDedupMinDocFreq = 2,
+      boilerMinDocFreq = 99)
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+      .withColumn("text", lit("")).limit(0)
+    TextDedup.writeDedupIndex(oldDf, "doc_id", "text", idx, bands = 8)
+    LineIndex.writeLineIndex(oldDf, "doc_id", "text", lidx, minDocFreq = 2)
+    graft.core.CacheBin.drain()
+    val arts = CorpusPipeline.DeltaArtifacts(
+      dedupIndexPath = idx, lineIndexPath = Some(lidx))
+    val deltaRows = CorpusPipeline.prepareDelta(newDf, empty, cfg, arts)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    graft.core.CacheBin.drain()
+    assert(deltaRows.exists(_._1 == 11L),
+      "fixture broken: 11 must be admitted by the delta (raw length passes)")
+    val delta = deltaRows.toSeq.toDF("doc_id", "lang", "text")
+    // with the re-gate: 11's post-strip text (21 chars) fails minChars
+    // -> dropped; 12 was never modified -> never re-checked
+    val trued = CorpusPipeline.trueUpDelta(oldDf, newDf, delta, arts,
+      regate = Some(cfg))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(!trued.contains(11L),
+      s"modified doc below minChars must be re-gated out: $trued")
+    assert(trued.contains(12L), s"unmodified doc must stay: $trued")
+    // without the re-gate (back-compat): 11 stays, stripped. The first
+    // true-up refreshed the artifact in place (its diff is now empty),
+    // so restore the pre-true-up index before the second call.
+    LineIndex.writeLineIndex(oldDf, "doc_id", "text", lidx, minDocFreq = 2)
+    graft.core.CacheBin.drain()
+    val truedNoGate = CorpusPipeline.trueUpDelta(oldDf, newDf, delta, arts)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.core.CacheBin.drain()
+    assert(truedNoGate.contains(11L) &&
+      !truedNoGate(11L).contains("registered readers"),
+      s"no-gate true-up keeps the shrunken doc, stripped: $truedNoGate")
+  }
 }
