@@ -89,6 +89,14 @@ object ParagraphIndex {
     */
   val MaxIndexKeys: Long = (1L << 30) / 10
 
+  /** Byte-budget cap on an AUTO-sized head (headK < 0): each head set
+    * is ~200 shingle longs (~1.6 KiB), so 4096 sets ≈ 6.7 MiB of
+    * broadcast — comfortably model-sized next to the 128 MiB bitset
+    * ceiling. An auto pick never exceeds it even when the hotness
+    * distribution is too flat to reach the mass target.
+    */
+  val MaxAutoHeadK: Int = 4096
+
   /** Batch (re-)build: writes `path/meta` (family + signature scheme)
     * and `path/hashes` (distinct xxhash64(band, val) keys). Returns
     * the key count. The signature scheme rides in the meta so a
@@ -96,11 +104,23 @@ object ParagraphIndex {
     * count is checked against [[MaxIndexKeys]] BEFORE anything is
     * written: an over-budget corpus must not leave a half-built
     * artifact behind.
+    *
+    * `headK`: 0 = pure screen; > 0 = fixed-size precision head;
+    * NEGATIVE = AUTO — the right K is a property of the corpus's
+    * hotness distribution, not a constant, so the build picks the
+    * smallest K whose cumulative `__hot` mass covers `headMassTarget`
+    * of the REPEATED paragraph mass (occurrences of paragraphs seen in
+    * >= 2 places — where expected collisions concentrate), capped at
+    * [[MaxAutoHeadK]] by the broadcast byte budget. The resolved K and
+    * the coverage it achieved are recorded in the artifact meta
+    * (`head_k`, `head_mass`) so an operator can see what the auto pick
+    * did without re-deriving the distribution.
     */
   def writeParagraphIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.5, n: Int = 3, h: Int = 16,
       bands: Int = 0, seed: Long = 42L,
-      maxKeys: Long = MaxIndexKeys, headK: Int = 0): Long = {
+      maxKeys: Long = MaxIndexKeys, headK: Int = 0,
+      headMassTarget: Double = 0.9): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = if (bands > 0) bands else TextDedup.bandsFor(threshold)
@@ -120,6 +140,28 @@ object ParagraphIndex {
         bandKey(col("band"), col("val")).as("hash"))
       .persist()
     try {
+      // auto head sizing (headK < 0): bounded collect — at most
+      // MaxAutoHeadK hotness values, each one long
+      val (resolvedHeadK, headMass): (Int, Double) =
+        if (headK >= 0) (headK, -1.0)
+        else {
+          val totalRep = unitCounts.filter(col("__hot") >= 2)
+            .agg(coalesce(sum(col("__hot")), lit(0L))).head().getLong(0)
+          if (totalRep == 0L) (0, 0.0)
+          else {
+            val topHots = unitCounts.filter(col("__hot") >= 2)
+              .orderBy(desc("__hot"), xxhash64(col("__u")))
+              .limit(MaxAutoHeadK)
+              .select(col("__hot")).collect().map(_.getLong(0))
+            val target = headMassTarget * totalRep
+            var cum = 0L
+            var k = 0
+            while (k < topHots.length && cum < target) {
+              cum += topHots(k); k += 1
+            }
+            (k, cum.toDouble / totalRep)
+          }
+        }
       val nKeys = keyed.select("hash").distinct().count()
       require(nKeys <= maxKeys,
         s"paragraph index over the broadcast-Bloom budget: $nKeys distinct " +
@@ -130,14 +172,15 @@ object ParagraphIndex {
           "or index only the head of the reference corpus.")
       keyed.select("hash").distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$path/hashes")
-      if (headK > 0) {
-        // head = the headK hottest distinct paragraphs (deterministic
-        // tiebreak on the text hash); their EXACT shingle sets ship in
-        // the artifact for stream-side verify, and the tail-only Bloom
-        // keys let the probe tell which regime a collision came from
+      if (resolvedHeadK > 0) {
+        // head = the resolvedHeadK hottest distinct paragraphs
+        // (deterministic tiebreak on the text hash); their EXACT
+        // shingle sets ship in the artifact for stream-side verify,
+        // and the tail-only Bloom keys let the probe tell which regime
+        // a collision came from
         val headTexts = unitCounts
           .orderBy(desc("__hot"), xxhash64(col("__u")))
-          .limit(headK).select(col("__u"))
+          .limit(resolvedHeadK).select(col("__u"))
         TextDedup.withShingleHashes(
           headTexts.withColumn("__id", lit(0L)), "__id", "__u", n)
           .select(sort_array(col("__shh")).as("shingles"))
@@ -147,8 +190,9 @@ object ParagraphIndex {
           .select("hash").distinct()
           .coalesce(1).write.mode("overwrite").parquet(s"$path/hashes_tail")
       }
-      Seq((Family, n, h, b, seed, threshold, headK))
-        .toDF("family", "n", "h", "bands", "seed", "threshold", "head_k")
+      Seq((Family, n, h, b, seed, threshold, resolvedHeadK, headMass))
+        .toDF("family", "n", "h", "bands", "seed", "threshold", "head_k",
+          "head_mass")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       nKeys
     } finally keyed.unpersist()

@@ -190,6 +190,59 @@ class ParagraphIndexSpec extends SparkSpec {
       f"(unrelated FP $fpUnrelated%.3f, budget 0.05)")
   }
 
+  test("auto head K: sized by hotness mass, recorded in meta, floors hold") {
+    def words(tag: String, m: Int): Seq[String] =
+      (1 to m).map(i => s"${tag}w$i")
+    // skewed hotness 10 / 4 / 2 (+ a unique tail paragraph per doc):
+    // repeated mass 16, target 0.8 -> 12.8; cumulative 10, 14 >= 12.8
+    // at K = 2 — the auto pick must take templates 1+2 and leave
+    // template 3 to the tail screen
+    val t1 = words("at1", 20).mkString(" ")
+    val t2 = words("at2", 20).mkString(" ")
+    val t3 = words("at3", 20).mkString(" ")
+    val ref = (1L to 10L).map(i =>
+        (i, s"$t1\n\nauto tail ${words(s"a$i", 12).mkString(" ")}")) ++
+      (11L to 14L).map(i =>
+        (i, s"$t2\n\nauto body ${words(s"b$i", 12).mkString(" ")}")) ++
+      (15L to 16L).map(i =>
+        (i, s"$t3\n\nauto foot ${words(s"c$i", 12).mkString(" ")}"))
+    val refDf = ref.toDF("doc_id", "text")
+    val idx = freshDir("auto_head") + "/idx"
+    ParagraphIndex.writeParagraphIndex(refDf, "doc_id", "text", idx,
+      headK = -1, headMassTarget = 0.8)
+    graft.core.CacheBin.drain()
+    val meta = spark.read.parquet(s"$idx/meta").collect()(0)
+    assert(meta.getInt(6) == 2,
+      s"auto K must cover 0.8 of the repeated mass at K=2, got ${meta.getInt(6)}")
+    assert(meta.getDouble(7) >= 0.8 && meta.getDouble(7) < 1.0,
+      s"achieved coverage must ride in meta: ${meta.getDouble(7)}")
+    val f = ParagraphIndex.loadFilter(spark, idx)
+    assert(f.headSets.length == 2 && f.tailWords.nonEmpty)
+    def variant(tpl: String, keep: Int, tag: String): String = {
+      val ws = tpl.split(" ")
+      (ws.take(keep) ++ (1 to (ws.length - keep)).map(i => s"${tag}x$i"))
+        .mkString(" ")
+    }
+    def stripRate(ps: Seq[String]): Double = {
+      val in = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("doc_id", "text")
+      val kept = in.withColumn("c",
+          ParagraphIndex.stripParagraphsExpr(col("text"), f))
+        .collect().map(_.getString(2))
+      kept.count(_.isEmpty).toDouble / ps.size
+    }
+    // floors: every true dup (incl. the tail template's) still strips;
+    // gray-band variants of the HEAD templates get the exact verify
+    // and never false-strip
+    assert(stripRate(Seq(t1, t2, t3,
+      variant(t1, 16, "ad1"), variant(t2, 16, "ad2"))) == 1.0,
+      "auto-head hybrid must keep full recall on true dups")
+    val gray = (1 to 6).map(i =>
+      variant(if (i % 2 == 0) t1 else t2, 13, s"ag$i"))
+    assert(stripRate(gray) == 0.0,
+      "head-covered gray band must not false-strip under the auto head")
+  }
+
   test("pre-hybrid 5-column meta artifact loads as a pure screen") {
     val dir = freshDir("backcompat")
     val ref = Seq((1L, s"some page body here\n\n$template"),
