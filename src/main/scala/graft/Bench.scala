@@ -121,6 +121,15 @@ object Bench {
     // pass is min-of-2 per query with the main loop's GC leveling, so
     // JIT/page-cache warming (front pass is colder by construction)
     // doesn't read as phantom drift.
+    // SPARK_GRAFT_ONLY (same convention as Verify): bound the run to a
+    // comma-separated subset for fast JSON/harness smokes. Partial runs
+    // skip the sentinel passes, the tare, and the stage pass, and NEVER
+    // append to BENCH_HISTORY.jsonl — a 3-query total must not pollute
+    // the cross-round history, and a smoke must not pay ~minute-scale
+    // instrumentation whose output is discarded anyway.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val fullRun = onlyFilter.isEmpty
     val sentinelNames = Seq("q_leak_safe_split", "q_range_join",
       "q_keepbest_dedup", "q_semantic_dedup", "q_bucketed_join",
       "q_jaccard_neardup")
@@ -129,7 +138,8 @@ object Bench {
     // long-tail rise had no per-query history to attribute it against),
     // so each pass returns (name, sec) pairs and BENCH_HISTORY.jsonl
     // carries both maps per run
-    def sentinelPass(): Seq[(String, Double)] = sentinelNames.flatMap { n =>
+    def sentinelPass(): Seq[(String, Double)] =
+      (if (fullRun) sentinelNames else Seq.empty).flatMap { n =>
       SparkEntry.allQueries.find(_.name == n).map { q =>
         def once(): Double = {
           System.gc()
@@ -166,15 +176,14 @@ object Bench {
       finally graft.core.CacheBin.drain()
     }
     // one untimed warm pass (same reason as the sentinel), then min-of-2
-    (0 until 5).foreach(tareOnce)
-    val tareTimes = (0 until 5).map(i => math.min(tareOnce(i), tareOnce(i)))
-    val tarePerQuery = tareTimes.sorted.apply(tareTimes.size / 2) // median
-    // SPARK_GRAFT_ONLY (same convention as Verify): bound the main loop
-    // to a comma-separated subset for fast JSON/harness smokes. Partial
-    // runs skip the stage pass and NEVER append to BENCH_HISTORY.jsonl —
-    // a 3-query total must not pollute the cross-round history.
-    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val tareTimes =
+      if (!fullRun) Seq.empty[Double]
+      else {
+        (0 until 5).foreach(tareOnce)
+        (0 until 5).map(i => math.min(tareOnce(i), tareOnce(i)))
+      }
+    val tarePerQuery = // median; 0 on smoke runs (tare skipped)
+      if (tareTimes.isEmpty) 0.0 else tareTimes.sorted.apply(tareTimes.size / 2)
     val queryList = onlyFilter
       .map(s => SparkEntry.allQueries.filter(q => s(q.name)))
       .getOrElse(SparkEntry.allQueries)

@@ -71,16 +71,18 @@ object Transpiler {
     */
   private def findTopLevelKeyword(sql: String, kw: String, from: Int = 0): Int = {
     val tagged = lex(sql)
-    val upper = sql.toUpperCase
+    // per-position regionMatches, never a whole-string toUpperCase
+    // (length can change — 'ß' → "SS" — shifting indexes vs the tags)
     var i = math.max(from, 0)
-    while (i >= 0) {
-      i = upper.indexOf(kw.toUpperCase, i)
-      if (i < 0) return -1
-      val inCode = tagged(i)._2 == Code && tagged(i)._3 == 0
-      val leftOk = i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_'
-      val r = i + kw.length
-      val rightOk = r >= sql.length || !Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_'
-      if (inCode && leftOk && rightOk) return i
+    val last = sql.length - kw.length
+    while (i <= last) {
+      if (sql.regionMatches(true, i, kw, 0, kw.length)) {
+        val inCode = tagged(i)._2 == Code && tagged(i)._3 == 0
+        val leftOk = i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_'
+        val r = i + kw.length
+        val rightOk = r >= sql.length || !Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_'
+        if (inCode && leftOk && rightOk) return i
+      }
       i = i + 1
     }
     -1
@@ -100,36 +102,42 @@ object Transpiler {
     "DESC", "ASC", "NULLS", "IS", "IN", "LIKE", "ILIKE", "BETWEEN",
     "CASE", "SAMPLE", "TABLESAMPLE")
 
-  /** Word-bounded, literal-safe token presence test (code region only). */
+  /** Word-bounded, literal-safe token presence test (code region only).
+    * Case-insensitive via per-position regionMatches — NEVER a
+    * whole-string toUpperCase, whose length can differ from the
+    * original ('ß' → "SS") and shift every index against the lex tags.
+    */
   private def containsToken(sql: String, tok: String): Boolean = {
     val tagged = lex(sql)
-    val upper = sql.toUpperCase
-    val target = tok.toUpperCase
-    var i = upper.indexOf(target)
-    while (i >= 0) {
-      val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
-      val r = i + target.length
-      val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
-      if (leftOk && rightOk && tagged(i)._2 == Code) return true
-      i = upper.indexOf(target, i + 1)
+    var i = 0
+    val last = sql.length - tok.length
+    while (i <= last) {
+      if (sql.regionMatches(true, i, tok, 0, tok.length)) {
+        val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
+        val r = i + tok.length
+        val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
+        if (leftOk && rightOk && tagged(i)._2 == Code) return true
+      }
+      i += 1
     }
     false
   }
 
-  /** Case-insensitive, literal-safe function-name / token replacement. */
+  /** Case-insensitive, literal-safe function-name / token replacement.
+    * Per-position regionMatches — a whole-string toUpperCase can
+    * change length ('ß' → "SS") and misalign indexes vs the lex tags.
+    */
   private def replaceToken(sql: String, from: String, to: String): String = {
     val tagged = lex(sql)
-    val upper = sql.toUpperCase
-    val target = from.toUpperCase
     val sb = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val at = upper.startsWith(target, i)
+      val at = sql.regionMatches(true, i, from, 0, from.length)
       val inCode = tagged(i)._2 == Code
       val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
-      val r = i + target.length
+      val r = i + from.length
       val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
-      if (at && inCode && leftOk && rightOk) { sb.append(to); i += target.length }
+      if (at && inCode && leftOk && rightOk) { sb.append(to); i += from.length }
       else { sb.append(sql.charAt(i)); i += 1 }
     }
     sb.toString
@@ -375,11 +383,13 @@ object Transpiler {
     */
   private def rewriteBareGroupBy(sql: String): String = {
     val tagged = lex(sql)
-    val upper = sql.toUpperCase
     val n = sql.length
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    // regionMatches, not a whole-string toUpperCase: uppercasing can
+    // change length ('ß' → "SS") and misalign indexes vs the lex tags
     def tokenAt(i: Int, kw: String): Boolean =
-      i < n && upper.startsWith(kw, i) && tagged(i)._2 == Code &&
+      i < n && sql.regionMatches(true, i, kw, 0, kw.length) &&
+        tagged(i)._2 == Code &&
         (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
         (i + kw.length >= n || !isWordChar(sql.charAt(i + kw.length)))
     // next occurrence of any keyword in `kws` at exactly depth d, in
@@ -440,22 +450,25 @@ object Transpiler {
         while (listStart < n && sql.charAt(listStart).isWhitespace) listStart += 1
         if (tokenAt(listStart, "DISTINCT")) listStart += "DISTINCT".length
         else if (tokenAt(listStart, "ALL")) listStart += "ALL".length
-        val fromIdx = findKw(Seq("FROM"), d, listStart, n)
+        // end of this select block FIRST (depth drop below d, or a
+        // set-op / end of string at depth d), scanned from the list
+        // start — searching FROM before bounding the block would let a
+        // FROM-less set-op arm (`SELECT a UNION SELECT b FROM t ...`)
+        // adopt the NEXT arm's FROM and double-wrap its items
+        var blockEnd = n
+        var j = listStart
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == ')' && tagged(j)._2 == Code && tagged(j)._3 < d) {
+            blockEnd = j; done = true
+          } else if (tagged(j)._3 == d &&
+              (tokenAt(j, "UNION") || tokenAt(j, "INTERSECT") ||
+                tokenAt(j, "EXCEPT"))) {
+            blockEnd = j; done = true
+          } else j += 1
+        }
+        val fromIdx = findKw(Seq("FROM"), d, listStart, blockEnd)
         if (fromIdx > 0) {
-          // end of this select block: depth drop below d, or a set-op /
-          // end of string at depth d
-          var blockEnd = n
-          var j = fromIdx
-          var done = false
-          while (j < n && !done) {
-            if (sql.charAt(j) == ')' && tagged(j)._2 == Code && tagged(j)._3 < d) {
-              blockEnd = j; done = true
-            } else if (tagged(j)._3 == d &&
-                (tokenAt(j, "UNION") || tokenAt(j, "INTERSECT") ||
-                  tokenAt(j, "EXCEPT"))) {
-              blockEnd = j; done = true
-            } else j += 1
-          }
           val grpIdx = findKw(Seq("GROUP"), d, fromIdx, blockEnd)
           if (grpIdx > 0) {
             val byIdx = findKw(Seq("BY"), d, grpIdx + 5, blockEnd)
@@ -491,7 +504,10 @@ object Transpiler {
                 val isSimple = simpleCol.matches(expr.trim) &&
                   !literalWords.contains(norm(expr))
                 val grouped = !isSimple ||
-                  ordinals.contains(idx + 1) || {
+                  ordinals.contains(idx + 1) ||
+                  // GROUP BY <alias> (valid SQLite AND Spark's
+                  // groupByAliases): the aliased item is grouped
+                  aliasOpt.exists(a0 => keyNorms.contains(norm(a0))) || {
                     val ne = norm(expr)
                     keyNorms.contains(ne) || keyNorms.contains(norm(lastSeg(expr))) ||
                       keyLastSegs.contains(norm(lastSeg(expr)))
@@ -518,7 +534,10 @@ object Transpiler {
       val sb = new StringBuilder
       var cur = 0
       spans.foreach { case (a, b, r) =>
-        sb.append(sql.substring(cur, a)).append(r); cur = b
+        // defensive: an overlapping span (unforeseen block-boundary
+        // corner) is skipped — the statement passes through to the
+        // analyzer/repair loop instead of crashing the transpiler
+        if (a >= cur) { sb.append(sql.substring(cur, a)).append(r); cur = b }
       }
       sb.append(sql.substring(cur, n))
       sb.toString

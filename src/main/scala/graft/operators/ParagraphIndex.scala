@@ -141,15 +141,20 @@ object ParagraphIndex {
       .persist()
     try {
       // auto head sizing (headK < 0): bounded collect — at most
-      // MaxAutoHeadK hotness values, each one long
+      // MaxAutoHeadK hotness values, each one long. The distinct
+      // (text, hot) grain is read back from the PERSISTED keyed frame
+      // (one distinct over cached rows) rather than re-running the
+      // corpus tokenize/explode/groupBy lineage of unitCounts.
+      lazy val hotDistinct = keyed
+        .select(col("__text").as("__u"), col("__hot")).distinct()
       val (resolvedHeadK, headMass): (Int, Double) =
         if (headK >= 0) (headK, -1.0)
         else {
-          val totalRep = unitCounts.filter(col("__hot") >= 2)
+          val totalRep = hotDistinct.filter(col("__hot") >= 2)
             .agg(coalesce(sum(col("__hot")), lit(0L))).head().getLong(0)
           if (totalRep == 0L) (0, 0.0)
           else {
-            val topHots = unitCounts.filter(col("__hot") >= 2)
+            val topHots = hotDistinct.filter(col("__hot") >= 2)
               .orderBy(desc("__hot"), xxhash64(col("__u")))
               .limit(MaxAutoHeadK)
               .select(col("__hot")).collect().map(_.getLong(0))
@@ -178,7 +183,7 @@ object ParagraphIndex {
         // shingle sets ship in the artifact for stream-side verify,
         // and the tail-only Bloom keys let the probe tell which regime
         // a collision came from
-        val headTexts = unitCounts
+        val headTexts = hotDistinct
           .orderBy(desc("__hot"), xxhash64(col("__u")))
           .limit(resolvedHeadK).select(col("__u"))
         TextDedup.withShingleHashes(

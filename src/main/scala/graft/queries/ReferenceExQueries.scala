@@ -196,7 +196,7 @@ object ReferenceExQueries extends QueryPack {
     Stmt("e15", "SELECT DISTINCT Status FROM city WHERE Population > 1500 AND Population < 500", Seq('S')),
     Stmt("e16", "SELECT account_id, date_account_opened, account_name, other_account_details FROM Accounts", Seq('I', 'S', 'S', 'S')),
     // DINSQLGenerate.py:300-357 (non-nested medium; the two bare
-    // non-grouped-column statements stay parse-only)
+    // non-grouped-column statements execute below as m04a/m04b)
     Stmt("m01", "SELECT dept_name ,  building FROM department ORDER BY budget DESC LIMIT 1", Seq('S', 'S')),
     Stmt("m02", "SELECT dept_name ,  building FROM department WHERE budget  >  (SELECT avg(budget) FROM department)", Seq('S', 'S')),
     Stmt("m03", "SELECT count(DISTINCT T2.id) ,  count(DISTINCT T3.id) ,  T3.dept_name FROM department AS T1 JOIN student AS T2 ON T1.dept_name  =  T2.dept_name JOIN instructor AS T3 ON T1.dept_name  =  T3.dept_name GROUP BY T3.dept_name", Seq('I', 'I', 'S')),

@@ -122,6 +122,19 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileSqlite(
       "SELECT x FROM (SELECT T1.name AS x FROM a T1 JOIN b T2 ON T1.id = T2.id GROUP BY T2.k) q") ==
       "SELECT x FROM (SELECT any_value(T1.name) AS x FROM a T1 JOIN b T2 ON T1.id = T2.id GROUP BY T2.k) q")
+    // GROUP BY <alias> (valid SQLite AND Spark groupByAliases): the
+    // aliased item is grouped, never wrapped
+    assert(transpileSqlite(
+      "SELECT dept_name AS d, count(*) FROM instructor GROUP BY d") ==
+      "SELECT dept_name AS d, count(*) FROM instructor GROUP BY d")
+    // a FROM-less set-op arm must not adopt the NEXT arm's FROM/GROUP
+    // BY (was: double-wrapped spans -> StringIndexOutOfBounds); the
+    // second arm's bare `b` wraps once, the first arm stays literal
+    assert(transpileSqlite("SELECT 5 UNION SELECT b, k FROM t GROUP BY k") ==
+      "SELECT 5 UNION SELECT any_value(b) AS b, k FROM t GROUP BY k")
+    assert(transpileSqlite(
+      "SELECT 5 UNION SELECT T1.b, k FROM t T1 JOIN u T2 ON T1.x = T2.x GROUP BY T2.k") ==
+      "SELECT 5 UNION SELECT any_value(T1.b) AS b, k FROM t T1 JOIN u T2 ON T1.x = T2.x GROUP BY T2.k")
     // idempotent: the wrapped form contains '(' and never re-matches
     val once = transpileSqlite(
       "SELECT T1.title FROM course AS T1 JOIN prereq AS T2 ON " +
