@@ -102,6 +102,13 @@ run_once() {
 
 flagged() { printf '%s' "$1" | grep -Eq '"(contended|env_suspect)":true'; }
 
+# a zero/garbage MAX_ATTEMPTS would skip the loop entirely and write
+# an EMPTY artifact with exit 0 — fail loudly instead
+case "$MAX_ATTEMPTS" in
+  ''|*[!0-9]*) echo "[bench_retry] BENCH_RETRY_MAX must be a positive integer (got '$MAX_ATTEMPTS')" >&2; exit 1 ;;
+esac
+[ "$MAX_ATTEMPTS" -ge 1 ] || { echo "[bench_retry] BENCH_RETRY_MAX must be >= 1 (got $MAX_ATTEMPTS)" >&2; exit 1; }
+
 attempt=0
 line=""
 while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do

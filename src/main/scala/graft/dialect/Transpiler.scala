@@ -69,20 +69,31 @@ object Transpiler {
   /** Find the first top-level (depth 0, code-region) occurrence of a
     * keyword (case-insensitive, word-bounded) at or after `from`.
     */
+  /** THE word-bounded, case-insensitive, code-region token test every
+    * lexical scan in this file shares: `kw` matches at `i` iff the
+    * characters compare equal case-insensitively (per-position
+    * regionMatches — NEVER a whole-string toUpperCase, whose length
+    * can differ from the original, 'ß' → "SS", shifting every index
+    * against the lex tags), both neighbors are non-word characters,
+    * and position `i` is in the Code region. Depth conditions are the
+    * caller's business.
+    */
+  private def wordTokenAt(sql: String,
+      tagged: IndexedSeq[(Char, Region, Int)], i: Int, kw: String): Boolean =
+    i >= 0 && i + kw.length <= sql.length &&
+      sql.regionMatches(true, i, kw, 0, kw.length) &&
+      tagged(i)._2 == Code &&
+      (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')) && {
+        val r = i + kw.length
+        r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
+      }
+
   private def findTopLevelKeyword(sql: String, kw: String, from: Int = 0): Int = {
     val tagged = lex(sql)
-    // per-position regionMatches, never a whole-string toUpperCase
-    // (length can change — 'ß' → "SS" — shifting indexes vs the tags)
     var i = math.max(from, 0)
     val last = sql.length - kw.length
     while (i <= last) {
-      if (sql.regionMatches(true, i, kw, 0, kw.length)) {
-        val inCode = tagged(i)._2 == Code && tagged(i)._3 == 0
-        val leftOk = i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_'
-        val r = i + kw.length
-        val rightOk = r >= sql.length || !Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_'
-        if (inCode && leftOk && rightOk) return i
-      }
+      if (wordTokenAt(sql, tagged, i, kw) && tagged(i)._3 == 0) return i
       i = i + 1
     }
     -1
@@ -102,42 +113,25 @@ object Transpiler {
     "DESC", "ASC", "NULLS", "IS", "IN", "LIKE", "ILIKE", "BETWEEN",
     "CASE", "SAMPLE", "TABLESAMPLE")
 
-  /** Word-bounded, literal-safe token presence test (code region only).
-    * Case-insensitive via per-position regionMatches — NEVER a
-    * whole-string toUpperCase, whose length can differ from the
-    * original ('ß' → "SS") and shift every index against the lex tags.
-    */
+  /** Word-bounded, literal-safe token presence test (code region only). */
   private def containsToken(sql: String, tok: String): Boolean = {
     val tagged = lex(sql)
     var i = 0
     val last = sql.length - tok.length
     while (i <= last) {
-      if (sql.regionMatches(true, i, tok, 0, tok.length)) {
-        val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
-        val r = i + tok.length
-        val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
-        if (leftOk && rightOk && tagged(i)._2 == Code) return true
-      }
+      if (wordTokenAt(sql, tagged, i, tok)) return true
       i += 1
     }
     false
   }
 
-  /** Case-insensitive, literal-safe function-name / token replacement.
-    * Per-position regionMatches — a whole-string toUpperCase can
-    * change length ('ß' → "SS") and misalign indexes vs the lex tags.
-    */
+  /** Case-insensitive, literal-safe function-name / token replacement. */
   private def replaceToken(sql: String, from: String, to: String): String = {
     val tagged = lex(sql)
     val sb = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      val at = sql.regionMatches(true, i, from, 0, from.length)
-      val inCode = tagged(i)._2 == Code
-      val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_')
-      val r = i + from.length
-      val rightOk = r >= sql.length || (!Character.isLetterOrDigit(sql.charAt(r)) && sql.charAt(r) != '_')
-      if (at && inCode && leftOk && rightOk) { sb.append(to); i += from.length }
+      if (wordTokenAt(sql, tagged, i, from)) { sb.append(to); i += from.length }
       else { sb.append(sql.charAt(i)); i += 1 }
     }
     sb.toString
@@ -385,13 +379,7 @@ object Transpiler {
     val tagged = lex(sql)
     val n = sql.length
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
-    // regionMatches, not a whole-string toUpperCase: uppercasing can
-    // change length ('ß' → "SS") and misalign indexes vs the lex tags
-    def tokenAt(i: Int, kw: String): Boolean =
-      i < n && sql.regionMatches(true, i, kw, 0, kw.length) &&
-        tagged(i)._2 == Code &&
-        (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
-        (i + kw.length >= n || !isWordChar(sql.charAt(i + kw.length)))
+    def tokenAt(i: Int, kw: String): Boolean = wordTokenAt(sql, tagged, i, kw)
     // next occurrence of any keyword in `kws` at exactly depth d, in
     // code region, scanning [from, until); stops at a close paren
     // dropping below d (the enclosing scope ended)

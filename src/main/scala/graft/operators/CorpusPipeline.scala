@@ -424,7 +424,11 @@ object CorpusPipeline {
     * passed a gate only thanks to a straddled unit does not stay
     * accepted on the strength of text it no longer has. The re-check
     * runs on the post-strip flattened text and touches ONLY modified
-    * docs.
+    * docs. A dropped doc was never delivered, so the artifact refresh
+    * also excludes its line-df contributions (one extra line-df pass,
+    * paid only when something was dropped) — otherwise >= 2 dropped
+    * docs sharing a line would leave the index over-flagging future
+    * deltas relative to the delivered corpus.
     */
   /** Loud bound on the strip list a single true-up may carry: the
     * newly-at-floor DIFF is model-sized by construction (only units
@@ -463,26 +467,30 @@ object CorpusPipeline {
     // space-joined tokens, so line structure only exists upstream.)
     val acceptedRaw = deltaRaw
       .join(deltaAccepted.select(col(idCol)), Seq(idCol), "left_semi")
+    def lineDf(docsDf: DataFrame): DataFrame = docsDf
+      .select(col(idCol), explode(split(col(textCol), sep)).as("__l"))
+      .filter(length(trim(col("__l"))) > 0)
+      .select(col(idCol), trim(col("__l")).as("__u"))
+      .groupBy(col("__u"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") >= floor)
     val combined = oldDocs.select(col(idCol), col(textCol))
       .unionByName(acceptedRaw.select(col(idCol), col(textCol)))
     val flaggedNow = graft.core.CacheBin.trackEager(
-      combined
-        .select(col(idCol), explode(split(col(textCol), sep)).as("__l"))
-        .filter(length(trim(col("__l"))) > 0)
-        .select(col(idCol), trim(col("__l")).as("__u"))
-        .groupBy(col("__u"))
-        .agg(countDistinct(col(idCol)).as("doc_freq"))
-        .filter(col("doc_freq") >= floor)
-        .persist())
+      lineDf(combined).persist())
     // 2. the units that JUST crossed the floor (1 old + 1 new at
-    // floor 2 — each side alone below it)
+    // floor 2 — each side alone under it)
     val newly = flaggedNow
       .withColumn("hash", TextAnalysis.polyHash(col("__u")))
       .join(prior, Seq("hash"), "left_anti")
-    // 3. refresh the artifact in place (meta unchanged: same family,
-    // sep and floor — only the at-floor set moved), same (hash,
-    // doc_freq) schema writeLineIndex produces
-    flaggedNow
+    // artifact refresh (meta unchanged: same family, sep and floor —
+    // only the at-floor set moves), same (hash, doc_freq) schema
+    // writeLineIndex produces. Runs AFTER the regate decision below:
+    // a doc the re-gate drops was never delivered, so its line
+    // contributions must not survive into the artifact (they would
+    // over-flag future deltas wherever >= 2 dropped docs shared a
+    // line).
+    def writeAtFloor(atFloor: DataFrame): Unit = atFloor
       .select(TextAnalysis.polyHash(col("__u")).as("hash"), col("doc_freq"))
       .coalesce(1).write.mode("overwrite").parquet(s"$p/hashes")
     // 4. re-screen the delta's ACCEPTED docs at the full-run twin's
@@ -500,7 +508,7 @@ object CorpusPipeline {
         "set should be one delta's floor crossings; a corpus-sized diff " +
         "means the artifact does not match the corpus (wrong index " +
         "path or a floor change). Rebuild the index instead.")
-    if (nNew == 0) deltaAccepted
+    if (nNew == 0) { writeAtFloor(flaggedNow); deltaAccepted }
     else {
       val newlyRuns = newly
         .select(col("__u"),
@@ -532,15 +540,29 @@ object CorpusPipeline {
         .withColumn("__trued",
           when(col("__runs").isNull, col(textCol))
             .otherwise(trim(regexp_replace(padded, pattern, lit("")))))
-      // doc-gate re-check on MODIFIED docs only (see Scaladoc)
+      // doc-gate re-check on MODIFIED docs only (see Scaladoc); the
+      // artifact refresh waits for the drop decision — a dropped doc
+      // was never delivered, so its line-df contributions are removed
+      // (one extra line-df pass, paid ONLY when the re-gate dropped
+      // something; the strip itself stays based on the PRE-regate df,
+      // which is the full-run twin's own input grain)
       val regated = regate match {
-        case None => joined
+        case None =>
+          writeAtFloor(flaggedNow)
+          joined
         case Some(cfg) =>
           val modified = col("__trued") =!= col(textCol)
           val passes = (length(col("__trued")) >= cfg.minChars) &&
             (if (cfg.minQuality > 0)
               TextAnalysis.qualityScore(col("__trued")) >= cfg.minQuality
             else lit(true))
+          val dropped = graft.core.CacheBin.trackEager(
+            joined.filter(modified && !passes).select(col(idCol)).persist())
+          if (dropped.isEmpty) writeAtFloor(flaggedNow)
+          else writeAtFloor(lineDf(
+            oldDocs.select(col(idCol), col(textCol)).unionByName(
+              acceptedRaw.select(col(idCol), col(textCol))
+                .join(dropped, Seq(idCol), "left_anti"))))
           joined.filter(!modified || passes)
       }
       regated.withColumn(textCol, col("__trued"))

@@ -641,6 +641,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!trued.contains(11L),
       s"modified doc below minChars must be re-gated out: $trued")
     assert(trued.contains(12L), s"unmodified doc must stay: $trued")
+    // the artifact refresh must describe the DELIVERED corpus: with 11
+    // dropped, the straddle's df is 1 (old doc 1 only) — under the
+    // floor, so its hash must NOT be in the refreshed index (a kept
+    // contribution from the undelivered doc would over-flag future
+    // deltas)
+    val straddleHash = spark.range(1)
+      .select(graft.functions.TextAnalysis.polyHash(lit(straddle)).as("h"))
+      .head().getLong(0)
+    val storedHashes = spark.read.parquet(s"$lidx/hashes")
+      .select("hash").collect().map(_.getLong(0)).toSet
+    assert(!storedHashes.contains(straddleHash),
+      "refreshed artifact must exclude the re-gated doc's line-df contribution")
     // without the re-gate (back-compat): 11 stays, stripped. The first
     // true-up refreshed the artifact in place (its diff is now empty),
     // so restore the pre-true-up index before the second call.
