@@ -125,6 +125,18 @@ object Transpiler {
     false
   }
 
+  private def countToken(sql: String, tok: String): Int = {
+    val tagged = lex(sql)
+    var i = 0
+    var n = 0
+    val last = sql.length - tok.length
+    while (i <= last) {
+      if (wordTokenAt(sql, tagged, i, tok)) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Case-insensitive, literal-safe function-name / token replacement. */
   private def replaceToken(sql: String, from: String, to: String): String = {
     val tagged = lex(sql)
@@ -1192,6 +1204,110 @@ object Transpiler {
     * sort-aware collect (the WITHIN GROUP clause trails the call, so
     * this is a structural scan, not a call rewrite).
     */
+  /** First index (0-based, NULL when absent) of `elem` in `arr` as a
+    * fold — the emission shared by the Snowflake ARRAY_POSITION and
+    * ARRAY_CONTAINS arms. It carries neither function's token, so
+    * neither arm can re-match the other's output on re-transpile (the
+    * arms take REVERSED arguments vs Spark; a re-match would silently
+    * swap them back). `nullSafe` compares with <=> — ARRAY_POSITION
+    * finds NULL elements; ARRAY_CONTAINS uses = so NULL elements never
+    * match, like the array_position call it emitted before batch 8.
+    */
+  private def arrayIndexFold(arr: String, elem: String,
+      nullSafe: Boolean): String = {
+    val cmp = if (nullSafe) "<=>" else "="
+    s"aggregate($arr, named_struct('i', 0, 'p', CAST(NULL AS INT)), " +
+      "(__ga, __gx) -> named_struct('i', __ga.i + 1, " +
+      s"'p', coalesce(__ga.p, IF(__gx $cmp $elem, __ga.i, CAST(NULL AS INT)))), " +
+      "__ga -> __ga.p)"
+  }
+
+  /** After a single SPLIT_TO_TABLE → POSEXPLODE rewrite, shift every
+    * alias-qualified INDEX reference by +1: Snowflake's SPLIT_TO_TABLE
+    * INDEX column is 1-based where the posexplode index is 0-based
+    * (VALUE — the overwhelmingly-consumed column — matches exactly).
+    * Returns None — the caller then leaves the statement untranspiled
+    * for the repair loop — when the lateral has no alias or any INDEX
+    * reference is NOT alias-qualified: a bare INDEX cannot be told
+    * apart from another relation's column at the string level, and a
+    * half-shifted statement would be silently off-by-one.
+    */
+  private def splitIndexShift(sql: String): Option[String] = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    val at = upper.indexOf("POSEXPLODE")
+    if (at < 0) return None
+    var j = at + "POSEXPLODE".length
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (j >= sql.length || sql.charAt(j) != '(') return None
+    val close = matchParen(sql, tagged, j)
+    if (close < 0) return None
+    val (aliasOpt, _) = readAlias(sql, close + 1)
+    aliasOpt.flatMap { alias0 =>
+      val alias = alias0.trim
+      if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*")) None
+      else {
+        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
+          "\\s*\\.\\s*INDEX\\b").r
+        val qualified = re.findAllMatchIn(sql)
+          .count(m => tagged(m.start)._2 == Code)
+        // every INDEX token must be either one of the qualified
+        // references or the single `AS index` this pass emitted
+        if (qualified == 0 || countToken(sql, "INDEX") != qualified + 1) None
+        else Some(guarded(sql, re)(_ => s"($alias.index + 1)"))
+      }
+    }
+  }
+
+  /** RATIO_TO_REPORT(x) OVER (w) → (CAST(x AS DOUBLE) / sum(x) OVER
+    * (w)). The OVER clause sits OUTSIDE the call, so this is a scan
+    * (like the WITHIN GROUP pass below), not a rewriteCall arm. The
+    * output carries no RATIO_TO_REPORT token — idempotent by
+    * construction. A call with no OVER clause is not valid Snowflake
+    * and passes through to the repair loop.
+    */
+  private def rewriteRatioToReport(sql: String): String = {
+    val tagged = lex(sql)
+    val upper = sql.toUpperCase
+    val target = "RATIO_TO_REPORT"
+    var i = upper.indexOf(target)
+    while (i >= 0) {
+      val leftOk = i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+        sql.charAt(i - 1) != '_')
+      if (leftOk && tagged(i)._2 == Code) {
+        var j = i + target.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchParen(sql, tagged, j)
+          if (close >= 0) {
+            var k = close + 1
+            while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+            val overAt = upper.startsWith("OVER", k) &&
+              (k + 4 >= sql.length ||
+                (!Character.isLetterOrDigit(sql.charAt(k + 4)) &&
+                  sql.charAt(k + 4) != '_'))
+            if (overAt) {
+              var p = k + 4
+              while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+              if (p < sql.length && sql.charAt(p) == '(') {
+                val wclose = matchParen(sql, tagged, p)
+                if (wclose >= 0) {
+                  val expr = sql.substring(j + 1, close).trim
+                  val win = sql.substring(p, wclose + 1)
+                  return rewriteRatioToReport(sql.substring(0, i) +
+                    s"(CAST($expr AS DOUBLE) / sum($expr) OVER $win)" +
+                    sql.substring(wclose + 1))
+                }
+              }
+            }
+          }
+        }
+      }
+      i = upper.indexOf(target, i + 1)
+    }
+    sql
+  }
+
   private def rewriteArrayAggWithinGroup(sql: String): String = {
     val tagged = lex(sql)
     val upper = sql.toUpperCase
@@ -1411,14 +1527,26 @@ object Transpiler {
     // emitted SPLIT then flows through the literal-delimiter escape
     // pass further down. Snowflake's INDEX column is 1-based where the
     // POSEXPLODE index is 0-based (VALUE — the overwhelmingly-consumed
-    // column — matches exactly), so a statement that references an
-    // INDEX token anywhere is left UNTRANSPILED: the repair loop gets
-    // a loud failure instead of silently off-by-one results.
-    if (!containsToken(out, "INDEX"))
-      out = rewriteCall(out, "SPLIT_TO_TABLE") {
-        case Seq(s0, d) => Some(s"FLATTEN(input => SPLIT($s0, $d))")
-        case _ => None
+    // column — matches exactly). A statement that consumes INDEX gets
+    // the 1-based shift via splitIndexShift when that is provably
+    // safe: exactly one SPLIT_TO_TABLE, no other FLATTEN (whose INDEX
+    // is 0-based and must NOT shift), and every INDEX reference
+    // alias-qualified to the lateral. Anything else is left
+    // UNTRANSPILED — the repair loop gets a loud failure instead of
+    // silently off-by-one results.
+    val splitToFlatten = (s: String) => rewriteCall(s, "SPLIT_TO_TABLE") {
+      case Seq(s0, d) => Some(s"FLATTEN(input => SPLIT($s0, $d))")
+      case _ => None
+    }
+    if (!containsToken(out, "INDEX")) out = splitToFlatten(out)
+    else if (countToken(out, "SPLIT_TO_TABLE") == 1 &&
+        !containsToken(out, "FLATTEN")) {
+      val tmp = splitToFlatten(out)
+      if (tmp != out) {
+        val flat = rewriteFlatten(tmp)
+        if (flat != tmp) splitIndexShift(flat).foreach(v => out = v)
       }
+    }
     out = rewriteFlatten(out)
     out = rewriteArrayAggWithinGroup(out)
     // JSON-text VARIANT family (Spider2-snow exports carry VARIANT as
@@ -1513,10 +1641,15 @@ object Transpiler {
       case _ => None
     }
     // Snowflake ARRAY_CONTAINS(value, array) — the REVERSE of Spark's
-    // argument order; array_position avoids emitting a call the arm
-    // would re-match and swap back
+    // argument order. Emitted via the shared index fold (see
+    // arrayIndexFold): before batch 8 this emitted array_position,
+    // which the new ARRAY_POSITION arm would re-match on re-transpile
+    // and swap back. NULL value or NULL array → NULL (as before);
+    // NULL elements never match (= comparison, like array_position).
     out = rewriteCall(out, "ARRAY_CONTAINS") {
-      case Seq(v, arr) => Some(s"(array_position($arr, $v) > 0)")
+      case Seq(v, arr) => Some(s"(CASE WHEN ($arr) IS NULL OR ($v) IS NULL " +
+        "THEN CAST(NULL AS BOOLEAN) ELSE " +
+        s"${arrayIndexFold(arr, v, nullSafe = false)} IS NOT NULL END)")
       case _ => None
     }
     out = rewriteCall(out, "SPLIT") {
@@ -1718,6 +1851,126 @@ object Transpiler {
     objectConstructArm("OBJECT_CONSTRUCT", keepNull = false)
     out = replaceToken(out, "ARRAY_CAT", "CONCAT")
     out = replaceToken(out, "ARRAY_TO_STRING", "ARRAY_JOIN")
+    // ---- batch 8 ----------------------------------------------------
+    // ARRAY_POSITION(elem, arr): element-FIRST (the reverse of Spark's
+    // argument order, like ARRAY_CONTAINS above), 0-based, NULL when
+    // absent — and it finds NULL elements (<=>), which Spark's
+    // array_position cannot. Shares the fold emission with
+    // ARRAY_CONTAINS, so neither arm's output re-matches either arm.
+    out = rewriteCall(out, "ARRAY_POSITION") {
+      case Seq(e, arr) => Some(arrayIndexFold(arr, e, nullSafe = true))
+      case _ => None
+    }
+    // bit functions → operators; the shift pair maps onto
+    // shiftleft/shiftright (different names — cannot re-match)
+    out = rewriteCall(out, "BITAND") {
+      case Seq(a, b) => Some(s"(($a) & ($b))"); case _ => None
+    }
+    out = rewriteCall(out, "BITOR") {
+      case Seq(a, b) => Some(s"(($a) | ($b))"); case _ => None
+    }
+    out = rewriteCall(out, "BITXOR") {
+      case Seq(a, b) => Some(s"(($a) ^ ($b))"); case _ => None
+    }
+    out = rewriteCall(out, "BITNOT") {
+      case Seq(a) => Some(s"(~($a))"); case _ => None
+    }
+    out = rewriteCall(out, "BITSHIFTLEFT") {
+      case Seq(a, n) => Some(s"shiftleft($a, $n)"); case _ => None
+    }
+    out = rewriteCall(out, "BITSHIFTRIGHT") {
+      case Seq(a, n) => Some(s"shiftright($a, $n)"); case _ => None
+    }
+    // EDITDISTANCE → levenshtein; the 3-arg bound CLAMPS in Snowflake
+    // (the maximum is returned when the true distance exceeds it) where
+    // Spark's 3-arg levenshtein returns -1 — least() over the full
+    // distance keeps the clamp exact. Literal non-negative bounds only;
+    // a variable or negative bound goes to the repair loop.
+    out = rewriteCall(out, "EDITDISTANCE") {
+      case Seq(a, b) => Some(s"levenshtein($a, $b)")
+      case Seq(a, b, m) if m.trim.matches("\\d+") =>
+        Some(s"least(levenshtein($a, $b), $m)")
+      case _ => None
+    }
+    out = rewriteCall(out, "SQUARE") {
+      case Seq(e) => Some(s"power($e, 2)"); case _ => None
+    }
+    // ISO day/week/year family — unambiguous under any WEEK_START
+    // session value: weekday() is Monday=0, weekofyear() is ISO, and
+    // the ISO year is the year of the Thursday of the date's ISO week.
+    // Plain YEAROFWEEK rides the same mapping: under the DEFAULT
+    // session (WEEK_OF_YEAR_POLICY=0, WEEK_START=0) Snowflake's
+    // YEAROFWEEK is exactly the ISO year; a session pinning
+    // POLICY=1 (Jan-1-anchored weeks) would diverge — documented, not
+    // detectable at the string level.
+    out = rewriteCall(out, "DAYOFWEEKISO") {
+      case Seq(e) => Some(s"(weekday($e) + 1)"); case _ => None
+    }
+    out = rewriteCall(out, "WEEKISO") {
+      case Seq(e) => Some(s"weekofyear($e)"); case _ => None
+    }
+    Seq("YEAROFWEEKISO", "YEAROFWEEK").foreach { n =>
+      out = rewriteCall(out, n) {
+        case Seq(e) => Some(s"year(date_add(CAST($e AS DATE), 3 - weekday($e)))")
+        case _ => None
+      }
+    }
+    // 2-arg LAST_DAY(d, part): 1-arg (month) is native Spark; year and
+    // quarter snap to calendar ends; week is the ISO week's Sunday
+    // (default WEEK_START=0 is ISO-like Monday-start weeks)
+    out = rewriteCall(out, "LAST_DAY") {
+      case Seq(e, u) => normUnit(u).flatMap {
+        case "month" => Some(s"last_day($e)")
+        case "year" => Some(s"make_date(year($e), 12, 31)")
+        case "quarter" =>
+          Some(s"date_sub(add_months(CAST(date_trunc('QUARTER', $e) AS DATE), 3), 1)")
+        case "week" => Some(s"date_add(CAST($e AS DATE), 6 - weekday($e))")
+        case _ => None
+      }
+      case _ => None
+    }
+    // REGEXP_COUNT(s, pat[, pos[, params]]): the 2-arg form is native
+    // Spark; position slices the subject first (like REGEXP_SUBSTR's),
+    // params map to inline flags
+    out = rewriteCall(out, "REGEXP_COUNT") {
+      case Seq(_, _) => None
+      case Seq(e, p, pos) => Some(s"regexp_count(${subjFrom(e, pos)}, $p)")
+      case Seq(e, p, pos, params) =>
+        fmtLit(params).flatMap(ps => regexParamPrefix(ps).map(pre =>
+          s"regexp_count(${subjFrom(e, pos)}, ${prefixPattern(p, pre)})"))
+      case _ => None
+    }
+    // INSERT(base, pos, len, repl) → overlay (the DML keyword never has
+    // a 4-argument call shape, so the name cannot collide)
+    out = rewriteCall(out, "INSERT") {
+      case Seq(s0, p, l, r) => Some(s"overlay($s0, $r, $p, $l)")
+      case _ => None
+    }
+    // RATIO_TO_REPORT(x) OVER (w) → x / sum(x) OVER (w). Divergence
+    // kept, not hidden: an all-zero window errors in Snowflake
+    // (division by zero) where Spark yields NULL.
+    out = rewriteRatioToReport(out)
+    // ---- batch 9 ----------------------------------------------------
+    // TRUNC(expr, part) — Snowflake's expr-FIRST date_trunc spelling.
+    // Only recognized DATE parts rewrite, and a BARE (unquoted) part
+    // must be a FULL unit word: TRUNC doubles as numeric truncation,
+    // so a bare abbreviation like `d` or `mm` could equally be a SCALE
+    // COLUMN — quoted literals and full words are unambiguous, the
+    // rest (including every numeric scale) pass through to the repair
+    // loop. Type divergence documented: Snowflake TRUNC keeps the
+    // input type (DATE stays DATE) where Spark's date_trunc always
+    // returns TIMESTAMP.
+    out = rewriteCall(out, "TRUNC") {
+      case Seq(e, u) =>
+        val uu = u.trim
+        val fullWords = Set("year", "years", "quarter", "quarters",
+          "month", "months", "week", "weeks", "day", "days",
+          "hour", "hours", "minute", "minutes", "second", "seconds")
+        if (uu.startsWith("'") || fullWords.contains(uu.toLowerCase))
+          normUnit(u).map(unit => s"date_trunc('${unit.toUpperCase}', $e)")
+        else None
+      case _ => None
+    }
     // FROM t SAMPLE (10) — Snowflake's percent row sampling → Spark's
     // TABLESAMPLE. Digit-only bodies only (a call named sample keeps
     // its arguments); BERNOULLI/ROW spellings are the same default.
@@ -2097,6 +2350,99 @@ object Transpiler {
     // NFKC-normalizes — divergence only on exotic codepoints)
     out = rewriteCall(out, "CONTAINS_SUBSTR") {
       case Seq(a, b) => Some(s"(instr(lower($a), lower($b)) > 0)")
+      case _ => None
+    }
+    // ---- batch 8 ----------------------------------------------------
+    // STRPOS(string, substring) — same contract as instr (1-based,
+    // 0 when absent, NULL in → NULL out)
+    out = rewriteCall(out, "STRPOS") {
+      case Seq(a, b) => Some(s"instr($a, $b)"); case _ => None
+    }
+    // TO_HEX over a digest call: BigQuery's MD5/SHA* return BYTES, so
+    // the canonical TO_HEX(MD5(x)) spelling collapses onto Spark's
+    // hex-STRING digests (lowercase hex on both sides). A TO_HEX over
+    // anything else keeps BYTES semantics Spark cannot see at the
+    // string level — repair loop.
+    out = rewriteCall(out, "TO_HEX") {
+      case Seq(inner) =>
+        val t = inner.trim
+        "(?is)^(MD5|SHA1|SHA256|SHA512)\\s*\\(".r.findPrefixMatchOf(t)
+          .flatMap { pm =>
+            val tg = lex(t)
+            val open = pm.end - 1
+            val close = matchParen(t, tg, open)
+            if (close != t.length - 1) None // not a single whole call
+            else {
+              val arg = t.substring(open + 1, close)
+              pm.group(1).toUpperCase match {
+                case "MD5" => Some(s"md5($arg)")
+                case "SHA1" => Some(s"sha1($arg)")
+                case "SHA256" => Some(s"sha2($arg, 256)")
+                case _ => Some(s"sha2($arg, 512)")
+              }
+            }
+          }
+      case _ => None
+    }
+    // BigQuery LEAST/GREATEST return NULL when ANY argument is NULL —
+    // Spark's skip NULLs (and so return the non-null extreme). The
+    // non-null branch computes via array_min/array_max (identical
+    // result there, and a name this arm cannot re-match on
+    // re-transpile — emitting least() again would re-wrap forever).
+    def nullPropagatingExtreme(name: String, arrFn: String): Unit =
+      out = rewriteCall(out, name) {
+        case args if args.size >= 2 =>
+          val anyNull = args.map(a => s"($a) IS NULL").mkString(" OR ")
+          Some(s"(CASE WHEN $anyNull THEN NULL ELSE " +
+            s"$arrFn(array(${args.mkString(", ")})) END)")
+        case _ => None
+      }
+    nullPropagatingExtreme("LEAST", "array_min")
+    nullPropagatingExtreme("GREATEST", "array_max")
+    // JSON_EXTRACT_STRING_ARRAY / JSON_VALUE_ARRAY: scalar elements as
+    // UNQUOTED strings (numbers as their decimal text); a non-scalar
+    // element NULLs out (TRY_CAST) rather than carrying JSON text —
+    // the string-cast sibling of the JSON_EXTRACT_ARRAY arm above
+    Seq("JSON_EXTRACT_STRING_ARRAY", "JSON_VALUE_ARRAY").foreach { name =>
+      // Spark's variant→string cast STRINGIFIES objects/arrays (JSON
+      // text) where BigQuery's scalar extraction nulls them — guard on
+      // schema_of_variant's OBJECT</ARRAY< prefixes
+      val elem = "__gx -> CASE WHEN schema_of_variant(__gx) LIKE 'OBJECT%' " +
+        "OR schema_of_variant(__gx) LIKE 'ARRAY%' THEN CAST(NULL AS STRING) " +
+        "ELSE TRY_CAST(__gx AS string) END"
+      out = rewriteCall(out, name) {
+        case Seq(j) => Some("transform(try_cast(variant_get(" +
+          s"try_parse_json($j), '$$') AS array<variant>), $elem)")
+        case Seq(j, p) if fmtLit(p).isDefined =>
+          Some("transform(try_cast(variant_get(" +
+            s"try_parse_json($j), $p) AS array<variant>), $elem)")
+        case _ => None
+      }
+    }
+    // IEEE_DIVIDE(a, b): BigQuery returns IEEE Infinity/NaN on a zero
+    // divisor where Spark's `/` yields NULL. NULL arguments stay NULL.
+    // The negative-ZERO divisor corner keeps the positive sign here
+    // (BigQuery: -Infinity) — a documented divergence, not a silent
+    // claim; 0/0 is NaN on both.
+    out = rewriteCall(out, "IEEE_DIVIDE") {
+      case Seq(a, b) => Some(
+        s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN CAST($b AS DOUBLE) = 0.0D THEN " +
+          s"CASE WHEN CAST($a AS DOUBLE) > 0.0D THEN CAST('Infinity' AS DOUBLE) " +
+          s"WHEN CAST($a AS DOUBLE) < 0.0D THEN CAST('-Infinity' AS DOUBLE) " +
+          "ELSE CAST('NaN' AS DOUBLE) END " +
+          s"ELSE CAST($a AS DOUBLE) / CAST($b AS DOUBLE) END)")
+      case _ => None
+    }
+    // civil constructors: DATE(y, m, d) and the 6-argument DATETIME —
+    // the 1-arg conversion forms are native Spark casts already
+    out = rewriteCall(out, "DATE") {
+      case Seq(y, mo, d) => Some(s"make_date($y, $mo, $d)")
+      case _ => None
+    }
+    out = rewriteCall(out, "DATETIME") {
+      case Seq(y, mo, d, h, mi, s0) =>
+        Some(s"make_timestamp($y, $mo, $d, $h, $mi, $s0)")
       case _ => None
     }
     // TABLESAMPLE SYSTEM (10 PERCENT) → Spark's TABLESAMPLE

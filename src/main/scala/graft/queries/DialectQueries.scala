@@ -633,5 +633,223 @@ object DialectQueries extends QueryPack {
              |       regexp_extract_all(o_orderpriority, '[^-]+')[9] AS tok_oob
              |FROM orders
              |WHERE o_orderkey < 100
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch8",
+      "Dialect batch 8 (Snowflake scalars): bit functions, " +
+        "EDITDISTANCE (with the 3-arg CLAMP, not Spark's -1), SQUARE, " +
+        "the ISO day/week/year family, 2-arg LAST_DAY parts, " +
+        "positional REGEXP_COUNT, INSERT→overlay and RATIO_TO_REPORT " +
+        "(integer numerator so the double division is bit-identical " +
+        "across engines) — DuckDB mirrors with operators, " +
+        "isodow/isoyear and interval arithmetic.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT o_orderkey AS k,
+              |       BITAND(o_orderkey, 255) AS band,
+              |       BITXOR(o_orderkey, 255) AS bxor,
+              |       BITSHIFTLEFT(o_orderkey, 2) AS bshl,
+              |       BITSHIFTRIGHT(o_orderkey, 1) AS bshr,
+              |       EDITDISTANCE(o_orderpriority, '1-URGENT') AS ed,
+              |       EDITDISTANCE(o_orderpriority, '1-URGENT', 3) AS ed3,
+              |       SQUARE(o_custkey % 7 + 2) AS sq,
+              |       DAYOFWEEKISO(o_orderdate) AS dwi,
+              |       WEEKISO(o_orderdate) AS wi,
+              |       YEAROFWEEKISO(o_orderdate) AS ywi,
+              |       LAST_DAY(o_orderdate, 'year') AS ldy,
+              |       LAST_DAY(o_orderdate, 'quarter') AS ldq,
+              |       LAST_DAY(o_orderdate, 'week') AS ldw,
+              |       REGEXP_COUNT(o_orderpriority, '[AEIOU]', 3) AS rc,
+              |       INSERT(o_orderpriority, 3, 2, 'xx') AS ins,
+              |       RATIO_TO_REPORT(o_orderkey % 100) OVER (PARTITION BY o_orderpriority) AS rtr
+              |FROM orders
+              |WHERE o_orderkey < 400
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""SELECT o_orderkey AS k,
+             |       o_orderkey & 255 AS band,
+             |       xor(o_orderkey, 255) AS bxor,
+             |       o_orderkey << 2 AS bshl,
+             |       o_orderkey >> 1 AS bshr,
+             |       CAST(levenshtein(o_orderpriority, '1-URGENT') AS INT) AS ed,
+             |       CAST(least(levenshtein(o_orderpriority, '1-URGENT'), 3) AS INT) AS ed3,
+             |       power(o_custkey % 7 + 2, 2) AS sq,
+             |       CAST(isodow(o_orderdate) AS INT) AS dwi,
+             |       CAST(weekofyear(o_orderdate) AS INT) AS wi,
+             |       CAST(isoyear(o_orderdate) AS INT) AS ywi,
+             |       make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS ldy,
+             |       CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS ldq,
+             |       CAST(o_orderdate + to_days(CAST(7 - isodow(o_orderdate) AS INT)) AS DATE) AS ldw,
+             |       CAST(len(regexp_extract_all(substr(o_orderpriority, 3), '[AEIOU]')) AS INT) AS rc,
+             |       substr(o_orderpriority, 1, 2) || 'xx' || substr(o_orderpriority, 5) AS ins,
+             |       CAST(o_orderkey % 100 AS DOUBLE) / sum(o_orderkey % 100) OVER (PARTITION BY o_orderpriority) AS rtr
+             |FROM orders
+             |WHERE o_orderkey < 400
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch8_arr",
+      "Dialect batch 8 (Snowflake arrays): element-first 0-based " +
+        "NULL-on-absent ARRAY_POSITION (emitted as a <=> fold, so NULL " +
+        "elements are findable and the output never re-matches the " +
+        "arm) and SPLIT_TO_TABLE with a CONSUMED alias-qualified INDEX " +
+        "— 1-based via the batch-8 shift. DuckDB mirrors with " +
+        "nullif(list_position)-1 and a zip-unnest.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(
+            """SELECT n_nationkey AS k,
+              |       array(CAST(n_regionkey * 3 AS INT), 7, CAST(NULL AS INT)) AS arr,
+              |       n_name AS nm
+              |FROM nation""".stripMargin)
+            .createOrReplaceTempView("adocs")
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT d.k AS k,
+              |       ARRAY_POSITION(7, d.arr) AS p7,
+              |       ARRAY_POSITION(CAST(d.k % 15 AS INT), d.arr) AS pk,
+              |       s.index AS idx,
+              |       s.value AS part
+              |FROM adocs d, LATERAL SPLIT_TO_TABLE(d.nm, 'A') s
+              |ORDER BY k, idx""".stripMargin))
+        },
+      Some("""WITH adocs AS (
+             |  SELECT n_nationkey AS k,
+             |         [CAST(n_regionkey * 3 AS INT), 7, CAST(NULL AS INT)] AS arr,
+             |         n_name AS nm
+             |  FROM nation),
+             |ex AS (
+             |  SELECT k, arr,
+             |         unnest(string_split(nm, 'A')) AS part,
+             |         unnest(range(1, len(string_split(nm, 'A')) + 1)) AS idx
+             |  FROM adocs)
+             |SELECT k,
+             |       CAST(nullif(list_position(arr, 7), 0) - 1 AS INT) AS p7,
+             |       CAST(nullif(list_position(arr, CAST(k % 15 AS INT)), 0) - 1 AS INT) AS pk,
+             |       CAST(idx AS INT) AS idx,
+             |       part
+             |FROM ex
+             |ORDER BY k, idx""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch8_bq",
+      "Dialect batch 8 (BigQuery): STRPOS, TO_HEX over MD5/SHA256 " +
+        "(BYTES digests collapse onto Spark's hex strings), " +
+        "NULL-propagating LEAST/GREATEST (BigQuery nulls the result " +
+        "when ANY argument is NULL — Spark's natives skip NULLs), " +
+        "JSON_EXTRACT_STRING_ARRAY consumed through ARRAY_TO_STRING, " +
+        "the civil DATE/DATETIME constructors, and the native " +
+        "TIMESTAMP_MICROS/UNIX_MICROS pass-throughs.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(
+            """SELECT n_nationkey AS k, n_name AS nm,
+              |       to_json(named_struct(
+              |         'tags', array(n_name, CAST(n_regionkey AS STRING)),
+              |         'n', n_nationkey)) AS j,
+              |       IF(n_nationkey % 2 = 0, CAST(NULL AS INT),
+              |          CAST(n_regionkey AS INT)) AS maybe
+              |FROM nation""".stripMargin)
+            .createOrReplaceTempView("jdocs3")
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT k,
+              |       STRPOS(nm, 'AR') AS sp,
+              |       TO_HEX(MD5(nm)) AS h1,
+              |       TO_HEX(SHA256(nm)) AS h2,
+              |       LEAST(CAST(k AS INT64), maybe) AS l1,
+              |       GREATEST(CAST(k AS INT64), maybe, 3) AS g1,
+              |       ARRAY_TO_STRING(JSON_EXTRACT_STRING_ARRAY(j, '$.tags'), '|') AS tags,
+              |       DATE(2024, 2, 29) AS cd,
+              |       DATETIME(2024, 2, 29, 7, 30, 5) AS cdt,
+              |       TIMESTAMP_MICROS(k * 1000000) AS tm,
+              |       UNIX_MICROS(TIMESTAMP '2024-01-01 00:00:00') AS um
+              |FROM jdocs3
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""WITH jdocs3 AS (
+             |  SELECT n_nationkey AS k, n_name AS nm,
+             |         to_json(struct_pack(
+             |           tags := [n_name, CAST(n_regionkey AS VARCHAR)],
+             |           n := n_nationkey)) AS j,
+             |         CASE WHEN n_nationkey % 2 = 0 THEN NULL
+             |              ELSE CAST(n_regionkey AS INT) END AS maybe
+             |  FROM nation)
+             |SELECT k,
+             |       CAST(strpos(nm, 'AR') AS INT) AS sp,
+             |       md5(nm) AS h1,
+             |       sha256(nm) AS h2,
+             |       CASE WHEN maybe IS NULL THEN NULL
+             |            ELSE least(CAST(k AS BIGINT), maybe) END AS l1,
+             |       CASE WHEN maybe IS NULL THEN NULL
+             |            ELSE greatest(CAST(k AS BIGINT), maybe, 3) END AS g1,
+             |       concat_ws('|', json_extract_string(j, '$.tags[0]'),
+             |                 json_extract_string(j, '$.tags[1]')) AS tags,
+             |       make_date(2024, 2, 29) AS cd,
+             |       make_timestamp(2024, 2, 29, 7, 30, 5) AS cdt,
+             |       make_timestamp(CAST(k AS BIGINT) * 1000000) AS tm,
+             |       epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS um
+             |FROM jdocs3
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch9",
+      "Dialect batch 9 (Snowflake): expr-first TRUNC date parts " +
+        "(quoted and full-word bare units; abbreviations stay — they " +
+        "could be numeric-scale columns) plus the natives-proven trio " +
+        "MEDIAN / PERCENTILE_CONT WITHIN GROUP / POSITION — type-7 " +
+        "continuous quantiles over integer inputs are binary-exact in " +
+        "both engines, so the pass-through is verified, not assumed.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT o_orderpriority AS g,
+              |       TRUNC(MIN(o_orderdate), 'month') AS tm,
+              |       TRUNC(MIN(o_orderdate), year) AS ty,
+              |       MEDIAN(o_orderkey % 1000) AS med,
+              |       PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_orderkey % 1000) AS p25,
+              |       POSITION('-', MIN(o_orderpriority)) AS pos
+              |FROM orders
+              |GROUP BY o_orderpriority
+              |ORDER BY g""".stripMargin))
+        },
+      Some("""SELECT o_orderpriority AS g,
+             |       CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS tm,
+             |       CAST(date_trunc('year', MIN(o_orderdate)) AS TIMESTAMP) AS ty,
+             |       median(o_orderkey % 1000) AS med,
+             |       percentile_cont(0.25) WITHIN GROUP (ORDER BY o_orderkey % 1000) AS p25,
+             |       CAST(position('-' IN MIN(o_orderpriority)) AS INT) AS pos
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY g""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch9_bq",
+      "Dialect batch 9 (BigQuery): IEEE_DIVIDE — Infinity (positive " +
+        "and negative numerators over a zero divisor) and NULL " +
+        "propagation where Spark's `/` would yield NULL throughout; " +
+        "the fixture avoids 0/0 so no NaN rides the oracle compare " +
+        "(the NaN arm is pinned in TranspileBatch8ExecSpec).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT n_nationkey AS k,
+              |       IEEE_DIVIDE(n_nationkey + 1, MOD(n_nationkey, 3)) AS idiv,
+              |       IEEE_DIVIDE(0 - (n_nationkey + 1), MOD(n_nationkey, 3)) AS ndiv,
+              |       IEEE_DIVIDE(n_nationkey,
+              |         IF(MOD(n_nationkey, 2) = 0, NULL, n_regionkey)) AS mdiv
+              |FROM nation
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""SELECT n_nationkey AS k,
+             |       CASE WHEN CAST(n_nationkey % 3 AS DOUBLE) = 0.0 THEN 'infinity'::DOUBLE
+             |            ELSE CAST(n_nationkey + 1 AS DOUBLE) / CAST(n_nationkey % 3 AS DOUBLE) END AS idiv,
+             |       CASE WHEN CAST(n_nationkey % 3 AS DOUBLE) = 0.0 THEN '-infinity'::DOUBLE
+             |            ELSE CAST(0 - (n_nationkey + 1) AS DOUBLE) / CAST(n_nationkey % 3 AS DOUBLE) END AS ndiv,
+             |       CASE WHEN n_nationkey % 2 = 0 THEN NULL
+             |            WHEN CAST(n_regionkey AS DOUBLE) = 0.0 THEN
+             |              CASE WHEN n_nationkey > 0 THEN 'infinity'::DOUBLE ELSE 'nan'::DOUBLE END
+             |            ELSE CAST(n_nationkey AS DOUBLE) / CAST(n_regionkey AS DOUBLE) END AS mdiv
+             |FROM nation
              |ORDER BY k""".stripMargin)))
 }

@@ -1,0 +1,163 @@
+package graft.dialect
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Dialect batch 8 EXECUTED on Spark — the string-level TranspilerSpec
+  * cases pin the emitted SQL; these pin the VALUES the emitted SQL
+  * computes, on the mappings whose semantics carry the risk (the
+  * ARRAY_POSITION fold, the ISO day/week/year family, 2-arg LAST_DAY
+  * parts, the SPLIT_TO_TABLE 1-based INDEX shift, the BigQuery
+  * LEAST/GREATEST null propagation, and the variant-cast JSON string
+  * array).
+  */
+class TranspileBatch8ExecSpec extends SparkSpec {
+
+  private def snow1(sql: String): Row =
+    spark.sql(Transpiler.transpileSnowflake(sql)).collect().head
+
+  private def bq1(sql: String): Row =
+    spark.sql(Transpiler.transpileBigQuery(sql)).collect().head
+
+  test("snowflake ARRAY_POSITION: element-first, 0-based, NULL-aware") {
+    val r = snow1(
+      "SELECT ARRAY_POSITION(7, array(10, CAST(NULL AS INT), 7)) AS a, " +
+        "ARRAY_POSITION(99, array(10, CAST(NULL AS INT), 7)) AS b, " +
+        "ARRAY_POSITION(CAST(NULL AS INT), array(10, CAST(NULL AS INT), 7)) AS c")
+    assert(r.getInt(0) == 2)       // 0-based third slot
+    assert(r.isNullAt(1))          // absent -> NULL (not -1, not 0)
+    assert(r.getInt(2) == 1)       // finds the NULL element (<=>)
+  }
+
+  test("snowflake ISO day/week/year family") {
+    // 2024-01-01 is a Monday in ISO week 1 of 2024
+    val a = snow1("SELECT DAYOFWEEKISO(DATE'2024-01-01') AS d, " +
+      "WEEKISO(DATE'2024-01-01') AS w, YEAROFWEEKISO(DATE'2024-01-01') AS y")
+    assert((a.getInt(0), a.getInt(1), a.getInt(2)) == ((1, 1, 2024)))
+    // 2023-01-01 is a Sunday that belongs to ISO week 52 of 2022
+    val b = snow1("SELECT DAYOFWEEKISO(DATE'2023-01-01') AS d, " +
+      "WEEKISO(DATE'2023-01-01') AS w, YEAROFWEEKISO(DATE'2023-01-01') AS y")
+    assert((b.getInt(0), b.getInt(1), b.getInt(2)) == ((7, 52, 2022)))
+  }
+
+  test("snowflake 2-arg LAST_DAY parts") {
+    // 2024-05-15 is a Wednesday; its ISO week ends Sunday 2024-05-19
+    val r = snow1("SELECT LAST_DAY(DATE'2024-05-15', 'year') AS y, " +
+      "LAST_DAY(DATE'2024-05-15', 'quarter') AS q, " +
+      "LAST_DAY(DATE'2024-05-15', 'week') AS w, " +
+      "LAST_DAY(DATE'2024-05-15', 'month') AS m")
+    assert(r.getDate(0).toString == "2024-12-31")
+    assert(r.getDate(1).toString == "2024-06-30")
+    assert(r.getDate(2).toString == "2024-05-19")
+    assert(r.getDate(3).toString == "2024-05-31")
+  }
+
+  test("snowflake EDITDISTANCE, SQUARE, bit functions, INSERT") {
+    val r = snow1("SELECT EDITDISTANCE('kitten', 'sitting') AS e2, " +
+      "EDITDISTANCE('kitten', 'sitting', 2) AS e3, " +
+      "SQUARE(12) AS sq, BITAND(12, 10) AS ba, BITOR(12, 10) AS bo, " +
+      "BITXOR(12, 10) AS bx, BITNOT(0) AS bn, " +
+      "BITSHIFTLEFT(3, 4) AS sl, BITSHIFTRIGHT(-16, 2) AS sr, " +
+      "INSERT('abcdef', 2, 3, 'ZZ') AS ins")
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 2) // clamped to the max, not -1
+    assert(r.getDouble(2) == 144.0)
+    assert(r.getInt(3) == 8 && r.getInt(4) == 14 && r.getInt(5) == 6)
+    assert(r.getInt(6) == -1)
+    assert(r.getInt(7) == 48 && r.getInt(8) == -4) // arithmetic shift
+    assert(r.getString(9) == "aZZef")
+  }
+
+  test("snowflake REGEXP_COUNT position and params forms") {
+    val r = snow1("SELECT REGEXP_COUNT('aAbaA', 'a') AS c2, " +
+      "REGEXP_COUNT('aAbaA', 'a', 3) AS c3, " +
+      "REGEXP_COUNT('aAbaA', 'a', 1, 'i') AS ci")
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 1) // subject sliced from position 3
+    assert(r.getInt(2) == 4) // case-insensitive
+  }
+
+  test("snowflake RATIO_TO_REPORT") {
+    val rows = spark.sql(Transpiler.transpileSnowflake(
+      "SELECT v, RATIO_TO_REPORT(v) OVER (PARTITION BY g) AS r " +
+        "FROM VALUES (1, 'x'), (3, 'x'), (2, 'y') AS t(v, g) ORDER BY v"))
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 0.25), (2, 1.0), (3, 0.75)))
+  }
+
+  test("snowflake SPLIT_TO_TABLE: qualified INDEX is 1-based") {
+    val rows = spark.sql(Transpiler.transpileSnowflake(
+      "SELECT s.index AS i, s.value AS v " +
+        "FROM VALUES ('a-b-c') AS t(x), LATERAL SPLIT_TO_TABLE(t.x, '-') s " +
+        "ORDER BY i")).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("bigquery STRPOS, TO_HEX digests, civil constructors") {
+    val r = bq1("SELECT STRPOS('banana', 'an') AS sp, " +
+      "STRPOS('banana', 'zz') AS sp0, " +
+      "TO_HEX(MD5('abc')) AS h1, TO_HEX(SHA256('abc')) AS h2, " +
+      "DATE(2024, 2, 29) AS d, DATETIME(2024, 2, 29, 7, 30, 5) AS dt")
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0)
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(3) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getDate(4).toString == "2024-02-29")
+    assert(r.getTimestamp(5).toString.startsWith("2024-02-29 07:30:05"))
+  }
+
+  test("bigquery LEAST/GREATEST propagate NULL arguments") {
+    val r = bq1("SELECT LEAST(3, CAST(NULL AS INT), 1) AS l, " +
+      "GREATEST(3, CAST(NULL AS INT)) AS g, " +
+      "LEAST(3, 1, 2) AS l2, GREATEST(3, 1, 2) AS g2")
+    assert(r.isNullAt(0) && r.isNullAt(1)) // Spark natives would skip NULLs
+    assert(r.getInt(2) == 1 && r.getInt(3) == 3)
+  }
+
+  test("bigquery JSON_EXTRACT_STRING_ARRAY unquotes scalars, nulls non-scalars") {
+    val r = bq1("""SELECT JSON_EXTRACT_STRING_ARRAY('{"t": ["a", 1, {"b": 2}]}', '$.t') AS a""")
+    assert(r.getSeq[String](0) == Seq("a", "1", null))
+  }
+
+  // ---- batch 9 ------------------------------------------------------
+
+  test("snowflake TRUNC date parts") {
+    val r = snow1("SELECT TRUNC(TIMESTAMP'2024-05-15 10:30:00', 'month') AS m, " +
+      "TRUNC(TIMESTAMP'2024-05-15 10:30:00', year) AS y")
+    assert(r.getTimestamp(0).toString.startsWith("2024-05-01 00:00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-01 00:00:00"))
+  }
+
+  test("bigquery IEEE_DIVIDE: inf, -inf, NaN, NULL, finite") {
+    val r = bq1("SELECT IEEE_DIVIDE(3, 0) AS pi, IEEE_DIVIDE(-3, 0) AS ni, " +
+      "IEEE_DIVIDE(0, 0) AS nan, IEEE_DIVIDE(1, CAST(NULL AS INT64)) AS nl, " +
+      "IEEE_DIVIDE(7, 2) AS f")
+    assert(r.getDouble(0).isPosInfinity && r.getDouble(1).isNegInfinity)
+    assert(r.getDouble(2).isNaN)
+    assert(r.isNullAt(3))
+    assert(r.getDouble(4) == 3.5)
+  }
+
+  test("natives proven: MEDIAN, PERCENTILE_CONT WITHIN GROUP, POSITION") {
+    // these pass through every arm untouched — pin that Spark computes
+    // the warehouse semantics (type-7 continuous quantiles, 1-based
+    // substring position) so the pass-through is a decision, not a gap
+    val r = snow1("SELECT MEDIAN(x) AS m, " +
+      "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY x) AS p, " +
+      "POSITION('-', '1-URGENT') AS sp " +
+      "FROM VALUES (1), (2), (3), (10) AS t(x)")
+    assert(r.getDouble(0) == 2.5)
+    assert(r.getDouble(1) == 1.75) // type-7: 1 + 0.75*(2-1)
+    assert(r.getInt(2) == 2)
+  }
+
+  test("snowflake CONVERT_TIMEZONE 3-arg passes through and executes") {
+    val r = snow1("SELECT CONVERT_TIMEZONE('UTC', 'America/Los_Angeles', " +
+      "TIMESTAMP'2024-01-15 12:00:00') AS t")
+    // UTC noon is 04:00 Pacific (PST, UTC-8) — wallclock result
+    assert(r.get(0).toString.startsWith("2024-01-15 04:00") ||
+      r.get(0).toString.startsWith("2024-01-15T04:00"))
+  }
+}

@@ -24,7 +24,10 @@ class TranspilerPropertySpec extends AnyFunSuite {
     // r16: JSON/variant family + BigQuery type-cast literal safety
     "'PARSE_JSON(j):a.b::INT'", "'GET_PATH(v, ''a'')'",
     "'JSON_EXTRACT(j, ''$.a'')'", "'CAST(x AS INT64)'", "'AS NUMERIC'",
-    "'SAFE.DIVIDE(a, b)'", "'FORMAT(''%d'', a)'")
+    "'SAFE.DIVIDE(a, b)'", "'FORMAT(''%d'', a)'",
+    // batch 8 hostile literals: arm tokens inside strings stay verbatim
+    "'LEAST(a, b)'", "'TO_HEX(MD5(x))'", "'s.index'",
+    "'RATIO_TO_REPORT(x) OVER (PARTITION BY g)'")
   private val calls = Vector(
     "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
     "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
@@ -55,7 +58,21 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "SAFE.DIVIDE(a, b)", "FORMAT('%d', a)",
     "GENERATE_DATE_ARRAY(a, b, INTERVAL 1 WEEK)",
     "LOG(a, 2)", "t.x[OFFSET(0)]", "t.x[SAFE_ORDINAL(b)]",
-    "CONTAINS_SUBSTR(a, 'zz')")
+    "CONTAINS_SUBSTR(a, 'zz')",
+    // batch 8: reversed-argument pair (fold emissions), clamped
+    // editdistance, ISO family, LAST_DAY parts, window ratio, digests,
+    // null-propagating extremes, JSON string arrays, civil constructors
+    "ARRAY_POSITION(a, b)", "ARRAY_CONTAINS(col1, b)",
+    "BITAND(a, 255)", "BITSHIFTLEFT(a, 2)", "EDITDISTANCE(a, b, 3)",
+    "SQUARE(a)", "DAYOFWEEKISO(d)", "YEAROFWEEKISO(d)",
+    "LAST_DAY(d, 'quarter')", "REGEXP_COUNT(t.x, 'p+', 3)",
+    "INSERT(t.x, 2, 3, b)", "RATIO_TO_REPORT(a) OVER (PARTITION BY b)",
+    "STRPOS(a, b)", "TO_HEX(MD5(a))", "LEAST(a, b)", "GREATEST(a, b, col1)",
+    "JSON_EXTRACT_STRING_ARRAY(t.x, '$.tags')", "DATE(2024, 2, 29)",
+    "DATETIME(2024, 2, 29, 7, 30, 5)",
+    // batch 9
+    "TRUNC(d, 'month')", "TRUNC(a, 2)", "IEEE_DIVIDE(a, b)",
+    "MEDIAN(a)", "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY a)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

@@ -677,12 +677,26 @@ class TranspilerSpec extends AnyFunSuite {
     ).foreach { once =>
       assert(transpileSnowflake(once) == once, s"snow not idempotent: $once")
     }
-    // a statement CONSUMING the lateral INDEX column is left
-    // untranspiled: Snowflake's SPLIT_TO_TABLE INDEX is 1-based where
-    // the posexplode index is 0-based — the repair loop gets a loud
-    // failure instead of silently off-by-one results
+    // a statement CONSUMING the lateral INDEX column gets the 1-based
+    // shift when every reference is alias-qualified (batch 8 — the
+    // pre-r18 behavior left it untranspiled)
     val idxSql = "SELECT s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s"
-    assert(transpileSnowflake(idxSql) == idxSql)
+    val idxOut = transpileSnowflake(idxSql)
+    assert(idxOut == "SELECT (s.index + 1), s.value FROM t " +
+      "LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+    assert(transpileSnowflake(idxOut) == idxOut, "index shift not idempotent")
+    // an UNQUALIFIED index reference stays untranspiled (cannot be told
+    // apart from another relation's column at the string level), as
+    // does a statement mixing SPLIT_TO_TABLE with a FLATTEN whose
+    // 0-based INDEX must NOT shift
+    val bareIdx = "SELECT index FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s"
+    assert(transpileSnowflake(bareIdx) == bareIdx)
+    val mixed = "SELECT s.index, f.index FROM t, " +
+      "LATERAL SPLIT_TO_TABLE(t.tags, ',') s, LATERAL FLATTEN(input => t.arr) f"
+    val mixedOut = transpileSnowflake(mixed)
+    assert(mixedOut.toUpperCase.contains("SPLIT_TO_TABLE"), // repair loop
+      s"mixed SPLIT_TO_TABLE must stay untranspiled: $mixedOut")
+    assert(!mixedOut.contains("+ 1"), s"no index must shift: $mixedOut")
   }
 
   test("dialect batch 7: TO_TIMESTAMP_NTZ family, STRTOK") {
@@ -733,6 +747,117 @@ class TranspilerSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect batch 8 (Snowflake): bit funcs, ISO family, LAST_DAY parts, RATIO_TO_REPORT") {
+    import Transpiler.transpileSnowflake
+    assert(transpileSnowflake("SELECT BITAND(a, b), BITSHIFTLEFT(a, 2) FROM t") ==
+      "SELECT ((a) & (b)), shiftleft(a, 2) FROM t")
+    assert(transpileSnowflake("SELECT EDITDISTANCE(a, b) FROM t") ==
+      "SELECT levenshtein(a, b) FROM t")
+    assert(transpileSnowflake("SELECT EDITDISTANCE(a, b, 3) FROM t") ==
+      "SELECT least(levenshtein(a, b), 3) FROM t")
+    // variable / negative max → repair loop (Snowflake clamps, Spark's
+    // own 3-arg levenshtein returns -1 — not the same contract)
+    assert(transpileSnowflake("SELECT EDITDISTANCE(a, b, m) FROM t") ==
+      "SELECT EDITDISTANCE(a, b, m) FROM t")
+    assert(transpileSnowflake("SELECT DAYOFWEEKISO(d), WEEKISO(d) FROM t") ==
+      "SELECT (weekday(d) + 1), weekofyear(d) FROM t")
+    assert(transpileSnowflake("SELECT YEAROFWEEKISO(d) FROM t") ==
+      "SELECT year(date_add(CAST(d AS DATE), 3 - weekday(d))) FROM t")
+    assert(transpileSnowflake("SELECT LAST_DAY(d) FROM t") ==
+      "SELECT LAST_DAY(d) FROM t") // 1-arg is native Spark
+    assert(transpileSnowflake("SELECT LAST_DAY(d, 'year') FROM t") ==
+      "SELECT make_date(year(d), 12, 31) FROM t")
+    assert(transpileSnowflake("SELECT LAST_DAY(d, quarter) FROM t") ==
+      "SELECT date_sub(add_months(CAST(date_trunc('QUARTER', d) AS DATE), 3), 1) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_COUNT(s, '[0-9]') FROM t") ==
+      "SELECT REGEXP_COUNT(s, '[0-9]') FROM t") // 2-arg native
+    assert(transpileSnowflake("SELECT REGEXP_COUNT(s, '[0-9]', 4) FROM t") ==
+      "SELECT regexp_count(substr(s, 4), '[0-9]') FROM t")
+    assert(transpileSnowflake("SELECT INSERT(s, 2, 3, r) FROM t") ==
+      "SELECT overlay(s, r, 2, 3) FROM t")
+    assert(transpileSnowflake(
+      "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY g) FROM t") ==
+      "SELECT (CAST(x AS DOUBLE) / sum(x) OVER (PARTITION BY g)) FROM t")
+    // no OVER clause → not valid Snowflake → repair loop
+    assert(transpileSnowflake("SELECT RATIO_TO_REPORT(x) FROM t") ==
+      "SELECT RATIO_TO_REPORT(x) FROM t")
+    // idempotence: the emitted forms never re-match their own arms
+    Seq("SELECT ARRAY_POSITION(e, arr) FROM t",
+      "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY g) FROM t",
+      "SELECT EDITDISTANCE(a, b, 3) FROM t").foreach { sql =>
+      val once = transpileSnowflake(sql)
+      assert(transpileSnowflake(once) == once, s"not idempotent: $once")
+    }
+  }
+
+  test("dialect batch 8 (BigQuery): STRPOS, TO_HEX digests, LEAST/GREATEST nulls") {
+    import Transpiler.transpileBigQuery
+    assert(transpileBigQuery("SELECT STRPOS(a, b) FROM t") ==
+      "SELECT instr(a, b) FROM t")
+    assert(transpileBigQuery("SELECT TO_HEX(MD5(x)) FROM t") ==
+      "SELECT md5(x) FROM t")
+    assert(transpileBigQuery("SELECT TO_HEX(SHA256(x || y)) FROM t") ==
+      "SELECT sha2(x || y, 256) FROM t")
+    // TO_HEX over anything that is not a single whole digest call keeps
+    // BYTES semantics Spark cannot honor at the string level
+    assert(transpileBigQuery("SELECT TO_HEX(b) FROM t") ==
+      "SELECT TO_HEX(b) FROM t")
+    assert(transpileBigQuery("SELECT TO_HEX(MD5(a) || MD5(b)) FROM t") ==
+      "SELECT TO_HEX(MD5(a) || MD5(b)) FROM t")
+    assert(transpileBigQuery("SELECT LEAST(a, b, c) FROM t") ==
+      "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL OR (c) IS NULL " +
+        "THEN NULL ELSE array_min(array(a, b, c)) END) FROM t")
+    assert(transpileBigQuery("SELECT GREATEST(a, b) FROM t") ==
+      "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL " +
+        "THEN NULL ELSE array_max(array(a, b)) END) FROM t")
+    // 1-arg LEAST is its argument in both engines — pass through
+    assert(transpileBigQuery("SELECT LEAST(a) FROM t") ==
+      "SELECT LEAST(a) FROM t")
+    assert(transpileBigQuery("SELECT DATE(2024, 2, 29) FROM t") ==
+      "SELECT make_date(2024, 2, 29) FROM t")
+    assert(transpileBigQuery("SELECT DATE(ts) FROM t") ==
+      "SELECT DATE(ts) FROM t") // 1-arg date() is native Spark
+    assert(transpileBigQuery("SELECT DATETIME(2024, 2, 29, 7, 30, 5) FROM t") ==
+      "SELECT make_timestamp(2024, 2, 29, 7, 30, 5) FROM t")
+    val jsa = transpileBigQuery(
+      "SELECT JSON_EXTRACT_STRING_ARRAY(j, '$.tags') FROM t")
+    assert(jsa.startsWith(
+      "SELECT transform(try_cast(variant_get(try_parse_json(j), '$.tags') " +
+        "AS array<variant>), __gx -> CASE WHEN schema_of_variant(__gx)"))
+    assert(jsa.contains("TRY_CAST(__gx AS string)"))
+    // idempotence
+    Seq("SELECT LEAST(a, b) FROM t", "SELECT TO_HEX(MD5(x)) FROM t",
+      "SELECT STRPOS(a, b) FROM t").foreach { sql =>
+      val once = transpileBigQuery(sql)
+      assert(transpileBigQuery(once) == once, s"not idempotent: $once")
+    }
+  }
+
+  test("dialect batch 9: Snowflake TRUNC date parts, BigQuery IEEE_DIVIDE") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    assert(transpileSnowflake("SELECT TRUNC(d, 'month') FROM t") ==
+      "SELECT date_trunc('MONTH', d) FROM t")
+    assert(transpileSnowflake("SELECT TRUNC(d, year) FROM t") ==
+      "SELECT date_trunc('YEAR', d) FROM t")
+    // a bare ABBREVIATION could be a numeric-scale COLUMN (TRUNC is
+    // also Snowflake's numeric truncation) — only quoted literals and
+    // full unit words rewrite
+    assert(transpileSnowflake("SELECT TRUNC(x, d) FROM t") ==
+      "SELECT TRUNC(x, d) FROM t")
+    assert(transpileSnowflake("SELECT TRUNC(x, 2) FROM t") ==
+      "SELECT TRUNC(x, 2) FROM t")
+    assert(transpileSnowflake("SELECT TRUNC(x) FROM t") ==
+      "SELECT TRUNC(x) FROM t")
+    val ieee = transpileBigQuery("SELECT IEEE_DIVIDE(a, b) FROM t")
+    assert(ieee.contains("CAST('Infinity' AS DOUBLE)") &&
+      ieee.contains("CAST('NaN' AS DOUBLE)") &&
+      ieee.contains("CAST(a AS DOUBLE) / CAST(b AS DOUBLE)"))
+    Seq(transpileSnowflake("SELECT TRUNC(d, 'month') FROM t")).foreach { once =>
+      assert(transpileSnowflake(once) == once, s"not idempotent: $once")
+    }
+    assert(transpileBigQuery(ieee) == ieee, "IEEE_DIVIDE not idempotent")
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
@@ -767,9 +892,21 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT date_part('YEAR', d) FROM t")
     assert(transpileSnowflake("SELECT MONTHNAME(d), DAYNAME(d) FROM t") ==
       "SELECT date_format(d, 'MMM'), date_format(d, 'EEE') FROM t")
-    // Snowflake ARRAY_CONTAINS is (value, array) — reversed from Spark
-    assert(transpileSnowflake("SELECT ARRAY_CONTAINS(x, arr) FROM t") ==
-      "SELECT (array_position(arr, x) > 0) FROM t")
+    // Snowflake ARRAY_CONTAINS is (value, array) — reversed from Spark;
+    // emitted via the shared index fold (batch 8 replaced the earlier
+    // array_position emission, which the new reversed-argument
+    // ARRAY_POSITION arm would have re-matched and swapped back)
+    val acOut = transpileSnowflake("SELECT ARRAY_CONTAINS(x, arr) FROM t")
+    assert(acOut.startsWith("SELECT (CASE WHEN (arr) IS NULL OR (x) IS NULL " +
+      "THEN CAST(NULL AS BOOLEAN) ELSE aggregate(arr, "))
+    assert(acOut.endsWith("IS NOT NULL END) FROM t"))
+    assert(transpileSnowflake(acOut) == acOut, "ARRAY_CONTAINS not idempotent")
+    // semantics preserved: found / absent / NULL value / NULL elements
+    val acRow = spark.sql(transpileSnowflake(
+      "SELECT ARRAY_CONTAINS(2, array(1, CAST(NULL AS INT), 2)) AS a, " +
+        "ARRAY_CONTAINS(9, array(1, CAST(NULL AS INT), 2)) AS b, " +
+        "ARRAY_CONTAINS(CAST(NULL AS INT), array(1, 2)) AS c")).head()
+    assert(acRow.getBoolean(0) && !acRow.getBoolean(1) && acRow.isNullAt(2))
     // SPLIT takes a LITERAL delimiter: metachars get regex-escaped,
     // plain delimiters pass through, backslash-bearing ones repair-loop
     assert(transpileSnowflake("SELECT SPLIT(s, '.') FROM t") ==
