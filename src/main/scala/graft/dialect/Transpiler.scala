@@ -1216,9 +1216,11 @@ object Transpiler {
   private def arrayIndexFold(arr: String, elem: String,
       nullSafe: Boolean): String = {
     val cmp = if (nullSafe) "<=>" else "="
+    // ($elem) parenthesized: a low-precedence element like `a OR b`
+    // would otherwise reassociate as `(__gx = a) OR b`
     s"aggregate($arr, named_struct('i', 0, 'p', CAST(NULL AS INT)), " +
       "(__ga, __gx) -> named_struct('i', __ga.i + 1, " +
-      s"'p', coalesce(__ga.p, IF(__gx $cmp $elem, __ga.i, CAST(NULL AS INT)))), " +
+      s"'p', coalesce(__ga.p, IF(__gx $cmp ($elem), __ga.i, CAST(NULL AS INT)))), " +
       "__ga -> __ga.p)"
   }
 
@@ -1235,27 +1237,54 @@ object Transpiler {
   private def splitIndexShift(sql: String): Option[String] = {
     val tagged = lex(sql)
     val upper = sql.toUpperCase
-    val at = upper.indexOf("POSEXPLODE")
-    if (at < 0) return None
-    var j = at + "POSEXPLODE".length
-    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
-    if (j >= sql.length || sql.charAt(j) != '(') return None
-    val close = matchParen(sql, tagged, j)
-    if (close < 0) return None
-    val (aliasOpt, _) = readAlias(sql, close + 1)
-    aliasOpt.flatMap { alias0 =>
-      val alias = alias0.trim
-      if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*")) None
-      else {
-        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
-          "\\s*\\.\\s*INDEX\\b").r
-        val qualified = re.findAllMatchIn(sql)
-          .count(m => tagged(m.start)._2 == Code)
-        // every INDEX token must be either one of the qualified
-        // references or the single `AS index` this pass emitted
-        if (qualified == 0 || countToken(sql, "INDEX") != qualified + 1) None
-        else Some(guarded(sql, re)(_ => s"($alias.index + 1)"))
+    // anchor on the POSEXPLODE CALL the flatten pass just emitted —
+    // word-boundary + code-region + paren checks, scanning past any
+    // earlier hit inside a literal or a UDF name like my_posexplode
+    var at = upper.indexOf("POSEXPLODE")
+    var aliasFound: Option[String] = None
+    while (aliasFound.isEmpty && at >= 0) {
+      val leftOk = at == 0 || (!Character.isLetterOrDigit(sql.charAt(at - 1)) &&
+        sql.charAt(at - 1) != '_')
+      if (leftOk && tagged(at)._2 == Code) {
+        var j = at + "POSEXPLODE".length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchParen(sql, tagged, j)
+          if (close >= 0) {
+            val (aliasOpt, _) = readAlias(sql, close + 1)
+            aliasFound = aliasOpt.map(_.trim)
+              .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          }
+        }
       }
+      if (aliasFound.isEmpty) at = upper.indexOf("POSEXPLODE", at + 1)
+    }
+    aliasFound.flatMap { alias =>
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
+        "\\s*\\.\\s*INDEX\\b").r
+      val qualified = re.findAllMatchIn(sql)
+        .count(m => tagged(m.start)._2 == Code)
+      // every INDEX token must be either one of the qualified
+      // references or the single `AS index` this pass emitted
+      if (qualified == 0 || countToken(sql, "INDEX") != qualified + 1) None
+      else Some(guarded(sql, re) { m =>
+        // a BARE select item (`SELECT s.index,` / `, s.index FROM`)
+        // keeps Snowflake's output column name via an explicit alias;
+        // a reference embedded in an expression shifts in place (its
+        // enclosing item names itself)
+        var b = m.start - 1
+        while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+        val beforeOk = b >= 0 && (sql.charAt(b) == ',' ||
+          (b >= 5 && upper.startsWith("SELECT", b - 5) &&
+            (b == 5 || !Character.isLetterOrDigit(sql.charAt(b - 6)))))
+        var e = m.end
+        while (e < sql.length && sql.charAt(e).isWhitespace) e += 1
+        val afterOk = e >= sql.length || sql.charAt(e) == ',' ||
+          (upper.startsWith("FROM", e) &&
+            (e + 4 >= sql.length || !Character.isLetterOrDigit(sql.charAt(e + 4))))
+        if (beforeOk && afterOk) s"($alias.index + 1) AS index"
+        else s"($alias.index + 1)"
+      })
     }
   }
 
@@ -2386,15 +2415,20 @@ object Transpiler {
     }
     // BigQuery LEAST/GREATEST return NULL when ANY argument is NULL —
     // Spark's skip NULLs (and so return the non-null extreme). The
-    // non-null branch computes via array_min/array_max (identical
-    // result there, and a name this arm cannot re-match on
-    // re-transpile — emitting least() again would re-wrap forever).
+    // arguments ride in ONE array literal (a transform over a
+    // singleton array-of-array gives the lambda a binding for it), so
+    // each argument appears — and is evaluated — exactly once: a CASE
+    // with a per-argument IS NULL chain would duplicate every argument
+    // and grow 2^depth on nested LEAST(GREATEST(...)) clamps. The
+    // emission carries neither function's token, so the wrap cannot
+    // re-apply on re-transpile; array_min/array_max equal the natives
+    // on the all-non-null branch.
     def nullPropagatingExtreme(name: String, arrFn: String): Unit =
       out = rewriteCall(out, name) {
         case args if args.size >= 2 =>
-          val anyNull = args.map(a => s"($a) IS NULL").mkString(" OR ")
-          Some(s"(CASE WHEN $anyNull THEN NULL ELSE " +
-            s"$arrFn(array(${args.mkString(", ")})) END)")
+          Some(s"element_at(transform(array(array(${args.mkString(", ")})), " +
+            "__ga -> IF(forall(__ga, __gx -> __gx IS NOT NULL), " +
+            s"$arrFn(__ga), NULL)), 1)")
         case _ => None
       }
     nullPropagatingExtreme("LEAST", "array_min")
@@ -2420,15 +2454,18 @@ object Transpiler {
       }
     }
     // IEEE_DIVIDE(a, b): BigQuery returns IEEE Infinity/NaN on a zero
-    // divisor where Spark's `/` yields NULL. NULL arguments stay NULL.
-    // The negative-ZERO divisor corner keeps the positive sign here
-    // (BigQuery: -Infinity) — a documented divergence, not a silent
-    // claim; 0/0 is NaN on both.
+    // divisor where Spark's `/` yields NULL. NULL arguments stay NULL;
+    // a NaN numerator stays NaN (tested BEFORE the sign tests — Spark
+    // orders NaN greater than every value, so `NaN > 0` is true and
+    // would otherwise read as Infinity). The negative-ZERO divisor
+    // corner keeps the positive sign here (BigQuery: -Infinity) — a
+    // documented divergence, not a silent claim; 0/0 is NaN on both.
     out = rewriteCall(out, "IEEE_DIVIDE") {
       case Seq(a, b) => Some(
         s"(CASE WHEN ($a) IS NULL OR ($b) IS NULL THEN CAST(NULL AS DOUBLE) " +
           s"WHEN CAST($b AS DOUBLE) = 0.0D THEN " +
-          s"CASE WHEN CAST($a AS DOUBLE) > 0.0D THEN CAST('Infinity' AS DOUBLE) " +
+          s"CASE WHEN isnan(CAST($a AS DOUBLE)) THEN CAST('NaN' AS DOUBLE) " +
+          s"WHEN CAST($a AS DOUBLE) > 0.0D THEN CAST('Infinity' AS DOUBLE) " +
           s"WHEN CAST($a AS DOUBLE) < 0.0D THEN CAST('-Infinity' AS DOUBLE) " +
           "ELSE CAST('NaN' AS DOUBLE) END " +
           s"ELSE CAST($a AS DOUBLE) / CAST($b AS DOUBLE) END)")

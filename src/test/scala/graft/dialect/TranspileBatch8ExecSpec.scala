@@ -133,11 +133,22 @@ class TranspileBatch8ExecSpec extends SparkSpec {
   test("bigquery IEEE_DIVIDE: inf, -inf, NaN, NULL, finite") {
     val r = bq1("SELECT IEEE_DIVIDE(3, 0) AS pi, IEEE_DIVIDE(-3, 0) AS ni, " +
       "IEEE_DIVIDE(0, 0) AS nan, IEEE_DIVIDE(1, CAST(NULL AS INT64)) AS nl, " +
-      "IEEE_DIVIDE(7, 2) AS f")
+      "IEEE_DIVIDE(7, 2) AS f, " +
+      // a NaN NUMERATOR over zero stays NaN — Spark orders NaN above
+      // every value, so an unguarded sign test would read Infinity
+      "IEEE_DIVIDE(IEEE_DIVIDE(0, 0), 0) AS nan2")
     assert(r.getDouble(0).isPosInfinity && r.getDouble(1).isNegInfinity)
     assert(r.getDouble(2).isNaN)
     assert(r.isNullAt(3))
     assert(r.getDouble(4) == 3.5)
+    assert(r.getDouble(5).isNaN)
+  }
+
+  test("bigquery nested LEAST/GREATEST clamp: single-appearance emission composes") {
+    val r = bq1("SELECT LEAST(GREATEST(7, 2), 5) AS c1, " +
+      "LEAST(GREATEST(CAST(NULL AS INT64), 2), 5) AS c2")
+    assert(r.get(0).toString == "5")
+    assert(r.isNullAt(1)) // the inner NULL propagates through both wraps
   }
 
   test("natives proven: MEDIAN, PERCENTILE_CONT WITHIN GROUP, POSITION") {

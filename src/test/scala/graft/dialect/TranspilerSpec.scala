@@ -682,8 +682,14 @@ class TranspilerSpec extends AnyFunSuite {
     // pre-r18 behavior left it untranspiled)
     val idxSql = "SELECT s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s"
     val idxOut = transpileSnowflake(idxSql)
-    assert(idxOut == "SELECT (s.index + 1), s.value FROM t " +
+    // the BARE select item keeps Snowflake's INDEX output column name
+    assert(idxOut == "SELECT (s.index + 1) AS index, s.value FROM t " +
       "LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+    // an EMBEDDED reference shifts in place without an injected alias
+    assert(transpileSnowflake("SELECT s.index * 2 AS d2 " +
+      "FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s") ==
+      "SELECT (s.index + 1) * 2 AS d2 FROM t " +
+        "LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
     assert(transpileSnowflake(idxOut) == idxOut, "index shift not idempotent")
     // an UNQUALIFIED index reference stays untranspiled (cannot be told
     // apart from another relation's column at the string level), as
@@ -804,12 +810,16 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT TO_HEX(b) FROM t")
     assert(transpileBigQuery("SELECT TO_HEX(MD5(a) || MD5(b)) FROM t") ==
       "SELECT TO_HEX(MD5(a) || MD5(b)) FROM t")
+    // each argument appears exactly ONCE (a per-arg IS NULL chain
+    // would double evaluation and grow 2^depth on nested clamps)
     assert(transpileBigQuery("SELECT LEAST(a, b, c) FROM t") ==
-      "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL OR (c) IS NULL " +
-        "THEN NULL ELSE array_min(array(a, b, c)) END) FROM t")
+      "SELECT element_at(transform(array(array(a, b, c)), " +
+        "__ga -> IF(forall(__ga, __gx -> __gx IS NOT NULL), " +
+        "array_min(__ga), NULL)), 1) FROM t")
     assert(transpileBigQuery("SELECT GREATEST(a, b) FROM t") ==
-      "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL " +
-        "THEN NULL ELSE array_max(array(a, b)) END) FROM t")
+      "SELECT element_at(transform(array(array(a, b)), " +
+        "__ga -> IF(forall(__ga, __gx -> __gx IS NOT NULL), " +
+        "array_max(__ga), NULL)), 1) FROM t")
     // 1-arg LEAST is its argument in both engines — pass through
     assert(transpileBigQuery("SELECT LEAST(a) FROM t") ==
       "SELECT LEAST(a) FROM t")
