@@ -1980,6 +1980,39 @@ object Transpiler {
     // (division by zero) where Spark yields NULL.
     out = rewriteRatioToReport(out)
     // ---- batch 9 ----------------------------------------------------
+    // ---- batch 10 ---------------------------------------------------
+    // ARRAY_FLATTEN → (flatten(...)) — PARENTHESIZED so a re-transpile
+    // cannot misread a comma-preceded select item `, flatten(a)` as a
+    // lateral FLATTEN join (flattenAt rejects a paren wrapper whose
+    // preceding word is not TABLE). ARRAY_INTERSECTION →
+    // array_intersect with a DOCUMENTED divergence: Snowflake keeps
+    // duplicate elements by multiset multiplicity where Spark's
+    // array_intersect returns distinct elements — exact whenever
+    // either input is duplicate-free (the overwhelming Spider2 shape).
+    out = rewriteCall(out, "ARRAY_FLATTEN") {
+      case Seq(a) => Some(s"(flatten($a))")
+      case _ => None
+    }
+    out = rewriteCall(out, "ARRAY_INTERSECTION") {
+      case Seq(a, b) => Some(s"array_intersect($a, $b)")
+      case _ => None
+    }
+    // REGEXP_REPLACE extended forms: Snowflake's default replacement
+    // is '' (Spark requires 3 args); position keeps the WHOLE string
+    // and starts matching at pos — exactly Spark's own 4-arg contract,
+    // so that form passes through native. occurrence 0 (replace ALL,
+    // the Snowflake default) composes with params → inline flags; a
+    // SPECIFIC occurrence is not expressible as one regexp_replace —
+    // repair loop.
+    out = rewriteCall(out, "REGEXP_REPLACE") {
+      case Seq(s0, p) => Some(s"regexp_replace($s0, $p, '')")
+      case Seq(s0, p, r, pos, occ) if occ.trim == "0" =>
+        Some(s"regexp_replace($s0, $p, $r, $pos)")
+      case Seq(s0, p, r, pos, occ, params) if occ.trim == "0" =>
+        fmtLit(params).flatMap(ps => regexParamPrefix(ps).map(pre =>
+          s"regexp_replace($s0, ${prefixPattern(p, pre)}, $r, $pos)"))
+      case _ => None
+    }
     // TRUNC(expr, part) — Snowflake's expr-FIRST date_trunc spelling.
     // Only recognized DATE parts rewrite, and a BARE (unquoted) part
     // must be a FULL unit word: TRUNC doubles as numeric truncation,
@@ -2470,6 +2503,42 @@ object Transpiler {
           "ELSE CAST('NaN' AS DOUBLE) END " +
           s"ELSE CAST($a AS DOUBLE) / CAST($b AS DOUBLE) END)")
       case _ => None
+    }
+    // GENERATE_TIMESTAMP_ARRAY(start, end, INTERVAL n unit) → sequence
+    // (the timestamp sibling of GENERATE_DATE_ARRAY above; the step is
+    // REQUIRED in BigQuery)
+    out = rewriteCall(out, "GENERATE_TIMESTAMP_ARRAY") {
+      case Seq(a, b, iv) if parseInterval(iv).isDefined =>
+        val (nIv, unit) = parseInterval(iv).get
+        Some(s"sequence(CAST($a AS TIMESTAMP), CAST($b AS TIMESTAMP), " +
+          s"INTERVAL $nIv ${unit.toUpperCase})")
+      case _ => None
+    }
+    // JSON scalar accessors INT64/FLOAT64/BOOL (+ the LAX_ family,
+    // which nulls instead of erroring — try_cast): the argument is
+    // JSON text here (the JSON_QUERY/JSON_EXTRACT arms above emit
+    // to_json output), so parse back to a variant and cast. STRING's
+    // strict form is deliberately NOT mapped — it shares its name with
+    // the timestamp formatter STRING(ts[, tz]), indistinguishable at
+    // the string level; LAX_STRING is JSON-only and safe. Documented
+    // error-path divergence on the STRICT forms: BigQuery ERRORS on a
+    // type mismatch (INT64 of a json string) where Spark's variant
+    // cast coerces numeric strings and throws only on non-numeric —
+    // laxer, never silently different on inputs BigQuery accepts.
+    Seq(("INT64", "BIGINT"), ("FLOAT64", "DOUBLE"), ("BOOL", "BOOLEAN"))
+      .foreach { case (fn, t) =>
+        out = rewriteCall(out, fn) {
+          case Seq(j) => Some(s"CAST(try_parse_json($j) AS $t)")
+          case _ => None
+        }
+      }
+    Seq(("LAX_INT64", "BIGINT"), ("LAX_FLOAT64", "DOUBLE"),
+      ("LAX_BOOL", "BOOLEAN"), ("LAX_STRING", "STRING")).foreach {
+      case (fn, t) =>
+        out = rewriteCall(out, fn) {
+          case Seq(j) => Some(s"TRY_CAST(try_parse_json($j) AS $t)")
+          case _ => None
+        }
     }
     // civil constructors: DATE(y, m, d) and the 6-argument DATETIME —
     // the 1-arg conversion forms are native Spark casts already

@@ -851,5 +851,95 @@ object DialectQueries extends QueryPack {
              |              CASE WHEN n_nationkey > 0 THEN 'infinity'::DOUBLE ELSE 'nan'::DOUBLE END
              |            ELSE CAST(n_nationkey AS DOUBLE) / CAST(n_regionkey AS DOUBLE) END AS mdiv
              |FROM nation
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch10",
+      "Dialect batch 10 (Snowflake): ARRAY_INTERSECTION (left-operand " +
+        "order; DuckDB mirrors with an order-preserving list_filter " +
+        "rather than list_intersect, whose order is unspecified), " +
+        "ARRAY_FLATTEN, and the REGEXP_REPLACE default-'' and " +
+        "params/occurrence-0 forms (DuckDB needs explicit 'g' — its " +
+        "default replaces only the FIRST match).",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(
+            """SELECT n_nationkey AS k, n_name AS nm,
+              |       array(n_name, 'X') AS a1,
+              |       array('Y', n_name, 'X') AS a2,
+              |       array(array(n_name), array('Z')) AS aa
+              |FROM nation""".stripMargin)
+            .createOrReplaceTempView("avals")
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT k,
+              |       ARRAY_TO_STRING(ARRAY_INTERSECTION(a1, a2), '|') AS inter,
+              |       ARRAY_TO_STRING(ARRAY_FLATTEN(aa), '|') AS flat,
+              |       REGEXP_REPLACE(nm, '[AEIOU]') AS rr2,
+              |       REGEXP_REPLACE(nm, '[aeiou]', '_', 1, 0, 'i') AS rr6
+              |FROM avals
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""WITH avals AS (
+             |  SELECT n_nationkey AS k, n_name AS nm,
+             |         [n_name, 'X'] AS a1,
+             |         ['Y', n_name, 'X'] AS a2,
+             |         [[n_name], ['Z']] AS aa
+             |  FROM nation)
+             |SELECT k,
+             |       array_to_string(list_filter(a1, x -> list_contains(a2, x)), '|') AS inter,
+             |       array_to_string(flatten(aa), '|') AS flat,
+             |       regexp_replace(nm, '[AEIOU]', '', 'g') AS rr2,
+             |       regexp_replace(nm, '[aeiou]', '_', 'gi') AS rr6
+             |FROM avals
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch10_bq",
+      "Dialect batch 10 (BigQuery): JSON scalar accessors " +
+        "INT64/FLOAT64 (strict) and the LAX_ family (numeric-string " +
+        "coercion, NULL on mismatch) over JSON_QUERY output, plus " +
+        "GENERATE_TIMESTAMP_ARRAY consumed through ARRAY_LENGTH — " +
+        "DuckDB mirrors with json_extract casts and generate_series.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(
+            """SELECT n_nationkey AS k,
+              |       to_json(named_struct(
+              |         'n', n_nationkey,
+              |         's', CAST(n_regionkey AS STRING),
+              |         'w', n_name)) AS j
+              |FROM nation""".stripMargin)
+            .createOrReplaceTempView("jvals")
+          spark.sql(Transpiler.transpileBigQuery(
+            """SELECT k,
+              |       INT64(JSON_QUERY(j, '$.n')) AS n64,
+              |       FLOAT64(JSON_QUERY(j, '$.n')) AS f64,
+              |       LAX_INT64(JSON_QUERY(j, '$.s')) AS coerced,
+              |       LAX_INT64(JSON_QUERY(j, '$.w')) AS misses,
+              |       LAX_STRING(JSON_QUERY(j, '$.w')) AS w,
+              |       CAST(ARRAY_LENGTH(GENERATE_TIMESTAMP_ARRAY(
+              |         TIMESTAMP '2024-01-01 00:00:00',
+              |         TIMESTAMP '2024-01-02 00:00:00',
+              |         INTERVAL 6 HOUR)) AS INT64) AS nts
+              |FROM jvals
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""WITH jvals AS (
+             |  SELECT n_nationkey AS k,
+             |         to_json(struct_pack(
+             |           n := n_nationkey,
+             |           s := CAST(n_regionkey AS VARCHAR),
+             |           w := n_name)) AS j
+             |  FROM nation)
+             |SELECT k,
+             |       CAST(json_extract(j, '$.n') AS BIGINT) AS n64,
+             |       CAST(json_extract(j, '$.n') AS DOUBLE) AS f64,
+             |       TRY_CAST(json_extract_string(j, '$.s') AS BIGINT) AS coerced,
+             |       TRY_CAST(json_extract_string(j, '$.w') AS BIGINT) AS misses,
+             |       json_extract_string(j, '$.w') AS w,
+             |       CAST(len(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+             |         TIMESTAMP '2024-01-02 00:00:00',
+             |         INTERVAL 6 HOUR)) AS BIGINT) AS nts
+             |FROM jvals
              |ORDER BY k""".stripMargin)))
 }

@@ -164,6 +164,34 @@ class TranspileBatch8ExecSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  // ---- batch 10 -----------------------------------------------------
+
+  test("snowflake array set ops and REGEXP_REPLACE default replacement") {
+    val r = snow1("SELECT ARRAY_TO_STRING(ARRAY_INTERSECTION(" +
+      "array('a', 'x'), array('y', 'x', 'a')), '|') AS i, " +
+      "ARRAY_TO_STRING(ARRAY_FLATTEN(array(array('p'), array('q'))), '|') AS f, " +
+      "REGEXP_REPLACE('ALGERIA', '[AEIOU]') AS rr")
+    assert(r.getString(0) == "a|x") // left-operand order, like Snowflake
+    assert(r.getString(1) == "p|q")
+    assert(r.getString(2) == "LGR") // ALL occurrences, empty replacement
+  }
+
+  test("bigquery JSON scalar accessors and GENERATE_TIMESTAMP_ARRAY") {
+    val r = bq1("""SELECT INT64(JSON_QUERY('{"n": 5, "s": "77", "w": "x"}', '$.n')) AS n,
+      FLOAT64(JSON_QUERY('{"n": 5}', '$.n')) AS f,
+      LAX_INT64(JSON_QUERY('{"s": "77"}', '$.s')) AS coerced,
+      LAX_INT64(JSON_QUERY('{"w": "x"}', '$.w')) AS miss,
+      LAX_STRING(JSON_QUERY('{"w": "x"}', '$.w')) AS s,
+      ARRAY_LENGTH(GENERATE_TIMESTAMP_ARRAY(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-02 00:00:00', INTERVAL 6 HOUR)) AS nts""")
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getLong(2) == 77L)  // LAX coerces numeric strings
+    assert(r.isNullAt(3))        // ...and nulls non-numeric ones
+    assert(r.getString(4) == "x")
+    assert(r.getInt(5) == 5)     // inclusive endpoints: 0,6,12,18,24h
+  }
+
   test("snowflake CONVERT_TIMEZONE 3-arg passes through and executes") {
     val r = snow1("SELECT CONVERT_TIMEZONE('UTC', 'America/Los_Angeles', " +
       "TIMESTAMP'2024-01-15 12:00:00') AS t")

@@ -72,7 +72,12 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "DATETIME(2024, 2, 29, 7, 30, 5)",
     // batch 9
     "TRUNC(d, 'month')", "TRUNC(a, 2)", "IEEE_DIVIDE(a, b)",
-    "MEDIAN(a)", "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY a)")
+    "MEDIAN(a)", "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY a)",
+    // batch 10
+    "ARRAY_INTERSECTION(a, b)", "ARRAY_FLATTEN(a)",
+    "REGEXP_REPLACE(t.x, '[0-9]')", "REGEXP_REPLACE(t.x, 'p', 'r', 1, 0, 'i')",
+    "GENERATE_TIMESTAMP_ARRAY(a, b, INTERVAL 6 HOUR)",
+    "INT64(JSON_QUERY(t.x, '$.n'))", "LAX_STRING(t.x)", "LAX_BOOL(b)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

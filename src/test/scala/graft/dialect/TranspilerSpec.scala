@@ -868,6 +868,55 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileBigQuery(ieee) == ieee, "IEEE_DIVIDE not idempotent")
   }
 
+  test("dialect batch 10: array set ops, REGEXP_REPLACE forms, JSON scalar accessors") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    // parenthesized so `, flatten(a)` can never re-read as a lateral
+    assert(transpileSnowflake("SELECT ARRAY_FLATTEN(aa) FROM t") ==
+      "SELECT (flatten(aa)) FROM t")
+    assert(transpileSnowflake("SELECT a, ARRAY_FLATTEN(aa) FROM t") ==
+      transpileSnowflake(transpileSnowflake("SELECT a, ARRAY_FLATTEN(aa) FROM t")))
+    assert(transpileSnowflake("SELECT ARRAY_INTERSECTION(a, b) FROM t") ==
+      "SELECT array_intersect(a, b) FROM t")
+    // Snowflake's default replacement is '' — Spark needs 3 args
+    assert(transpileSnowflake("SELECT REGEXP_REPLACE(s, '[0-9]') FROM t") ==
+      "SELECT regexp_replace(s, '[0-9]', '') FROM t")
+    // 3/4-arg forms are Spark's own contract — pass through
+    assert(transpileSnowflake("SELECT REGEXP_REPLACE(s, p, r) FROM t") ==
+      "SELECT REGEXP_REPLACE(s, p, r) FROM t")
+    // occurrence 0 = replace ALL (both engines' default) composes with
+    // params; a SPECIFIC occurrence is not one regexp_replace → repair
+    assert(transpileSnowflake(
+      "SELECT REGEXP_REPLACE(s, '[ab]', '_', 1, 0, 'i') FROM t") ==
+      "SELECT regexp_replace(s, '(?i)[ab]', '_', 1) FROM t")
+    assert(transpileSnowflake(
+      "SELECT REGEXP_REPLACE(s, '[ab]', '_', 1, 2) FROM t") ==
+      "SELECT REGEXP_REPLACE(s, '[ab]', '_', 1, 2) FROM t")
+    assert(transpileBigQuery(
+      "SELECT GENERATE_TIMESTAMP_ARRAY(a, b, INTERVAL 6 HOUR) FROM t") ==
+      "SELECT sequence(CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP), " +
+        "INTERVAL 6 HOUR) FROM t")
+    assert(transpileBigQuery("SELECT INT64(JSON_QUERY(j, '$.n')) FROM t") ==
+      "SELECT CAST(try_parse_json(to_json(variant_get(try_parse_json(j), " +
+        "'$.n'))) AS BIGINT) FROM t")
+    assert(transpileBigQuery("SELECT LAX_STRING(j) FROM t") ==
+      "SELECT TRY_CAST(try_parse_json(j) AS STRING) FROM t")
+    // STRING's strict form shares its name with the timestamp
+    // formatter STRING(ts[, tz]) — indistinguishable here, untouched
+    assert(transpileBigQuery("SELECT STRING(ts) FROM t") ==
+      "SELECT STRING(ts) FROM t")
+    // idempotence
+    Seq(transpileSnowflake("SELECT REGEXP_REPLACE(s, '[0-9]') FROM t"),
+      transpileSnowflake("SELECT ARRAY_INTERSECTION(a, b) FROM t")).foreach {
+      once => assert(Transpiler.transpileSnowflake(once) == once,
+        s"not idempotent: $once")
+    }
+    Seq(transpileBigQuery("SELECT INT64(j) FROM t"),
+      transpileBigQuery("SELECT LAX_BOOL(j) FROM t")).foreach { once =>
+      assert(Transpiler.transpileBigQuery(once) == once,
+        s"not idempotent: $once")
+    }
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
