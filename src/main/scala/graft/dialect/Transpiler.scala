@@ -522,6 +522,57 @@ object Transpiler {
                   repl += ((a, b, s"any_value(${expr.trim}) AS $outName"))
                 }
               }
+              // ORDER BY on a bare non-grouped column (SQLite sorts by
+              // an arbitrary row of each group — the OpenSearch
+              // style-aligner prompt shape, OpenSearchSQLGenerate.py:
+              // 130): wrap with any_value UNLESS the name resolves
+              // against the select list's OUTPUT columns, which Spark
+              // (and SQLite) resolve first.
+              val outNames = items.flatMap { case (a0, b0) =>
+                val item = sql.substring(a0, b0).trim
+                item match {
+                  case aliased(_, al) => Seq(norm(al))
+                  case _ if simpleCol.matches(item) =>
+                    Seq(norm(item), norm(lastSeg(item)))
+                  case _ => Nil
+                }
+              }.toSet
+              val ordIdx = findKw(Seq("ORDER"), d, grpEnd, blockEnd)
+              if (ordIdx > 0) {
+                val obyIdx = findKw(Seq("BY"), d, ordIdx + 5, blockEnd)
+                if (obyIdx > 0) {
+                  val ordEnd = {
+                    val k = findKw(Seq("LIMIT", "OFFSET"), d,
+                      obyIdx + 2, blockEnd)
+                    if (k > 0) k else blockEnd
+                  }
+                  val sortItem =
+                    "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)$".r
+                  splitAtDepth(obyIdx + 2, ordEnd, d).foreach { case (a0, b0) =>
+                    var a = a0; var b = b0
+                    while (a < b && sql.charAt(a).isWhitespace) a += 1
+                    while (b > a && sql.charAt(b - 1).isWhitespace) b -= 1
+                    sql.substring(a, b) match {
+                      case sortItem(e0, _) =>
+                        val expr = e0.trim
+                        val literalWords = Set("null", "true", "false",
+                          "current_date", "current_timestamp", "current_time")
+                        val wrap = simpleCol.matches(expr) &&
+                          !literalWords.contains(norm(expr)) &&
+                          !outNames.contains(norm(expr)) &&
+                          !outNames.contains(norm(lastSeg(expr))) && {
+                            val ne = norm(expr)
+                            !keyNorms.contains(ne) &&
+                              !keyNorms.contains(norm(lastSeg(expr))) &&
+                              !keyLastSegs.contains(norm(lastSeg(expr)))
+                          }
+                        if (wrap)
+                          repl += ((a, a + e0.length, s"any_value($expr)"))
+                      case _ => ()
+                    }
+                  }
+                }
+              }
             }
           }
         }

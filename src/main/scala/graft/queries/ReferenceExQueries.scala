@@ -9,7 +9,7 @@ import graft.dialect.Transpiler
 /** EXECUTION-accuracy net over the reference's own prompt SQL — the
   * round-16 verdict's "execute the corpus, don't just parse it":
   * [[graft.dialect.ReferencePromptSqlSpec]] proves 30+ harvested
-  * statements PARSE through the sqlite arm; this pack EXECUTES 46 of
+  * statements PARSE through the sqlite arm; this pack EXECUTES 47 of
   * them end-to-end on registered Spider/BIRD-style fixtures spanning
   * THREE schema pools — the college schema covering the DIN-SQL
   * prompt pool (plus city/accounts/singer/cards satellites), the
@@ -22,13 +22,15 @@ import graft.dialect.Transpiler
   * nested prompt examples incl. the decomposition-step statements
   * (core/actor/generator/DINSQLGenerate.py:234-449), MAC-SQL decompose
   * pools (MACSQLGenerate.py:243-331,378,416), OpenSearch examples
-  * (OpenSearchSQLGenerate.py:124-127). The two DIN-SQL bare
+  * (OpenSearchSQLGenerate.py:124-130). The two DIN-SQL bare
   * non-grouped-column statements execute through the sqlite arm's
   * any_value rewrite since round 18 (the fixture keeps every bare
   * column functionally determined by its group key, so the
-  * arbitrary-row pick is deterministic); only the OpenSearch
-  * style-aligner pair with unresolvable columns stays parse-only —
-  * the repair loop's territory, not the transpiler's.
+  * arbitrary-row pick is deterministic), and the formerly-last
+  * parse-only statement — the OpenSearch style-aligner's bare
+  * `ORDER BY spent` under GROUP BY — executes through the arm's
+  * ORDER-BY any_value heal against a registered Author fixture.
+  * EVERY harvested prompt statement now runs end-to-end.
   *
   * Comparison canon: each statement's result reduces to one row
   * `(stmt, n_rows, fp)` where `fp` is the '|'-joined SORTED list of
@@ -164,7 +166,14 @@ object ReferenceExQueries extends QueryPack {
     Tbl("Paper", Seq("Id" -> 'I', "Year" -> 'I'),
       Seq(Seq(1, 0), Seq(2, 0), Seq(3, 1995))),
     Tbl("PaperAuthor", Seq("PaperId" -> 'I', "Name" -> 'S'),
-      Seq(Seq(1, "A"), Seq(1, "B"), Seq(2, "C"), Seq(3, "D"))))
+      Seq(Seq(1, "A"), Seq(1, "B"), Seq(2, "C"), Seq(3, "D"))),
+    // academic Author (OpenSearchSQLGenerate.py:130 style-aligner):
+    // one row PER NAME so the bare ORDER BY spent's arbitrary-row
+    // pick is functionally determined — any_value is deterministic
+    Tbl("Author", Seq("Name" -> 'S', "Affiliation" -> 'S', "spent" -> 'I'),
+      Seq(Seq("Ada", "University of Oxford", 40),
+        Seq("Bob", "University of Oxford", 10),
+        Seq("Cy", "MIT", 99))))
 
   /** One executed statement: id, the VERBATIM harvested SQL, and the
     * declared result-column kinds ('S' string, 'I' integer-like,
@@ -248,7 +257,14 @@ object ReferenceExQueries extends QueryPack {
     Stmt("mf3", "SELECT T1.`gender`\n  FROM client AS T1\n  INNER JOIN district AS T2\n  ON T1.`district_id` = T2.`district_id`\n  ORDER BY T2.`A11` ASC, T1.`birth_date` DESC \n  LIMIT 1", Seq('S')),
     // OpenSearchSQLGenerate.py:124,127
     Stmt("os1", "SELECT id FROM cards WHERE spend > 100 ORDER BY spend LIMIT 5", Seq('I')),
-    Stmt("os2", "SELECT COUNT(T2.Name) FROM Paper AS T1 INNER JOIN PaperAuthor AS T2 ON T1.Id = T2.PaperId WHERE T1.Year = 0", Seq('I')))
+    Stmt("os2", "SELECT COUNT(T2.Name) FROM Paper AS T1 INNER JOIN PaperAuthor AS T2 ON T1.Id = T2.PaperId WHERE T1.Year = 0", Seq('I')),
+    // OpenSearchSQLGenerate.py:130 — the style-aligner example that
+    // was the last parse-only statement: SQLite's bare ORDER BY spent
+    // under GROUP BY Name (arbitrary-row sort key). The sqlite arm's
+    // ORDER-BY any_value heal (batch 10) makes it analyzable; the
+    // fixture keeps one row per Name so the pick is deterministic.
+    Stmt("os3", "SELECT Name FROM Author WHERE Affiliation = 'University of Oxford' Group By Name ORDER BY spent ASC", Seq('S'),
+      duckSql = Some("SELECT Name FROM Author WHERE Affiliation = 'University of Oxford' GROUP BY Name ORDER BY any_value(spent) ASC")))
 
   // ---- Spark side ---------------------------------------------------
 
@@ -328,7 +344,7 @@ object ReferenceExQueries extends QueryPack {
   def queries: Seq[GQuery] = Seq(
     GQuery(
       "q_reference_prompt_ex",
-      "Execution-accuracy net over 46 harvested reference-prompt SQLs " +
+      "Execution-accuracy net over 47 harvested reference-prompt SQLs " +
         "across three schema pools (DIN-SQL easy/medium/nested incl. " +
         "bare-GROUP-BY + decomposition steps on the college fixture; " +
         "MAC-SQL BIRD frpm/satscores + financial and Spider " +

@@ -135,6 +135,22 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileSqlite(
       "SELECT 5 UNION SELECT T1.b, k FROM t T1 JOIN u T2 ON T1.x = T2.x GROUP BY T2.k") ==
       "SELECT 5 UNION SELECT any_value(T1.b) AS b, k FROM t T1 JOIN u T2 ON T1.x = T2.x GROUP BY T2.k")
+    // ORDER BY on a bare non-grouped column (SQLite sorts by an
+    // arbitrary row of the group — the OpenSearch style-aligner prompt
+    // shape, OpenSearchSQLGenerate.py:130) wraps too; suffixes survive
+    assert(transpileSqlite(
+      "SELECT Name FROM Author WHERE Affiliation = 'University of Oxford' " +
+        "Group By Name ORDER BY spent ASC") ==
+      "SELECT Name FROM Author WHERE Affiliation = 'University of Oxford' " +
+        "Group By Name ORDER BY any_value(spent) ASC")
+    // ...but group keys, select OUTPUT names, ordinals and expressions
+    // in ORDER BY stay bare
+    assert(transpileSqlite(
+      "SELECT dept_name AS d FROM instructor GROUP BY dept_name ORDER BY d DESC") ==
+      "SELECT dept_name AS d FROM instructor GROUP BY dept_name ORDER BY d DESC")
+    assert(transpileSqlite(
+      "SELECT name, count(*) FROM t GROUP BY name ORDER BY 2 DESC, name") ==
+      "SELECT name, count(*) FROM t GROUP BY name ORDER BY 2 DESC, name")
     // idempotent: the wrapped form contains '(' and never re-matches
     val once = transpileSqlite(
       "SELECT T1.title FROM course AS T1 JOIN prereq AS T2 ON " +
