@@ -421,6 +421,10 @@ object Transpiler {
     val seg = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
     val simpleCol = s"^$seg(?:\\s*\\.\\s*$seg)*$$".r
     val aliased = s"(?is)^($seg(?:\\s*\\.\\s*$seg)*)\\s+AS\\s+($seg)$$".r
+    // word-shaped literals/niladics are not columns — a wrap would
+    // emit `AS NULL` (reserved) or change volatile-function semantics
+    val literalWords = Set("null", "true", "false",
+      "current_date", "current_timestamp", "current_time")
     def norm(e: String): String =
       e.replace("`", "").replaceAll("\\s*\\.\\s*", ".").trim.toLowerCase
     def lastSeg(e: String): String = {
@@ -496,11 +500,6 @@ object Transpiler {
                   case aliased(e, al) => (e, Some(al))
                   case _ => (item, None)
                 }
-                // word-shaped literals/niladics are not columns — a
-                // wrap would emit `AS NULL` (reserved) or change
-                // volatile-function semantics
-                val literalWords = Set("null", "true", "false",
-                  "current_date", "current_timestamp", "current_time")
                 val isSimple = simpleCol.matches(expr.trim) &&
                   !literalWords.contains(norm(expr))
                 val grouped = !isSimple ||
@@ -527,13 +526,23 @@ object Transpiler {
               // style-aligner prompt shape, OpenSearchSQLGenerate.py:
               // 130): wrap with any_value UNLESS the name resolves
               // against the select list's OUTPUT columns, which Spark
-              // (and SQLite) resolve first.
+              // (and SQLite) resolve first. Output names come from the
+              // alias of ANY item — aggregates and expressions
+              // included, `COUNT(*) AS n ... ORDER BY n` must stay
+              // bare — plus last segments of unaliased simple columns.
+              // Over-collecting is the safe direction: a sort ref
+              // wrongly left bare fails loudly into the repair loop,
+              // where a wrongly wrapped alias would break a WORKING
+              // query.
+              val anyAlias = s"(?is)^(.*\\S)\\s+AS\\s+($seg)$$".r
+              val bareAlias = s"(?is)^(.*[\\w`)'])\\s+($seg)$$".r
               val outNames = items.flatMap { case (a0, b0) =>
                 val item = sql.substring(a0, b0).trim
                 item match {
-                  case aliased(_, al) => Seq(norm(al))
-                  case _ if simpleCol.matches(item) =>
-                    Seq(norm(item), norm(lastSeg(item)))
+                  case anyAlias(_, al) => Seq(norm(al))
+                  case _ if simpleCol.matches(item) => Seq(norm(lastSeg(item)))
+                  case bareAlias(_, al)
+                      if !literalWords.contains(norm(al)) => Seq(norm(al))
                   case _ => Nil
                 }
               }.toSet
@@ -555,12 +564,16 @@ object Transpiler {
                     sql.substring(a, b) match {
                       case sortItem(e0, _) =>
                         val expr = e0.trim
-                        val literalWords = Set("null", "true", "false",
-                          "current_date", "current_timestamp", "current_time")
+                        // a QUALIFIED ref (T1.b) can never resolve
+                        // against an output alias in Spark, so output
+                        // names only shield UNQUALIFIED refs — a
+                        // qualified ref to a select item the heal just
+                        // wrapped must wrap here too or the statement
+                        // still fails to analyze
+                        val unqualified = !expr.contains(".")
                         val wrap = simpleCol.matches(expr) &&
                           !literalWords.contains(norm(expr)) &&
-                          !outNames.contains(norm(expr)) &&
-                          !outNames.contains(norm(lastSeg(expr))) && {
+                          !(unqualified && outNames.contains(norm(expr))) && {
                             val ne = norm(expr)
                             !keyNorms.contains(ne) &&
                               !keyNorms.contains(norm(lastSeg(expr))) &&
@@ -2565,8 +2578,8 @@ object Transpiler {
           s"INTERVAL $nIv ${unit.toUpperCase})")
       case _ => None
     }
-    // JSON scalar accessors INT64/FLOAT64/BOOL (+ the LAX_ family,
-    // which nulls instead of erroring — try_cast): the argument is
+    // JSON scalar accessors INT64/FLOAT64/BOOL (+ the LAX_ family
+    // below, which nulls instead of erroring): the argument is
     // JSON text here (the JSON_QUERY/JSON_EXTRACT arms above emit
     // to_json output), so parse back to a variant and cast. STRING's
     // strict form is deliberately NOT mapped — it shares its name with
@@ -2583,14 +2596,39 @@ object Transpiler {
           case _ => None
         }
       }
-    Seq(("LAX_INT64", "BIGINT"), ("LAX_FLOAT64", "DOUBLE"),
-      ("LAX_BOOL", "BOOLEAN"), ("LAX_STRING", "STRING")).foreach {
-      case (fn, t) =>
-        out = rewriteCall(out, fn) {
-          case Seq(j) => Some(s"TRY_CAST(try_parse_json($j) AS $t)")
-          case _ => None
-        }
-    }
+    // LAX_ conversion sets, not a bare TRY_CAST: LAX returns NULL —
+    // never an error and never a stringified composite — outside each
+    // accessor's set. schema_of_variant guards route objects/arrays
+    // (and for BOOL, numbers) to NULL where a variant cast would
+    // stringify, truncate, or read a number as a boolean; LAX_INT64
+    // rounds half-away-from-zero like BigQuery via the double route
+    // (which also converts numeric strings and booleans). One binding
+    // of the parsed variant via the singleton-transform trick (the
+    // LEAST/GREATEST pattern above), so the input parses once.
+    def laxArm(fn: String)(body: String => String): Unit =
+      out = rewriteCall(out, fn) {
+        case Seq(j) =>
+          Some(s"element_at(transform(array(try_parse_json($j)), " +
+            s"__gv -> ${body("__gv")}), 1)")
+        case _ => None
+      }
+    def scalarGuard(v: String, t: String, conv: String): String =
+      s"CASE WHEN schema_of_variant($v) LIKE 'OBJECT%' " +
+        s"OR schema_of_variant($v) LIKE 'ARRAY%' THEN CAST(NULL AS $t) " +
+        s"ELSE $conv END"
+    laxArm("LAX_STRING")(v =>
+      scalarGuard(v, "STRING", s"TRY_CAST($v AS STRING)"))
+    laxArm("LAX_FLOAT64")(v =>
+      scalarGuard(v, "DOUBLE", s"TRY_CAST($v AS DOUBLE)"))
+    laxArm("LAX_INT64")(v => scalarGuard(v, "BIGINT",
+      s"TRY_CAST(round(TRY_CAST($v AS DOUBLE)) AS BIGINT)"))
+    laxArm("LAX_BOOL")(v =>
+      s"CASE WHEN schema_of_variant($v) LIKE 'BOOLEAN%' " +
+        s"THEN TRY_CAST($v AS BOOLEAN) " +
+        s"WHEN schema_of_variant($v) = 'STRING' THEN " +
+        s"CASE lower(TRY_CAST($v AS STRING)) WHEN 'true' THEN true " +
+        "WHEN 'false' THEN false ELSE CAST(NULL AS BOOLEAN) END " +
+        "ELSE CAST(NULL AS BOOLEAN) END")
     // civil constructors: DATE(y, m, d) and the 6-argument DATETIME —
     // the 1-arg conversion forms are native Spark casts already
     out = rewriteCall(out, "DATE") {

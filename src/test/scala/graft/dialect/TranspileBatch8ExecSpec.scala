@@ -192,6 +192,56 @@ class TranspileBatch8ExecSpec extends SparkSpec {
     assert(r.getInt(5) == 5)     // inclusive endpoints: 0,6,12,18,24h
   }
 
+  test("bigquery LAX accessors: non-scalars null, INT64 rounds, BOOL rejects numbers") {
+    val r = bq1("""SELECT LAX_STRING(JSON_QUERY('{"o": {"a": 1}}', '$.o')) AS obj,
+      LAX_INT64(JSON_QUERY('{"x": 10.9}', '$.x')) AS up,
+      LAX_INT64(JSON_QUERY('{"x": -3.5}', '$.x')) AS away,
+      LAX_BOOL(JSON_QUERY('{"x": 1}', '$.x')) AS numbool,
+      LAX_BOOL(JSON_QUERY('{"x": "TRUE"}', '$.x')) AS strbool,
+      LAX_FLOAT64(JSON_QUERY('{"x": [1]}', '$.x')) AS arrf""")
+    assert(r.isNullAt(0))          // object -> NULL, not '{"a":1}'
+    assert(r.getLong(1) == 11L)    // rounds half away from zero...
+    assert(r.getLong(2) == -4L)    // ...in both directions
+    assert(r.isNullAt(3))          // numbers are not booleans in LAX_BOOL
+    assert(r.getBoolean(4))        // case-insensitive true/false strings are
+    assert(r.isNullAt(5))          // array -> NULL
+  }
+
+  test("sqlite ORDER BY heal leaves output aliases bare, wraps qualified refs") {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("x", 1, 10), Row("x", 1, 30), Row("y", 2, 20))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType))))
+      .createOrReplaceTempView("heal_t")
+    // ORDER BY an aggregate's output alias must stay bare (a wrap broke
+    // this previously-working ubiquitous NL2SQL shape)
+    val top = spark.sql(Transpiler.transpileSqlite(
+      "SELECT name, COUNT(*) AS n FROM heal_t GROUP BY name ORDER BY n DESC LIMIT 1"))
+      .collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 2L)))
+    // a QUALIFIED ref to a wrapped select item wraps too (an output
+    // alias can never shield it in Spark) — and the result analyzes
+    val q = spark.sql(Transpiler.transpileSqlite(
+      "SELECT T1.b FROM heal_t T1 GROUP BY T1.k ORDER BY T1.b")).collect()
+    assert(q.length == 2)
+    // idempotence on the healed shapes
+    Seq("SELECT b FROM heal_t GROUP BY k ORDER BY b",
+      "SELECT T1.b FROM heal_t T1 GROUP BY T1.k ORDER BY T1.b",
+      "SELECT name, COUNT(*) AS n FROM heal_t GROUP BY name ORDER BY n DESC")
+      .foreach { sql0 =>
+        val once = Transpiler.transpileSqlite(sql0)
+        assert(Transpiler.transpileSqlite(once) == once,
+          s"heal not idempotent: $sql0 ->\n$once")
+      }
+  }
+
   test("snowflake CONVERT_TIMEZONE 3-arg passes through and executes") {
     val r = snow1("SELECT CONVERT_TIMEZONE('UTC', 'America/Los_Angeles', " +
       "TIMESTAMP'2024-01-15 12:00:00') AS t")

@@ -914,8 +914,13 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileBigQuery("SELECT INT64(JSON_QUERY(j, '$.n')) FROM t") ==
       "SELECT CAST(try_parse_json(to_json(variant_get(try_parse_json(j), " +
         "'$.n'))) AS BIGINT) FROM t")
-    assert(transpileBigQuery("SELECT LAX_STRING(j) FROM t") ==
-      "SELECT TRY_CAST(try_parse_json(j) AS STRING) FROM t")
+    val laxS = transpileBigQuery("SELECT LAX_STRING(j) FROM t")
+    assert(laxS.startsWith("SELECT element_at(transform(array(try_parse_json(j))"))
+    assert(laxS.contains("schema_of_variant(__gv) LIKE 'OBJECT%'") &&
+      laxS.contains("TRY_CAST(__gv AS STRING)"))
+    // LAX_INT64 rounds half-away like BigQuery (not a truncating cast)
+    assert(transpileBigQuery("SELECT LAX_INT64(j) FROM t")
+      .contains("TRY_CAST(round(TRY_CAST(__gv AS DOUBLE)) AS BIGINT)"))
     // STRING's strict form shares its name with the timestamp
     // formatter STRING(ts[, tz]) — indistinguishable here, untouched
     assert(transpileBigQuery("SELECT STRING(ts) FROM t") ==
