@@ -421,6 +421,11 @@ object Transpiler {
     val seg = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
     val simpleCol = s"^$seg(?:\\s*\\.\\s*$seg)*$$".r
     val aliased = s"(?is)^($seg(?:\\s*\\.\\s*$seg)*)\\s+AS\\s+($seg)$$".r
+    // general select-item alias shapes (the ORDER BY heal's output
+    // names): explicit `... AS x` on ANY expression, and the bare
+    // trailing-identifier alias `COUNT(*) n`
+    val anyAlias = s"(?is)^(.*\\S)\\s+AS\\s+($seg)$$".r
+    val bareAlias = s"(?is)^(.*[\\w`)'])\\s+($seg)$$".r
     // word-shaped literals/niladics are not columns — a wrap would
     // emit `AS NULL` (reserved) or change volatile-function semantics
     val literalWords = Set("null", "true", "false",
@@ -534,22 +539,21 @@ object Transpiler {
               // wrongly left bare fails loudly into the repair loop,
               // where a wrongly wrapped alias would break a WORKING
               // query.
-              val anyAlias = s"(?is)^(.*\\S)\\s+AS\\s+($seg)$$".r
-              val bareAlias = s"(?is)^(.*[\\w`)'])\\s+($seg)$$".r
-              val outNames = items.flatMap { case (a0, b0) =>
-                val item = sql.substring(a0, b0).trim
-                item match {
-                  case anyAlias(_, al) => Seq(norm(al))
-                  case _ if simpleCol.matches(item) => Seq(norm(lastSeg(item)))
-                  case bareAlias(_, al)
-                      if !literalWords.contains(norm(al)) => Seq(norm(al))
-                  case _ => Nil
-                }
-              }.toSet
               val ordIdx = findKw(Seq("ORDER"), d, grpEnd, blockEnd)
               if (ordIdx > 0) {
                 val obyIdx = findKw(Seq("BY"), d, ordIdx + 5, blockEnd)
                 if (obyIdx > 0) {
+                  val outNames = items.flatMap { case (a0, b0) =>
+                    val item = sql.substring(a0, b0).trim
+                    item match {
+                      case anyAlias(_, al) => Seq(norm(al))
+                      case _ if simpleCol.matches(item) =>
+                        Seq(norm(lastSeg(item)))
+                      case bareAlias(_, al)
+                          if !literalWords.contains(norm(al)) => Seq(norm(al))
+                      case _ => Nil
+                    }
+                  }.toSet
                   val ordEnd = {
                     val k = findKw(Seq("LIMIT", "OFFSET"), d,
                       obyIdx + 2, blockEnd)
@@ -569,8 +573,11 @@ object Transpiler {
                         // names only shield UNQUALIFIED refs — a
                         // qualified ref to a select item the heal just
                         // wrapped must wrap here too or the statement
-                        // still fails to analyze
-                        val unqualified = !expr.contains(".")
+                        // still fails to analyze. Tick-aware: a dot
+                        // INSIDE a backticked alias (`a.b`) is not a
+                        // qualifier, and lastSeg only splits on dots
+                        // outside backticks
+                        val unqualified = lastSeg(expr) == expr
                         val wrap = simpleCol.matches(expr) &&
                           !literalWords.contains(norm(expr)) &&
                           !(unqualified && outNames.contains(norm(expr))) && {
@@ -2621,7 +2628,14 @@ object Transpiler {
     laxArm("LAX_FLOAT64")(v =>
       scalarGuard(v, "DOUBLE", s"TRY_CAST($v AS DOUBLE)"))
     laxArm("LAX_INT64")(v => scalarGuard(v, "BIGINT",
-      s"TRY_CAST(round(TRY_CAST($v AS DOUBLE)) AS BIGINT)"))
+      // integer-schema variants cast DIRECTLY — the double route would
+      // silently corrupt values above 2^53 that BigQuery returns
+      // exactly; everything else (fractions, numeric strings,
+      // booleans) takes the rounding double route
+      s"CASE WHEN schema_of_variant($v) IN " +
+        "('TINYINT', 'SMALLINT', 'INT', 'BIGINT') " +
+        s"THEN TRY_CAST($v AS BIGINT) " +
+        s"ELSE TRY_CAST(round(TRY_CAST($v AS DOUBLE)) AS BIGINT) END"))
     laxArm("LAX_BOOL")(v =>
       s"CASE WHEN schema_of_variant($v) LIKE 'BOOLEAN%' " +
         s"THEN TRY_CAST($v AS BOOLEAN) " +

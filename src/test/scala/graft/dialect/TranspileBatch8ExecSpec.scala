@@ -205,6 +205,10 @@ class TranspileBatch8ExecSpec extends SparkSpec {
     assert(r.isNullAt(3))          // numbers are not booleans in LAX_BOOL
     assert(r.getBoolean(4))        // case-insensitive true/false strings are
     assert(r.isNullAt(5))          // array -> NULL
+    // integer-schema values above 2^53 cast DIRECTLY — the double
+    // route would silently collapse them to the nearest even
+    val big = bq1("""SELECT LAX_INT64(JSON_QUERY('{"x": 9007199254740993}', '$.x')) AS b""")
+    assert(big.getLong(0) == 9007199254740993L)
   }
 
   test("sqlite ORDER BY heal leaves output aliases bare, wraps qualified refs") {
@@ -231,6 +235,13 @@ class TranspileBatch8ExecSpec extends SparkSpec {
     val q = spark.sql(Transpiler.transpileSqlite(
       "SELECT T1.b FROM heal_t T1 GROUP BY T1.k ORDER BY T1.b")).collect()
     assert(q.length == 2)
+    // a DOTTED backtick-quoted alias is not a qualifier: the sort ref
+    // resolves against the output name and must stay bare (identifier
+    // set makes both quoted tokens resolve as identifiers)
+    assert(Transpiler.transpileSqlite(
+      "SELECT COUNT(*) AS \"a.b\" FROM heal_t GROUP BY k ORDER BY \"a.b\"",
+      Set("a.b", "heal_t", "k"))
+      == "SELECT COUNT(*) AS `a.b` FROM heal_t GROUP BY k ORDER BY `a.b`")
     // idempotence on the healed shapes
     Seq("SELECT b FROM heal_t GROUP BY k ORDER BY b",
       "SELECT T1.b FROM heal_t T1 GROUP BY T1.k ORDER BY T1.b",
