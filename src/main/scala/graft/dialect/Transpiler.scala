@@ -1223,6 +1223,36 @@ object Transpiler {
   private def subjFrom(e: String, pos: String): String =
     if (pos.trim == "1") e else s"substr($e, $pos)"
 
+  /** REGEXP_INSTR(subject, pattern[, position]) — Snowflake AND
+    * BigQuery: 1-based position of the first match, 0 when none.
+    * Composed as the length of the prefix LEFT OVER after
+    * regexp_replace strips everything from the first match to the end
+    * (`(?:p)[\s\S]*$` — `[\s\S]`, not a (?s) flag, so nothing leaks
+    * into the user pattern's own dots, and a newline before the match
+    * never truncates the consumed tail). regexp_replace rather than a
+    * prefix-group regexp_extract because the BigQuery arm REWRITES
+    * 3-arg REGEXP_EXTRACT (its third argument is a position, Spark's
+    * a group index) — an extract-based emission would be re-matched
+    * and corrupted on re-transpile. Literal patterns only; the
+    * position form counts in the ORIGINAL subject. Occurrence/params/
+    * group forms → repair loop.
+    */
+  private def rewriteRegexpInstr(sql: String): String =
+    rewriteCall(sql, "REGEXP_INSTR") {
+      case Seq(s0, p) => fmtLit(p).map { lit =>
+        val strip = s"'(?:$lit)[\\\\s\\\\S]*$$'"
+        s"IF(regexp_count($s0, '$lit') > 0, " +
+          s"length(regexp_replace($s0, $strip, '')) + 1, 0)"
+      }
+      case Seq(s0, p, pos) => fmtLit(p).map { lit =>
+        val strip = s"'(?:$lit)[\\\\s\\\\S]*$$'"
+        val sub = subjFrom(s0, pos)
+        s"IF(regexp_count($sub, '$lit') > 0, " +
+          s"($pos) - 1 + length(regexp_replace($sub, $strip, '')) + 1, 0)"
+      }
+      case _ => None
+    }
+
   /** Warehouse SPLIT takes a LITERAL delimiter; Spark's split takes a
     * REGEX — `SPLIT(s, '.')` silently splits on every character. When
     * the delimiter is a literal, regex metachars are escaped into the
@@ -2084,6 +2114,29 @@ object Transpiler {
           s"regexp_replace($s0, ${prefixPattern(p, pre)}, $r, $pos)"))
       case _ => None
     }
+    // ---- batch 11 ---------------------------------------------------
+    out = rewriteRegexpInstr(out)
+    // REGEXP_LIKE / RLIKE function forms: Snowflake implicitly anchors
+    // the pattern at BOTH ends (entire-subject match) where Spark's
+    // regexp_like/RLIKE is a partial-match contains — a pass-through
+    // was a silent row-set divergence on every non-anchored pattern.
+    // Emitted as the RLIKE OPERATOR with ^(?:...)$ anchors (params →
+    // inline flags ahead of the anchor): the operator form has no
+    // following paren, so neither arm can ever re-match its output.
+    // Literal patterns only; others go to the repair loop.
+    Seq("REGEXP_LIKE", "RLIKE").foreach { name =>
+      out = rewriteCall(out, name) {
+        case Seq(s0, p) => fmtLit(p).map(lit =>
+          s"(($s0) RLIKE '^(?:$lit)$$')")
+        case Seq(s0, p, params) =>
+          (fmtLit(p), fmtLit(params).flatMap(regexParamPrefix)) match {
+            case (Some(lit), Some(pre)) =>
+              Some(s"(($s0) RLIKE '$pre^(?:$lit)$$')")
+            case _ => None
+          }
+        case _ => None
+      }
+    }
     // TRUNC(expr, part) — Snowflake's expr-FIRST date_trunc spelling.
     // Only recognized DATE parts rewrite, and a BARE (unquoted) part
     // must be a FULL unit word: TRUNC doubles as numeric truncation,
@@ -2575,6 +2628,8 @@ object Transpiler {
           s"ELSE CAST($a AS DOUBLE) / CAST($b AS DOUBLE) END)")
       case _ => None
     }
+    // REGEXP_INSTR — same contract as Snowflake's (shared helper)
+    out = rewriteRegexpInstr(out)
     // GENERATE_TIMESTAMP_ARRAY(start, end, INTERVAL n unit) → sequence
     // (the timestamp sibling of GENERATE_DATE_ARRAY above; the step is
     // REQUIRED in BigQuery)

@@ -941,5 +941,43 @@ object DialectQueries extends QueryPack {
              |         TIMESTAMP '2024-01-02 00:00:00',
              |         INTERVAL 6 HOUR)) AS BIGINT) AS nts
              |FROM jvals
+             |ORDER BY k""".stripMargin)),
+
+    GQuery(
+      "q_transpile_batch11",
+      "Dialect batch 11 (Snowflake/BigQuery shared): REGEXP_INSTR " +
+        "composed as the newline-safe lazy-prefix length (literal " +
+        "patterns; position form counts in the original subject), " +
+        "REGEXP_LIKE with Snowflake's ENTIRE-subject anchoring (a " +
+        "contains pass-through silently diverges on every " +
+        "non-anchored pattern), and the native WIDTH_BUCKET " +
+        "pass-through — DuckDB mirrors with regexp_matches/" +
+        "regexp_full_match/regexp_extract and integer bucket " +
+        "arithmetic.",
+      (s, dir) =>
+        QueryPack.withTables(s, dir) { spark =>
+          spark.sql(Transpiler.transpileSnowflake(
+            """SELECT o_orderkey AS k,
+              |       REGEXP_INSTR(o_orderpriority, 'URGENT') AS ri,
+              |       REGEXP_INSTR(o_orderpriority, '[AEIOU]', 3) AS ri3,
+              |       REGEXP_LIKE(o_orderpriority, '.*urgent', 'i') AS rl,
+              |       WIDTH_BUCKET(o_orderkey % 100, 0, 100, 10) AS wb
+              |FROM orders
+              |WHERE o_orderkey < 400
+              |ORDER BY k""".stripMargin))
+        },
+      Some("""SELECT o_orderkey AS k,
+             |       CAST(CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
+             |            THEN length(regexp_extract(o_orderpriority,
+             |                 '^([\s\S]*?)(?:URGENT)', 1)) + 1
+             |            ELSE 0 END AS INT) AS ri,
+             |       CAST(CASE WHEN regexp_matches(substr(o_orderpriority, 3), '[AEIOU]')
+             |            THEN 2 + length(regexp_extract(substr(o_orderpriority, 3),
+             |                 '^([\s\S]*?)(?:[AEIOU])', 1)) + 1
+             |            ELSE 0 END AS INT) AS ri3,
+             |       regexp_full_match(o_orderpriority, '(?i).*urgent') AS rl,
+             |       CAST(1 + ((o_orderkey % 100) * 10) // 100 AS BIGINT) AS wb
+             |FROM orders
+             |WHERE o_orderkey < 400
              |ORDER BY k""".stripMargin)))
 }

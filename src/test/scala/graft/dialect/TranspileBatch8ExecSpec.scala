@@ -253,6 +253,32 @@ class TranspileBatch8ExecSpec extends SparkSpec {
       }
   }
 
+  // ---- batch 11 -----------------------------------------------------
+
+  test("REGEXP_INSTR: first-match position, newline-safe, position form") {
+    val r = snow1("SELECT REGEXP_INSTR('banana', 'an') AS a, " +
+      "REGEXP_INSTR('banana', 'zz') AS z, " +
+      "REGEXP_INSTR('a\nbcd', 'bc') AS nl, " +
+      "REGEXP_INSTR('banana', 'an', 3) AS p3")
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 0)   // no match -> 0, like both warehouses
+    assert(r.getInt(2) == 3)   // [\s\S] prefix crosses the newline
+    assert(r.getInt(3) == 4)   // counted in the ORIGINAL subject
+  }
+
+  test("natives proven: scale CEIL/FLOOR, WIDTH_BUCKET; anchored REGEXP_LIKE") {
+    val r = snow1("SELECT CEIL(3.141, 2) AS c, FLOOR(3.149, 2) AS f, " +
+      "WIDTH_BUCKET(7, 0, 10, 5) AS w, " +
+      "REGEXP_LIKE('URGENT', 'urgent', 'i') AS rl, " +
+      // Snowflake's ENTIRE-subject match: a contains-style pass-through
+      // would return true here
+      "REGEXP_LIKE('1-URGENT', 'URGENT') AS partial")
+    assert(r.get(0).toString == "3.15" && r.get(1).toString == "3.14")
+    assert(r.getLong(2) == 4L)
+    assert(r.getBoolean(3))
+    assert(!r.getBoolean(4))
+  }
+
   test("snowflake CONVERT_TIMEZONE 3-arg passes through and executes") {
     val r = snow1("SELECT CONVERT_TIMEZONE('UTC', 'America/Los_Angeles', " +
       "TIMESTAMP'2024-01-15 12:00:00') AS t")

@@ -77,7 +77,11 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "ARRAY_INTERSECTION(a, b)", "ARRAY_FLATTEN(a)",
     "REGEXP_REPLACE(t.x, '[0-9]')", "REGEXP_REPLACE(t.x, 'p', 'r', 1, 0, 'i')",
     "GENERATE_TIMESTAMP_ARRAY(a, b, INTERVAL 6 HOUR)",
-    "INT64(JSON_QUERY(t.x, '$.n'))", "LAX_STRING(t.x)", "LAX_BOOL(b)")
+    "INT64(JSON_QUERY(t.x, '$.n'))", "LAX_STRING(t.x)", "LAX_BOOL(b)",
+    // batch 11
+    "REGEXP_INSTR(t.x, 'ab+')", "REGEXP_INSTR(t.x, 'p+', 3)",
+    "REGEXP_LIKE(t.x, 'ab')", "RLIKE(t.x, 'ab', 'i')",
+    "WIDTH_BUCKET(a, 0, 100, 10)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")
 

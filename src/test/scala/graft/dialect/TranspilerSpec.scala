@@ -938,6 +938,42 @@ class TranspilerSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect batch 11: REGEXP_INSTR composition, REGEXP_LIKE/RLIKE params") {
+    import Transpiler.{transpileBigQuery, transpileSnowflake}
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'ab+') FROM t") ==
+      "SELECT IF(regexp_count(s, 'ab+') > 0, " +
+        "length(regexp_replace(s, '(?:ab+)[\\\\s\\\\S]*$', '')) + 1, 0) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'ab+', 3) FROM t") ==
+      "SELECT IF(regexp_count(substr(s, 3), 'ab+') > 0, " +
+        "(3) - 1 + length(regexp_replace(substr(s, 3), " +
+        "'(?:ab+)[\\\\s\\\\S]*$', '')) + 1, 0) FROM t")
+    // non-literal pattern / occurrence+ forms → repair loop
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, p) FROM t") ==
+      "SELECT REGEXP_INSTR(s, p) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'x', 1, 2) FROM t") ==
+      "SELECT REGEXP_INSTR(s, 'x', 1, 2) FROM t")
+    // the BigQuery arm shares the composition
+    assert(transpileBigQuery("SELECT REGEXP_INSTR(s, 'ab+') FROM t")
+      .startsWith("SELECT IF(regexp_count(s, 'ab+') > 0"))
+    // Snowflake REGEXP_LIKE/RLIKE match the ENTIRE subject (Spark's
+    // regexp_like is a contains) — anchored operator emission
+    assert(transpileSnowflake("SELECT REGEXP_LIKE(s, 'ab', 'i') FROM t") ==
+      "SELECT ((s) RLIKE '(?i)^(?:ab)$') FROM t")
+    assert(transpileSnowflake("SELECT RLIKE(s, 'ab', 'is') FROM t") ==
+      "SELECT ((s) RLIKE '(?is)^(?:ab)$') FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_LIKE(s, 'ab') FROM t") ==
+      "SELECT ((s) RLIKE '^(?:ab)$') FROM t")
+    // non-literal pattern → repair loop
+    assert(transpileSnowflake("SELECT REGEXP_LIKE(s, p) FROM t") ==
+      "SELECT REGEXP_LIKE(s, p) FROM t")
+    // idempotence
+    Seq("SELECT REGEXP_INSTR(s, 'ab+') FROM t",
+      "SELECT RLIKE(s, 'ab', 'i') FROM t").foreach { sql =>
+      val once = transpileSnowflake(sql)
+      assert(transpileSnowflake(once) == once, s"not idempotent: $once")
+    }
+  }
+
   test("OBJECT_CONSTRUCT: KEEP_NULL spelling maps; literal NULL value passes through") {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', x, 'b', NULL) FROM t") ==
