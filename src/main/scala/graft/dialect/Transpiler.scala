@@ -1208,7 +1208,11 @@ object Transpiler {
   private def regexParamPrefix(params: String): Option[String] =
     if (!params.forall(c => "cimse".indexOf(c) >= 0)) None
     else {
-      val flags = "ims".filter(params.contains(_))
+      // Snowflake reads parameters left-to-right with later ones
+      // overriding earlier: 'ic' is case-SENSITIVE (the trailing c
+      // wins over the i); m/s/e are independent presence toggles
+      val i = if (params.lastIndexOf('i') > params.lastIndexOf('c')) "i" else ""
+      val flags = i + "ms".filter(params.contains(_))
       Some(if (flags.isEmpty) "" else s"(?$flags)")
     }
 
@@ -1239,17 +1243,33 @@ object Transpiler {
     */
   private def rewriteRegexpInstr(sql: String): String =
     rewriteCall(sql, "REGEXP_INSTR") {
+      // NULL subject propagates (both warehouses return NULL; a bare
+      // IF would read the NULL guard as false and answer 0). The
+      // existence test stays regexp_count — an `RLIKE 'lit'` operator
+      // emission would be re-anchored by the Snowflake infix pass on
+      // re-transpile and silently turn into a full-match test.
       case Seq(s0, p) => fmtLit(p).map { lit =>
         val strip = s"'(?:$lit)[\\\\s\\\\S]*$$'"
-        s"IF(regexp_count($s0, '$lit') > 0, " +
-          s"length(regexp_replace($s0, $strip, '')) + 1, 0)"
+        s"(CASE WHEN ($s0) IS NULL THEN CAST(NULL AS INT) " +
+          s"WHEN regexp_count($s0, '$lit') > 0 " +
+          s"THEN length(regexp_replace($s0, $strip, '')) + 1 ELSE 0 END)"
       }
-      case Seq(s0, p, pos) => fmtLit(p).map { lit =>
-        val strip = s"'(?:$lit)[\\\\s\\\\S]*$$'"
-        val sub = subjFrom(s0, pos)
-        s"IF(regexp_count($sub, '$lit') > 0, " +
-          s"($pos) - 1 + length(regexp_replace($sub, $strip, '')) + 1, 0)"
-      }
+      // position: POSITIVE INTEGER LITERALS only (the warehouses RAISE
+      // on a non-positive position where substr would silently count
+      // from the end — the STRTOK precedent), bounded by the subject
+      // length so an empty-matching pattern past the end answers 0,
+      // not the position
+      case Seq(s0, p, pos)
+          if pos.trim.matches("\\+?\\d+") &&
+            pos.trim.stripPrefix("+").toLong >= 1 =>
+        fmtLit(p).map { lit =>
+          val strip = s"'(?:$lit)[\\\\s\\\\S]*$$'"
+          val sub = subjFrom(s0, pos)
+          s"(CASE WHEN ($s0) IS NULL THEN CAST(NULL AS INT) " +
+            s"WHEN ($pos) <= length($s0) AND regexp_count($sub, '$lit') > 0 " +
+            s"THEN ($pos) - 1 + length(regexp_replace($sub, $strip, '')) + 1 " +
+            "ELSE 0 END)"
+        }
       case _ => None
     }
 
@@ -2119,23 +2139,46 @@ object Transpiler {
     // REGEXP_LIKE / RLIKE function forms: Snowflake implicitly anchors
     // the pattern at BOTH ends (entire-subject match) where Spark's
     // regexp_like/RLIKE is a partial-match contains — a pass-through
-    // was a silent row-set divergence on every non-anchored pattern.
-    // Emitted as the RLIKE OPERATOR with ^(?:...)$ anchors (params →
-    // inline flags ahead of the anchor): the operator form has no
-    // following paren, so neither arm can ever re-match its output.
-    // Literal patterns only; others go to the repair loop.
+    // silently matched substrings (and Spark EXECUTES the 2-arg form
+    // natively, so it never even reached the repair loop). Emitted as
+    // the RLIKE OPERATOR — no following paren, so no arm re-matches —
+    // with \A(?:...)\z anchors: Java's '$' matches BEFORE a trailing
+    // newline and the 'm' param would relocate '^'/'$' to every line
+    // boundary, where \A/\z pin the whole subject regardless of
+    // flags. Non-literal patterns anchor through concat.
     Seq("REGEXP_LIKE", "RLIKE").foreach { name =>
       out = rewriteCall(out, name) {
-        case Seq(s0, p) => fmtLit(p).map(lit =>
-          s"(($s0) RLIKE '^(?:$lit)$$')")
+        case Seq(s0, p) => Some(fmtLit(p) match {
+          case Some(lit) => s"(($s0) RLIKE '\\\\A(?:$lit)\\\\z')"
+          case None => s"(($s0) RLIKE concat('\\\\A(?:', $p, ')\\\\z'))"
+        })
         case Seq(s0, p, params) =>
-          (fmtLit(p), fmtLit(params).flatMap(regexParamPrefix)) match {
-            case (Some(lit), Some(pre)) =>
-              Some(s"(($s0) RLIKE '$pre^(?:$lit)$$')")
-            case _ => None
+          fmtLit(params).flatMap(regexParamPrefix).map { pre =>
+            fmtLit(p) match {
+              case Some(lit) => s"(($s0) RLIKE '$pre\\\\A(?:$lit)\\\\z')"
+              case None =>
+                s"(($s0) RLIKE concat('$pre\\\\A(?:', $p, ')\\\\z'))"
+            }
           }
         case _ => None
       }
+    }
+    // Snowflake's INFIX regexp predicates carry the same
+    // entire-subject anchoring: `s [NOT] RLIKE 'p'` / `s [NOT] REGEXP
+    // 'p'` re-anchor onto \A(?:p)\z (literal patterns; the guard
+    // skips an already-anchored pattern, keeping the pass — and every
+    // function-arm emission above — idempotent)
+    out = guarded(out,
+      """(?i)\b(NOT\s+)?(RLIKE|REGEXP)\s+'((?:[^']|'')*)'""".r) { m =>
+      val not = Option(m.group(1)).getOrElse("")
+      val lit = m.group(3)
+      // already carries the \A(?:...)\z shape in the RAW SQL text —
+      // `\\A` on disk, since Spark's literal parser consumes one
+      // backslash level — (our own emissions, with or without a flags
+      // prefix) → leave; a user pattern with a bare inline-flags
+      // prefix still anchors, (?i) is valid inside the group
+      if (lit.contains("\\\\A(?:") && lit.endsWith(")\\\\z")) m.matched
+      else s"${not}RLIKE '\\\\A(?:$lit)\\\\z'"
     }
     // TRUNC(expr, part) — Snowflake's expr-FIRST date_trunc spelling.
     // Only recognized DATE parts rewrite, and a BARE (unquoted) part

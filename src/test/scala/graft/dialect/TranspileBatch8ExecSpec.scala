@@ -259,11 +259,15 @@ class TranspileBatch8ExecSpec extends SparkSpec {
     val r = snow1("SELECT REGEXP_INSTR('banana', 'an') AS a, " +
       "REGEXP_INSTR('banana', 'zz') AS z, " +
       "REGEXP_INSTR('a\nbcd', 'bc') AS nl, " +
-      "REGEXP_INSTR('banana', 'an', 3) AS p3")
+      "REGEXP_INSTR('banana', 'an', 3) AS p3, " +
+      "REGEXP_INSTR(CAST(NULL AS STRING), 'x') AS nu, " +
+      "REGEXP_INSTR('abc', 'x*', 9) AS oob")
     assert(r.getInt(0) == 2)
     assert(r.getInt(1) == 0)   // no match -> 0, like both warehouses
     assert(r.getInt(2) == 3)   // [\s\S] prefix crosses the newline
     assert(r.getInt(3) == 4)   // counted in the ORIGINAL subject
+    assert(r.isNullAt(4))      // NULL subject propagates, not 0
+    assert(r.getInt(5) == 0)   // empty-matching pattern past the end
   }
 
   test("natives proven: scale CEIL/FLOOR, WIDTH_BUCKET; anchored REGEXP_LIKE") {
@@ -272,11 +276,22 @@ class TranspileBatch8ExecSpec extends SparkSpec {
       "REGEXP_LIKE('URGENT', 'urgent', 'i') AS rl, " +
       // Snowflake's ENTIRE-subject match: a contains-style pass-through
       // would return true here
-      "REGEXP_LIKE('1-URGENT', 'URGENT') AS partial")
+      "REGEXP_LIKE('1-URGENT', 'URGENT') AS partial, " +
+      // params read left-to-right, later wins: 'ic' = case-sensitive
+      "REGEXP_LIKE('URGENT', 'urgent', 'ic') AS lastwins, " +
+      // \z (not $): '$' matches BEFORE a trailing newline
+      "REGEXP_LIKE('abc\n', 'abc') AS trailnl")
     assert(r.get(0).toString == "3.15" && r.get(1).toString == "3.14")
     assert(r.getLong(2) == 4L)
     assert(r.getBoolean(3))
     assert(!r.getBoolean(4))
+    assert(!r.getBoolean(5))
+    assert(!r.getBoolean(6))
+    // the INFIX spelling anchors too
+    val ix = spark.sql(Transpiler.transpileSnowflake(
+      "SELECT x RLIKE 'URGENT' AS a, x RLIKE '.*URGENT' AS b " +
+        "FROM VALUES ('1-URGENT') AS t(x)")).head()
+    assert(!ix.getBoolean(0) && ix.getBoolean(1))
   }
 
   test("snowflake CONVERT_TIMEZONE 3-arg passes through and executes") {

@@ -27,7 +27,8 @@ class TranspilerPropertySpec extends AnyFunSuite {
     "'SAFE.DIVIDE(a, b)'", "'FORMAT(''%d'', a)'",
     // batch 8 hostile literals: arm tokens inside strings stay verbatim
     "'LEAST(a, b)'", "'TO_HEX(MD5(x))'", "'s.index'",
-    "'RATIO_TO_REPORT(x) OVER (PARTITION BY g)'")
+    "'RATIO_TO_REPORT(x) OVER (PARTITION BY g)'",
+    "'x RLIKE ''p'''", "'REGEXP_INSTR(s, ''a'')'")
   private val calls = Vector(
     "DATEADD(day, 3, d)", "DATEDIFF(month, a, b)", "TO_CHAR(d, 'YYYY-MM')",
     "IFF(a > 1, 'x', 'y')", "x::NUMBER(10,2)", "ZEROIFNULL(n)",
@@ -81,6 +82,7 @@ class TranspilerPropertySpec extends AnyFunSuite {
     // batch 11
     "REGEXP_INSTR(t.x, 'ab+')", "REGEXP_INSTR(t.x, 'p+', 3)",
     "REGEXP_LIKE(t.x, 'ab')", "RLIKE(t.x, 'ab', 'i')",
+    "REGEXP_LIKE(t.x, b)", "t.x RLIKE 'ab'", "t.x NOT REGEXP 'a+'",
     "WIDTH_BUCKET(a, 0, 100, 10)")
   private val comments = Vector(
     "/* SAFE_DIVIDE inside */ a", "-- DATEADD(day, 1, x)\na")

@@ -941,34 +941,57 @@ class TranspilerSpec extends AnyFunSuite {
   test("dialect batch 11: REGEXP_INSTR composition, REGEXP_LIKE/RLIKE params") {
     import Transpiler.{transpileBigQuery, transpileSnowflake}
     assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'ab+') FROM t") ==
-      "SELECT IF(regexp_count(s, 'ab+') > 0, " +
-        "length(regexp_replace(s, '(?:ab+)[\\\\s\\\\S]*$', '')) + 1, 0) FROM t")
+      "SELECT (CASE WHEN (s) IS NULL THEN CAST(NULL AS INT) " +
+        "WHEN regexp_count(s, 'ab+') > 0 " +
+        "THEN length(regexp_replace(s, '(?:ab+)[\\\\s\\\\S]*$', '')) + 1 " +
+        "ELSE 0 END) FROM t")
     assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'ab+', 3) FROM t") ==
-      "SELECT IF(regexp_count(substr(s, 3), 'ab+') > 0, " +
-        "(3) - 1 + length(regexp_replace(substr(s, 3), " +
-        "'(?:ab+)[\\\\s\\\\S]*$', '')) + 1, 0) FROM t")
-    // non-literal pattern / occurrence+ forms → repair loop
+      "SELECT (CASE WHEN (s) IS NULL THEN CAST(NULL AS INT) " +
+        "WHEN (3) <= length(s) AND regexp_count(substr(s, 3), 'ab+') > 0 " +
+        "THEN (3) - 1 + length(regexp_replace(substr(s, 3), " +
+        "'(?:ab+)[\\\\s\\\\S]*$', '')) + 1 ELSE 0 END) FROM t")
+    // non-literal pattern, non-positive/non-literal position,
+    // occurrence+ forms → repair loop (the warehouses RAISE on a bad
+    // position where substr would silently count from the end)
     assert(transpileSnowflake("SELECT REGEXP_INSTR(s, p) FROM t") ==
       "SELECT REGEXP_INSTR(s, p) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'x', 0) FROM t") ==
+      "SELECT REGEXP_INSTR(s, 'x', 0) FROM t")
+    assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'x', p) FROM t") ==
+      "SELECT REGEXP_INSTR(s, 'x', p) FROM t")
     assert(transpileSnowflake("SELECT REGEXP_INSTR(s, 'x', 1, 2) FROM t") ==
       "SELECT REGEXP_INSTR(s, 'x', 1, 2) FROM t")
     // the BigQuery arm shares the composition
     assert(transpileBigQuery("SELECT REGEXP_INSTR(s, 'ab+') FROM t")
-      .startsWith("SELECT IF(regexp_count(s, 'ab+') > 0"))
+      .contains("regexp_count(s, 'ab+') > 0"))
     // Snowflake REGEXP_LIKE/RLIKE match the ENTIRE subject (Spark's
-    // regexp_like is a contains) — anchored operator emission
+    // regexp_like is a contains) — \A(?:...)\z anchors ('$' would
+    // match before a trailing newline; 'm' would relocate '^'/'$')
     assert(transpileSnowflake("SELECT REGEXP_LIKE(s, 'ab', 'i') FROM t") ==
-      "SELECT ((s) RLIKE '(?i)^(?:ab)$') FROM t")
+      "SELECT ((s) RLIKE '(?i)\\\\A(?:ab)\\\\z') FROM t")
     assert(transpileSnowflake("SELECT RLIKE(s, 'ab', 'is') FROM t") ==
-      "SELECT ((s) RLIKE '(?is)^(?:ab)$') FROM t")
+      "SELECT ((s) RLIKE '(?is)\\\\A(?:ab)\\\\z') FROM t")
     assert(transpileSnowflake("SELECT REGEXP_LIKE(s, 'ab') FROM t") ==
-      "SELECT ((s) RLIKE '^(?:ab)$') FROM t")
-    // non-literal pattern → repair loop
+      "SELECT ((s) RLIKE '\\\\A(?:ab)\\\\z') FROM t")
+    // Snowflake params read left-to-right, later wins: 'ic' is
+    // case-SENSITIVE
+    assert(transpileSnowflake("SELECT REGEXP_LIKE(s, 'ab', 'ic') FROM t") ==
+      "SELECT ((s) RLIKE '\\\\A(?:ab)\\\\z') FROM t")
+    // a NON-literal pattern anchors through concat — Spark would have
+    // EXECUTED the pass-through natively with contains semantics, so
+    // the repair loop was never reached
     assert(transpileSnowflake("SELECT REGEXP_LIKE(s, p) FROM t") ==
-      "SELECT REGEXP_LIKE(s, p) FROM t")
-    // idempotence
+      "SELECT ((s) RLIKE concat('\\\\A(?:', p, ')\\\\z')) FROM t")
+    // the INFIX spellings carry the same anchoring
+    assert(transpileSnowflake("SELECT * FROM t WHERE s RLIKE 'URGENT'") ==
+      "SELECT * FROM t WHERE s RLIKE '\\\\A(?:URGENT)\\\\z'")
+    assert(transpileSnowflake("SELECT * FROM t WHERE s NOT REGEXP 'a+'") ==
+      "SELECT * FROM t WHERE s NOT RLIKE '\\\\A(?:a+)\\\\z'")
+    // idempotence (function emissions survive the infix pass)
     Seq("SELECT REGEXP_INSTR(s, 'ab+') FROM t",
-      "SELECT RLIKE(s, 'ab', 'i') FROM t").foreach { sql =>
+      "SELECT RLIKE(s, 'ab', 'i') FROM t",
+      "SELECT REGEXP_LIKE(s, p) FROM t",
+      "SELECT * FROM t WHERE s RLIKE 'URGENT'").foreach { sql =>
       val once = transpileSnowflake(sql)
       assert(transpileSnowflake(once) == once, s"not idempotent: $once")
     }
