@@ -46,11 +46,21 @@ object Transpiler {
           out += ((c, if (c == '\'' || c == '"' || c == '`') region else Code, depth))
         case SingleQ =>
           out += ((c, SingleQ, depth))
-          if (c == '\'' && !(i + 1 < sql.length && sql.charAt(i + 1) == '\'')) region = Code
+          // Spark's default lexer honors BACKSLASH escapes inside
+          // string literals ('Can\'t' is one literal) alongside the
+          // ANSI '' doubling — real exemplar SQL carries both
+          // (snowflake/example_285: 'Can\'t Lose Them')
+          if (c == '\\' && i + 1 < sql.length) {
+            out += ((sql.charAt(i + 1), SingleQ, depth)); i += 1
+          }
+          else if (c == '\'' && !(i + 1 < sql.length && sql.charAt(i + 1) == '\'')) region = Code
           else if (c == '\'') { out += ((sql.charAt(i + 1), SingleQ, depth)); i += 1 }
         case DoubleQ =>
           out += ((c, DoubleQ, depth))
-          if (c == '"') region = Code
+          if (c == '\\' && i + 1 < sql.length) {
+            out += ((sql.charAt(i + 1), DoubleQ, depth)); i += 1
+          }
+          else if (c == '"') region = Code
         case Backtick =>
           out += ((c, Backtick, depth))
           if (c == '`') region = Code
@@ -317,12 +327,14 @@ object Transpiler {
     val n = sql.length
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') { // copy single-quoted literals verbatim ('' escape)
+      if (c == '\'') { // copy single-quoted literals verbatim ('' and \' escapes)
         sb.append(c); i += 1
         var done = false
         while (i < n && !done) {
           sb.append(sql.charAt(i))
-          if (sql.charAt(i) == '\'') {
+          if (sql.charAt(i) == '\\' && i + 1 < n) {
+            sb.append(sql.charAt(i + 1)); i += 1
+          } else if (sql.charAt(i) == '\'') {
             if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
             else done = true
           }
@@ -346,6 +358,178 @@ object Transpiler {
             (identifiers.isEmpty && identifierPosition(sql, start, i))
         if (isIdent) sb.append('`').append(t.replace("`", "``")).append('`')
         else sb.append('\'').append(t.replace("'", "''")).append('\'')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Find the first `--`/`#` comment marker in code position of a
+    * SINGLE-line statement: (markerStart, textStart after padding).
+    */
+  private def firstCommentMarker(sql: String): Option[(Int, Int)] = {
+    var i = 0
+    val n = sql.length
+    def skipQuoted(quote: Char): Unit = {
+      i += 1
+      var done = false
+      while (i < n && !done) {
+        if (sql.charAt(i) == '\\' && i + 1 < n && quote != '`') i += 1
+        else if (sql.charAt(i) == quote) {
+          if (quote != '`' && i + 1 < n && sql.charAt(i + 1) == quote) i += 1
+          else done = true
+        }
+        i += 1
+      }
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') skipQuoted(c)
+      else if ((c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') || c == '#') {
+        var j = i + (if (c == '#') 1 else 2)
+        while (j < n && sql.charAt(j) == ' ') j += 1
+        return Some((i, j))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Candidate comment-END positions inside a comment's text (relative
+    * to the segment, ascending; 0 excluded — a cut at 0 means the
+    * whole "comment" was commented-out code and dropping it entirely
+    * is the right heal). Each rule is a distinct flattening
+    * fingerprint observed in the exemplar corpus:
+    *  (a) `),` followed by 2+ spaces — a zero-indent CTE boundary the
+    *      comment swallowed (big_query/example_137);
+    *  (b) `, LATERAL` — a lateral join item resuming
+    *      (snowflake/example_283, whose PROSE also cites "LATERAL
+    *      FLATTEN", which is why parse-validation arbitrates);
+    *  (c) a 2+-space run — the original newline+indentation
+    *      (snowflake/example_10 `-- Align vector positions     GROUP BY`);
+    *  (d) an UPPERCASE clause keyword — zero-indent code resuming
+    *      (snowflake/example_295 `-- Join with the language table
+    *      INNER JOIN ...`; prose says "Join", code says "JOIN", so
+    *      the match is case-SENSITIVE);
+    *  (e) `<tok> AS (` — a CTE definition resuming
+    *      (snowflake/example_143 `WITH -- Studies that have MR
+    *      volumes "mr_studies" AS (`).
+    */
+  private def commentCutCandidates(seg: String): Seq[Int] = {
+    val cands = Seq.newBuilder[Int]
+    """\),(?=\s\s)""".r.findFirstMatchIn(seg).foreach(cands += _.start)
+    """,\s*(?:LATERAL)\b""".r.findFirstMatchIn(seg).foreach(cands += _.start)
+    """  +""".r.findFirstMatchIn(seg).foreach(cands += _.start)
+    """(?<![A-Za-z0-9_])(WITH|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|SELECT|FROM|GROUP|ORDER|HAVING|LIMIT|UNION|QUALIFY)(?![A-Za-z0-9_])"""
+      .r.findFirstMatchIn(seg).foreach(cands += _.start)
+    """(\S+)\s+AS\s*\(""".r.findFirstMatchIn(seg)
+      .foreach(m => cands += m.start(1))
+    cands.result().filter(_ > 0).distinct.sorted
+  }
+
+  /** Heal `--`/`#` line comments in statements that were FLATTENED to
+    * one line, returning CANDIDATE healings (first = preferred). The
+    * reference stores each exemplar's SQL as a single line
+    * (files/reasoning_examples/system, the final `# [Sql]:` line), so
+    * a line comment the author wrote on its own line now swallows the
+    * rest of the statement — 66 of the corpus's 88 round-19 parse
+    * failures were exactly this. A comment's true end is recovered
+    * from flattening fingerprints (commentCutCandidates); because
+    * prose can cite SQL ("... to GROUP BY clause", "LATERAL FLATTEN
+    * expands..."), the fingerprints alone are ambiguous, so the
+    * DIALECT ARMS try each candidate in order and keep the first
+    * whose fully-transpiled output PARSES. Only single-line
+    * statements produce variants: in multi-line SQL the newline
+    * already ends the comment and normal semantics win. Safe
+    * direction: a wrong cut yields residue that fails parse LOUDLY
+    * (repair loop); parse-validation then moves to the next
+    * candidate — a working statement is never silently changed.
+    */
+  private[dialect] def healVariants(sql: String, cap: Int = 24): Seq[String] = {
+    if (sql.contains('\n') || (!sql.contains("--") && !sql.contains("#")))
+      return Seq(sql)
+    firstCommentMarker(sql) match {
+      case None => Seq(sql)
+      case Some((mStart, tStart)) =>
+        val seg = sql.substring(tStart)
+        val prefix = sql.substring(0, mStart)
+        val cutVariants = commentCutCandidates(seg)
+          .map(cut => prefix + " " + seg.substring(cut))
+        val variants = (cutVariants :+ prefix.trim).distinct // last: drop all
+        variants.iterator
+          .flatMap(v => healVariants(v, cap)) // heal any LATER comment
+          .take(cap).toSeq
+    }
+  }
+
+  /** Single-choice heal (the preferred variant) — used by the generic
+    * arm, which stays sessionless-lexical.
+    */
+  private[dialect] def healFlattenedComments(sql: String): String =
+    healVariants(sql).head
+
+  /** True iff Spark's Catalyst parser accepts the statement (parse
+    * only — no session, no resolution).
+    */
+  private def parsesOk(s: String): Boolean =
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(s)
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Run `pipeline` over the comment-heal variants of `sql`, keeping
+    * the first whose output parses; statements without comments (the
+    * overwhelming norm) pay zero parse overhead.
+    */
+  private def healedThen(sql: String)(pipeline: String => String): String = {
+    val vs = healVariants(sql)
+    if (vs.lengthCompare(1) == 0) pipeline(vs.head)
+    else {
+      val outs = vs.iterator.map(pipeline)
+      outs.find(parsesOk).getOrElse(pipeline(vs.head))
+    }
+  }
+
+  /** Snowflake/BigQuery-strict double-quote handling: in Snowflake a
+    * double-quoted token is ALWAYS an identifier (string literals are
+    * single-quoted only), so — unlike the sqlite arm's known-set /
+    * position heuristics — every `"x"` rewrites to a backtick-quoted
+    * Spark identifier unconditionally. `""` inside quotes un-escapes
+    * to a literal `"` in the name. Single-quoted literals are copied
+    * verbatim so a quote character inside a string never starts a
+    * region. Exemplar evidence: the reference's Spider2-class corpus
+    * (files/reasoning_examples/system/snowflake/example_10.txt etc.)
+    * is saturated with `t5."publication_number"` references.
+    */
+  private def rewriteQuotedIdentifiers(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(sql.charAt(i))
+          if (sql.charAt(i) == '\\' && i + 1 < n) { // \' escape (Spark/Snowflake)
+            sb.append(sql.charAt(i + 1)); i += 1
+          } else if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '"') {
+        i += 1
+        val tok = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val d = sql.charAt(i)
+          if (d == '"') {
+            if (i + 1 < n && sql.charAt(i + 1) == '"') { tok.append('"'); i += 2 }
+            else { closed = true; i += 1 }
+          } else { tok.append(d); i += 1 }
+        }
+        sb.append('`').append(tok.toString.replace("`", "``")).append('`')
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -1064,10 +1248,14 @@ object Transpiler {
                 else ok = false
               }
               if (ok) {
-                val outer = if (isLeft) "OUTER " else ""
+                // comma-LATERAL generator form (same reason as the
+                // FLATTEN pass): `LATERAL VIEW` must follow the whole
+                // join chain, so `... UNNEST(x) AS i JOIN y ON ...`
+                // (big_query/example_155) could never parse that way
+                val sfx = if (isLeft) "_OUTER" else ""
                 val lat = offsetAlias match {
-                  case Some(o) => s" LATERAL VIEW ${outer}POSEXPLODE($arr) AS $o, $alias"
-                  case None => s" LATERAL VIEW ${outer}EXPLODE($arr) AS $alias"
+                  case Some(o) => s", LATERAL POSEXPLODE$sfx($arr) AS ($o, $alias)"
+                  case None => s", LATERAL EXPLODE$sfx($arr) AS ($alias)"
                 }
                 val prefix = sql.substring(0, connStart)
                   .reverse.dropWhile(_.isWhitespace).reverse
@@ -1080,6 +1268,104 @@ object Transpiler {
       }
     }
     rewritten.map(rewriteFromUnnest).getOrElse(sql)
+  }
+
+  /** Start index of the primary expression ending just before `at`:
+    * a dotted identifier chain (backticked parts allowed) or a
+    * call/paren group with optional function name. Used by the
+    * SAFE_OFFSET subscript rewrite, which must wrap its BASE in
+    * `get(base, idx)`.
+    */
+  private def baseExprStart(sql: String,
+      tagged: IndexedSeq[(Char, Region, Int)], at: Int): Int = {
+    var b = at - 1
+    while (b >= 0 && sql.charAt(b).isWhitespace) b -= 1
+    if (b < 0) -1
+    else if (sql.charAt(b) == ')') {
+      // matching '(' records depth d+1 where this ')' records d
+      val d = tagged(b)._3
+      var k = b - 1
+      while (k >= 0 && !(sql.charAt(k) == '(' && tagged(k)._2 == Code &&
+          tagged(k)._3 == d + 1)) k -= 1
+      if (k < 0) -1
+      else {
+        var s0 = k - 1
+        while (s0 >= 0 && sql.charAt(s0).isWhitespace) s0 -= 1
+        if (s0 >= 0 && (Character.isLetterOrDigit(sql.charAt(s0)) ||
+            sql.charAt(s0) == '_')) {
+          while (s0 >= 0 && (Character.isLetterOrDigit(sql.charAt(s0)) ||
+              sql.charAt(s0) == '_')) s0 -= 1
+          s0 + 1
+        } else k
+      }
+    } else if (Character.isLetterOrDigit(sql.charAt(b)) ||
+        sql.charAt(b) == '_' || sql.charAt(b) == '`') {
+      var k = b
+      var cont = true
+      while (cont && k >= 0) {
+        if (sql.charAt(k) == '`') {
+          var q = k - 1
+          while (q >= 0 && sql.charAt(q) != '`') q -= 1
+          if (q < 0) return -1
+          k = q - 1
+        } else {
+          while (k >= 0 && (Character.isLetterOrDigit(sql.charAt(k)) ||
+              sql.charAt(k) == '_')) k -= 1
+        }
+        if (k >= 0 && sql.charAt(k) == '.') k -= 1 else cont = false
+      }
+      k + 1
+    } else -1
+  }
+
+  /** BigQuery array subscripts: `x[OFFSET(n)]` (0-based, error on
+    * out-of-bounds — matches Spark's ANSI `x[n]` exactly, so the
+    * wrapper just drops), `x[ORDINAL(n)]` (1-based → `[n-1]`), and
+    * the SAFE_ variants (NULL on out-of-bounds → Spark `get(x, n)`,
+    * which needs the base expression scanned backwards). Exemplar
+    * evidence: big_query/example_88 `...[SAFE_OFFSET(0)]`.
+    */
+  private def rewriteArraySubscripts(sql: String): String = {
+    val tagged = lex(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '[' && tagged(i)._2 == Code) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val ws = j
+        while (j < sql.length && (sql.charAt(j).isLetter ||
+            sql.charAt(j) == '_')) j += 1
+        val word = sql.substring(ws, j).toUpperCase
+        if (Set("OFFSET", "ORDINAL", "SAFE_OFFSET", "SAFE_ORDINAL")(word)) {
+          var k = j
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          if (k < sql.length && sql.charAt(k) == '(') {
+            val close = matchParen(sql, tagged, k)
+            if (close > 0) {
+              var m = close + 1
+              while (m < sql.length && sql.charAt(m).isWhitespace) m += 1
+              if (m < sql.length && sql.charAt(m) == ']') {
+                val n = sql.substring(k + 1, close).trim
+                val zeroIdx =
+                  if (word.endsWith("ORDINAL")) s"($n) - 1" else s"($n)"
+                if (word.startsWith("SAFE_")) {
+                  val bStart = baseExprStart(sql, tagged, i)
+                  if (bStart >= 0) {
+                    val base = sql.substring(bStart, i).trim
+                    return rewriteArraySubscripts(sql.substring(0, bStart) +
+                      s"get($base, $zeroIdx)" + sql.substring(m + 1))
+                  }
+                } else
+                  return rewriteArraySubscripts(sql.substring(0, i) +
+                    s"[$zeroIdx]" + sql.substring(m + 1))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
   }
 
   /** Snowflake `[,|CROSS JOIN|LEFT JOIN] [LATERAL] FLATTEN(input =>
@@ -1173,13 +1459,22 @@ object Transpiler {
       }
       if (!shapeOk) None
       else {
-        val outerKw = if (outer || isLeft) "OUTER " else ""
-        val aliasSeg = aliasOpt.map(a => s" $a").getOrElse("")
+        // comma-LATERAL generator form, NOT `LATERAL VIEW`: Spark's
+        // grammar puts LATERAL VIEW after the whole join chain, so a
+        // statement that JOINs another relation AFTER the flatten
+        // (exemplar corpus: snowflake/example_11,119 — `LATERAL
+        // FLATTEN(...) f LEFT JOIN crossover ON f.value...`) could
+        // never parse in that form. `FROM t, LATERAL POSEXPLODE(e)
+        // AS f(index, value) JOIN u ON ...` parses and keeps lateral
+        // correlation; OUTER flattens (and LEFT JOIN ... ON TRUE
+        // connectors) map to POSEXPLODE_OUTER, which keeps the row
+        // with NULLs exactly like Snowflake's OUTER => TRUE.
+        val fn = if (outer || isLeft) "POSEXPLODE_OUTER" else "POSEXPLODE"
+        val aliasSeg = aliasOpt.map(a => s" AS $a(index, value)")
+          .getOrElse(" AS (index, value)")
         val prefix = sql.substring(0, connStart)
           .reverse.dropWhile(_.isWhitespace).reverse
-        Some(prefix +
-          s" LATERAL VIEW ${outerKw}POSEXPLODE($arr)$aliasSeg AS index, value" +
-          sql.substring(fin))
+        Some(prefix + s", LATERAL $fn($arr)$aliasSeg" + sql.substring(fin))
       }
     }
   }
@@ -1532,28 +1827,45 @@ object Transpiler {
       i += 1 // past the ':' or '.' separator
       if (first) { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
       val s0 = i
-      if (i < sql.length &&
-          (Character.isLetter(sql.charAt(i)) || sql.charAt(i) == '_')) {
-        while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
-            sql.charAt(i) == '_')) i += 1
+      // quoted key segments: Snowflake `:"key"` arrives here as
+      // :`key` (rewriteQuotedIdentifiers runs first), and the corpus's
+      // Spider2-lite statements carry the :'key' literal spelling
+      // (sqlite/example_287: `PARSE_JSON(DEPARTURE.city):'en'`). A
+      // non-simple key emits JSONPath bracket syntax.
+      val quote = if (i < sql.length &&
+        (sql.charAt(i) == '`' || sql.charAt(i) == '\'')) sql.charAt(i) else ' '
+      val key: String =
+        if (quote != ' ') {
+          val close = sql.indexOf(quote, i + 1)
+          if (close < 0) return ("", at)
+          i = close + 1
+          sql.substring(s0 + 1, close)
+        } else if (i < sql.length &&
+            (Character.isLetter(sql.charAt(i)) || sql.charAt(i) == '_')) {
+          while (i < sql.length && (Character.isLetterOrDigit(sql.charAt(i)) ||
+              sql.charAt(i) == '_')) i += 1
+          sql.substring(s0, i)
+        } else return ("", at)
+      if (key.isEmpty) return ("", at)
+      if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) {
         if (sb.nonEmpty) sb.append('.')
-        sb.append(sql.substring(s0, i))
-        first = false
-        // optional [n] array indices, digits only
-        var brkFail = false
-        while (!brkFail && i < sql.length && sql.charAt(i) == '[') {
-          val c2 = sql.indexOf(']', i)
-          val idx = if (c2 > 0) sql.substring(i + 1, c2).trim else ""
-          if (c2 > 0 && idx.nonEmpty && idx.forall(_.isDigit)) {
-            sb.append('[').append(idx).append(']'); i = c2 + 1
-          } else brkFail = true
-        }
-        if (brkFail) return ("", at)
-        // adjacent continuation: '.' or a single ':' (never '::')
-        val cont = i < sql.length && (sql.charAt(i) == '.' ||
-          (sql.charAt(i) == ':' && (i + 1 >= sql.length || sql.charAt(i + 1) != ':')))
-        if (!cont) done = true
-      } else return ("", at)
+        sb.append(key)
+      } else sb.append("['").append(key.replace("'", "\\'")).append("']")
+      first = false
+      // optional [n] array indices, digits only
+      var brkFail = false
+      while (!brkFail && i < sql.length && sql.charAt(i) == '[') {
+        val c2 = sql.indexOf(']', i)
+        val idx = if (c2 > 0) sql.substring(i + 1, c2).trim else ""
+        if (c2 > 0 && idx.nonEmpty && idx.forall(_.isDigit)) {
+          sb.append('[').append(idx).append(']'); i = c2 + 1
+        } else brkFail = true
+      }
+      if (brkFail) return ("", at)
+      // adjacent continuation: '.' or a single ':' (never '::')
+      val cont = i < sql.length && (sql.charAt(i) == '.' ||
+        (sql.charAt(i) == ':' && (i + 1 >= sql.length || sql.charAt(i + 1) != ':')))
+      if (!cont) done = true
     }
     (sb.toString, i)
   }
@@ -1642,7 +1954,7 @@ object Transpiler {
     * deeper paths one hop per pass.
     */
   private val variantPathRe =
-    """([A-Za-z_][A-Za-z0-9_]*)\s*:(?!:)\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+    """([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*:(?!:)\s*([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)""".r
 
   private def rewriteVariantPaths(sql: String): String = {
     val once = guarded(sql, variantPathRe)(m => s"${m.group(1)}.${m.group(2)}")
@@ -1670,7 +1982,18 @@ object Transpiler {
     * Spark 4 functions with matching semantics. Idempotent.
     */
   def transpileSnowflake(sql: String): String = {
-    var out = sql.trim.stripSuffix(";")
+    // FIRST: cut post-statement prose, then run the arm body over the
+    // comment-heal variants, keeping the first that parses.
+    val pre = truncateAtStatementEnd(sql.trim.stripSuffix(";"))
+      .trim.stripSuffix(";")
+    healedThen(pre)(snowflakeBody)
+  }
+
+  private def snowflakeBody(sql0: String): String = {
+    // rewrite double-quoted tokens (always identifiers in Snowflake)
+    // to backticks so every later lexical pass sees Spark identifier
+    // syntax instead of what Spark would lex as a string.
+    var out = rewriteQuotedIdentifiers(sql0)
     // SPLIT_TO_TABLE(s, d) is FLATTEN over a split — rewrite into the
     // FLATTEN form BEFORE the flatten pass so one machinery handles
     // TABLE(...)/LATERAL/comma connectors and aliases for both. The
@@ -2225,6 +2548,13 @@ object Transpiler {
       m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
     out = rewriteIlikeAny(out)
     out = rewriteCastColons(out, SnowflakeBareTypes, SnowflakeParenTypes)
+    // CAST(x AS NUMBER[(p,s)]) — same mapping as the `::` form (the
+    // exemplar corpus carries it spelled out, snowflake/example_208).
+    // The BARE form requires the CAST's closing paren right after:
+    // `COUNT(*) AS number` is an ALIAS named number
+    // (snowflake/example_246) and must not become a type.
+    out = guarded(out, """(?i)\bAS\s+NUMBER\s*\(""".r)(_ => "AS DECIMAL(")
+    out = guarded(out, """(?i)\bAS\s+NUMBER\s*(?=\))""".r)(_ => "AS DECIMAL(38,0)")
     out = rewriteVariantPaths(out)
     out = replaceToken(out, "IFF", "IF")
     // DATE_TRUNC('part', expr) is part-first in Snowflake, same as
@@ -2304,8 +2634,24 @@ object Transpiler {
     * Spark's default DECIMAL(10,0) would silently truncate.
     */
   def transpileBigQuery(sql: String): String = {
-    var out = sql.trim.stripSuffix(";")
+    val pre = truncateAtStatementEnd(sql.trim.stripSuffix(";"))
+      .trim.stripSuffix(";")
+    healedThen(pre)(bigQueryBody)
+  }
+
+  private def bigQueryBody(sql0: String): String = {
+    var out = sql0
     out = rewriteBacktickPaths(out)
+    // Unquoted dash-ed project heads (`FROM bigquery-public-data.x.y`)
+    // are legal BigQuery table paths but lex as subtraction in Spark.
+    // Quote ONLY a dashed head in table position (directly after
+    // FROM/JOIN), never bare dashed tokens elsewhere — `a.price-b.qty`
+    // arithmetic must stay arithmetic. Exemplar evidence:
+    // files/reasoning_examples/system/big_query (134× unquoted
+    // bigquery-public-data., plus firebase-public-project. etc.).
+    out = guarded(out,
+      """(?i)\b(FROM|JOIN)(\s+)([A-Za-z_][A-Za-z0-9_]*(?:-[A-Za-z0-9_]+)+)(?=\.)""".r)(
+      m => s"${m.group(1)}${m.group(2)}`${m.group(3)}`")
     // the `SAFE.` FUNCTION PREFIX is BigQuery's general NULL-on-error
     // spelling: normalize `SAFE.FN(` to `SAFE_FN(` FIRST — before any
     // function map runs, so a dotted SAFE.PARSE_DATE cannot be
@@ -2482,23 +2828,46 @@ object Transpiler {
       case _ => None
     }
     // BigQuery ARRAY_AGG(x ORDER BY k): the ordering sits INSIDE the
-    // call; Spark's array_agg takes none → sort-aware collect
+    // call; Spark's array_agg takes none → sort-aware collect. An
+    // `IGNORE NULLS` modifier (big_query/example_88) strips before the
+    // ORDER split; the ordered emission re-filters NULL values after
+    // the transform (the sort key rode along in a non-null struct),
+    // while the plain form needs nothing — Spark's collect_list
+    // already skips NULLs. (BigQuery ERRORS on null elements without
+    // IGNORE NULLS where Spark drops them — error-vs-drop only,
+    // never a silent wrong value.)
     out = rewriteCall(out, "ARRAY_AGG") { args =>
-      val idx = args.indexWhere(a => findTopLevelKeyword(a, "ORDER") >= 0)
-      if (idx < 0 || args.size != 1) None
+      if (args.size != 1) None
       else {
-        val a = args(idx)
+        var a = args.head
+        var ignoreNulls = false
+        val ig = findTopLevelKeyword(a, "IGNORE")
+        if (ig >= 0) {
+          val byAt = findTopLevelKeyword(a, "NULLS", ig + 6)
+          if (byAt == ig + 7 || (byAt > 0 &&
+              a.substring(ig + 6, byAt).trim.isEmpty)) {
+            ignoreNulls = true
+            a = (a.substring(0, ig) + a.substring(byAt + 5)).trim
+          }
+        }
         val p = findTopLevelKeyword(a, "ORDER")
-        val byAt = findTopLevelKeyword(a, "BY", p + 5)
-        if (byAt < 0 || findTopLevelKeyword(a, "LIMIT") >= 0) None
-        else {
-          val rawArg = a.substring(0, p).trim
-          val distinct = rawArg.toUpperCase.startsWith("DISTINCT ")
-          val x = if (distinct) rawArg.substring(9).trim else rawArg
-          sortAwareCollect(x, a.substring(byAt + 2).trim, distinct)
+        if (p < 0) {
+          if (ignoreNulls) Some(s"array_agg($a)") else None
+        } else {
+          val byAt = findTopLevelKeyword(a, "BY", p + 5)
+          if (byAt < 0 || findTopLevelKeyword(a, "LIMIT") >= 0) None
+          else {
+            val rawArg = a.substring(0, p).trim
+            val distinct = rawArg.toUpperCase.startsWith("DISTINCT ")
+            val x = if (distinct) rawArg.substring(9).trim else rawArg
+            sortAwareCollect(x, a.substring(byAt + 2).trim, distinct)
+              .map(s0 => if (ignoreNulls)
+                s"filter($s0, __iv -> __iv IS NOT NULL)" else s0)
+          }
         }
       }
     }
+    out = rewriteArraySubscripts(out)
     // STRING_AGG(x[, sep] ORDER BY k) → WITHIN GROUP form (Spark's
     // string_agg/listagg take the ordering outside the argument list)
     out = rewriteCall(out, "STRING_AGG") { args =>
@@ -2560,21 +2929,10 @@ object Transpiler {
       case Seq(x, b) => Some(s"(ln($x) / ln($b))")
       case _ => None
     }
-    // array element access: [OFFSET(i)] is 0-based like Spark's [] —
-    // unwrap; [ORDINAL(i)] is 1-based — shift; the SAFE_ forms return
-    // NULL out of range → try_element_at (1-based), captured with a
-    // simple base expression (identifier/dotted path; anything fancier
-    // goes to the repair loop)
-    out = guarded(out, """(?i)\[\s*OFFSET\s*\(([^()]*)\)\s*\]""".r)(
-      m => s"[(${m.group(1)})]")
-    out = guarded(out, """(?i)\[\s*ORDINAL\s*\(([^()]*)\)\s*\]""".r)(
-      m => s"[(${m.group(1)}) - 1]")
-    out = guarded(out,
-      """(?i)([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*SAFE_OFFSET\s*\(([^()]*)\)\s*\]""".r)(
-      m => s"try_element_at(${m.group(1)}, (${m.group(2)}) + 1)")
-    out = guarded(out,
-      """(?i)([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*SAFE_ORDINAL\s*\(([^()]*)\)\s*\]""".r)(
-      m => s"try_element_at(${m.group(1)}, (${m.group(2)}))")
+    // array element access ([OFFSET]/[ORDINAL]/SAFE_ forms) is handled
+    // by rewriteArraySubscripts (lexical, call-shaped bases included —
+    // the exemplar corpus carries `transform(...)[SAFE_OFFSET(0)]`,
+    // big_query/example_88, which a regex base could never capture)
     // CONTAINS_SUBSTR: case-insensitive containment (BigQuery also
     // NFKC-normalizes — divergence only on exotic codepoints)
     out = rewriteCall(out, "CONTAINS_SUBSTR") {
@@ -2771,9 +3129,11 @@ object Transpiler {
   def transpileSqlite(sql: String): String = transpileSqlite(sql, Set.empty)
 
   def transpileSqlite(sql: String, identifiers: Set[String]): String =
-    replaceToken(
-      transpile(rewriteBareGroupBy(rewriteDoubleQuoted(sql, identifiers))),
-      "LIKE", "ILIKE")
+    healedThen(truncateAtStatementEnd(sql)) { s =>
+      replaceToken(
+        transpile(rewriteBareGroupBy(rewriteDoubleQuoted(s, identifiers))),
+        "LIKE", "ILIKE")
+    }
 
   /** Dialect name → rewrite (the reference Engine.dialect values the
     * executors target, `core/db_connect.py:49-136`). sqlite's
@@ -2791,9 +3151,112 @@ object Transpiler {
       case _                    => transpile
     }
 
+  /** Cut everything after the first top-level statement terminator:
+    * several exemplar `# [Sql]:` lines carry post-statement prose
+    * (big_query/example_60: `... LIMIT 1;   2. **Schema Compliance**:
+    * ...`). A lone trailing `;` is left for the normal stripSuffix.
+    */
+  private def truncateAtStatementEnd(sql: String): String = {
+    val tagged = lex(sql)
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == ';' && tagged(i)._2 == Code)
+        return if (sql.substring(i + 1).trim.nonEmpty) sql.substring(0, i)
+          else sql
+      i += 1
+    }
+    sql
+  }
+
+  /** Trailing commas BigQuery/Snowflake accept but Spark does not:
+    * a select-list comma directly before FROM (big_query/example_24)
+    * and a dangling comma after the last CTE before the main SELECT
+    * (snowflake/example_291). Neither shape is ever valid Spark, so
+    * the rewrite can only fix.
+    */
+  private def rewriteTrailingCommas(sql: String): String = {
+    val a = guarded(sql, """,\s*(?=(?i:FROM)\b)""".r)(_ => " ")
+    guarded(a, """\)\s*,\s*(?=(?i:SELECT)\b)""".r)(_ => ") ")
+  }
+
+  /** A single ORPHAN close-paren at the very end of the statement
+    * (snowflake/example_288 ends `... LIMIT 1 )` with 40 opens / 41
+    * closes): dropped iff the rest of the statement is internally
+    * balanced — i.e. depth only dips negative AT the final char.
+    */
+  private def healTrailingParen(sql: String): String = {
+    val t = sql.trim
+    if (t.isEmpty || t.last != ')') return sql
+    val tagged = lex(t)
+    if (tagged.last._3 != -1) return sql
+    var i = 0
+    while (i < tagged.length - 1) {
+      if (tagged(i)._3 < 0) return sql
+      i += 1
+    }
+    t.substring(0, t.length - 1).trim
+  }
+
+  /** ANSI `FETCH {FIRST|NEXT} n {ROW|ROWS} ONLY` → LIMIT n (Spark has
+    * no FETCH clause; Spider2-lite statements in the reference's
+    * sqlite exemplar pool carry it — sqlite/example_301).
+    */
+  private def rewriteFetchFirst(sql: String): String =
+    guarded(sql,
+      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b""".r)(
+      m => s"LIMIT ${m.group(1)}")
+
+  /** `USING ('col1', 'col2')` — quoted column names inside USING are
+    * accepted by Snowflake/DuckDB but not Spark; strip to identifiers
+    * (sqlite/example_296: `USING ('category_id')`). Only fires when
+    * every element is quoted-identifier-shaped, so a genuine function
+    * call named USING is untouched.
+    */
+  private def rewriteUsingQuoted(sql: String): String =
+    guarded(sql, """(?i)\bUSING\s*\(\s*('[^')]+'(?:\s*,\s*'[^')]+')*)\s*\)""".r) {
+      m =>
+        val cols = m.group(1).split(",").map(_.trim.stripPrefix("'")
+          .stripSuffix("'"))
+        val ids = cols.map(c =>
+          if (c.matches("[A-Za-z_][A-Za-z0-9_]*")) c
+          else "`" + c.replace("`", "``") + "`")
+        s"USING (${ids.mkString(", ")})"
+    }
+
+  /** `AS 'alias text'` → backtick alias: sqlite tolerates single-quoted
+    * aliases (sqlite/example_101: `AS 'number of product being
+    * viewed'`); `AS` followed directly by a string literal is never
+    * valid Spark, so the rewrite can only fix.
+    */
+  private def rewriteQuotedAlias(sql: String): String =
+    guarded(sql, """(?i)\bAS\s+'((?:[^']|'')+)'""".r)(
+      m => "AS `" + m.group(1).replace("''", "'").replace("`", "``") + "`")
+
   /** Full rewrite pipeline. Idempotent. */
   def transpile(sql: String): String = {
-    var out = sql.trim.stripSuffix(";")
+    var out = truncateAtStatementEnd(sql).trim.stripSuffix(";")
+    out = rewriteTrailingCommas(out)
+    out = healTrailingParen(out)
+    out = rewriteFetchFirst(out)
+    out = rewriteUsingQuoted(out)
+    out = rewriteQuotedAlias(out)
+    // Spider2-lite pools mix dialects: the sqlite exemplar dir carries
+    // Snowflake-style JSON-text paths (PARSE_JSON(x):'en' —
+    // sqlite/example_287); the pass no-ops without the token.
+    if (containsToken(out, "PARSE_JSON")) out = rewriteParseJsonPaths(out)
+    // ... and DuckDB-style DATEDIFF('unit', a, b) (sqlite/example_296)
+    // — QUOTED literal unit only (a bare first arg could be a column
+    // of a 3-arg UDF), boundary-counting like DuckDB/Snowflake.
+    out = rewriteCall(out, "DATEDIFF") {
+      case Seq(u, a, b) if u.trim.startsWith("'") =>
+        normUnit(u).map(dateDiffSql(_, a, b))
+      case _ => None
+    }
+    // ... and single-quoted table aliases (sqlite/example_303:
+    // `FROM RENTAL 're' JOIN STAFF 'st'`)
+    out = guarded(out,
+      """(?i)\b(FROM|JOIN)(\s+)([A-Za-z_][A-Za-z0-9_.`]*)(\s+)'([A-Za-z_][A-Za-z0-9_]*)'""".r)(
+      m => s"${m.group(1)}${m.group(2)}${m.group(3)}${m.group(4)}`${m.group(5)}`")
     out = rewriteQualify(out)
     out = rewriteStrftime(out)
     out = rewriteSqliteDates(out)

@@ -378,15 +378,15 @@ class TranspilerSpec extends AnyFunSuite {
   test("transpileBigQuery: FROM-clause UNNEST → LATERAL VIEW") {
     import Transpiler.transpileBigQuery
     assert(transpileBigQuery("SELECT x FROM t, UNNEST(t.arr) AS x") ==
-      "SELECT x FROM t LATERAL VIEW EXPLODE(t.arr) AS x")
+      "SELECT x FROM t, LATERAL EXPLODE(t.arr) AS (x)")
     assert(transpileBigQuery("SELECT x FROM t CROSS JOIN UNNEST(arr) x") ==
-      "SELECT x FROM t LATERAL VIEW EXPLODE(arr) AS x")
+      "SELECT x FROM t, LATERAL EXPLODE(arr) AS (x)")
     assert(transpileBigQuery(
       "SELECT x, o FROM t, UNNEST(arr) AS x WITH OFFSET AS o WHERE o < 2") ==
-      "SELECT x, o FROM t LATERAL VIEW POSEXPLODE(arr) AS o, x WHERE o < 2")
+      "SELECT x, o FROM t, LATERAL POSEXPLODE(arr) AS (o, x) WHERE o < 2")
     assert(transpileBigQuery(
       "SELECT x FROM t LEFT JOIN UNNEST(t.arr) AS x ON TRUE") ==
-      "SELECT x FROM t LATERAL VIEW OUTER EXPLODE(t.arr) AS x")
+      "SELECT x FROM t, LATERAL EXPLODE_OUTER(t.arr) AS (x)")
     // IN UNNEST is a membership test, not an expansion
     assert(transpileBigQuery("SELECT * FROM t WHERE k IN UNNEST(arr)") ==
       "SELECT * FROM t WHERE array_contains(arr, k)")
@@ -404,16 +404,16 @@ class TranspilerSpec extends AnyFunSuite {
     import Transpiler.transpileSnowflake
     assert(transpileSnowflake(
       "SELECT t.id, f.value FROM t, LATERAL FLATTEN(input => t.arr) f") ==
-      "SELECT t.id, f.value FROM t LATERAL VIEW POSEXPLODE(t.arr) f AS index, value")
+      "SELECT t.id, f.value FROM t, LATERAL POSEXPLODE(t.arr) AS f(index, value)")
     assert(transpileSnowflake(
       "SELECT f.value FROM t, TABLE(FLATTEN(input => arr)) f") ==
-      "SELECT f.value FROM t LATERAL VIEW POSEXPLODE(arr) f AS index, value")
+      "SELECT f.value FROM t, LATERAL POSEXPLODE(arr) AS f(index, value)")
     assert(transpileSnowflake(
       "SELECT f.value FROM t, LATERAL FLATTEN(input => arr, outer => TRUE) f") ==
-      "SELECT f.value FROM t LATERAL VIEW OUTER POSEXPLODE(arr) f AS index, value")
+      "SELECT f.value FROM t, LATERAL POSEXPLODE_OUTER(arr) AS f(index, value)")
     // positional input; no alias
     assert(transpileSnowflake("SELECT value FROM t, LATERAL FLATTEN(arr)") ==
-      "SELECT value FROM t LATERAL VIEW POSEXPLODE(arr) AS index, value")
+      "SELECT value FROM t, LATERAL POSEXPLODE(arr) AS (index, value)")
     // unsupported args (PATH/RECURSIVE) pass through for the repair loop
     assert(transpileSnowflake(
       "SELECT 1 FROM t, LATERAL FLATTEN(input => v, path => 'a') f") ==
@@ -489,7 +489,6 @@ class TranspilerSpec extends AnyFunSuite {
       "SELECT 'CHARINDEX(a, b)' FROM t",
       "SELECT 'DATE(''now'', ''-1 year'')' FROM t",
       "SELECT 'julianday(x)' FROM t",
-      "SELECT a FROM t -- CAST(a AS TEXT) strftime('%Y', x)",
       "SELECT /* GROUP_CONCAT(a) AS REAL */ a FROM t")
     hostile.foreach { q =>
       assert(transpile(q) == q, s"shared arm rewrote inside a literal: $q -> ${transpile(q)}")
@@ -497,6 +496,13 @@ class TranspilerSpec extends AnyFunSuite {
         Transpiler.transpileSnowflake(q) == q,
         s"snowflake arm rewrote inside a literal: $q")
     }
+    // a single-line `--` comment is NOT rewritten in place — the
+    // flattened-comment heal DROPS it whole (trailing comment, no code
+    // fingerprint), leaving the statement semantically identical
+    val commented = "SELECT a FROM t -- CAST(a AS TEXT) strftime('%Y', x)"
+    assert(transpile(commented) == commented, // generic arm: untouched
+      s"shared arm rewrote a comment: ${transpile(commented)}")
+    assert(Transpiler.transpileSnowflake(commented) == "SELECT a FROM t")
     // and a comma inside a literal no longer splits call arguments
     assert(Transpiler.transpileSnowflake("SELECT DATEADD(day, 3, COALESCE(s, 'a,b')) FROM t") ==
       "SELECT timestampadd(DAY, (3), COALESCE(s, 'a,b')) FROM t")
@@ -505,12 +511,15 @@ class TranspilerSpec extends AnyFunSuite {
     val bqHostile = Seq(
       "SELECT 'CAST(x AS INT64)' FROM t",
       "SELECT 'a AS NUMERIC' FROM t",
-      "SELECT 'CAST(y AS FLOAT64) AS BOOL' FROM t",
-      "SELECT a FROM t -- CAST(x AS INT64)")
+      "SELECT 'CAST(y AS FLOAT64) AS BOOL' FROM t")
     bqHostile.foreach { q =>
       assert(Transpiler.transpileBigQuery(q) == q,
         s"bigquery arm rewrote inside a literal: $q -> ${Transpiler.transpileBigQuery(q)}")
     }
+    // comment content is never rewritten IN PLACE; the flattened-
+    // comment heal drops the trailing comment whole (same as snow arm)
+    assert(Transpiler.transpileBigQuery(
+      "SELECT a FROM t -- CAST(x AS INT64)") == "SELECT a FROM t")
     // outside quotes the same text still rewrites
     assert(Transpiler.transpileBigQuery("SELECT CAST(x AS INT64) FROM t") ==
       "SELECT CAST(x AS BIGINT) FROM t")
@@ -649,9 +658,9 @@ class TranspilerSpec extends AnyFunSuite {
     assert(transpileBigQuery("SELECT arr[ORDINAL(i + 1)] FROM t") ==
       "SELECT arr[(i + 1) - 1] FROM t")
     assert(transpileBigQuery("SELECT t.arr[SAFE_OFFSET(5)] FROM t") ==
-      "SELECT try_element_at(t.arr, (5) + 1) FROM t")
+      "SELECT get(t.arr, (5)) FROM t")
     assert(transpileBigQuery("SELECT arr[SAFE_ORDINAL(n)] FROM t") ==
-      "SELECT try_element_at(arr, (n)) FROM t")
+      "SELECT get(arr, (n) - 1) FROM t")
     assert(transpileBigQuery("SELECT CONTAINS_SUBSTR(name, 'ABC') FROM t") ==
       "SELECT (instr(lower(name), lower('ABC')) > 0) FROM t")
     // literal safety
@@ -666,11 +675,11 @@ class TranspilerSpec extends AnyFunSuite {
     // 0-based vs Snowflake's 1-based (documented divergence)
     assert(transpileSnowflake(
       "SELECT s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s") ==
-      "SELECT s.value FROM t LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+      "SELECT s.value FROM t, LATERAL POSEXPLODE(SPLIT(t.tags, ',')) AS s(index, value)")
     // metachar delimiter flows through the literal-escape SPLIT pass
     assert(transpileSnowflake(
       "SELECT s.value FROM t, TABLE(SPLIT_TO_TABLE(x, '.')) s") ==
-      "SELECT s.value FROM t LATERAL VIEW POSEXPLODE(split(x, '\\\\.')) s AS index, value")
+      "SELECT s.value FROM t, LATERAL POSEXPLODE(split(x, '\\\\.')) AS s(index, value)")
     assert(transpileSnowflake("SELECT REGEXP_SUBSTR_ALL(n, '[0-9]+') FROM t") ==
       "SELECT regexp_extract_all(n, '[0-9]+', 0) FROM t")
     assert(transpileSnowflake("SELECT REGEXP_SUBSTR_ALL(n, '[0-9]+', 3) FROM t") ==
@@ -699,13 +708,13 @@ class TranspilerSpec extends AnyFunSuite {
     val idxSql = "SELECT s.index, s.value FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s"
     val idxOut = transpileSnowflake(idxSql)
     // the BARE select item keeps Snowflake's INDEX output column name
-    assert(idxOut == "SELECT (s.index + 1) AS index, s.value FROM t " +
-      "LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+    assert(idxOut == "SELECT (s.index + 1) AS index, s.value FROM t" +
+      ", LATERAL POSEXPLODE(SPLIT(t.tags, ',')) AS s(index, value)")
     // an EMBEDDED reference shifts in place without an injected alias
     assert(transpileSnowflake("SELECT s.index * 2 AS d2 " +
       "FROM t, LATERAL SPLIT_TO_TABLE(t.tags, ',') s") ==
-      "SELECT (s.index + 1) * 2 AS d2 FROM t " +
-        "LATERAL VIEW POSEXPLODE(SPLIT(t.tags, ',')) s AS index, value")
+      "SELECT (s.index + 1) * 2 AS d2 FROM t" +
+        ", LATERAL POSEXPLODE(SPLIT(t.tags, ',')) AS s(index, value)")
     assert(transpileSnowflake(idxOut) == idxOut, "index shift not idempotent")
     // an UNQUALIFIED index reference stays untranspiled (cannot be told
     // apart from another relation's column at the string level), as
