@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the survivor
   * resolver for near-duplicate clusters (reference semantics: a
@@ -46,18 +45,25 @@ object ConnectedComponents {
       .groupBy(col("u"))
       .agg(min(col("v")).as("__nmin"), collect_set(col("v")).as("__nbrs"))
       .withColumn("m", least(col("u"), col("__nmin")))
+    // no trailing distinct: the only consumer is smallStar's
+    // groupBy(min, collect_set), which is duplicate-tolerant — the
+    // distinct here was a full extra (src, dst) exchange per round
     withMin
       .select(col("u"), col("m"),
         explode(filter(col("__nbrs"), v => v > col("u"))).as("v"))
       .select(col("v").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star round: consumes the large round's DIRECTED
     * larger→smaller links, groups each node u with its smaller
     * neighbors N⁻(u), and links every member of N⁻(u) ∪ {u} to
     * m = min(N⁻(u)) — contracting each local star onto its minimum.
+    * No trailing distinct (the caller's [[symmetrize]] canonicalizes):
+    * both star rounds are functions of the edge SET and their
+    * duplicate-tolerant groupBys compute set semantics over multiset
+    * input, so the two per-round distinct exchanges the star rounds
+    * used to pay bought nothing.
     */
   private def smallStar(directed: DataFrame): DataFrame = {
     val withMin = directed
@@ -69,7 +75,6 @@ object ConnectedComponents {
         explode(concat(col("__nbrs"), array(col("u")))).as("v"))
       .select(col("v").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   private def symmetrize(edges: DataFrame): DataFrame =
@@ -77,6 +82,7 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
+
 
   /** Connected components of an undirected graph given as an edge list
     * with columns (`srcCol`, `dstCol`). Self-loops and duplicate /
@@ -92,11 +98,22 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val allNodes = graft.core.CacheBin.track(edges
-      .select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id")))
+    // ONE evaluation of the caller's edge subtree (often an expensive
+    // near-dup pair join): the raw edge list is checkpointed first and
+    // BOTH consumers — the node inventory and the round-0 symmetrized
+    // seed — derive from the checkpoint. Previously allNodes and the
+    // seed each re-evaluated `edges` in full (the pair join ran twice
+    // per components() call); the persist on allNodes couldn't help
+    // because the two consumers were separate subtrees. The raw
+    // checkpoint outlives this call (the returned plan's allNodes side
+    // reads it) — tracked for the caller's drain.
+    val raw = graft.core.CacheBin.trackCheckpoint(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true))
+    val allNodes = raw
+      .select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK))
 
     // DataFrame.unpersist is a NO-OP for localCheckpoint blocks (see
     // CacheBin's class doc): the superseded round's backing RDDs must
@@ -106,22 +123,25 @@ object ConnectedComponents {
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
-    var cur = symmetrize(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-      .localCheckpoint(true)
-    var converged = cur.isEmpty
+    var cur = symmetrize(raw).localCheckpoint(true)
+    // carried across rounds: re-counting the checkpointed previous set
+    // every iteration was a whole extra job per round
+    var curCount = cur.count()
+    var converged = curCount == 0
     var it = 0
     while (!converged && it < maxIterations) {
       val next =
         symmetrize(smallStar(largeStar(cur)))
           .localCheckpoint(true)
+      val nextCount = next.count()
       // Converged when the (canonical, symmetrized) edge sets match:
-      // equal cardinality + empty difference — two cheap aggregates
-      // over hash-partitioned sets, no collect.
-      converged = next.count() == cur.count() &&
-        next.except(cur).isEmpty
+      // equal cardinality + empty difference — the except only runs
+      // when the counts already agree (short-circuit), i.e. at most a
+      // round or two near the fixpoint.
+      converged = nextCount == curCount && next.except(cur).isEmpty
       checkpointRdds(cur).foreach(_.unpersist(false))
       cur = next
+      curCount = nextCount
       it += 1
     }
     if (!converged && it >= maxIterations)

@@ -759,10 +759,12 @@ object CorpusPipeline {
         val gateIn = stage(q2r)
         val model = QualityClassifier.train(spark, gateIn, idCol, textCol,
           lab, cfg.classifierBuckets, cfg.classifierIters)
-        gateIn.join(
-          QualityClassifier.score(spark, gateIn, idCol, textCol, model)
-            .filter(col("quality_micro") >= cfg.minQualityMicro)
-            .select(col(idCol)), idCol)
+        // scoreExpr is bit-identical to the join-based score path
+        // (spec-pinned), so the gate is a plain scan filter: no feature
+        // explode, no score join, no shuffle — the same shape the delta
+        // pipeline's frozen-model gate already uses
+        gateIn.filter(QualityClassifier.scoreExpr(col(textCol), model) >=
+          lit(cfg.minQualityMicro))
     }
 
     note("quality_gates", q3)

@@ -2,13 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Trainable document-quality classifier (the CCNet / fastText-family
   * linear model: Wenzek et al. 2020, Joulin et al. 2017): logistic
   * regression over hashed unigram+bigram bag-of-words features,
   * trained by full-batch gradient descent AS SPARK AGGREGATIONS and
-  * scored as a broadcast map-side join. The reference pipeline filters
+  * scored by one codegen'd scan expression. The reference pipeline filters
   * corpora with exactly this model shape; here both training and
   * inference are distributed.
   *
@@ -31,12 +30,15 @@ import org.apache.spark.storage.StorageLevel
   *    engine-portable for negative gradients).
   *
   * Scale shape: the model is `buckets`+1 integers BY CONSTRUCTION —
-  * it broadcasts whatever the corpus size. Each GD iteration is one
-  * pass over the persisted feature table: a broadcast join + two
-  * bounded aggregations (per-doc, then per-bucket), i.e. the same
-  * plan family as the DSIR scorer. Iterations are few and fixed
-  * (full-batch GD on a 513-parameter model converges in single-digit
-  * steps); the per-iteration driver state is B+1 longs.
+  * it rides into every task as an array literal inside one codegen'd
+  * expression, whatever the corpus size. Each GD iteration is ONE scan
+  * of the corpus: the forward pass and residual are per-row scan
+  * expressions (no feature table, no join, no per-doc aggregation),
+  * and the per-bucket gradient is a single map-side-combinable
+  * aggregation that shuffles ≤ B+1 partial sums per partition.
+  * Iterations are few and fixed (full-batch GD on a 513-parameter
+  * model converges in single-digit steps); the per-iteration driver
+  * state is B+1 longs.
   */
 object QualityClassifier {
 
@@ -60,18 +62,38 @@ object QualityClassifier {
     counts.unionByName(bias)
   }
 
-  /** Margin in micro units per document: broadcast the (B+1)-row
-    * weight table, join, sum. Integer-exact.
+  /** Per-row bucket-id array of a document's unigram+bigram hashes —
+    * the scan-time twin of [[features]] (same tokens, same hashes, same
+    * pmod): `tokens(NULL)` is NULL → empty array (bias-only score),
+    * matching features()'s bias row for empty documents.
     */
-  private def margins(spark: SparkSession, feats: DataFrame, idCol: String,
-      model: Model): DataFrame = {
-    import spark.implicits._
-    val wRows = (-1L, model.bias) +:
-      model.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
-    val wDf = wRows.toDF("bucket", "__w")
-    feats.join(broadcast(wDf), "bucket")
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("__w")).as("__m"))
+  private def bucketArrOf(textCol: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column = {
+    val toks = graft.functions.TextAnalysis.tokens(textCol)
+    val hashes = concat(
+      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 1),
+      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 2))
+    transform(coalesce(hashes, array().cast("array<long>")),
+      h => pmod(h, lit(buckets.toLong)))
+  }
+
+  /** Margin in micro units as ONE codegen'd expression: the model rides
+    * as a (B)-element array literal, each bucket id looks its weight up
+    * with `element_at`, the fold starts at the bias. Integer addition is
+    * associative and commutative, so this equals [[features]]' Σ w·cnt
+    * form bit-for-bit whatever the evaluation order — the property the
+    * scoreExpr-vs-score spec pins.
+    */
+  private def marginOf(bucketArr: org.apache.spark.sql.Column,
+      model: Model): org.apache.spark.sql.Column = {
+    // ONE array Literal, not array(lit, lit, ...): a CreateArray of B
+    // children inside a lambda body is re-evaluated per ELEMENT of the
+    // aggregated array (B work per lookup — quadratic per row, measured
+    // 14x on the classifier bench entry); lit(Array[Long]) is a single
+    // pre-built constant the lookup indexes in O(1)
+    val wArr = lit(model.weights)
+    aggregate(bucketArr, lit(model.bias),
+      (acc, b) => acc + element_at(wArr, (b + 1).cast("int")))
   }
 
   /** `floor(1e6 · sigmoid(mMicro/1e6))` — the one floating-point step,
@@ -122,59 +144,65 @@ object QualityClassifier {
       textCol: String, labelCol: String, buckets: Int, iters: Int,
       etaNum: Long = 1L, etaDen: Long = 10L,
       init: Option[Model] = None): Model = {
-    val feats = features(docs, idCol, textCol, buckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = docs.select(col(idCol),
-      col(labelCol).cast("long").as("__y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      // pin both caches before the loop: each gradient job reads feats
-      // through TWO joins (margins + the residual join) — unmaterialized,
-      // those consumers race to compute every cached partition twice
-      feats.count()
-      val n = BigInt(labels.count())
-      require(n > 0, "cannot train on an empty corpus")
-      init.foreach(m => require(m.buckets == buckets,
-        s"warm-start bucket mismatch: model ${m.buckets} vs requested $buckets"))
-      var model = init.getOrElse(Model(0L, Array.fill(buckets)(0L)))
-      val den = BigInt(etaDen) * n
-      for (_ <- 1 to iters) {
-        // residuals (integer) from the current model's forward pass
-        val r = labels.join(margins(spark, feats, idCol, model), Seq(idCol))
-          .select(col(idCol), (pMicro(col("__m")) - col("__y") * lit(1000000L)).as("__r"))
-        // per-bucket gradient, exact decimal sum; ≤ B+1 rows collected
-        val grads = r.join(feats, Seq(idCol))
-          .groupBy(col("bucket"))
-          .agg(sum(col("__r").cast("decimal(38,0)") * col("cnt")).as("__g"))
-          .collect()
-          .map(row => row.getLong(0) ->
-            BigInt(row.getDecimal(1).toBigInteger))
-          .toMap
-        val num = BigInt(etaNum)
-        val newBias = BigInt(model.bias) -
-          fld(num * grads.getOrElse(-1L, BigInt(0)), den)
-        val newW = Array.tabulate(buckets) { b =>
-          (BigInt(model.weights(b)) -
-            fld(num * grads.getOrElse(b.toLong, BigInt(0)), den)).toLong
-        }
-        model = Model(newBias.toLong, newW)
+    val n = BigInt(docs.count())
+    require(n > 0, "cannot train on an empty corpus")
+    init.foreach(m => require(m.buckets == buckets,
+      s"warm-start bucket mismatch: model ${m.buckets} vs requested $buckets"))
+    var model = init.getOrElse(Model(0L, Array.fill(buckets)(0L)))
+    val den = BigInt(etaDen) * n
+    for (_ <- 1 to iters) {
+      // forward pass + residual computed PER ROW in one codegen'd
+      // expression (the scoreExpr margin — bit-identical to the old
+      // broadcast-join/groupBy(id) path, see marginOf), then the
+      // per-bucket gradient in ONE map-side-combinable aggregation:
+      // grad_b = Σ_docs r·cnt_b  ≡  Σ over a doc's bucket OCCURRENCES
+      // of r (one explode row per occurrence, plus one −1 bias row per
+      // doc) — integer sums in decimal(38,0), exact either way. The
+      // previous shape (persisted exploded feature table + per-iter
+      // margins join + groupBy(id) + residual join) shuffled the
+      // per-doc feature rows twice per iteration; this shuffles only
+      // the ≤ B+1 per-partition partial sums.
+      val bucketArr = bucketArrOf(col(textCol), buckets)
+      val r = pMicro(marginOf(bucketArr, model)) -
+        col(labelCol).cast("long") * lit(1000000L)
+      // the repartition between the residual projection and the explode
+      // is a hard optimizer barrier, NOT a layout choice: without it,
+      // CollapseProject/ColumnPruning re-site the margin expression
+      // ABOVE the Generate and the whole forward pass re-evaluates once
+      // per exploded BUCKET OCCURRENCE instead of once per document
+      // (measured 32 s vs 1.6 s on the sf0.1 classifier entry, same
+      // sums). Keyed on the uniform idCol — the residual itself has two
+      // distinct values on iteration 1, the worst possible hash key.
+      val grads = docs
+        .select(col(idCol), r.as("__r"),
+          concat(bucketArr, array(lit(-1L))).as("__ba"))
+        .repartition(col(idCol))
+        .select(col("__r"), explode(col("__ba")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("__r").cast("decimal(38,0)")).as("__g"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          BigInt(row.getDecimal(1).toBigInteger))
+        .toMap
+      val num = BigInt(etaNum)
+      val newBias = BigInt(model.bias) -
+        fld(num * grads.getOrElse(-1L, BigInt(0)), den)
+      val newW = Array.tabulate(buckets) { b =>
+        (BigInt(model.weights(b)) -
+          fld(num * grads.getOrElse(b.toLong, BigInt(0)), den)).toLong
       }
-      model
-    } finally {
-      feats.unpersist()
-      labels.unpersist()
+      model = Model(newBias.toLong, newW)
     }
+    model
   }
 
   /** Score documents with a trained model: `(idCol, quality_micro)` in
-    * [0, 1e6]. Broadcast join — the model never shuffles the corpus.
+    * [0, 1e6]. One scan-time expression per row ([[scoreExpr]]) — no
+    * explode, no join, no aggregation; the corpus never shuffles.
     */
   def score(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, model: Model): DataFrame = {
-    val feats = features(docs, idCol, textCol, model.buckets)
-    margins(spark, feats, idCol, model)
-      .select(col(idCol), pMicro(col("__m")).as("quality_micro"))
-  }
+      textCol: String, model: Model): DataFrame =
+    docs.select(col(idCol), scoreExpr(col(textCol), model).as("quality_micro"))
 
   /** Row-wise scoring COLUMN: the margin computed inside one codegen'd
     * expression — the model rides along as a (B+1)-element array
@@ -185,20 +213,8 @@ object QualityClassifier {
     * Structured Streaming filters (no streaming aggregation state), in
     * scan-time projections, inside other operators' expressions.
     */
-  def scoreExpr(textCol: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column = {
-    val toks = graft.functions.TextAnalysis.tokens(textCol)
-    val hashes = concat(
-      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 1),
-      org.apache.spark.sql.graftvec.TextHashExpr.shingleHashes(toks, 2))
-    val wArr = array(model.weights.toIndexedSeq.map(lit): _*)
-    val margin = aggregate(
-      // tokens(NULL) is NULL → treat as no n-grams (bias-only score),
-      // matching features()'s bias row for empty documents
-      coalesce(hashes, array().cast("array<long>")),
-      lit(model.bias),
-      (acc, h) => acc + element_at(wArr, (pmod(h, lit(model.buckets.toLong)) + 1).cast("int")))
-    pMicro(margin)
-  }
+  def scoreExpr(textCol: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    pMicro(marginOf(bucketArrOf(textCol, model.buckets), model))
 
   /** Train-and-score in one call (the q_quality_classifier shape):
     * fit on `docs` with `labelCol`, then score every document.

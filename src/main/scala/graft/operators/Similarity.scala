@@ -164,9 +164,19 @@ object Similarity {
       vecCol: String, k: Int, rounds: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var seen: DataFrame = Seq.empty[Long].toDF(idCol)
+    // seen-key exclusion as a DRIVER-side set folded into the scan
+    // predicate (k·rounds ids, bounded by the retrieval schedule): the
+    // previous per-round `left_anti` against a growing UNION of local
+    // frames replanned an ever-larger join per round and cost a join
+    // stage each — an InSet filter is one codegen'd predicate, the
+    // round's plan stays constant-size, and the exclusion semantics are
+    // identical (exact id membership either way)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
     var query = queryVec
-    var out: Option[DataFrame] = None
+    // rounds accumulate on the driver (each round's rows were already
+    // collected for re-centering) and become ONE local relation at the
+    // end, instead of `rounds` nested unions of tiny DataFrames
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int, Int)]
     for (r <- 1 to rounds) {
       val qCol = array(query.map(lit): _*)
       // global top-k via orderBy+limit = TakeOrderedAndProject (scale-safe,
@@ -178,19 +188,20 @@ object Similarity {
       // floats — tiny), so re-centering costs zero extra jobs: one job
       // per round instead of two, which matters when the schedule runs
       // 10 sequential rounds
-      val topkRows = corpus
-        .join(seen, Seq(idCol), "left_anti")
+      val base =
+        if (seen.isEmpty) corpus
+        else corpus.filter(!col(idCol).isInCollection(seen.toSeq))
+      val topkRows = base
         .withColumn("score", VectorOps.cosine(col(vecCol), qCol))
         .orderBy(col("score").desc, col(idCol))
         .limit(k)
         .select(col(idCol), col("score"), col(vecCol))
         .collect() // k rows — tiny by construction
         .sortBy(row => (-row.getDouble(1), row.getLong(0)))
-      val round = topkRows.zipWithIndex.toSeq
-        .map { case (row, i) => (row.getLong(0), row.getDouble(1), i + 1, r) }
-        .toDF(idCol, "score", "rank", "round_n")
-      seen = seen.union(topkRows.map(_.getLong(0)).toSeq.toDF(idCol))
-      out = Some(out.map(_.union(round)).getOrElse(round))
+      acc ++= topkRows.zipWithIndex.map { case (row, i) =>
+        (row.getLong(0), row.getDouble(1), i + 1, r)
+      }
+      seen ++= topkRows.map(_.getLong(0))
       // next query = per-dimension left-fold double sum of this round's
       // vectors in id order (same direction as the centroid — cosine is
       // scale-invariant — and an order-pinned fold, so any engine
@@ -202,7 +213,7 @@ object Similarity {
         query = vecs.transpose.map(_.foldLeft(0.0)(_ + _)).toSeq
       }
     }
-    out.get
+    acc.toSeq.toDF(idCol, "score", "rank", "round_n")
   }
 
   private def firstVecLen(df: DataFrame, vecCol: String): Int =

@@ -1338,19 +1338,33 @@ object CoverageQueries extends QueryPack {
             concat(lit("t"), pmod(col("col_id"), lit(50)).cast("string")))
           .withColumn("column_name",
             concat(lit("c"), pmod(col("col_id"), lit(70)).cast("string")))
-          // persisted: the 35 sequential retrieval rounds each launch
-          // two jobs over this frame — unpersisted, every round re-runs
-          // the 6-way rotation union off the parquet scan
+          // persisted EAGERLY: the 35 retrieval rounds each launch one
+          // job over this frame — unpersisted, every round re-runs the
+          // 6-way rotation union off the parquet scan; lazily persisted,
+          // the now-CONCURRENT arms would race to compute every cached
+          // partition in their first rounds
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.core.CacheBin.track(sch)
+        graft.core.CacheBin.trackEager(sch)
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        LinkAlignArms.map { case (label, n) =>
+        // the six schedule arms are fully independent retrieval loops
+        // (each its own 2–10 sequential collect rounds) — run them as
+        // concurrent driver threads so one arm's round tail back-fills
+        // the cores the others leave idle (guide §2.6); wall-clock drops
+        // from Σ rounds (35 sequential jobs) to ~max rounds (10). Each
+        // arm's per-round work is deterministic and arm-local, so the
+        // unioned result is unchanged.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val arms = LinkAlignArms.map { case (label, n) => Future {
           LinkAlignReduce.reduce(sch.filter(col("col_id") < n),
             Seq.fill(dim)(1.0), dbSize = n,
             initRetainRate = 1.0, decayRate = 1.0)
             .select(lit(label).as("arm"), col("col_id"),
               col("table_name"), col("column_name"), col("turn_n"))
-        }.reduce(_ unionByName _)
+        }}
+        Await.result(Future.sequence(arms),
+            scala.concurrent.duration.Duration.Inf)
+          .reduce(_ unionByName _)
           .orderBy(col("arm"), col("col_id"))
       },
       Some(LinkAlignLargeOracle)),

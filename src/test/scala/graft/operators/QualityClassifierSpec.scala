@@ -108,12 +108,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(warm.weights.sameElements(cold3.weights))
   }
 
-  test("scoring broadcasts the model — no shuffle of the weight side") {
+  test("scoring is one scan expression — no join, no exchange anywhere") {
+    // r19 optimization: score() rides the model as an array literal in
+    // one codegen'd expression (the scoreExpr path, bit-identity pinned
+    // above) — the corpus never shuffles and the old broadcast weight
+    // join is gone entirely
     val model = QualityClassifier.train(
       spark, corpus, "doc_id", "text", "lab", buckets = 128, iters = 1)
     val scored = QualityClassifier.score(spark, corpus, "doc_id", "text", model)
     val plan = scored.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"weight join must broadcast, got:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must not join, got:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"scoring must not shuffle or broadcast, got:\n$plan")
   }
 }
