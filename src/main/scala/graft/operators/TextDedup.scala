@@ -246,7 +246,10 @@ object TextDedup {
     val sh = withShingleHashes(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      sh.count() // pin before the two writes below both consume it
+      // no eager pin: the two writes below are sequential jobs — the
+      // first (bands) materializes the cache via its range-sampling
+      // pass, the second (shingles) reads it warm; a dedicated count
+      // was one extra full scan+hash pass per index write
       val sig = sh.withColumn("__sig",
         TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
       // value-sorted band layout: each band directory's row groups
@@ -704,7 +707,16 @@ object TextDedup {
     assertNotCompacting(spark, path) // never plan against a mid-swap index
     recoverDedupIndex(spark, path) // heal a crashed compaction swap first
     val (n, h, bands, seed) = readIndexMeta(spark, path)
-    val inSh = graft.core.CacheBin.trackEager(
+    // LAZY persist (track, not trackEager): this method's consumers are
+    // strictly SEQUENTIAL jobs — the inB probe collect below is the
+    // first and only materializer of inSh's cache, and the final drops
+    // job reads it warm — so the eager pin's dedicated count pass was a
+    // whole extra scan+tokenize+hash job per screen with no race to
+    // prevent (trackEager exists for cached frames whose consumers race
+    // WITHIN one job). Same reasoning for inB and cands below: each is
+    // fully materialized by its own probe collect before any other
+    // consumer plans against it.
+    val inSh = graft.core.CacheBin.track(
       withShingleHashes(incoming, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val inSig = inSh.select(col(idCol).as("__in"), col("__shh"))
@@ -733,8 +745,10 @@ object TextDedup {
     // row groups whose value range holds no incoming signature are
     // skipped on parquet stats. Past the cap the full band join runs
     // unchanged. inBands feeds this probe AND the candidate join —
-    // persist it so signatures compute once.
-    val inB = graft.core.CacheBin.trackEager(
+    // persist it so signatures compute once (lazy: the probe's distinct
+    // is shuffle-based, so its map side scans and caches every inB
+    // partition before the candidate join plans against it).
+    val inB = graft.core.CacheBin.track(
       inBands.persist(StorageLevel.MEMORY_AND_DISK))
     val probeVals = inB.select(col("val")).distinct()
       .limit(CandidatePushdownCap + 1).collect().map(_.get(0))
@@ -747,8 +761,9 @@ object TextDedup {
     val cands0 = (if (excludeSelf) candsAll.filter(col("__in") =!= col("__co"))
       else candsAll).distinct()
     // consumed by the id-pushdown probe below AND the verify joins —
-    // persist so the banded join runs once
-    val cands = graft.core.CacheBin.trackEager(
+    // persist so the banded join runs once (lazy: the candIds probe's
+    // distinct materializes the cache map-side)
+    val cands = graft.core.CacheBin.track(
       cands0.persist(StorageLevel.MEMORY_AND_DISK))
     // Candidate-bounded verify read: the verify only ever needs the
     // CANDIDATES' corpus shingle rows, but a plain join still scans
