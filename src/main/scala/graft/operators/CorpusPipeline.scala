@@ -476,7 +476,12 @@ object CorpusPipeline {
       .filter(col("doc_freq") >= floor)
     val combined = oldDocs.select(col(idCol), col(textCol))
       .unionByName(acceptedRaw.select(col(idCol), col(textCol)))
-    val flaggedNow = graft.core.CacheBin.trackEager(
+    // lazily persisted: the nNew sizing count below anti-joins
+    // flaggedNow against the prior set, computing (and caching) every
+    // partition on the way — the eager pin was a second full line-df
+    // pass over old ++ delta for nothing (consumers here are strictly
+    // sequential driver actions, not same-job racers)
+    val flaggedNow = graft.core.CacheBin.track(
       lineDf(combined).persist())
     // 2. the units that JUST crossed the floor (1 old + 1 new at
     // floor 2 — each side alone under it)

@@ -75,7 +75,12 @@ object TextScore {
     // bigram hash determines its context, so (b, c) grouping is the
     // distinct-bigram table with the context carried
     val cb = rows.groupBy(col("__b"), col("__c")).agg(count(lit(1)).as("__cb"))
-    val cu = rows.groupBy(col("__c").as("__c2")).agg(count(lit(1)).as("__cu"))
+    // lazily persisted: the weights pin below computes cu once (and
+    // caches it); the vocabulary count then reads it warm instead of
+    // re-running the context groupBy over the occurrence table
+    val cu = graft.core.CacheBin.track(
+      rows.groupBy(col("__c").as("__c2")).agg(count(lit(1)).as("__cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val weights = graft.core.CacheBin.trackEager(
       cb.join(cu, col("__c") === col("__c2"))
         .persist(StorageLevel.MEMORY_AND_DISK))

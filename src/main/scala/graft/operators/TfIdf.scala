@@ -34,8 +34,12 @@ object TfIdf {
   /** `(idCol, rnk, term, tf, score_micro)` — top `k` terms per doc. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, hotTerms: Int = 1024): DataFrame = {
-    // one row per distinct (doc, term) with its in-doc count
-    val tf = graft.core.CacheBin.trackEager(
+    // one row per distinct (doc, term) with its in-doc count. Lazily
+    // persisted: its first consumer is the document-frequency pin right
+    // below, whose eager count computes (and caches) every tf partition
+    // before the final job's joins read it — a dedicated tf pin was one
+    // extra explode+groupBy pass
+    val tf = graft.core.CacheBin.track(
       docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
         .groupBy(col(idCol), col("__t"))
         .agg(count(lit(1)).as("tf"))

@@ -76,7 +76,11 @@ object UnigramLearn {
       minCount: Long = 2L, seedMultiCap: Int = 60, emIters: Int = 2,
       keepMulti: Int = 24): LearnResult = {
     require(maxPieceLen >= 1 && emIters >= 0 && keepMulti >= 0)
-    val wf = graft.core.CacheBin.trackEager(
+    // lazily persisted: every consumer below is a sequential driver
+    // action (the singles collect computes and caches every wf
+    // partition; multis and the EM rounds read it warm) — the eager
+    // pin was one extra wordFreq pass
+    val wf = graft.core.CacheBin.track(
       wordFreq(df, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = substringCounts(wf, maxPieceLen)
