@@ -123,25 +123,46 @@ object ConnectedComponents {
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
+    // Convergence = the symmetrized set is a union of MIN-CENTERED
+    // STARS, detected directly on each round's output instead of
+    // running one more full round to observe "nothing changed" (the
+    // previous criterion: equal counts + empty except — a whole
+    // largeStar+smallStar+symmetrize+checkpoint+except round whose only
+    // product was the detection). Exactness: star-shapedness of the
+    // symmetrized set is EQUIVALENT to being a fixpoint of the round —
+    //  (⇐) on a min-centered star {c; l1..lk}: largeStar at c emits
+    //      (li, c), at li emits nothing (c < li); smallStar at li
+    //      re-emits (li, c); symmetrize restores the star — unchanged;
+    //  (⇒) the fixpoints of alternating star rounds are exactly the
+    //      min-centered star unions (Kiveris et al., SoCC'14 — the same
+    //      invariant the label extraction below has always relied on).
+    // Per-node test on the symmetrized multigraph-free set: u is a
+    // center (every neighbor larger: min(v) > u) or a leaf (exactly one
+    // neighbor, smaller: cnt == 1 ∧ v < u). Each round is one groupBy
+    // job over the freshly checkpointed set — it REPLACES the old
+    // per-round count job, and connectivity is preserved by every
+    // round, so stars == components and the center IS the component
+    // minimum.
+    def starShaped(df: DataFrame): Boolean = {
+      val chk = df.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"),
+          count(lit(1)).as("__cnt"))
+        .agg(min(when(col("__mn") > col("u") ||
+          (col("__cnt") === 1 && col("__mx") < col("u")), 1)
+          .otherwise(0)).as("__star"))
+        .head()
+      chk.isNullAt(0) || chk.getInt(0) == 1 // empty set: trivially stars
+    }
     var cur = symmetrize(raw).localCheckpoint(true)
-    // carried across rounds: re-counting the checkpointed previous set
-    // every iteration was a whole extra job per round
-    var curCount = cur.count()
-    var converged = curCount == 0
+    var converged = starShaped(cur)
     var it = 0
     while (!converged && it < maxIterations) {
       val next =
         symmetrize(smallStar(largeStar(cur)))
           .localCheckpoint(true)
-      val nextCount = next.count()
-      // Converged when the (canonical, symmetrized) edge sets match:
-      // equal cardinality + empty difference — the except only runs
-      // when the counts already agree (short-circuit), i.e. at most a
-      // round or two near the fixpoint.
-      converged = nextCount == curCount && next.except(cur).isEmpty
+      converged = starShaped(next)
       checkpointRdds(cur).foreach(_.unpersist(false))
       cur = next
-      curCount = nextCount
       it += 1
     }
     if (!converged && it >= maxIterations)

@@ -139,6 +139,12 @@ object QualityClassifier {
     * cross-engine anchor — unless `init` warm-starts from an earlier
     * model (continual curation: refresh the gate on fresh labels
     * without retraining from scratch).
+    *
+    * train() persists nothing itself: `docs` is evaluated iters+1
+    * times (the sizing count plus one gradient scan per iteration).
+    * Callers passing an expensive LAZY plan should cache or
+    * localCheckpoint it first — every in-repo caller already hands in
+    * a checkpointed or trivially-scannable frame.
     */
   def train(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, labelCol: String, buckets: Int, iters: Int,
@@ -162,24 +168,7 @@ object QualityClassifier {
       // margins join + groupBy(id) + residual join) shuffled the
       // per-doc feature rows twice per iteration; this shuffles only
       // the ≤ B+1 per-partition partial sums.
-      val bucketArr = bucketArrOf(col(textCol), buckets)
-      val r = pMicro(marginOf(bucketArr, model)) -
-        col(labelCol).cast("long") * lit(1000000L)
-      // the repartition between the residual projection and the explode
-      // is a hard optimizer barrier, NOT a layout choice: without it,
-      // CollapseProject/ColumnPruning re-site the margin expression
-      // ABOVE the Generate and the whole forward pass re-evaluates once
-      // per exploded BUCKET OCCURRENCE instead of once per document
-      // (measured 32 s vs 1.6 s on the sf0.1 classifier entry, same
-      // sums). Keyed on the uniform idCol — the residual itself has two
-      // distinct values on iteration 1, the worst possible hash key.
-      val grads = docs
-        .select(col(idCol), r.as("__r"),
-          concat(bucketArr, array(lit(-1L))).as("__ba"))
-        .repartition(col(idCol))
-        .select(col("__r"), explode(col("__ba")).as("bucket"))
-        .groupBy(col("bucket"))
-        .agg(sum(col("__r").cast("decimal(38,0)")).as("__g"))
+      val grads = gradientFrame(docs, idCol, textCol, labelCol, buckets, model)
         .collect()
         .map(row => row.getLong(0) ->
           BigInt(row.getDecimal(1).toBigInteger))
@@ -194,6 +183,46 @@ object QualityClassifier {
       model = Model(newBias.toLong, newW)
     }
     model
+  }
+
+  /** One GD iteration's per-bucket gradient frame: `(bucket, __g)` with
+    * grad_b = Σ_docs r·cnt_b summed as decimal(38,0). Exposed
+    * private[graft] so the plan-shape spec can pin the two properties
+    * the hot path depends on:
+    *
+    *  1. NO Exchange below the Generate — the forward pass + residual
+    *     and the explode run inside the scan stage, and only the
+    *     ≤ buckets+1 per-partition partial sums shuffle (the
+    *     map-side-combinable groupBy). The per-iteration
+    *     `repartition(idCol)` barrier this replaces moved every
+    *     (id, residual, bucket-array) row through a full exchange once
+    *     per iteration just to pin evaluation grain.
+    *  2. The margin is evaluated ONCE PER DOCUMENT, below the Generate.
+    *     Without a fence, CollapseProject/ColumnPruning re-site the
+    *     margin expression ABOVE the Generate and the whole forward
+    *     pass re-evaluates once per exploded BUCKET OCCURRENCE
+    *     (measured 32 s vs 1.6 s on the sf0.1 classifier entry, same
+    *     sums). The fence is a non-moving one: the residual is wrapped
+    *     in a NON-DETERMINISTIC no-op (`when(rand(seed) < 2.0, r)` —
+    *     rand < 1 always, so the value is bit-identical), and the
+    *     optimizer never collapses, duplicates, or re-sites projections
+    *     containing non-deterministic expressions. Integer sums are
+    *     order-independent, so correctness never depended on the
+    *     fence — only the 20× evaluation-grain cliff does.
+    */
+  private[graft] def gradientFrame(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int,
+      model: Model): DataFrame = {
+    val bucketArr = bucketArrOf(col(textCol), buckets)
+    val r = pMicro(marginOf(bucketArr, model)) -
+      col(labelCol).cast("long") * lit(1000000L)
+    val rFenced = when(rand(42L) < lit(2.0), r)
+    docs
+      .select(col(idCol), rFenced.as("__r"),
+        concat(bucketArr, array(lit(-1L))).as("__ba"))
+      .select(col("__r"), explode(col("__ba")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__r").cast("decimal(38,0)")).as("__g"))
   }
 
   /** Score documents with a trained model: `(idCol, quality_micro)` in

@@ -188,9 +188,15 @@ object Similarity {
       // floats — tiny), so re-centering costs zero extra jobs: one job
       // per round instead of two, which matters when the schedule runs
       // 10 sequential rounds
+      // null-safe exclusion: a bare !isInCollection(...) evaluates to
+      // NULL (row silently dropped) for a NULL id, where the left_anti
+      // it replaced kept such rows — every in-repo caller has non-null
+      // ids, but the helper is generic, so the guard keeps the
+      // anti-join semantics exactly
       val base =
         if (seen.isEmpty) corpus
-        else corpus.filter(!col(idCol).isInCollection(seen.toSeq))
+        else corpus.filter(
+          col(idCol).isNull || !col(idCol).isInCollection(seen.toSeq))
       val topkRows = base
         .withColumn("score", VectorOps.cosine(col(vecCol), qCol))
         .orderBy(col("score").desc, col(idCol))

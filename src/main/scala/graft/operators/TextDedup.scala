@@ -110,9 +110,8 @@ object TextDedup {
     explodeBands(sig, idCol +: carry, h, bands)
   }
 
-  /** Candidate pairs from a precomputed (id, shingle hashes) table — the
-    * entry point when the caller already materialized the hash table
-    * (minhashNearDupPairs persists it across candidate + verify stages).
+  /** Candidate pairs from a precomputed (id, shingle hashes) table
+    * (the unverified-candidates entry point, [[minhashCandidatePairs]]).
     */
   private def candidatePairsFromBase(base: DataFrame, idCol: String,
       h: Int, bands: Int, seed: Long): DataFrame = {
@@ -131,11 +130,25 @@ object TextDedup {
   /** MinHash+LSH near-dup: banded candidates verified with the exact
     * distinct-shingle Jaccard (jac = |∩| / (n1+n2-|∩|)).
     *
-    * The shingle-hash table feeds four consumers (both banded-join
-    * sides, both verify joins); Catalyst does not share non-exchange
-    * subtrees across consumers, so it is persisted MEMORY_AND_DISK —
-    * one scan+tokenize+hash pass instead of four. Unbounded-corpus
-    * callers should checkpoint the table instead.
+    * FUSED band + verify (one join instead of three): the shingle
+    * array rides THROUGH the band explode, so a banded collision row
+    * already carries both sides' shingle sets and the exact-Jaccard
+    * verify is a scan expression over the join output. The two verify
+    * joins — and the candidate-distinct exchange that fed them — are
+    * gone; the persisted shingle table is read exactly twice (the two
+    * sides of the band self-join) instead of four times. A pair
+    * colliding in k bands is verified k times (k ≤ bands, same
+    * deterministic jaccard each time) and collapsed by the final
+    * distinct — same pair set, same values as the unfused shape. The
+    * trade: band-join shuffle rows widen by one shingle array per side
+    * (bands copies per doc), bounded by bands × corpus bytes, against
+    * which two full-table shuffle joins over the candidate space
+    * disappear.
+    *
+    * The shingle-hash table still feeds two consumers racing within
+    * the one banded self-join job, so it stays persisted
+    * MEMORY_AND_DISK (one scan+tokenize+hash pass instead of two).
+    * Unbounded-corpus callers should checkpoint the table instead.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, h: Int = 16, bands: Int = 0,
@@ -147,16 +160,24 @@ object TextDedup {
     val sh = graft.core.CacheBin.trackEager(
       withShingleHashes(df, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val cands = candidatePairsFromBase(sh, idCol, h, b, seed)
-    cands
-      .join(sh.select(col(idCol).as("id1"), col("__shh").as("__sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("__shh").as("__sh2")), "id2")
+    val sig = sh
+      .select(col(idCol).as("__id"), col("__shh"))
+      .withColumn("__sig",
+        TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
+    val banded = explodeBands(sig, Seq("__id", "__shh"), h, b)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.val") === col("r.val") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
+        col("l.__shh").as("__sh1"), col("r.__shh").as("__sh2"))
       .withColumn("__i", size(array_intersect(col("__sh1"), col("__sh2"))))
       .withColumn("jaccard",
         col("__i").cast("double") /
           (size(col("__sh1")) + size(col("__sh2")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+      .distinct()
   }
 
   /** Incremental (continuous-ingestion) dedup: drop incoming documents
@@ -176,24 +197,23 @@ object TextDedup {
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3, h: Int = 16, bands: Int = 0, seed: Long = 42L): DataFrame = {
     val bandsN = if (bands > 0) bands else bandsFor(threshold)
-    val inSh = graft.core.CacheBin.trackEager(
-      withShingleHashes(incoming, idCol, textCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val coSh = graft.core.CacheBin.trackEager(
-      withShingleHashes(corpus, idCol, textCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    def bandsOf(base: DataFrame, as: String) = {
-      val sig = base.select(col(idCol).as(as), col("__shh"))
+    // FUSED band + verify (see minhashNearDupPairs): the shingle arrays
+    // ride the one-sided band join, so each side's scan+tokenize+hash
+    // subtree is evaluated exactly ONCE in the whole plan — the two
+    // eager persist pins (two dedicated materialization jobs) and the
+    // two verify joins of the unfused shape are gone with it. A
+    // (in, co) pair colliding in k bands is verified k times (same
+    // deterministic jaccard) and collapsed by the final distinct on
+    // the incoming id — identical drop set either way.
+    def bandsOf(df0: DataFrame, as: String, shAs: String) = {
+      val sig = withShingleHashes(df0, idCol, textCol, n)
+        .select(col(idCol).as(as), col("__shh").as(shAs))
         .withColumn("__sig",
-          TextHashExpr.minhashSignature(col("__shh"), minhashCoeffs(h, seed)))
-      explodeBands(sig, Seq(as), h, bandsN)
+          TextHashExpr.minhashSignature(col(shAs), minhashCoeffs(h, seed)))
+      explodeBands(sig, Seq(as, shAs), h, bandsN)
     }
-    val cands = bandsOf(inSh, "__in")
-      .join(bandsOf(coSh, "__co"), Seq("band", "val"))
-      .select(col("__in"), col("__co")).distinct()
-    val drops = cands
-      .join(inSh.select(col(idCol).as("__in"), col("__shh").as("__s1")), "__in")
-      .join(coSh.select(col(idCol).as("__co"), col("__shh").as("__s2")), "__co")
+    val drops = bandsOf(incoming, "__in", "__s1")
+      .join(bandsOf(corpus, "__co", "__s2"), Seq("band", "val"))
       .withColumn("__i", size(array_intersect(col("__s1"), col("__s2"))))
       .filter(col("__i").cast("double") /
         (size(col("__s1")) + size(col("__s2")) - col("__i")).cast("double") >= threshold)

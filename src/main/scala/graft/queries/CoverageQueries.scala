@@ -1353,6 +1353,12 @@ object CoverageQueries extends QueryPack {
         // from Σ rounds (35 sequential jobs) to ~max rounds (10). Each
         // arm's per-round work is deterministic and arm-local, so the
         // unioned result is unchanged.
+        // CONSTRAINT: the arm bodies must not CacheBin.track anything —
+        // CacheBin scoping rides an InheritableThreadLocal, which does
+        // not propagate into the global pool's already-created threads,
+        // so a tracked frame would land in the wrong bin and could be
+        // drained mid-flight. The arms only read the eagerly-persisted
+        // sch fixture and collect; nothing is tracked on these threads.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         val arms = LinkAlignArms.map { case (label, n) => Future {

@@ -54,17 +54,55 @@ class QualityClassifierSpec extends SparkSpec {
     assert(empty == expected)
   }
 
-  test("scoreExpr is bit-identical to the aggregating score path") {
+  test("scoreExpr is bit-identical to an independent features-table margin") {
+    // INDEPENDENT reference path (score() itself is scoreExpr now, so
+    // comparing the two would be a tautology): margins recomputed from
+    // the still-present features() table as the join/aggregate
+    // Σ w_b·cnt_b + bias the r19 rewrite replaced, then the same
+    // sigmoid floor — must match the scan expression bit-for-bit
+    import spark.implicits._
     val docs = graft.catalog.Tables.load(spark, sfDir, "documents")
       .withColumn("lab", (col("source") === "src0").cast("int"))
     val model = QualityClassifier.train(
       spark, docs, "doc_id", "text", "lab", buckets = 512, iters = 2)
-    val agg = QualityClassifier.score(spark, docs, "doc_id", "text", model)
+    val wdf = ((-1L, model.bias) +:
+      model.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)
+      .toDF("bucket", "w")
+    val expected = QualityClassifier.features(docs, "doc_id", "text", 512)
+      .join(wdf, "bucket")
+      .groupBy("doc_id").agg(sum(col("w") * col("cnt")).as("m"))
+      .select(col("doc_id"),
+        floor(lit(1e6) / (lit(1.0) + exp(-(col("m").cast("double") / lit(1e6)))))
+          .cast("long").as("q1"))
     val rowwise = docs.select(col("doc_id"),
       QualityClassifier.scoreExpr(col("text"), model).as("q2"))
-    val diff = agg.join(rowwise, "doc_id")
-      .filter(col("quality_micro") =!= col("q2")).count()
-    assert(diff == 0)
+    val n = docs.count()
+    val joined = expected.join(rowwise, "doc_id")
+    assert(joined.count() == n, "every document must score on both paths")
+    assert(joined.filter(col("q1") =!= col("q2")).count() == 0)
+  }
+
+  test("gradient plan: fenced residual below the Generate, no exchange below it") {
+    val model = QualityClassifier.Model(0L, Array.fill(128)(0L))
+    val gf = QualityClassifier.gradientFrame(
+      corpus, "doc_id", "text", "lab", 128, model)
+    gf.collect() // execute so the printed plan is the AQE-final truth
+    val lines = gf.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, s"gradient plan must explode bucket ids:\n${lines.mkString("\n")}")
+    // (1) evaluation grain: the non-deterministic fence (rand marker)
+    // pins the residual projection BELOW the Generate — re-sited above,
+    // the forward pass re-evaluates per bucket OCCURRENCE (measured
+    // 20x). Children print after parents, so "below" = a later line.
+    val randIdx = lines.indexWhere(_.contains("rand("))
+    assert(randIdx > genIdx,
+      s"residual must be computed below the Generate:\n${lines.mkString("\n")}")
+    // (2) the repartition barrier is gone for good: nothing below the
+    // Generate may shuffle — the scan, margin and explode share one
+    // stage and only the per-bucket partial sums cross an exchange
+    assert(!lines.drop(genIdx + 1).exists(l =>
+        l.contains("Exchange") || l.contains("ShuffleQueryStage")),
+      s"no Exchange may sit below the Generate:\n${lines.mkString("\n")}")
   }
 
   test("scoreExpr filters a live stream (no streaming aggregation state)") {
